@@ -1,0 +1,29 @@
+"""Import every operator module for its registration side effects and
+expose the populated registry. `__spark_entry__.py` re-exports these."""
+
+from __future__ import annotations
+
+from .registry import ORACLE_SQL, SPARK_QUERIES
+
+from .rbm import queries as _rbm_queries  # noqa: F401,E402
+
+_OPTIONAL_MODULES = [
+    "hadoop_digit_recognition_spark.operators.relational",
+    "hadoop_digit_recognition_spark.operators.arrays",
+    "hadoop_digit_recognition_spark.operators.dedup",
+    "hadoop_digit_recognition_spark.operators.similarity",
+    "hadoop_digit_recognition_spark.operators.text",
+    "hadoop_digit_recognition_spark.operators.multimodal",
+    "hadoop_digit_recognition_spark.operators.windows",
+    "hadoop_digit_recognition_spark.ml.queries",
+]
+
+import importlib
+
+for _m in _OPTIONAL_MODULES:
+    try:
+        importlib.import_module(_m)
+    except ModuleNotFoundError:
+        pass  # module not built yet (round-incremental construction)
+
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,35 @@
+"""Scalar/array math column functions (SURVEY.md P3-P5).
+
+All pure Spark built-ins — JVM-side, whole-stage-codegen'd, no Python in
+the data path. Each mirrors a per-record transform the reference performs
+inside its mappers:
+
+- normalize : int pixel -> double in [0,1]   (/root/reference/rbmmapper.java:116-119)
+- sigmoid   : 1/(1+exp(-x)) elementwise      (/root/reference/rbmmapper.java:158-162)
+- quantize  : prob -> int(p*255), truncating (/root/reference/propmapper.java:156)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def sigmoid_scalar(x: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+
+
+def sigmoid_col(arr: Column) -> Column:
+    """Elementwise sigmoid over an array<double> column."""
+    return F.transform(arr, lambda x: sigmoid_scalar(x.cast("double")))
+
+
+def normalize_col(arr: Column, denom: float = 255.0) -> Column:
+    """x -> x/denom elementwise (reference normalizes 0-255 ints)."""
+    return F.transform(arr, lambda x: x.cast("double") / F.lit(denom))
+
+
+def quantize_col(arr: Column, scale: float = 255.0) -> Column:
+    """p -> int(p*scale); Java's (int) cast truncates toward zero and all
+    inputs are probabilities >= 0, so floor() is exact parity."""
+    return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"))

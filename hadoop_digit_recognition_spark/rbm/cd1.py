@@ -1,0 +1,199 @@
+"""CD-1 contrastive divergence for one RBM layer — the reference's core
+workload (/root/reference/rbmmapper.java:144-238), Spark-first.
+
+Reference topology (one epoch): every mapper emits numdims*numhid
+(weightIdx, dw) records per EXAMPLE with no combiner, so the shuffle
+carries numCase*numdims*numhid records (~2.35e10 for MNIST 784x500;
+/root/reference/rbmmapper.java:259-268, BASELINE.md). Here the gradient is
+partially aggregated INSIDE each task (one 64x16 NumPy accumulator per
+partition), so the shuffle carries numPartitions * numdims*numhid rows —
+independent of row count. At 100 TB / 1000 executors that is ~1000 small
+rows per weight instead of tens of billions.
+
+Intended semantics, not the reference's defects (SURVEY.md §2.6): row-major
+weight indexing (not the transposed D3 layout), epsilon=0.1 scaling (not
+the uninitialized-scalar D2), observed-count mean (D10 available as an
+override via `numcase`).
+
+Deterministic (mean-field) mode uses hidden probabilities h0p directly in
+the negative phase instead of Bernoulli samples, so a DuckDB SQL oracle
+exists; sampled mode seeds the RNG per (row, epoch) for reproducibility —
+the reference uses a fresh unseeded Random per record and is
+irreproducible by construction (/root/reference/rbmmapper.java:169).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def init_weights_sin(numdims: int, numhid: int, scale: float = 0.1) -> np.ndarray:
+    """Deterministic weight init W[i,j] = scale*sin(i*numhid + j).
+
+    Same closed form is computable in ANSI SQL, which is what makes the
+    CD-1 epoch oracle-checkable end-to-end. Stand-in for the reference's
+    unseeded 0.1*N(0,1) init (/root/reference/driver.java:76-83)."""
+    return scale * np.sin(np.arange(numdims * numhid, dtype=np.float64)).reshape(numdims, numhid)
+
+
+def init_weights_gaussian(numdims: int, numhid: int, scale: float = 0.1,
+                          seed: int = 42) -> np.ndarray:
+    """W ~ scale*N(0,1), seeded (reference: unseeded, driver.java:77-83)."""
+    rng = np.random.default_rng(seed)
+    return scale * rng.standard_normal((numdims, numhid))
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    # exp overflow-safe: sigmoid(x) = exp(x)/(1+exp(x)) for x<0
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    ex = np.exp(x[~pos])
+    out[~pos] = ex / (1.0 + ex)
+    return out
+
+
+def numpy_cd1_meanfield(V: np.ndarray, W: np.ndarray,
+                        hb: np.ndarray | None = None,
+                        vb: np.ndarray | None = None) -> np.ndarray:
+    """Golden-model CD-1 (mean-field): returns posprods - negprods.
+
+    Mirrors getposphase/getnegphase (/root/reference/rbmmapper.java:144-220)
+    with probabilities in place of Bernoulli states. Biases default to zero
+    — the reference allocates them zero and never trains them (defect D5,
+    rbmmapper.java:131-132)."""
+    nd, nh = W.shape
+    hb = np.zeros(nh) if hb is None else hb
+    vb = np.zeros(nd) if vb is None else vb
+    h0p = _sigmoid(V @ W + hb)
+    v1 = _sigmoid(h0p @ W.T + vb)
+    h1p = _sigmoid(v1 @ W + hb)
+    return V.T @ h0p - v1.T @ h1p
+
+
+def numpy_cd1_sampled(V: np.ndarray, W: np.ndarray, rng: np.random.Generator,
+                      hb: np.ndarray | None = None,
+                      vb: np.ndarray | None = None) -> np.ndarray:
+    """Golden-model CD-1 with Bernoulli hidden states (P6), seeded."""
+    nd, nh = W.shape
+    hb = np.zeros(nh) if hb is None else hb
+    vb = np.zeros(nd) if vb is None else vb
+    h0p = _sigmoid(V @ W + hb)
+    h0s = (h0p > rng.random(h0p.shape)).astype(np.float64)
+    v1 = _sigmoid(h0s @ W.T + vb)
+    h1p = _sigmoid(v1 @ W + hb)
+    return V.T @ h0p - v1.T @ h1p
+
+
+def _to_matrix(series: pd.Series, numdims: int) -> np.ndarray:
+    """Arrow list column -> (n, numdims) float64 matrix."""
+    if len(series) == 0:
+        return np.empty((0, numdims), dtype=np.float64)
+    return np.vstack(series.to_numpy()).astype(np.float64, copy=False)
+
+
+def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
+                    epsilon: float = 0.1, weightcost: float = 0.0,
+                    numcase: int | None = None,
+                    sampled: bool = False, seed: int = 0,
+                    epoch: int = 0) -> DataFrame:
+    """One CD-1 epoch as a DataFrame job: returns (idx bigint, dw double)
+    with dw = epsilon * (sum_rows(posprods - negprods)/numcase
+                          - weightcost*W[idx]).
+
+    Physical shape: mapInPandas emits ONE partial-gradient block per
+    partition (map-side combine the reference lacks — SURVEY.md O1), then a
+    tiny groupBy(idx).sum() shuffle of numPartitions*numdims*numhid rows.
+    """
+    from ..shipping import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    nd, nh = W.shape
+    if numcase is None:
+        # observed-count mean (intended semantics; reference divides by the
+        # configured numCase even when it differs — defect D10)
+        numcase = df.count()
+    b_w = spark.sparkContext.broadcast(np.ascontiguousarray(W, dtype=np.float64))
+
+    def grad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wv = b_w.value
+        acc = np.zeros((nd, nh), dtype=np.float64)
+        rng = None
+        for pdf in batches:
+            V = _to_matrix(pdf[vec_col], nd)
+            if V.shape[0] == 0:
+                continue
+            if sampled:
+                # partition-stable seed: first row id in batch + epoch
+                if rng is None:
+                    rng = np.random.default_rng((seed, epoch, int(V[0, 0] * 1e6) & 0xFFFF))
+                acc += numpy_cd1_sampled(V, Wv, rng)
+            else:
+                acc += numpy_cd1_meanfield(V, Wv)
+        yield pd.DataFrame({
+            "idx": np.arange(nd * nh, dtype=np.int64),
+            "dw": acc.ravel(),  # row-major i*numhid+j, the INTENDED layout (not defect D3)
+        })
+
+    partial = df.select(vec_col).mapInPandas(grad, schema="idx bigint, dw double")
+    summed = partial.groupBy("idx").agg(F.sum("dw").alias("gsum"))
+    if weightcost != 0.0:
+        b_flat = spark.sparkContext.broadcast(W.ravel())
+        wc = F.udf(lambda i: float(b_flat.value[i]), "double")  # cold path only
+        decay = F.lit(float(weightcost)) * wc(F.col("idx"))
+    else:
+        decay = F.lit(0.0)
+    return summed.select(
+        F.col("idx"),
+        (F.lit(float(epsilon)) * (F.col("gsum") / F.lit(float(numcase)) - decay)).alias("dw"),
+    )
+
+
+def cd1_gradient_collect(df: DataFrame, vec_col: str, W: np.ndarray,
+                         epsilon: float = 0.1, numcase: int | None = None,
+                         sampled: bool = False, seed: int = 0,
+                         epoch: int = 0) -> np.ndarray:
+    """Production path: same partial-gradient mapInPandas, collected
+    straight to a (numdims, numhid) NumPy delta on the driver (weight-sized
+    data only — never rows; 100 TB posture, SURVEY.md §7)."""
+    nd, nh = W.shape
+    rows = cd1_gradient_df(df, vec_col, W, epsilon=epsilon, numcase=numcase,
+                           sampled=sampled, seed=seed, epoch=epoch).collect()
+    out = np.zeros(nd * nh, dtype=np.float64)
+    for r in rows:
+        out[r["idx"]] = r["dw"]
+    return out.reshape(nd, nh)
+
+
+def forward_prop_df(df: DataFrame, vec_col: str, W: np.ndarray,
+                    out_col: str = "hidden", quantize: bool = False) -> DataFrame:
+    """Forward propagation h = sigmoid(v*W) as a narrow stage — no shuffle.
+
+    The reference runs this as a full MapReduce job with an identity
+    reducer, i.e. a pointless shuffle (/root/reference/propreducer.java:16-23,
+    SURVEY.md A3/E3). quantize=True reproduces the int(p*255) re-encoding
+    between layers (/root/reference/propmapper.java:156)."""
+    from ..shipping import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    nd, nh = W.shape
+    b_w = spark.sparkContext.broadcast(np.ascontiguousarray(W, dtype=np.float64))
+
+    @F.pandas_udf("array<double>")
+    def fprop(v: pd.Series) -> pd.Series:
+        V = _to_matrix(v, nd)
+        H = _sigmoid(V @ b_w.value)
+        return pd.Series(list(H))
+
+    out = df.withColumn(out_col, fprop(F.col(vec_col)))
+    if quantize:
+        out = out.withColumn(
+            out_col, F.transform(F.col(out_col), lambda x: F.floor(x * F.lit(255.0)).cast("long")))
+    return out

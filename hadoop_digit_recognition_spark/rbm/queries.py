@@ -1,0 +1,113 @@
+"""Oracle-checkable RBM queries (SURVEY.md §7 minimum slice + C2-C7).
+
+The flagship `rbm_cd1_epoch` is one full CD-1 epoch in mean-field
+(deterministic) mode over embeddings(64-dim) with a 64x16 weight matrix
+W[i,j] = 0.1*sin(i*16+j) — exercising scan (S1), broadcast (S4), sigmoid
+(P4), flatten (P7), keyed sum (A1), global mean (A4) and the CD-1
+composites (C2-C4) end-to-end. The DuckDB oracle re-derives the identical
+numbers from first principles via explode -> join -> aggregate GEMMs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+from .cd1 import cd1_gradient_df, forward_prop_df, init_weights_sin
+
+NUMDIMS, NUMHID, EPSILON = 64, 16, 0.1
+
+# Shared SQL fragments: embeddings exploded to (vec_id, i, x) and the
+# deterministic sin weight matrix (i, j, w) — both derivable in any engine.
+_V = ("SELECT vec_id, generate_subscripts(embedding,1)-1 AS i, "
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings")
+_W = (f"SELECT i.i, j.j, 0.1*sin(CAST(i.i*{NUMHID}+j.j AS DOUBLE)) AS w "
+      f"FROM range({NUMDIMS}) i(i), range({NUMHID}) j(j)")
+
+_CD1_ORACLE = f"""
+WITH v AS ({_V}),
+w AS ({_W}),
+h0 AS (
+  SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
+  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+v1 AS (
+  SELECT h0.vec_id, w.i, 1.0/(1.0+exp(-sum(h0.h*w.w))) AS x
+  FROM h0 JOIN w ON h0.j = w.j GROUP BY h0.vec_id, w.i
+),
+h1 AS (
+  SELECT v1.vec_id, w.j, 1.0/(1.0+exp(-sum(v1.x*w.w))) AS h
+  FROM v1 JOIN w ON v1.i = w.i GROUP BY v1.vec_id, w.j
+),
+pos AS (
+  SELECT v.i, h0.j, sum(v.x*h0.h) AS p
+  FROM v JOIN h0 ON v.vec_id = h0.vec_id GROUP BY v.i, h0.j
+),
+neg AS (
+  SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
+  FROM v1 JOIN h1 ON v1.vec_id = h1.vec_id GROUP BY v1.i, h1.j
+),
+nc AS (SELECT count(*) AS c FROM embeddings)
+SELECT pos.i*{NUMHID}+pos.j AS idx,
+       round({EPSILON}*(pos.p - neg.n)/nc.c, 9) AS dw
+FROM pos JOIN neg ON pos.i = neg.i AND pos.j = neg.j CROSS JOIN nc
+"""
+
+
+@query("rbm_cd1_epoch", oracle=_CD1_ORACLE)
+def rbm_cd1_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    W = init_weights_sin(NUMDIMS, NUMHID)
+    grad = cd1_gradient_df(emb, "embedding", W, epsilon=EPSILON)
+    return grad.select("idx", F.round("dw", 9).alias("dw"))
+
+
+_FPROP_ORACLE = f"""
+WITH v AS ({_V}),
+w AS ({_W})
+SELECT v.vec_id, w.j, round(1.0/(1.0+exp(-sum(v.x*w.w))), 6) AS h
+FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j
+"""
+
+
+@query("rbm_forward_prop", oracle=_FPROP_ORACLE)
+def rbm_forward_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: h = sigmoid(v*W), exploded to (vec_id, j, h) — a narrow stage
+    (the reference ran an identity-reducer shuffle for this, defect-adjacent
+    A3; /root/reference/propreducer.java:16-23)."""
+    emb = load(spark, sf_dir, "embeddings")
+    W = init_weights_sin(NUMDIMS, NUMHID)
+    out = forward_prop_df(emb, "embedding", W, out_col="hidden")
+    return (out.select("vec_id", F.posexplode("hidden").alias("j", "h"))
+            .select("vec_id", F.col("j").cast("bigint").alias("j"),
+                    F.round("h", 6).alias("h")))
+
+
+_FPROP_Q_ORACLE = f"""
+WITH v AS ({_V}),
+w AS ({_W})
+SELECT v.vec_id, w.j,
+       CAST(floor(255.0/(1.0+exp(-sum(v.x*w.w)))) AS BIGINT) AS hq
+FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j
+"""
+
+
+@query("rbm_forward_prop_quantized", oracle=_FPROP_Q_ORACLE)
+def rbm_forward_prop_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+P5 fidelity: int(sigmoid(v*W)*255), the text re-encoding the
+    reference applies between layers (/root/reference/propmapper.java:156)."""
+    emb = load(spark, sf_dir, "embeddings")
+    W = init_weights_sin(NUMDIMS, NUMHID)
+    out = forward_prop_df(emb, "embedding", W, out_col="hidden", quantize=True)
+    return (out.select("vec_id", F.posexplode("hidden").alias("j", "hq"))
+            .select("vec_id", F.col("j").cast("bigint").alias("j"), "hq"))
+
+
+@query("rbm_cd1_epoch_sampled")  # rows-only: Bernoulli-sampled negative phase (P6)
+def rbm_cd1_epoch_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    W = init_weights_sin(NUMDIMS, NUMHID)
+    grad = cd1_gradient_df(emb, "embedding", W, epsilon=EPSILON, sampled=True, seed=7)
+    return grad.select("idx", F.round("dw", 9).alias("dw"))

@@ -1,0 +1,65 @@
+"""Drive __spark_entry__ exactly as the driver harness would: plain
+SparkSession (no engine-tuned configs), entry() smoke at sf0.001, every
+queries() entry vs oracle_sql() via DuckDB at sf0.01."""
+import sys, math, time
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+import duckdb
+import numpy as np
+
+spark = (SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+# t1 smoke
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"t1 entry(): {len(rows)} rows, schema={df.schema.simpleString()}, {time.time()-t0:.1f}s")
+assert len(rows) > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, np.ndarray): return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, np.generic): v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return v + 0.0 if v != 0 else 0.0
+    if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
+    return v
+
+qs, osql = E.queries(), E.oracle_sql()
+if "--only" in sys.argv:
+    only = sys.argv[sys.argv.index("--only") + 1]
+    qs = {k: v for k, v in qs.items() if k == only}
+print(f"{len(qs)} queries, {len(osql)} with oracle")
+fails = []
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        sdf = fn(spark, SF).toPandas()
+    except Exception as ex:
+        fails.append((name, f"spark error: {ex}")); print(f"  {name}: SPARK ERROR {ex}"); continue
+    if name not in osql:
+        print(f"  {name}: rows-only, {len(sdf)} rows, {time.time()-t0:.1f}s")
+        if len(sdf) == 0: fails.append((name, "0 rows"))
+        continue
+    ddf = con.sql(osql[name]).df()
+    ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
+    ok_n = len(sdf) == len(ddf)
+    srt = lambda df_: sorted((tuple(norm(c) for c in r) for r in df_[sorted(df_.columns)].itertuples(index=False, name=None)), key=lambda t: tuple(str(x) for x in t))
+    ok_vals = ok_cols and ok_n and srt(sdf) == srt(ddf)
+    status = "MATCH" if (ok_cols and ok_n and ok_vals) else "MISMATCH"
+    print(f"  {name}: {status} ({len(sdf)} vs {len(ddf)} rows; cols {ok_cols}) {time.time()-t0:.1f}s")
+    if status != "MATCH": fails.append((name, "mismatch"))
+
+print("FAILURES:", fails if fails else "none")
+spark.stop()
+sys.exit(1 if fails else 0)

@@ -1,0 +1,47 @@
+"""t2-style oracle comparison for the RBM queries at sf0.01, plus golden
+NumPy model checks for the CD-1 math (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+from hadoop_digit_recognition_spark.rbm.cd1 import (
+    _sigmoid,
+    init_weights_sin,
+    numpy_cd1_meanfield,
+)
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized"]
+
+
+@pytest.mark.parametrize("name", RBM_QUERIES)
+def test_rbm_query_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_golden_cd1_meanfield_tiny():
+    """Hand-checkable CD-1: 2 examples x 3 dims, 2 hidden."""
+    V = np.array([[1.0, 0.0, 0.5], [0.2, 0.8, 0.1]])
+    W = init_weights_sin(3, 2)
+    g = numpy_cd1_meanfield(V, W)
+    # independent recomputation, scalar-by-scalar
+    h0 = 1 / (1 + np.exp(-(V @ W)))
+    v1 = 1 / (1 + np.exp(-(h0 @ W.T)))
+    h1 = 1 / (1 + np.exp(-(v1 @ W)))
+    expect = V.T @ h0 - v1.T @ h1
+    np.testing.assert_allclose(g, expect, rtol=1e-12)
+    assert g.shape == (3, 2)
+
+
+def test_sigmoid_stable_extremes():
+    x = np.array([-800.0, -30.0, 0.0, 30.0, 800.0])
+    s = _sigmoid(x)
+    assert np.all(np.isfinite(s))
+    np.testing.assert_allclose(s[2], 0.5)
+    assert s[0] == 0.0 and s[4] == 1.0

@@ -1,0 +1,645 @@
+"""Relational operator coverage (SURVEY.md §2.5 phase 1).
+
+The reference has NO joins, sorts, windows, set ops or SQL functions —
+its only shuffle operators are a keyed sum and an identity pass-through
+(/root/reference/rbmreducer.java:20-30, propreducer.java:16-23; absence
+documented in SURVEY.md §2.5). Everything here is therefore engine
+extension built purely from Spark built-ins, so Catalyst owns pushdown,
+pruning, join selection and partial aggregation (SURVEY.md §4 O10).
+
+Scale notes (100 TB posture) are attached per query where a plan choice
+matters: broadcast hints for dimension tables, deterministic tiebreakers
+instead of nondeterministic row_number ties, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import det_hash64
+from ..registry import query
+from ..tables import load
+
+# --------------------------------------------------------------------------
+# Scans / filters / projections (S1, P1-P2 analogs)
+# --------------------------------------------------------------------------
+
+
+@query("scan_filter_project", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_quantity < 10
+""")
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level scan->filter->project; both predicates and the 4-column
+    read schema push down to the parquet scan (verify via .explain:
+    PushedFilters + ReadSchema)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_quantity") < 10))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("net_price"))
+    )
+
+
+@query("q1_pricing_summary", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 6)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-agg scan. Catalyst plans partial
+    (map-side) + final HashAggregate — the combiner the reference never
+    configured (SURVEY.md O1)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+             F.round(F.sum(disc), 4).alias("sum_disc_price"),
+             F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@query("q6_forecast_revenue", oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: fully-pushable conjunctive filter + global agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+@query("sample_deterministic", oracle="""
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 8))::BIGINT % 100 < 25
+""")
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~25% Bernoulli sample via a content hash — the
+    engine's answer to the reference's fresh-unseeded-Random sampling
+    (P6 / SURVEY.md §7 'distributed RNG'): same rows on any cluster, any
+    partitioning, any engine."""
+    li = load(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    return (li.filter(det_hash64(key) % 100 < 25)
+            .select("l_orderkey", "l_linenumber"))
+
+
+# --------------------------------------------------------------------------
+# Joins (absent in reference; closest analog is weight broadcast S4)
+# --------------------------------------------------------------------------
+
+
+@query("join_broadcast_dim", oracle="""
+SELECT p.p_brand,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x small-dim equi-join with an explicit broadcast hint: the
+    100 TB plan is BroadcastHashJoin (dim ships to every executor, fact
+    never shuffles) — the table-vs-table form of the reference's
+    DistributedCache weight broadcast (/root/reference/driver.java:141)."""
+    li = load(spark, sf_dir, "lineitem")
+    pt = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query("join_star_nation_revenue", oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""")
+def join_star_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. Fact-fact (lineitem-orders) goes
+    sort-merge/shuffle-hash on the shared key; all dims broadcast. At
+    100 TB the orders-lineitem co-location would come from bucketing both
+    on orderkey (see SCALE.md)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+             .alias("revenue"))
+    )
+
+
+@query("join_left_outer", oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 4) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""")
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4)
+             .alias("total_spent"))
+    )
+
+
+@query("join_semi", oracle="""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi: probe side streams, no row duplication."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@query("join_anti", oracle="""
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti (customers with no large order — the
+    unfiltered variant is empty on this data, which would verify nothing)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_acctbal"))
+
+
+@query("join_full_outer", oracle="""
+SELECT coalesce(cu.k, su.k) AS n_nationkey,
+       coalesce(cu.n_cust, 0) AS n_cust,
+       coalesce(su.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) cu
+FULL OUTER JOIN
+     (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) su
+ON cu.k = su.k
+""")
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = (load(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("n_cust")))
+    su = (load(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k"))
+          .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (
+        cu.join(su, "k", "full_outer")
+        .select(F.col("k").alias("n_nationkey"),
+                F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+                F.coalesce("n_supp", F.lit(0)).alias("n_supp"))
+    )
+
+
+@query("join_nonequi_band", oracle="""
+SELECT s.s_suppkey, count(*) AS n_pricier,
+       round(sum(l.l_extendedprice), 4) AS total
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              AND l.l_extendedprice > s.s_acctbal
+GROUP BY s.s_suppkey
+""")
+def join_nonequi_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta residual: hash join on suppkey, residual filter
+    evaluated inside the join — not a nested-loop over the fact table."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l.join(F.broadcast(s),
+               (l.l_suppkey == s.s_suppkey)
+               & (l.l_extendedprice > s.s_acctbal))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_pricier"),
+             F.round(F.sum("l_extendedprice"), 4).alias("total"))
+    )
+
+
+@query("join_theta_bnl", oracle="""
+SELECT r.r_name, count(*) AS n_nations
+FROM region r JOIN nation n ON n.n_regionkey < r.r_regionkey
+GROUP BY r.r_name
+""")
+def join_theta_bnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join (no equi key) -> BroadcastNestedLoopJoin; only ever
+    sane between small/broadcastable inputs, which is exactly this shape."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey < r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation variants (A1 generalizations)
+# --------------------------------------------------------------------------
+
+
+@query("agg_having", oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+""")
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query("agg_distinct", oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple count-distincts in one agg: Catalyst expands to
+    grouping-id based partial aggregation, no per-key row explosion."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n_parts"),
+             F.countDistinct("l_suppkey").alias("n_supps"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query("agg_stats", oracle="""
+SELECT l_linestatus,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(var_samp(l_quantity), 6)    AS var_qty,
+       round(min(l_extendedprice), 4)    AS min_price,
+       round(max(l_extendedprice), 4)    AS max_price,
+       round(avg(l_tax), 6)              AS avg_tax
+FROM lineitem GROUP BY l_linestatus
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+             F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+             F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+             F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+             F.round(F.avg("l_tax"), 6).alias("avg_tax"))
+    )
+
+
+@query("agg_rollup", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+@query("agg_cube", oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+""")
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.grouping_id().cast("bigint").alias("gid"))
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SQL text runs on both engines (SQL API surface)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query("distinct_pairs", oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+@query("window_rank_topk", oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""")
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: window + filter. Deterministic because the sort
+    carries a unique tiebreaker (orderkey) — row_number over a non-unique
+    ordering is nondeterministic under any distributed engine."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+@query("window_running_sum", oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+FROM lineitem
+""")
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                     F.round(F.sum("l_quantity").over(w), 4).alias("running_qty"))
+
+
+@query("window_lag_lead", oracle="""
+SELECT event_id, user_id,
+       lag(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+FROM events
+""")
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id",
+                     F.lag("event_id").over(w).alias("prev_id"),
+                     F.lead("event_id").over(w).alias("next_id"))
+
+
+@query("sort_limit_topk", oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+""")
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full sort at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .limit(10))
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+@query("set_union", oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query("set_intersect", oracle="""
+SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+""")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+         .select(F.col("o_custkey").alias("k")))
+    b = (load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+         .select(F.col("c_custkey").alias("k")))
+    return a.intersect(b)
+
+
+@query("set_except", oracle="""
+SELECT c_custkey AS k FROM customer
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+""")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    b = (load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("k")))
+    # subtract == EXCEPT DISTINCT (exceptAll().distinct() differs when a
+    # row appears more often left than right)
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Scalar function surface (string / date / math / JSON / conditional)
+# --------------------------------------------------------------------------
+
+
+@query("string_funcs", oracle="""
+SELECT p_partkey,
+       upper(p_brand)                  AS brand_u,
+       substring(p_name, 1, 8)         AS name_pfx,
+       CAST(length(p_name) AS BIGINT)  AS name_len,
+       replace(p_type, ' ', '_')       AS type_u,
+       concat_ws('|', p_brand, p_type) AS tag
+FROM part WHERE p_name LIKE '%ol%'
+""")
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%ol%"))
+        .select("p_partkey",
+                F.upper("p_brand").alias("brand_u"),
+                F.substring("p_name", 1, 8).alias("name_pfx"),
+                F.length("p_name").cast("bigint").alias("name_len"),
+                F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+                F.concat_ws("|", "p_brand", "p_type").alias("tag"))
+    )
+
+
+@query("date_funcs", oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT)  AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       date_trunc('month', o_orderdate)   AS month_start,
+       count(*) AS n, round(sum(o_totalprice), 4) AS total
+FROM orders
+GROUP BY 1, 2, 3
+""")
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("y"),
+                  F.month("o_orderdate").cast("bigint").alias("m"),
+                  F.date_trunc("month", F.col("o_orderdate")).alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+@query("math_funcs", oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_extendedprice), 6)          AS sqrt_price,
+       round(ln(l_extendedprice), 6)            AS ln_price,
+       round(pow(1 + l_discount, 3), 6)         AS disc_cubed,
+       round(abs(l_tax - l_discount), 6)        AS tax_gap,
+       CAST(ceil(l_quantity) AS BIGINT)         AS qty_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT)   AS price_floor
+FROM lineitem WHERE l_orderkey % 37 = 0
+""")
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 37 == 0)
+        .select("l_orderkey", "l_linenumber",
+                F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+                F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+                F.round(F.pow(F.lit(1) + F.col("l_discount"), 3), 6).alias("disc_cubed"),
+                F.round(F.abs(F.col("l_tax") - F.col("l_discount")), 6).alias("tax_gap"),
+                F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+                F.floor("l_extendedprice").cast("bigint").alias("price_floor"))
+    )
+
+
+@query("case_when_bucket", oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+            WHEN o_totalprice < 250000 THEN 'mid'
+            ELSE 'high' END AS bucket,
+       count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+FROM orders GROUP BY 1
+""")
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bucket = (F.when(F.col("o_totalprice") < 100000, "low")
+              .when(F.col("o_totalprice") < 250000, "mid")
+              .otherwise("high").alias("bucket"))
+    return (o.groupBy(bucket)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("o_totalprice"), 6).alias("avg_price")))
+
+
+@query("json_extract", oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+""")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props is a JSON string column (FIXTURES.md)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy((k % 10).alias("k_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+@query("pivot_conditional", oracle="""
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 6) AS click_v,
+       round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 6) AS view_v,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS purchase_v,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+""")
+def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation — shuffle-count identical to a
+    plain groupBy regardless of pivot width (vs .pivot() which needs a
+    distinct-values pass or an explicit value list)."""
+    ev = load(spark, sf_dir, "events")
+
+    def piv(t):
+        return F.round(
+            F.sum(F.when(F.col("event_type") == t, F.col("value")).otherwise(0.0)), 6)
+
+    return (ev.groupBy("user_id")
+            .agg(piv("click").alias("click_v"),
+                 piv("view").alias("view_v"),
+                 piv("purchase").alias("purchase_v"),
+                 F.count(F.lit(1)).alias("n_events")))

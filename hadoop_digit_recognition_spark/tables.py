@@ -17,7 +17,30 @@ TABLE_NAMES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark refuses by
+    default (PARQUET_TYPE_ILLEGAL). Read nanos as long, truncate to
+    microseconds, rebuild as TIMESTAMP_NTZ — NTZ keeps every downstream
+    query independent of the (driver-owned) session timezone, matching the
+    DuckDB oracle's naive timestamps. ts_us (bigint epoch micros) is kept
+    for timezone-proof bucket arithmetic."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        raw.withColumn("ts_us", (F.col("ts") / F.lit(1000)).cast("long"))
+        .withColumn(
+            "ts",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            + F.expr("make_dt_interval(0, 0, 0, ts_us / 1e6)"),
+        )
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

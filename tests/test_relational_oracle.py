@@ -1,0 +1,39 @@
+"""t2-style oracle comparison for every relational query at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+from hadoop_digit_recognition_spark.operators import relational  # noqa: F401
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+RELATIONAL = [
+    "scan_filter_project", "q1_pricing_summary", "q6_forecast_revenue",
+    "sample_deterministic",
+    "join_broadcast_dim", "join_star_nation_revenue", "join_left_outer",
+    "join_semi", "join_anti", "join_full_outer", "join_nonequi_band",
+    "join_theta_bnl",
+    "agg_having", "agg_distinct", "agg_stats", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "distinct_pairs",
+    "window_rank_topk", "window_running_sum", "window_lag_lead",
+    "sort_limit_topk",
+    "set_union", "set_intersect", "set_except",
+    "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",
+    "json_extract", "pivot_conditional",
+]
+
+
+def test_all_registered():
+    missing = [n for n in RELATIONAL if n not in SPARK_QUERIES]
+    assert not missing, missing
+    no_oracle = [n for n in RELATIONAL if n not in ORACLE_SQL]
+    assert not no_oracle, no_oracle
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)

@@ -1,0 +1,178 @@
+"""Array / vector operator layer (SURVEY.md §2.2 P3-P8, §2.4 M5-M10).
+
+The reference's per-record transforms (normalize, sigmoid, quantize,
+flatten, string-assembly) and its dense-matrix kernel, re-expressed as
+JVM-side array expressions — F.transform / F.zip_with / F.aggregate /
+F.posexplode — so they run inside whole-stage codegen with zero Python.
+The GEMM (matrix.java:289-310) additionally gets a pure-relational form:
+explode -> join on the inner index -> sum group by (i,j), the shape that
+scales on a cluster when neither matrix is broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.math import sigmoid_scalar
+from ..registry import query
+from ..tables import load
+
+# embeddings exploded to (vec_id, i, x) — shared SQL fragment
+_V64 = ("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings")
+
+
+@query("arr_normalize", oracle="""
+SELECT vec_id,
+       list_transform(embedding, x -> round(CAST(x AS DOUBLE) / 255.0, 9)) AS norm
+FROM embeddings
+""")
+def arr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: x -> x/255 elementwise (rbmmapper.java:116-119), array-valued
+    output (exercises array-column comparison end to end)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform("embedding",
+                    lambda x: F.round(x.cast("double") / 255.0, 9)).alias("norm"))
+
+
+@query("arr_sigmoid", oracle=f"""
+SELECT vec_id, i, round(1.0/(1.0 + exp(-x)), 6) AS s
+FROM ({_V64}) v
+""")
+def arr_sigmoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 as a pure SQL expression pipeline (the NumPy twin is
+    rbm_forward_prop): transform -> posexplode."""
+    emb = load(spark, sf_dir, "embeddings")
+    sig = F.transform("embedding", lambda x: F.round(sigmoid_scalar(x), 6))
+    return (emb.select("vec_id", F.posexplode(sig).alias("i", "s"))
+            .select("vec_id", F.col("i").cast("bigint").alias("i"), "s"))
+
+
+@query("arr_quantize", oracle=f"""
+SELECT vec_id, i,
+       CAST(floor(255.0/(1.0 + exp(-x))) AS BIGINT) AS q
+FROM ({_V64}) v
+""")
+def arr_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: int(sigmoid(x)*255) — Java (int) truncation == floor on
+    non-negative probabilities (propmapper.java:156)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform("embedding",
+                    lambda x: F.floor(sigmoid_scalar(x) * 255.0).cast("long"))
+    return (emb.select("vec_id", F.posexplode(q).alias("i", "q"))
+            .select("vec_id", F.col("i").cast("bigint").alias("i"), "q"))
+
+
+@query("arr_posexplode", oracle=f"""
+SELECT vec_id, i, round(x, 6) AS x FROM ({_V64}) v
+""")
+def arr_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: flatten/enumerate — matrix -> (index, value) records, the shape
+    the reference's mapper emits per weight (rbmmapper.java:259-268)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+            .select("vec_id", F.col("i").cast("bigint").alias("i"),
+                    F.round(F.col("x").cast("double"), 6).alias("x")))
+
+
+@query("arr_concat_ws", oracle="""
+SELECT vec_id,
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
+         ' ') AS line
+FROM embeddings
+""")
+def arr_concat_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: string assembly — the reference writes each example back as a
+    space-joined int line (propmapper.java:268-276)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ints = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000).cast("long").cast("string"))
+    return emb.select("vec_id", F.concat_ws(" ", ints).alias("line"))
+
+
+@query("vec_self_dot", oracle=f"""
+SELECT vec_id, round(sum(x * x), 6) AS dot,
+       round(sqrt(sum(x * x)), 6) AS l2norm
+FROM ({_V64}) v GROUP BY vec_id
+""")
+def vec_self_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 Hadamard + reduction via zip_with/aggregate (JVM-side fold)."""
+    from ..functions.vector import dot_col
+    emb = load(spark, sf_dir, "embeddings")
+    d = dot_col(F.col("embedding"), F.col("embedding"))
+    return emb.select("vec_id", F.round(d, 6).alias("dot"),
+                      F.round(F.sqrt(d), 6).alias("l2norm"))
+
+
+@query("vec_zip_ops", oracle=f"""
+WITH v AS ({_V64}),
+n AS (SELECT vec_id, count(*) AS sz FROM v GROUP BY vec_id)
+SELECT a.vec_id,
+       round(sum((a.x + b.x) * 2.0 - a.x / 2.0), 6) AS combined
+FROM v a
+JOIN n ON a.vec_id = n.vec_id
+JOIN v b ON a.vec_id = b.vec_id AND b.i = n.sz - 1 - a.i
+GROUP BY a.vec_id
+""")
+def vec_zip_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6/M8/M9 composite: elementwise (x + reverse(x))*2 - x/2 then
+    reduce — zip_with against the reversed vector, folded with aggregate."""
+    emb = load(spark, sf_dir, "embeddings")
+    combined = F.aggregate(
+        F.zip_with("embedding", F.reverse(F.col("embedding")),
+                   lambda x, y: (x.cast("double") + y.cast("double")) * 2.0
+                   - x.cast("double") / 2.0),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select("vec_id", F.round(combined, 6).alias("combined"))
+
+
+@query("arr_stats", oracle="""
+SELECT vec_id,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn,
+       CAST(len(embedding) AS BIGINT) AS sz,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+FROM embeddings
+""")
+def arr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max("embedding").cast("double"), 6).alias("mx"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("mn"),
+        F.size("embedding").cast("bigint").alias("sz"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"))
+
+
+@query("gemm_sql", oracle=f"""
+WITH v AS ({_V64}),
+w AS (SELECT i.i, j.j, 0.1*sin(CAST(i.i*16 + j.j AS DOUBLE)) AS w
+      FROM range(64) i(i), range(16) j(j))
+SELECT v.vec_id, w.j, round(sum(v.x * w.w), 6) AS h
+FROM v JOIN w ON v.i = w.i
+WHERE v.vec_id < 20
+GROUP BY v.vec_id, w.j
+""")
+def gemm_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 GEMM as pure relational algebra: explode both matrices, equi-join
+    on the contraction index, sum grouped by (row, col). No UDF, no
+    broadcast variable — the distributed-matmul form for when neither side
+    fits in executor memory (vs the NumPy/broadcast form in rbm/cd1.py)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    v = (emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+         .select("vec_id", F.col("i").cast("bigint").alias("i"),
+                 F.col("x").cast("double").alias("x")))
+    w = (spark.range(64).select(F.col("id").alias("i"))
+         .crossJoin(spark.range(16).select(F.col("id").alias("j")))
+         .select("i", "j",
+                 (F.lit(0.1) * F.sin((F.col("i") * 16 + F.col("j"))
+                                     .cast("double"))).alias("w")))
+    return (v.join(F.broadcast(w), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("h")))

@@ -1,0 +1,311 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+requirement; absent in the reference — SURVEY.md §2.5 last row).
+
+Five families, all deterministic and engine-portable:
+
+- exact        : content-hash groupBy (md5), keep lowest doc_id
+- n-gram Jaccard: exact all-pairs similarity over distinct word 3-shingles
+- MinHash + LSH: md5-derived minhash signatures -> banded buckets ->
+                 candidate pairs -> exact-Jaccard verification
+- SimHash      : 32-bit sign-aggregated fingerprint + Hamming-ball pairs
+- embedding cosine: near-duplicate pairs in vector space
+
+Every hash is the first 8 hex chars of md5 parsed as an integer
+(functions.vector.det_hash64) so the DuckDB oracle reproduces signatures
+bit-for-bit — Spark's native hash()/xxhash64 would not.
+
+Scale shape: shingling explodes ~L rows per doc, minhash reduces back to
+K rows per doc (K=8), banding to B rows per doc (B=4); the candidate join
+is an equi-join on (band, band_key) — the only all-pairs work happens
+inside LSH buckets. At 100 TB this is the standard shingle->sign->band
+pipeline; the exact all-pairs variant exists for verification at test SF
+(its shingle self-join would be the bottleneck at scale, and is the thing
+LSH replaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_col, det_hash64
+from ..registry import query
+from ..tables import load
+
+NUM_HASHES = 8       # minhash signature length
+BAND_ROWS = 2        # rows per LSH band -> 4 bands
+JACCARD_THRESHOLD = 0.8
+
+# ---------------------------------------------------------------------------
+# Shared shingle derivations
+# ---------------------------------------------------------------------------
+
+# DuckDB: distinct word 3-shingles per doc (positional self-join — DuckDB
+# 1.0 cannot lateral-unnest generate_series over a column).
+_SHINGLES_SQL = """
+t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM t0),
+sh AS (SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS s
+       FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s): DISTINCT word 3-shingles per document."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 3),
+                    lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2])),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("s")))
+
+
+def minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b, mh): NUM_HASHES independent minhashes per doc;
+    hash_b(s) = det_hash64(b || ':' || s)."""
+    sh = shingles(spark, sf_dir)
+    bands = spark.range(NUM_HASHES).select(F.col("id").alias("b"))
+    h = det_hash64(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s")))
+    return (sh.crossJoin(F.broadcast(bands))
+            .select("doc_id", "b", h.alias("hv"))
+            .groupBy("doc_id", "b").agg(F.min("hv").alias("mh")))
+
+
+_MINHASH_SQL = _SHINGLES_SQL + f""",
+mh AS (
+  SELECT doc_id, b.b,
+         min(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' || s), 1, 8))::BIGINT) AS mh
+  FROM sh CROSS JOIN range({NUM_HASHES}) b(b)
+  GROUP BY doc_id, b.b
+)
+"""
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_exact", oracle="""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM u GROUP BY md5(text)
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest id. The corpus has no exact
+    duplicates, so the query plants them (a shifted-id copy of every 5th
+    doc) to make the n_copies=2 path observable. At scale this is one
+    shuffle on a 16-byte key — the cheapest dedup there is."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = (docs.filter(F.col("doc_id") % 5 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return (docs.unionByName(dup)
+            .groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query("dedup_ngram_jaccard", oracle=f"""
+WITH {_SHINGLES_SQL},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE inter * 1.0 / (x.n + y.n - inter) >= {JACCARD_THRESHOLD}
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup ground truth: all pairs sharing >=1 shingle, true
+    Jaccard over distinct 3-shingle sets, threshold 0.8. The shingle
+    self-join is quadratic in bucket size — correct at test SF, replaced
+    by MinHash LSH (below) at 100 TB."""
+    sh = shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    jac = F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter"))
+    return (pairs
+            .join(sz.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+            .join(sz.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+@query("minhash_signatures", oracle=f"""
+WITH {_MINHASH_SQL}
+SELECT doc_id, b, mh FROM mh
+""")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (doc_id, hash_index, minhash) — the
+    signature step of MinHash LSH, reproducible across engines."""
+    return minhash_sig(spark, sf_dir)
+
+
+@query("dedup_minhash_lsh", oracle=f"""
+WITH {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, b // {BAND_ROWS} AS g,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY b) AS key
+  FROM mh GROUP BY doc_id, b // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.g = b.g AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+""")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH dedup: band signatures ({NUM_HASHES} hashes, bands
+    of {BAND_ROWS}) -> equi-join on (band, key) for candidates -> exact
+    Jaccard verification. The all-pairs explosion is confined to LSH
+    buckets; everything else is linear + one equi-join — the 100 TB path."""
+    mh = minhash_sig(spark, sf_dir)
+    bands = (mh.groupBy("doc_id", (F.col("b") / BAND_ROWS).cast("bigint").alias("g"))
+             .agg(F.array_join(
+                 F.transform(F.array_sort(F.collect_list(F.struct("b", "mh"))),
+                             lambda s: s["mh"].cast("string")), "-").alias("key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sh = shingles(spark, sf_dir)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (cand
+             .join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+             .join(sh.alias("sb"), (F.col("sb.doc_id") == F.col("doc_b"))
+                   & (F.col("sb.s") == F.col("sa.s")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (inter
+            .join(sz.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
+            .join(sz.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
+_SIMHASH_SQL = """
+t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM t0),
+th AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM tok),
+bits AS (
+  SELECT doc_id, p.b,
+         sum(CASE WHEN CAST(floor(h / CAST(pow(2, p.b) AS BIGINT)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(32) p(b)
+  GROUP BY doc_id, p.b
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+
+@query("simhash_signatures", oracle=f"""
+WITH {_SIMHASH_SQL}
+SELECT doc_id, simhash FROM sig
+""")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash: per token hash, per bit +1/-1 vote weighted by
+    occurrence, sign -> bit. Near-identical docs land within a small
+    Hamming ball."""
+    return _simhash_df(spark, sf_dir)
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    th = tok.select("doc_id", det_hash64(F.col("word")).alias("h"))
+    bitsrc = spark.range(32).select(F.col("id").alias("b"))
+    bitval = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
+              .cast("bigint") % 2)
+    bits = (th.crossJoin(F.broadcast(bitsrc))
+            .select("doc_id", "b",
+                    F.when(bitval == 1, 1).otherwise(-1).alias("v"))
+            .groupBy("doc_id", "b").agg(F.sum("v").alias("s")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") > 0,
+                              F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
+                       .otherwise(F.lit(0))).cast("bigint").alias("simhash")))
+
+
+@query("simhash_dup_pairs", oracle=f"""
+WITH {_SIMHASH_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""")
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 6 of the 32-bit SimHash.
+    (All-pairs at test SF; at scale you'd band the simhash into chunks
+    and equi-join, same trick as MinHash LSH.)"""
+    sig = _simhash_df(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(hd <= 6)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    hd.cast("bigint").alias("hamming")))
+
+
+@query("dedup_embedding_cosine", oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine >= 0.4 — this corpus has no
+    planted vector dups; the threshold is set to exercise the operator).
+    All-pairs at test SF; the ANN path for scale is in similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .filter(cos >= 0.4)
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(cos, 6).alias("cos")))

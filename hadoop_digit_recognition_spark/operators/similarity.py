@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (north-star requirement).
+
+Two physical strategies:
+
+- `sim_topk_cosine`: exact brute-force top-k — broadcast the (small) query
+  set against all candidates, JVM-side dot products via zip_with/aggregate,
+  per-query top-k window. The exact baseline; cost O(|Q| * N * d).
+- `sim_ann_lsh`: random-hyperplane LSH — deterministic sin-derived planes,
+  sign-bit bucket key, candidates restricted to same-bucket, exact rerank
+  inside buckets. The 100 TB path: bucketing turns the all-pairs cross
+  join into an equi-join on the bucket key.
+
+Rankings sort on the ROUNDED similarity plus id tiebreaker so results are
+reproducible across engines (raw last-ulp float differences cannot flip
+ranks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_col, dot_col
+from ..registry import query
+from ..tables import load
+
+N_QUERIES = 30   # vec_id < 30 are the query vectors
+TOP_K = 5
+N_PLANES = 8     # LSH hyperplanes -> 256 buckets
+
+_E = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
+
+
+@query("sim_topk_cosine", oracle=f"""
+WITH e AS ({_E}),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM q JOIN e c ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+""")
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query side, windowed top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K))
+
+
+# LSH planes: P[p][i] = sin(p*64 + i + 0.5) — closed form both engines can
+# evaluate; +0.5 keeps arguments off integer multiples of pi, so plane
+# dot products are bounded away from exact zero sign-flips.
+_PLANES = (f"SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w "
+           f"FROM range({N_PLANES}) p(p), range(64) i(i)")
+
+_BUCKETS = f"""
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+pl AS ({_PLANES}),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bkt
+  FROM dots GROUP BY vec_id
+)
+"""
+
+
+@query("sim_ann_lsh_buckets", oracle=f"""
+WITH {_BUCKETS}
+SELECT bkt, count(*) AS n_vectors FROM bucket GROUP BY bkt
+""")
+def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram — the partition layout of the ANN index."""
+    b = _bucket_df(spark, sf_dir)
+    return b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, bkt): sign-bit bucket of each vector.
+
+    Plane dots ride zip_with/aggregate over a broadcast plane array —
+    no explode, no shuffle; the groupBy in the SQL oracle is replaced by
+    a per-row array fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = [
+        F.array(*[F.sin(F.lit(float(p * 64 + i) + 0.5)) for i in range(64)])
+        for p in range(N_PLANES)
+    ]
+    bkt = None
+    for p in range(N_PLANES):
+        d = dot_col(F.col("embedding"), planes[p])
+        bit = F.when(d > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bkt = bit if bkt is None else (bkt + bit)
+    return emb.select("vec_id", "embedding", bkt.alias("bkt"))
+
+
+@query("sim_ann_lsh", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+q AS (SELECT * FROM be WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+""")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: equi-join on the LSH bucket key replaces the
+    cross join; exact cosine rerank inside each bucket. Recall trades off
+    with N_PLANES; the bucket equi-join is the piece that scales."""
+    be = _bucket_df(spark, sf_dir)
+    q = (be.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
+                 F.col("embedding").alias("qe")))
+    c = be.select(F.col("vec_id").alias("cid"), F.col("bkt").alias("cbkt"),
+                  F.col("embedding").alias("ce"))
+    scored = (c.join(F.broadcast(q), (F.col("cbkt") == F.col("qbkt"))
+                     & (F.col("cid") != F.col("qid")))
+              .select("qid", "cid",
+                      F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K))

@@ -1,0 +1,184 @@
+"""Text-analysis operators for LLM training-data pipelines (north-star
+requirement; the reference's only string handling is split/concat —
+/root/reference/rbmmapper.java:91, propmapper.java:268-276).
+
+All pure JVM-side expressions: split / array ops / regexp / md5. No
+Python in the data path, so at 100 TB each of these is a single narrow
+scan stage (plus one shuffle where a groupBy exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_RE_TOKEN = "[a-z]+|[0-9]+"
+
+
+@query("text_token_stats", oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w,
+                  regexp_extract_all(text, '{_RE_TOKEN}') AS rt
+           FROM documents)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       round(list_aggregate(list_transform(w, x -> CAST(length(x) AS DOUBLE)), 'sum')
+             / len(w), 6) AS avg_token_len,
+       CAST(len(rt) AS BIGINT) AS n_re_tokens,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM t
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, mean token
+    length, regex-token count, and the chars/4 BPE-token estimate."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    tok_lens = F.transform(w, lambda x: F.length(x).cast("double"))
+    return docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x) / F.size(w), 6)
+        .alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_TOKEN), 0))
+        .cast("bigint").alias("n_re_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("approx_bpe_tokens"))
+
+
+@query("text_quality_score", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id,
+             len(w) AS n,
+             len(list_distinct(w)) AS nd,
+             len(list_filter(w, x -> x IN {_STOP_SQL})) AS ns
+      FROM t)
+SELECT doc_id,
+       round(ns * 1.0 / n, 6) AS stop_ratio,
+       round(nd * 1.0 / n, 6) AS uniq_ratio,
+       round(0.4 * least(n / 100.0, 1.0) + 0.6 * (nd * 1.0 / n), 6) AS quality
+FROM m
+""")
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio (fluency proxy),
+    type-token ratio (repetitiveness proxy), length-saturated composite."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w).cast("double")
+    nd = F.size(F.array_distinct(w)).cast("double")
+    ns = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
+    return docs.select(
+        "doc_id",
+        F.round(ns / n, 6).alias("stop_ratio"),
+        F.round(nd / n, 6).alias("uniq_ratio"),
+        F.round(0.4 * F.least(n / 100.0, F.lit(1.0)) + 0.6 * (nd / n), 6)
+        .alias("quality"))
+
+
+@query("text_langid", oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(w, x -> x IN {_STOP_SQL})) * 1.0 / len(w) >= 0.05
+            THEN 'en' ELSE 'unk' END AS pred_lang
+FROM t
+""")
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID heuristic: English-stopword density threshold (the
+    n-gram-profile approach reduced to its cheapest useful form; the
+    corpus is synthetic word-soup, so the declared `lang` column is
+    random — the point is the operator, scored against it downstream)."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    ratio = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))) / F.size(w)
+    return docs.select(
+        "doc_id", "lang",
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("pred_lang"))
+
+
+@query("text_fingerprint", oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+         AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (OpenRefine-style): lowercase ->
+    tokenize -> distinct -> sort -> md5. Robust to word order and
+    repetition; catches shuffled/duplicated-paragraph near-dups that
+    exact hashing misses."""
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " ")))))
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@query("text_ngram_freq", oracle="""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM t0),
+bg AS (SELECT a.word || ' ' || b.word AS bigram
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram HAVING count(*) >= 100
+""")
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency (the TF side of TF-IDF; n-gram LM
+    fuel). One explode + one groupBy — partial aggregation makes the
+    shuffle carry distinct bigrams, not tokens."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
+                    lambda i: F.concat_ws(" ", w[i], w[i + 1])),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 100))
+
+
+@query("text_tfidf_top_terms", oracle="""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM t0),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(nd.n * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word) AS rn
+  FROM scored
+)
+SELECT doc_id, word, tfidf, rn
+FROM ranked WHERE rn <= 3
+""")
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF from first principles (relational form of Tokenizer ->
+    HashingTF -> IDF, but exact-term instead of feature-hashed): term
+    frequency x ln(N/df), top-3 terms per doc with deterministic ties."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    from pyspark.sql import Window as W
+    # rank on the ROUNDED score: rounding first makes the sort key
+    # identical across engines (raw doubles can differ in the last ulp
+    # when two terms are mathematically tied, flipping ranks)
+    scored = (tf.join(df, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "word",
+                      F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+                      .alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= 3)
+            .select("doc_id", "word", "tfidf", "rn"))

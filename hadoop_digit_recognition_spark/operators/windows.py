@@ -1,0 +1,146 @@
+"""Event-time windowing + temporal joins over the events table
+(SURVEY.md §2.5 'streaming' row — the reference is pure batch; these are
+the batch-mode equivalents of the Structured Streaming operators, which
+the t2 oracle can check; the streaming variants with watermarks live in
+streaming/ and are covered by parity tests).
+
+All outputs are session-timezone-proof: events.ts is TIMESTAMP_NTZ
+(tables._load_events) and every boundary computation is pure wall-time
+arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load
+
+
+@query("window_tumbling", oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2
+""")
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window (epoch-aligned, same origin
+    as DuckDB time_bucket)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "total"))
+
+
+@query("window_sliding", oracle="""
+SELECT ws, count(*) AS n, round(sum(value), 6) AS total
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws, value
+  FROM events
+) GROUP BY ws
+""")
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event lands in
+    exactly two windows (duration/slide = 2), which is what the oracle's
+    two-bucket UNION reproduces."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"))
+            .select(F.col("w.start").alias("ws"), "n", "total"))
+
+
+_SESSION_ORACLE = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@query("window_session", oracle=_SESSION_ORACLE)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap using Spark's
+    native session_window (merging-window aggregation). The oracle derives
+    identical sessions relationally (lag -> break flag -> running count)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events"))
+
+
+@query("sessionize_relational", oracle=f"""
+WITH base AS ({_SESSION_ORACLE})
+SELECT user_id, count(*) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM base GROUP BY user_id
+""")
+def sessionize_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag+cumsum sessionization built directly in DataFrame ops —
+    proof the merging-window operator decomposes into two window
+    functions + a groupBy (the form any engine without session_window
+    would use)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # break on gap >= 30min: session_window is half-open [start, last+gap),
+    # so an event at exactly last+gap starts a NEW session
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES")),
+        1).otherwise(0)
+    run = W.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (ev.withColumn("brk", brk)
+            .withColumn("sid", F.sum("brk").over(run))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.max("n_events").cast("bigint").alias("max_session_events")))
+
+
+@query("asof_join", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the latest click at
+    or before it, per user. Spark has no native ASOF; this is the
+    union+last_value decomposition — one shuffle on user_id, one ordered
+    window pass, no range explosion (SURVEY.md §2.5 'range/as-of' row).
+
+    Tie rule: clicks sort before purchases at equal ts (kind 0 < 1),
+    matching DuckDB ASOF's >= semantics."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.lit(0).alias("kind"),
+                      F.col("event_id"), F.col("event_id").alias("click_id")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.lit(1).alias("kind"),
+                     F.col("event_id"), F.lit(None).cast("long").alias("click_id")))
+    w = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    merged = (clicks.unionByName(purch)
+              .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w)))
+    return (merged.filter((F.col("kind") == 1) & F.col("last_click").isNotNull())
+            .select(F.col("event_id").alias("purchase_id"),
+                    F.col("last_click").alias("click_id"),
+                    "user_id"))

@@ -34,11 +34,14 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
-        raw.withColumn("ts_us", (F.col("ts") / F.lit(1000)).cast("long"))
+        raw.withColumn("ts_us", F.expr("ts div 1000"))  # integer division —
+        # `/` promotes to double, whose ulp at 1.7e15 is 0.25us
         .withColumn(
+            # exact integer micros arithmetic — make_dt_interval(…, us/1e6)
+            # goes through double seconds and can be off by 1us
             "ts",
-            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
-            + F.expr("make_dt_interval(0, 0, 0, ts_us / 1e6)"),
+            F.expr("timestampadd(MICROSECOND, ts_us, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
         )
     )
 

@@ -1,0 +1,49 @@
+"""Oracle comparison for the LLM-data-pipeline operators: dedup,
+similarity search, text analysis, event windows, as-of join, multimodal
+metadata."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+LLM_QUERIES = [
+    "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",
+    "dedup_minhash_lsh", "simhash_signatures", "simhash_dup_pairs",
+    "dedup_embedding_cosine",
+    "sim_topk_cosine", "sim_ann_lsh_buckets", "sim_ann_lsh",
+    "text_token_stats", "text_quality_score", "text_langid",
+    "text_fingerprint", "text_ngram_freq", "text_tfidf_top_terms",
+    "window_tumbling", "window_sliding", "window_session",
+    "sessionize_relational", "asof_join",
+    "multimodal_meta",
+]
+
+
+@pytest.mark.parametrize("name", LLM_QUERIES)
+def test_llm_op_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_nontrivial_results(spark):
+    """Dedup queries must actually find the planted near-duplicates."""
+    jac = SPARK_QUERIES["dedup_ngram_jaccard"](spark, SF_ORACLE).count()
+    assert jac > 0, "no near-dup pairs found — threshold or shingling broken"
+    lsh = SPARK_QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE).count()
+    assert lsh > 0
+    sim = SPARK_QUERIES["simhash_dup_pairs"](spark, SF_ORACLE).count()
+    assert sim > 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        attach_binary_payload, extract_features)
+    from hadoop_digit_recognition_spark.tables import load
+    docs = load(spark, SF_ORACLE, "documents")
+    with pytest.raises(NotImplementedError):
+        extract_features(attach_binary_payload(docs), decode=True)

@@ -122,7 +122,7 @@ tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word FROM t0
 bg AS (SELECT a.word || ' ' || b.word AS bigram
        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
 SELECT bigram, count(*) AS n
-FROM bg GROUP BY bigram HAVING count(*) >= 100
+FROM bg GROUP BY bigram HAVING count(*) >= 20
 """)
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency (the TF side of TF-IDF; n-gram LM
@@ -137,7 +137,7 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     return (docs.select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") >= 100))
+            .filter(F.col("n") >= 20))
 
 
 @query("text_tfidf_top_terms", oracle="""

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (computes every column,
+collects nothing to the driver — the honest way to time a distributed plan).
+A warmup query runs first so JVM/codegen startup isn't billed to query 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES  # noqa: E402
+from hadoop_digit_recognition_spark.session import get_spark  # noqa: E402
+
+# Representative slice of SURVEY.md §2: scan/agg, filter pushdown, star join,
+# windows, rollup, sessionization, dedup, similarity, text, and the CD-1 epoch.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "join_star_nation_revenue",
+    "agg_rollup",
+    "window_rank_topk",
+    "window_session",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_tfidf_top_terms",
+    "rbm_cd1_epoch",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    spark = get_spark("hdr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: a cheap query to absorb JVM/codegen/Arrow startup cost.
+    _force(SPARK_QUERIES["scan_filter_project"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Registered classification queries (SURVEY.md §2.5 "classification").
+
+`ml_centroid_classifier` is the oracle-checkable pipeline: nearest-centroid
+classification is pure relational algebra + array arithmetic, so DuckDB can
+replay it exactly. The MLlib estimators (logistic regression, DBN->LR,
+MLP backprop) are iterative trainers — not SQL-expressible — so they
+register rows-only, per the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+from .pipeline import (
+    deterministic_split,
+    fit_logreg,
+    fit_mlp,
+    per_label_accuracy,
+    with_features,
+)
+
+
+@query("ml_centroid_classifier", oracle="""
+WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+test  AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+tr AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS x FROM train),
+cent AS (SELECT label AS clabel, i, avg(x) AS c FROM tr GROUP BY label, i),
+te AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS x FROM test),
+d AS (SELECT te.vec_id, te.label, cent.clabel,
+             sum((te.x - cent.c) * (te.x - cent.c)) AS d2
+      FROM te JOIN cent ON te.i = cent.i
+      GROUP BY te.vec_id, te.label, cent.clabel),
+p AS (SELECT vec_id, label, clabel AS pred,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+      FROM d)
+SELECT label, count(*) AS n_test,
+       sum(CASE WHEN pred = label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+       round(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) / count(*), 4)
+         AS accuracy
+FROM p WHERE rn = 1 GROUP BY label
+""")
+def ml_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid digit classifier, fully relational.
+
+    Train: per-label mean embedding via posexplode + groupBy (distributed;
+    shuffle carries labels x dims = 640 rows regardless of input size).
+    Predict: centroids are collected (10x64 doubles — weight-matrix-sized,
+    within the 100 TB driver-state budget) and folded back in as array
+    literals, so scoring is one narrow stage: zip_with squared-diff +
+    sequential `aggregate` sum per centroid, `array_min` over
+    (distance, label) structs for the argmin with smallest-label
+    tie-break. No shuffle, no UDF, whole-stage codegen end-to-end."""
+    emb = load(spark, sf_dir, "embeddings")
+    train, test = deterministic_split(emb)
+
+    numdims = len(emb.select("embedding").first()["embedding"])
+    cent_rows = (train.select("label",
+                              F.posexplode(F.col("embedding").cast("array<double>"))
+                              .alias("i", "x"))
+                 .groupBy("label", "i").agg(F.avg("x").alias("c"))
+                 .collect())
+    centroids: dict[int, list[float]] = {}
+    for r in cent_rows:
+        centroids.setdefault(r["label"], [0.0] * numdims)[r["i"]] = r["c"]
+
+    v = F.col("embedding").cast("array<double>")
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, y: acc + y).alias("d"),
+            F.lit(lbl).alias("l"))
+        for lbl, cvec in sorted(centroids.items())
+    ])
+    scored = test.withColumn("prediction", F.array_min(cands)["l"])
+    return per_label_accuracy(scored)
+
+
+@query("ml_logreg_eval")
+def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial logistic regression on raw embeddings (MLlib, L-BFGS).
+    Deterministic id-mod split; returns per-label test accuracy.
+    Rows-only: iterative training has no SQL equivalent."""
+    emb = with_features(load(spark, sf_dir, "embeddings"))
+    train, test = deterministic_split(emb)
+    model = fit_logreg(train)
+    return per_label_accuracy(model.transform(test))
+
+
+@query("ml_dbn_logreg_eval")
+def ml_dbn_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline, completed: greedy layer-wise RBM
+    pre-training (64->32, deterministic mean-field CD-1, seeded — SURVEY.md
+    C5/C6) -> forward-prop features -> logistic-regression head. This is
+    the README's promised-but-missing supervised stage
+    (/root/reference/README.md:2). Rows-only."""
+    from ..rbm.trainer import DBN
+
+    emb = load(spark, sf_dir, "embeddings")
+    train, test = deterministic_split(emb)
+    dbn = DBN([64, 32], max_epoch=2, seed=42).fit(
+        train.withColumn("v", F.col("embedding").cast("array<double>")), "v")
+    def featurize(df: DataFrame) -> DataFrame:
+        out = dbn.transform(
+            df.withColumn("v", F.col("embedding").cast("array<double>")), "v")
+        return with_features(out, vec_col="features", out_col="features")
+    model = fit_logreg(featurize(train))
+    return per_label_accuracy(model.transform(featurize(test)))
+
+
+@query("ml_mlp_eval")
+def ml_mlp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-forward sigmoid network trained by backprop (MLlib
+    MultilayerPerceptronClassifier, seeded) — the literal
+    "back-propagation fine tuning" of /root/reference/README.md:2.
+    Rows-only."""
+    emb = with_features(load(spark, sf_dir, "embeddings"))
+    train, test = deterministic_split(emb)
+    model = fit_mlp(train, layers=[64, 32, 10])
+    return per_label_accuracy(model.transform(test))

@@ -16,6 +16,7 @@ _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.multimodal",
     "hadoop_digit_recognition_spark.operators.windows",
     "hadoop_digit_recognition_spark.ml.queries",
+    "hadoop_digit_recognition_spark.streaming.queries",
 ]
 
 import importlib

@@ -1,0 +1,188 @@
+"""Streaming pipeline: file-source micro-batches over the events table.
+
+Design (100 TB posture): in production the source is Kafka/object-store
+file streams; here the same code runs over a staged directory of
+time-ordered parquet chunks (one chunk per micro-batch via
+maxFilesPerTrigger=1), which exercises real multi-trigger watermark
+advancement instead of a single degenerate batch. State stores are
+per-key (user_id / window) — Spark partitions state by key hash, so
+stateful operators scale horizontally; watermarks bound state size by
+evicting closed windows (the unbounded-state alternative does not survive
+a 100 TB stream).
+
+Batch/stream unification: `tumbling_counts` is the SAME function the
+batch `window_tumbling` query uses conceptually — one definition, two
+execution modes; parity is the correctness argument.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from ..tables import load
+
+STAGE_ROOT = os.path.join(tempfile.gettempdir(), "hdr_stream_stage")
+
+_STAGE_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts_us", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize events as `n_files` time-ordered parquet chunks so the
+    file stream source replays them as an ordered sequence of micro-batches.
+    Idempotent per (sf_dir, n_files); chunk k holds the k-th time-quantile,
+    file mtimes increase with k so FileStreamSource picks them up in order."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    dest = os.path.join(STAGE_ROOT, f"{tag}_n{n_files}")
+    marker = os.path.join(dest, "_STAGED")
+    if os.path.exists(marker):
+        return dest
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "ts_us", "user_id", "event_type", "value"))
+    from pyspark.sql import Window as W
+    bucket = F.ntile(n_files).over(W.orderBy("ts_us", "event_id")) - 1
+    chunked = ev.withColumn("__b", bucket)
+    tmp = os.path.join(STAGE_ROOT, f".build-{uuid.uuid4().hex}")
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        staged = os.path.join(tmp, "out")
+        os.makedirs(staged, exist_ok=True)
+        for k in range(n_files):
+            part_dir = os.path.join(tmp, f"p{k}")
+            (chunked.filter(F.col("__b") == k).drop("__b")
+             .coalesce(1).write.mode("overwrite").parquet(part_dir))
+            src = next(f for f in os.listdir(part_dir)
+                       if f.endswith(".parquet") and not f.startswith("."))
+            out = os.path.join(staged, f"{k:05d}.parquet")
+            shutil.move(os.path.join(part_dir, src), out)
+            os.utime(out, (1_000_000_000 + k, 1_000_000_000 + k))
+        open(os.path.join(staged, "_STAGED"), "w").close()
+        os.makedirs(STAGE_ROOT, exist_ok=True)
+        if not os.path.exists(marker):  # lost race is fine — identical content
+            shutil.move(staged, dest)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
+def events_stream(spark: SparkSession, sf_dir: str, n_files: int = 8,
+                  files_per_trigger: int = 1) -> DataFrame:
+    """Streaming events DataFrame with exact TIMESTAMP_NTZ `ts` rebuilt
+    from integer micros (same arithmetic as tables._load_events — the
+    batch/stream schemas are identical by construction)."""
+    stage = stage_events_dir(spark, sf_dir, n_files)
+    raw = (spark.readStream.schema(_STAGE_SCHEMA)
+           .option("maxFilesPerTrigger", files_per_trigger)
+           .parquet(stage))
+    # Watermarks require TIMESTAMP (instant); timestamp_micros is a pure
+    # epoch conversion, independent of session timezone.
+    return raw.withColumn("ts", F.timestamp_micros("ts_us"))
+
+
+def _ntz(instant_col):
+    """Instant TIMESTAMP -> session-tz-proof TIMESTAMP_NTZ label equal to
+    the UTC wall time — matches the batch side, where ts is NTZ rebuilt
+    from epoch micros (tables._load_events)."""
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({instant_col}), "
+                  "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+
+
+def tumbling_counts(ev: DataFrame, width: str = "1 hour",
+                    watermark: str | None = None) -> DataFrame:
+    """Tumbling event-time windows per event_type — the streaming twin of
+    operators.windows.window_tumbling (epoch-aligned buckets, identical
+    labels); watermark bounds state, evicting closed windows."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"))
+            .select(_ntz("w.start").alias("ws"), "event_type", "n", "total"))
+
+
+def session_counts(ev: DataFrame, gap: str = "30 minutes",
+                   watermark: str | None = None) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the streaming
+    merging-window state operator (twin of operators.windows.window_session)."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", _ntz("w.start").alias("session_start"),
+                    "n_events"))
+
+
+def run_to_memory(sdf: DataFrame, mode: str, timeout_sec: int = 300,
+                  state_partitions: int = 16) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink table. Fresh checkpoint per run keeps
+    replays deterministic.
+
+    The state store is hash-partitioned by `spark.sql.shuffle.partitions`
+    *at query start* and every micro-batch schedules one task per state
+    partition — on an untuned session (default 200) that is 200 tasks x
+    n_batches for kilobytes of state. Pin a right-sized value for the
+    stream's lifetime, restore the caller's setting after. (At real 100 TB
+    scale this is the knob you size to executor count, same reasoning.)"""
+    spark = sdf.sparkSession
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "hdr_ckpt", name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (sdf.writeStream.format("memory").queryName(name)
+             .outputMode(mode).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user cumulative counter via
+# applyInPandasWithState (the sanctioned arbitrary-state API).
+# ---------------------------------------------------------------------------
+
+_COUNT_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+])
+_COUNT_STATE = StructType([StructField("n", LongType())])
+
+
+def running_user_counts(ev: DataFrame) -> DataFrame:
+    """Per-user event counter that persists across micro-batches — the
+    minimal custom stateful operator (reference analog: the driver-held
+    weight state carried across epoch jobs, /root/reference/driver.java:
+    197-205, re-expressed as keyed streaming state). Emits the updated
+    cumulative count for each user seen in each micro-batch."""
+    import pandas as pd  # local import: only the workers need it
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def upd(key, pdfs, state):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return (ev.groupBy("user_id")
+            .applyInPandasWithState(upd, _COUNT_OUT, _COUNT_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))

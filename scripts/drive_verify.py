@@ -37,8 +37,8 @@ def norm(v):
 
 qs, osql = E.queries(), E.oracle_sql()
 if "--only" in sys.argv:
-    only = sys.argv[sys.argv.index("--only") + 1]
-    qs = {k: v for k, v in qs.items() if k == only}
+    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    qs = {k: v for k, v in qs.items() if k in only}
 print(f"{len(qs)} queries, {len(osql)} with oracle")
 fails = []
 for name, fn in qs.items():

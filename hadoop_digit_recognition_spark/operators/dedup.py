@@ -14,13 +14,15 @@ Every hash is the first 8 hex chars of md5 parsed as an integer
 (functions.vector.det_hash64) so the DuckDB oracle reproduces signatures
 bit-for-bit — Spark's native hash()/xxhash64 would not.
 
-Scale shape: shingling explodes ~L rows per doc, minhash reduces back to
-K rows per doc (K=8), banding to B rows per doc (B=4); the candidate join
-is an equi-join on (band, band_key) — the only all-pairs work happens
-inside LSH buckets. At 100 TB this is the standard shingle->sign->band
-pipeline; the exact all-pairs variant exists for verification at test SF
-(its shingle self-join would be the bottleneck at scale, and is the thing
-LSH replaces).
+Scale shape (the part that must survive 100 TB): signature computation is
+a NARROW per-document pass — shingle array -> one md5 per shingle -> K
+affine-mixed minhashes (`min((a_k*h + c_k) mod p)`) -> B band keys, all
+inside whole-stage codegen with zero shuffles. The only shuffles in the
+LSH path are the candidate equi-join on (band, key) and a distinct over
+candidate pairs; verification joins the (small) candidate set back to the
+per-doc shingle arrays and intersects arrays in-place. The exact
+all-pairs variant (dedup_ngram_jaccard) exists as ground truth at test SF
+— its shingle self-join is the quadratic thing LSH replaces.
 """
 
 from __future__ import annotations
@@ -30,11 +32,19 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_col, det_hash64
 from ..registry import query
-from ..tables import load
+from ..tables import load, load_parallel
 
 NUM_HASHES = 8       # minhash signature length
 BAND_ROWS = 2        # rows per LSH band -> 4 bands
 JACCARD_THRESHOLD = 0.8
+
+# Universal-hash family over the 32-bit md5 base hash:
+#   h_k(s) = (A[k] * base(s) + C[k]) mod P,  base(s) = md5(s)[:8] as int.
+# One md5 per shingle total (not per hash function); A[k] < 2^21 keeps
+# A*h + C well under 2^63 for exact integer parity with the oracle.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+MINHASH_A = [976369, 1984061, 511387, 900001, 161803, 271829, 314159, 577215]
+MINHASH_C = [8191, 131071, 524287, 670041, 999983, 101, 65537, 20011]
 
 # ---------------------------------------------------------------------------
 # Shared shingle derivations
@@ -53,35 +63,68 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
+def shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh: array<string>, n): DISTINCT word 3-shingles per doc as
+    an in-row array — the narrow (shuffle-free) form every minhash step
+    derives from. Docs shorter than 3 words have no shingles and are
+    excluded, matching the exploded relational form."""
+    # Materialize w -> grams -> sh at projection boundaries: codegen
+    # reuses a projected attribute, but INLINE reuse of an expression
+    # re-executes it — one projection computing split() four times and
+    # the 3-gram transform twice is ~10x slower than this chain.
+    docs = load_parallel(spark, sf_dir, "documents")
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1],
+                                      F.col("w")[i + 2]))).alias("sh"))
+            # no n>0 filter: size(w)>=3 already guarantees >=1 shingle, and
+            # a filter on a derived column would be PUSHED DOWN past the
+            # projection, re-inlining (and re-executing) the whole shingle
+            # expression inside the predicate — a silent 10x.
+            .select("doc_id", "sh", F.size("sh").alias("n")))
+
+
 def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s): DISTINCT word 3-shingles per document."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    grams = F.when(
-        F.size(w) >= 3,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 3),
-                    lambda i: F.concat_ws(" ", w[i], w[i + 1], w[i + 2])),
-    ).otherwise(F.array().cast("array<string>"))
-    return (docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("s")))
+    """(doc_id, s): exploded DISTINCT word 3-shingles (relational form,
+    used by the exact all-pairs ground truth)."""
+    return (shingle_arrays(spark, sf_dir)
+            .select("doc_id", F.explode("sh").alias("s")))
 
 
-def minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, b, mh): NUM_HASHES independent minhashes per doc;
-    hash_b(s) = det_hash64(b || ':' || s)."""
-    sh = shingles(spark, sf_dir)
-    bands = spark.range(NUM_HASHES).select(F.col("id").alias("b"))
-    h = det_hash64(F.concat(F.col("b").cast("string"), F.lit(":"), F.col("s")))
-    return (sh.crossJoin(F.broadcast(bands))
-            .select("doc_id", "b", h.alias("hv"))
-            .groupBy("doc_id", "b").agg(F.min("hv").alias("mh")))
+def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<bigint>[NUM_HASHES], sh, n): full minhash
+    signature computed in ONE narrow pass — md5 each shingle once, then
+    NUM_HASHES affine mixes + array_min, all whole-stage codegen. No
+    explode, no crossJoin, no shuffle: per-doc cost is O(shingles x K)
+    arithmetic on top of O(shingles) md5."""
+    def affine(a: int, c: int):
+        return lambda h: (F.lit(a) * h + F.lit(c)) % F.lit(MINHASH_P)
 
+    base = F.transform(F.col("sh"), lambda s: det_hash64(s))
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("hs"), affine(a, c)))
+        for a, c in zip(MINHASH_A, MINHASH_C)
+    ])
+    return (shingle_arrays(spark, sf_dir)
+            .withColumn("hs", base)
+            .withColumn("sig", sig)
+            .drop("hs"))
+
+
+_MINHASH_PARAMS_SQL = "params(b, a, c) AS (VALUES " + ", ".join(
+    f"({b}, {a}, {c})"
+    for b, (a, c) in enumerate(zip(MINHASH_A, MINHASH_C))) + ")"
 
 _MINHASH_SQL = _SHINGLES_SQL + f""",
+{_MINHASH_PARAMS_SQL},
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
 mh AS (
-  SELECT doc_id, b.b,
-         min(('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' || s), 1, 8))::BIGINT) AS mh
-  FROM sh CROSS JOIN range({NUM_HASHES}) b(b)
-  GROUP BY doc_id, b.b
+  SELECT doc_id, p.b, min((p.a * h + p.c) % {MINHASH_P}) AS mh
+  FROM hs CROSS JOIN params p
+  GROUP BY doc_id, p.b
 )
 """
 
@@ -157,8 +200,12 @@ SELECT doc_id, b, mh FROM mh
 """)
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix (doc_id, hash_index, minhash) — the
-    signature step of MinHash LSH, reproducible across engines."""
-    return minhash_sig(spark, sf_dir)
+    signature step of MinHash LSH, reproducible across engines. The
+    exploded shape exists only for the oracle; the LSH path keeps
+    signatures as in-row arrays and never shuffles them."""
+    sig = minhash_sig_arrays(spark, sf_dir)
+    return (sig.select("doc_id", F.posexplode("sig").alias("b", "mh"))
+            .select("doc_id", F.col("b").cast("bigint").alias("b"), "mh"))
 
 
 @query("dedup_minhash_lsh", oracle=f"""
@@ -189,13 +236,22 @@ WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH dedup: band signatures ({NUM_HASHES} hashes, bands
     of {BAND_ROWS}) -> equi-join on (band, key) for candidates -> exact
-    Jaccard verification. The all-pairs explosion is confined to LSH
-    buckets; everything else is linear + one equi-join — the 100 TB path."""
-    mh = minhash_sig(spark, sf_dir)
-    bands = (mh.groupBy("doc_id", (F.col("b") / BAND_ROWS).cast("bigint").alias("g"))
-             .agg(F.array_join(
-                 F.transform(F.array_sort(F.collect_list(F.struct("b", "mh"))),
-                             lambda s: s["mh"].cast("string")), "-").alias("key")))
+    Jaccard verification via array_intersect on the candidates only.
+
+    Plan shape at scale: signatures and band keys derive narrowly (no
+    shuffle); the band self-equi-join shuffles B small rows per doc; the
+    tiny candidate set broadcasts back onto the shingle-array table; the
+    all-pairs explosion is confined to LSH buckets."""
+    sig = minhash_sig_arrays(spark, sf_dir).persist()
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+    bands = (sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+             .select("doc_id", F.col("g").cast("bigint").alias("g"), "key"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -204,19 +260,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sh = shingles(spark, sf_dir)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (cand
-             .join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-             .join(sh.alias("sb"), (F.col("sb.doc_id") == F.col("doc_b"))
-                   & (F.col("sb.s") == F.col("sa.s")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("i")))
-    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
-    return (inter
-            .join(sz.alias("x"), F.col("x.doc_id") == F.col("doc_a"))
-            .join(sz.alias("y"), F.col("y.doc_id") == F.col("doc_b"))
-            .filter(jac >= JACCARD_THRESHOLD)
+    arrs = sig.select("doc_id", "sh", "n")
+    pairs = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sh").alias("sha"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sh").alias("shb"),
+                               F.col("n").alias("nb")), "doc_b"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (pairs.filter(jac >= JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
 
@@ -251,7 +305,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     th = tok.select("doc_id", det_hash64(F.col("word")).alias("h"))
     bitsrc = spark.range(32).select(F.col("id").alias("b"))

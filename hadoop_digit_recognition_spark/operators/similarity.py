@@ -20,9 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_col, dot_col
+from ..functions.vector import dot_col, l2norm_col
 from ..registry import query
-from ..tables import load
+from ..tables import load_parallel
 
 N_QUERIES = 30   # vec_id < 30 are the query vectors
 TOP_K = 5
@@ -47,15 +47,25 @@ ranked AS (
 SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
 """)
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast query side, windowed top-k."""
-    emb = load(spark, sf_dir, "embeddings")
+    """Exact cosine top-k: broadcast query side, windowed top-k.
+
+    Norms are precomputed once per vector at a projection boundary, so the
+    per-pair work is ONE zip_with/aggregate pass (dot product) instead of
+    three — with arithmetic identical to cos = dot/(sqrt(aa)*sqrt(bb)),
+    keeping the rounded values bit-equal to the oracle."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
-         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")))
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 F.col("nrm").alias("qn")))
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+                   F.col("nrm").alias("cn"))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("cid") != F.col("qid"))
               .select("qid", "cid",
-                      F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos")))
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))
@@ -100,7 +110,7 @@ def _bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plane dots ride zip_with/aggregate over a broadcast plane array —
     no explode, no shuffle; the groupBy in the SQL oracle is replaced by
     a per-row array fold."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings")
     planes = [
         F.array(*[F.sin(F.lit(float(p * 64 + i) + 0.5)) for i in range(64)])
         for p in range(N_PLANES)
@@ -134,16 +144,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: equi-join on the LSH bucket key replaces the
     cross join; exact cosine rerank inside each bucket. Recall trades off
     with N_PLANES; the bucket equi-join is the piece that scales."""
-    be = _bucket_df(spark, sf_dir)
+    be = _bucket_df(spark, sf_dir).withColumn(
+        "nrm", l2norm_col(F.col("embedding")))
     q = (be.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
-                 F.col("embedding").alias("qe")))
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
     c = be.select(F.col("vec_id").alias("cid"), F.col("bkt").alias("cbkt"),
-                  F.col("embedding").alias("ce"))
+                  F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
     scored = (c.join(F.broadcast(q), (F.col("cbkt") == F.col("qbkt"))
                      & (F.col("cid") != F.col("qid")))
               .select("qid", "cid",
-                      F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cos")))
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))

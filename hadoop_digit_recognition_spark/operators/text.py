@@ -5,6 +5,12 @@ requirement; the reference's only string handling is split/concat —
 All pure JVM-side expressions: split / array ops / regexp / md5. No
 Python in the data path, so at 100 TB each of these is a single narrow
 scan stage (plus one shuffle where a groupBy exists).
+
+Plan hygiene shared by every query here: tokenization (`split`) is
+materialized once at a projection boundary and referenced as an
+attribute. Inlining the split expression into each consumer re-executes
+it per reference (codegen does not CSE across a projection's output
+list), which measured ~5-10x slower on this compute-bound path.
 """
 
 from __future__ import annotations
@@ -13,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load
+from ..tables import load_parallel
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -36,15 +42,15 @@ FROM t
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, mean token
     length, regex-token count, and the chars/4 BPE-token estimate."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    tok_lens = F.transform(w, lambda x: F.length(x).cast("double"))
-    return docs.select(
+    t = (load_parallel(spark, sf_dir, "documents")
+         .select("doc_id", "n_chars", "text", F.split("text", " ").alias("w")))
+    tok_lens = F.transform("w", lambda x: F.length(x).cast("double"))
+    return t.select(
         "doc_id",
-        F.size(w).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
-        F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x) / F.size(w), 6)
-        .alias("avg_token_len"),
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.round(F.aggregate(tok_lens, F.lit(0.0), lambda a, x: a + x)
+                / F.size("w"), 6).alias("avg_token_len"),
         F.size(F.regexp_extract_all("text", F.lit(_RE_TOKEN), 0))
         .cast("bigint").alias("n_re_tokens"),
         F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("approx_bpe_tokens"))
@@ -66,12 +72,15 @@ FROM m
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: stopword ratio (fluency proxy),
     type-token ratio (repetitiveness proxy), length-saturated composite."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    n = F.size(w).cast("double")
-    nd = F.size(F.array_distinct(w)).cast("double")
-    ns = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))).cast("double")
-    return docs.select(
+    m = (load_parallel(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .select("doc_id",
+                 F.size("w").cast("double").alias("n"),
+                 F.size(F.array_distinct("w")).cast("double").alias("nd"),
+                 F.size(F.filter("w", lambda x: x.isin(STOPWORDS)))
+                 .cast("double").alias("ns")))
+    n, nd, ns = F.col("n"), F.col("nd"), F.col("ns")
+    return m.select(
         "doc_id",
         F.round(ns / n, 6).alias("stop_ratio"),
         F.round(nd / n, 6).alias("uniq_ratio"),
@@ -91,10 +100,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-profile approach reduced to its cheapest useful form; the
     corpus is synthetic word-soup, so the declared `lang` column is
     random — the point is the operator, scored against it downstream)."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    ratio = F.size(F.filter(w, lambda x: x.isin(STOPWORDS))) / F.size(w)
-    return docs.select(
+    t = (load_parallel(spark, sf_dir, "documents")
+         .select("doc_id", "lang", F.split("text", " ").alias("w")))
+    ratio = F.size(F.filter("w", lambda x: x.isin(STOPWORDS))) / F.size("w")
+    return t.select(
         "doc_id", "lang",
         F.when(ratio >= 0.05, "en").otherwise("unk").alias("pred_lang"))
 
@@ -110,7 +119,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize -> distinct -> sort -> md5. Robust to word order and
     repetition; catches shuffled/duplicated-paragraph near-dups that
     exact hashing misses."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     fp = F.md5(F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " ")))))
     return docs.select("doc_id", fp.alias("fingerprint"))
@@ -128,14 +137,13 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram frequency (the TF side of TF-IDF; n-gram LM
     fuel). One explode + one groupBy — partial aggregation makes the
     shuffle carry distinct bigrams, not tokens."""
-    docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(w) - 2),
-                    lambda i: F.concat_ws(" ", w[i], w[i + 1])),
-    ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.explode(bigrams).alias("bigram"))
+    docs = load_parallel(spark, sf_dir, "documents")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.col("w")[i], F.col("w")[i + 1]))
+    return (docs.select(F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 2)
+            .select(F.explode(bigrams).alias("bigram"))
             .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= 20))
 
@@ -164,7 +172,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF from first principles (relational form of Tokenizer ->
     HashingTF -> IDF, but exact-term instead of feature-hashed): term
     frequency x ln(N/df), top-3 terms per doc with deterministic ties."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))

@@ -46,6 +46,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load() + fan-out to all cores. The test tables are single small
+    parquet files -> ONE input split; any compute-dense narrow pipeline
+    (tokenize/shingle/hash) would serialize on one core. At real scale
+    sources have many splits and AQE coalesces the extra exchange away."""
+    return load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
 

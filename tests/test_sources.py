@@ -1,0 +1,86 @@
+"""Source/sink codec tests: reference text-format roundtrips (examples +
+weights) and the oracle-checked end-to-end roundtrip query."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+from hadoop_digit_recognition_spark.sources.text_format import (
+    read_examples_text,
+    read_weights_text,
+    write_examples_text,
+    write_weights_text,
+)
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "hdr_test_sources",
+                        f"{name}-{uuid.uuid4().hex}")
+
+
+def test_source_text_roundtrip_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["source_text_roundtrip"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["source_text_roundtrip"],
+            "source_text_roundtrip")
+
+
+def test_examples_text_both_line_shapes(spark):
+    """Reader must handle first-layer lines (no tab) and later-layer
+    lines (offset\\tpayload) — rbmmapper.java:86-97's two branches."""
+    path = _tmp("shapes")
+    spark.createDataFrame(
+        [(0, [0, 128, 255]), (1, [1, 2, 3])], "id long, v array<int>"
+    ).select(F.concat_ws(" ", F.transform("v", lambda x: x.cast("string")))
+             .alias("value")).write.text(path)
+    plain = read_examples_text(spark, path, 3, normalize=False)
+    assert sorted(r["v"] for r in plain.collect()) == [
+        [0.0, 128.0, 255.0], [1.0, 2.0, 3.0]]
+
+    keyed_path = _tmp("keyed")
+    spark.createDataFrame(
+        [(7, [10, 20, 30])], "id long, v array<int>"
+    ).select(F.concat_ws("\t", F.col("id").cast("string"),
+                         F.concat_ws(" ", F.transform(
+                             "v", lambda x: x.cast("string"))))
+             .alias("value")).write.text(keyed_path)
+    keyed = read_examples_text(spark, keyed_path, 3, keyed=True).collect()
+    assert keyed[0]["example_id"] == 7
+    assert keyed[0]["v"] == [10 / 255.0, 20 / 255.0, 30 / 255.0]
+
+
+def test_examples_text_arity_guard(spark):
+    """Wrong-width record must fail the scan, like the reference's
+    IllegalArgumentException (rbmmapper.java:108-114)."""
+    path = _tmp("bad")
+    spark.createDataFrame([("1 2 3",), ("4 5",)], "value string") \
+        .write.text(path)
+    with pytest.raises(Exception, match="arity mismatch"):
+        read_examples_text(spark, path, 3).collect()
+
+
+def test_weights_text_roundtrip():
+    rng = np.random.default_rng(7)
+    W = rng.normal(0, 0.1, size=(6, 4))
+    path = _tmp("weights") + "/w.txt"
+    write_weights_text(W, path)
+    back = read_weights_text(path, 6, 4)
+    assert back.shape == (6, 4)
+    # 3-decimal truncation semantics (driver.java:33): trunc, not round
+    assert np.array_equal(back, np.trunc(W * 1000) / 1000)
+
+
+def test_weights_text_arity_guard():
+    path = _tmp("weights_bad") + "/w.txt"
+    write_weights_text(np.zeros((2, 2)), path)
+    with pytest.raises(ValueError, match="expected 3\\*3"):
+        read_weights_text(path, 3, 3)

@@ -1,0 +1,93 @@
+"""Plan audits: assert the scale-critical physical-plan properties
+(SURVEY.md §4) on the real queries, so a de-optimization is a test
+failure, not a 100x slowdown discovered at scale.
+
+Each test states the 100 TB consequence of the property it guards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+from hadoop_digit_recognition_spark.plans import (
+    explain_formatted,
+    has_broadcast_hash_join,
+    has_cartesian_product,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    """Filters must reach the parquet scan and only referenced columns may
+    be read — at 100 TB this is the difference between scanning 4 columns
+    of one year and scanning every byte of lineitem."""
+    df = SPARK_QUERIES["q6_forecast_revenue"](spark, SF_ORACLE)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert any("l_discount" in f for f in pf), pf
+    (cols,) = read_schema_columns(df, table_hint="lineitem")
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount",
+                         "l_shipdate"}, cols
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """The nation/region dimensions must come in as broadcast hash joins:
+    shuffling 100 TB of fact rows to co-locate with a kilobyte dimension
+    is the classic scale failure."""
+    df = SPARK_QUERIES["join_star_nation_revenue"](spark, SF_ORACLE)
+    assert has_broadcast_hash_join(df)
+    assert not has_cartesian_product(df)
+
+
+def test_q1_partial_aggregation(spark):
+    """groupBy must partial-aggregate before the exchange — the combiner
+    the reference never configured (O1): without it the shuffle carries
+    numCase*numdims*numhid records instead of one per key per task."""
+    df = SPARK_QUERIES["q1_pricing_summary"](spark, SF_ORACLE)
+    assert has_partial_aggregate(df)
+
+
+def test_rbm_gradient_shuffle_is_combined(spark):
+    """The CD-1 explode->groupBy gradient path gets the map-side combine
+    automatically (the exact fix for the reference's 2.35e10-record
+    shuffle, SURVEY.md O1)."""
+    df = SPARK_QUERIES["rbm_cd1_epoch"](spark, SF_ORACLE)
+    assert has_partial_aggregate(df)
+
+
+def test_lsh_has_no_cartesian_product(spark):
+    """MinHash LSH exists to replace all-pairs comparison; its plan must
+    contain equi-joins only."""
+    df = SPARK_QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE)
+    assert not has_cartesian_product(df)
+
+
+def test_topk_broadcasts_query_side(spark):
+    """Exact top-k broadcasts the (small) query set; the candidate scan
+    must never shuffle."""
+    df = SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE)
+    txt = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt, txt
+
+
+def test_scan_filter_project_reads_minimum(spark):
+    """Column pruning on the simplest scan query."""
+    df = SPARK_QUERIES["scan_filter_project"](spark, SF_ORACLE)
+    for cols in read_schema_columns(df):
+        assert len(cols) <= 6, cols
+
+
+def test_no_python_udfs_in_relational_paths(spark):
+    """Relational/text/dedup queries must stay JVM-side: BatchEvalPython
+    (row-at-a-time Python) must not appear anywhere; the sanctioned
+    Python surface (mapInPandas for CD-1) is Arrow-batched."""
+    for name in ["q1_pricing_summary", "join_star_nation_revenue",
+                 "dedup_minhash_lsh", "text_tfidf_top_terms",
+                 "window_session", "sim_topk_cosine"]:
+        txt = explain_formatted(SPARK_QUERIES[name](spark, SF_ORACLE))
+        assert "BatchEvalPython" not in txt, name

@@ -15,6 +15,8 @@ _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.text",
     "hadoop_digit_recognition_spark.operators.multimodal",
     "hadoop_digit_recognition_spark.operators.windows",
+    "hadoop_digit_recognition_spark.operators.physical",
+    "hadoop_digit_recognition_spark.operators.sketches",
     "hadoop_digit_recognition_spark.ml.queries",
     "hadoop_digit_recognition_spark.streaming.queries",
     "hadoop_digit_recognition_spark.sources.queries",

@@ -1,0 +1,133 @@
+"""Physical-strategy operators: the shuffle-shaping patterns that keep
+joins and aggregations alive at 100 TB (SURVEY.md §7 phase 6; the
+reference has exactly one physical strategy — hash-partition everything —
+driver.java:155-156).
+
+Three patterns, each with a DuckDB oracle because they change ONLY the
+physical distribution, never the result:
+
+- bucketed co-located join: both fact tables persisted bucketed+sorted on
+  the join key -> SortMergeJoin with ZERO exchange and zero sort at read
+  time (the recurring-join amortization every warehouse lives on);
+- salted two-phase aggregation: groupBy(key) where one key dominates ->
+  groupBy(key, salt) partial then groupBy(key) merge, so the hot key's
+  rows spread over S reducers instead of one straggler;
+- salted skew join: replicate the small side S ways, salt the big side
+  deterministically -> the hot key's probe rows fan over S tasks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+
+N_BUCKETS = 8
+N_SALTS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Persist lineitem+orders bucketed and sorted by orderkey (external
+    tables under /tmp so the driver's cwd stays untouched). Idempotent per
+    (session, sf)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li, orders = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "hdr_bucketed", tag)
+    if not spark.catalog.tableExists(li):
+        (load(spark, sf_dir, "lineitem")
+         .write.bucketBy(N_BUCKETS, "l_orderkey").sortBy("l_orderkey")
+         .option("path", os.path.join(base, "lineitem"))
+         .mode("overwrite").saveAsTable(li))
+    if not spark.catalog.tableExists(orders):
+        (load(spark, sf_dir, "orders")
+         .write.bucketBy(N_BUCKETS, "o_orderkey").sortBy("o_orderkey")
+         .option("path", os.path.join(base, "orders"))
+         .mode("overwrite").saveAsTable(orders))
+    return li, orders
+
+
+@query("join_bucketed_colocated", oracle="""
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem x orders on the bucketed layout: the join requires
+    hashpartitioning(orderkey, 8) and both scans already PROVIDE it, so
+    the plan has no Exchange below the join — asserted in tests. The
+    `merge` hint pins SortMergeJoin: at test SF Catalyst would (rightly)
+    broadcast the small orders side, but at 100 TB neither side fits in
+    memory and the bucketed SMJ is the plan this layout exists for.
+    Amortization argument: one bucketed write, every subsequent orderkey
+    join is shuffle-free."""
+    li_name, ord_name = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(ord_name).hint("merge")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))
+
+
+@query("agg_skew_salted_twophase", oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY event_type
+""")
+def agg_skew_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation over a low-cardinality hot key: phase 1
+    groups by (key, salt) with salt = pmod(hash(event_id), S) so each hot
+    key spreads over S partial rows; phase 2 merges the S partials. Same
+    result as the direct groupBy (the oracle), but the heaviest reducer
+    carries 1/S of the hot key. (Catalyst's partial agg already handles
+    THIS data shape; the pattern is for keys whose post-combine groups
+    still skew, e.g. high-cardinality-value aggs and collect-type
+    functions.)"""
+    ev = load(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("salt")
+    phase1 = (ev.groupBy("event_type", salt)
+              .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")))
+    return (phase1.groupBy("event_type")
+            .agg(F.sum("pn").alias("n"),
+                 F.round(F.sum("pv"), 6).alias("total")))
+
+
+@query("join_skew_salted", oracle="""
+SELECT e.event_type, t.weight,
+       count(*) AS n,
+       round(sum(e.value * t.weight), 6) AS weighted
+FROM events e
+JOIN (SELECT 'click' AS event_type, 1.0 AS weight UNION ALL
+      SELECT 'view', 0.1 UNION ALL SELECT 'purchase', 10.0) t
+  ON e.event_type = t.event_type
+GROUP BY e.event_type, t.weight
+""")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join on a skewed key: the probe side salts
+    deterministically (hash of its unique id), the build side replicates
+    each row N_SALTS ways, and the join key becomes (key, salt) — the hot
+    key's rows land on S reducers instead of one. Identical result to the
+    plain join (the oracle proves it). In production prefer AQE skew-join
+    or a broadcast when the small side fits; salting is the pattern for
+    when neither applies (both sides large, skew beyond AQE's splitting)."""
+    ev = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        "event_type string, weight double")
+    salted_ev = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int"))
+    salted_dim = dim.select(
+        "event_type", "weight",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"))
+    joined = salted_ev.join(salted_dim.hint("shuffle_hash"),
+                            ["event_type", "salt"])
+    return (joined.groupBy("event_type", "weight")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value") * F.col("weight")), 6)
+                 .alias("weighted")))

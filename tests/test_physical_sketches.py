@@ -1,0 +1,74 @@
+"""Physical-strategy operators (bucketed/salted) against their oracles +
+plan shape; sketch aggregates against exact answers with error bounds."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+from hadoop_digit_recognition_spark.plans import explain_formatted
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+PHYSICAL = ["join_bucketed_colocated", "agg_skew_salted_twophase",
+            "join_skew_salted"]
+
+
+@pytest.mark.parametrize("name", PHYSICAL)
+def test_physical_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_bucketed_join_has_no_exchange_or_sort(spark):
+    """The whole point of the bucketed layout: the orderkey join must
+    need neither a shuffle nor a sort at read time."""
+    df = SPARK_QUERIES["join_bucketed_colocated"](spark, SF_ORACLE)
+    txt = explain_formatted(df)
+    assert "SortMergeJoin" in txt, txt
+    # exactly ONE exchange in the whole plan: the final groupBy's. The
+    # join itself consumes the buckets' hashpartitioning directly.
+    assert len(re.findall(r"\(\d+\) Exchange", txt)) == 1, txt
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """Salted probe side must carry N_SALTS distinct salts for the hot
+    key (the fan-out that kills the straggler)."""
+    from hadoop_digit_recognition_spark.operators.physical import N_SALTS
+    from hadoop_digit_recognition_spark.tables import load
+    from pyspark.sql import functions as F
+    ev = load(spark, SF_ORACLE, "events")
+    n = (ev.filter(F.col("event_type") == "click")
+         .select(F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("s"))
+         .distinct().count())
+    assert n == N_SALTS
+
+
+def test_hll_within_rsd(spark):
+    rows = SPARK_QUERIES["sketch_hll_distinct"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert err <= 0.06, r  # 3x the 2% rsd — ~3 sigma
+
+
+def test_quantile_sketch_within_accuracy(spark):
+    rows = SPARK_QUERIES["sketch_quantiles"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r["approx_p"], r["exact_p"]):
+            # rank error 1/10000; translate loosely to value tolerance
+            # via the observed spread
+            spread = max(abs(r["exact_p"][-1]), 1.0)
+            assert abs(approx - exact) <= 0.05 * spread, r
+
+
+def test_cms_query_shape(spark):
+    rows = SPARK_QUERIES["sketch_cms_heavy_hitters"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    assert all(r["sketch_bytes"] > 0 for r in rows)
+    ns = [r["exact_n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)

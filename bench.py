@@ -36,6 +36,8 @@ HEADLINE = [
     "sim_topk_cosine",
     "text_tfidf_top_terms",
     "rbm_cd1_epoch",
+    "join_bucketed_colocated",
+    "agg_skew_salted_twophase",
 ]
 
 

@@ -1,14 +1,19 @@
 """Similarity search over embedding columns (north-star requirement).
 
-Two physical strategies:
+Three physical strategies:
 
 - `sim_topk_cosine`: exact brute-force top-k — broadcast the (small) query
   set against all candidates, JVM-side dot products via zip_with/aggregate,
   per-query top-k window. The exact baseline; cost O(|Q| * N * d).
 - `sim_ann_lsh`: random-hyperplane LSH — deterministic sin-derived planes,
   sign-bit bucket key, candidates restricted to same-bucket, exact rerank
-  inside buckets. The 100 TB path: bucketing turns the all-pairs cross
-  join into an equi-join on the bucket key.
+  inside buckets. Bucketing turns the all-pairs cross join into an
+  equi-join on the bucket key.
+- `sim_ivf_topk`: IVF — KMeans coarse quantizer assigns every vector to a
+  cell; each query probes its `NPROBE` nearest cells and reranks exactly
+  inside them. The standard 100 TB ANN layout (FAISS-style): the index is
+  a partitioning, the search an equi-join on cell id, and recall/cost is
+  one knob (NPROBE/K_CELLS).
 
 Rankings sort on the ROUNDED similarity plus id tiebreaker so results are
 reproducible across engines (raw last-ulp float differences cannot flip
@@ -27,6 +32,8 @@ from ..tables import load_parallel
 N_QUERIES = 30   # vec_id < 30 are the query vectors
 TOP_K = 5
 N_PLANES = 8     # LSH hyperplanes -> 256 buckets
+K_CELLS = 16     # IVF coarse-quantizer cells
+NPROBE = 4       # IVF cells probed per query
 
 _E = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
 
@@ -159,3 +166,51 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))
+
+
+@query("sim_ivf_topk")  # rows-only: KMeans training is iterative, no SQL oracle
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (FAISS layout, Spark-first).
+
+    Index build: MLlib KMeans (seeded) fits K_CELLS centroids; every
+    vector gets its nearest cell id in one narrow pass (the centroids fold
+    in as array literals — driver state is K_CELLS x d doubles, within the
+    weight-matrix budget). Search: each query expands to its NPROBE
+    nearest cells (posexplode), candidates arrive via equi-join on cell
+    id, exact cosine rerank inside. Graded by tests/test_llm_ops recall
+    against the exact top-k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    train = emb.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=K_CELLS, seed=42, maxIter=20).fit(train)
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    v = F.col("embedding").cast("array<double>")
+    d2 = [F.aggregate(F.zip_with(v, F.lit(c), lambda x, cc: (x - cc) * (x - cc)),
+                      F.lit(0.0), lambda a, y: a + y) for c in centers]
+    cells_ranked = F.transform(
+        F.array_sort(F.array(*[F.struct(d.alias("d"), F.lit(i).alias("c"))
+                               for i, d in enumerate(d2)])),
+        lambda s: s["c"])
+    indexed = emb.withColumn("cell", F.element_at(cells_ranked, 1))
+
+    q = (indexed.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(F.slice(cells_ranked, 1, NPROBE)).alias("cell")))
+    c = indexed.select(F.col("vec_id").alias("cid"),
+                       F.col("embedding").alias("ce"),
+                       F.col("nrm").alias("cn"), "cell")
+    scored = (c.join(F.broadcast(q), ["cell"])
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K).select("qid", "cid", "cos", "rnk"))

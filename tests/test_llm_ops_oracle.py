@@ -65,3 +65,11 @@ def test_multimodal_decode_stub_raises(spark):
     docs = load(spark, SF_ORACLE, "documents")
     with pytest.raises(NotImplementedError):
         extract_features(attach_binary_payload(docs), decode=True)
+
+
+@pytest.mark.parametrize("name", ["grouped_zscore_pandas",
+                                  "grouped_wavg_pandas"])
+def test_pandas_udf_surface_vs_duckdb(spark, duck, name):
+    """The Arrow-batched Python path must equal the relational form."""
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)

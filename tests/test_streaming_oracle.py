@@ -42,3 +42,35 @@ def test_append_is_closed_subset_of_complete(spark):
     n_comp, n_app = comp.count(), app.count()
     assert 0 < n_app < n_comp
     assert app.exceptAll(comp).count() == 0
+
+
+def test_streaming_parquet_sink_parity(spark):
+    """File sink: stream the events through a parquet writeStream
+    (availableNow, append) and re-read — row set must equal the staged
+    source exactly (exactly-once file sink via the commit log)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.streaming.pipeline import events_stream
+    from hadoop_digit_recognition_spark.tables import load
+
+    base = os.path.join(tempfile.gettempdir(), "hdr_pq_sink", uuid.uuid4().hex)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    sdf = events_stream(spark, "/root/testdata/sf0.01").select(
+        "event_id", "ts_us", "user_id", "event_type", "value")
+    q = (sdf.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    src = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value")
+    assert got.count() == src.count()
+    assert got.exceptAll(src).count() == 0
+    assert src.exceptAll(got).count() == 0

@@ -6,7 +6,7 @@ Coverage across the engine:
 - scalar pandas_udf      -> rbm.cd1.forward_prop_df
 - mapInPandas            -> rbm.cd1.cd1_gradient_df, multimodal
 - applyInPandasWithState -> streaming.running_user_counts
-- applyInPandas (grouped map) + grouped-agg pandas_udf -> HERE
+- applyInPandas (grouped map), grouped-agg pandas_udf, Python UDTF -> HERE
 
 Both queries have exact DuckDB oracles: the point is proving the
 Arrow-batched Python path computes the same answer as the relational
@@ -75,3 +75,33 @@ def grouped_wavg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("event_id") % 7 + 1).cast("double").alias("w")))
     return (ev.groupBy("event_type")
             .agg(F.round(wavg("value", "w"), 6).alias("wavg")))
+
+
+@query("udtf_tokenize", oracle="""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,
+       unnest(w) AS word
+FROM t0 WHERE doc_id < 50
+""")
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> many output rows,
+    consumed via LATERAL join. API-coverage demo with an exact oracle —
+    in production this exact expansion is `posexplode(split(...))`
+    (JVM-side, ~100x cheaper); the UDTF surface exists for expansions
+    with genuinely imperative logic (parsers, tokenizers with state)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, word: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield i, w
+
+    spark.udtf.register("hdr_tokenize", Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("hdr_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, u.pos, u.word
+        FROM hdr_udtf_docs d, LATERAL hdr_tokenize(d.text) u
+        WHERE d.doc_id < 50
+    """)

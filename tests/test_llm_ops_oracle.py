@@ -68,7 +68,8 @@ def test_multimodal_decode_stub_raises(spark):
 
 
 @pytest.mark.parametrize("name", ["grouped_zscore_pandas",
-                                  "grouped_wavg_pandas"])
+                                  "grouped_wavg_pandas",
+                                  "udtf_tokenize"])
 def test_pandas_udf_surface_vs_duckdb(spark, duck, name):
     """The Arrow-batched Python path must equal the relational form."""
     df = SPARK_QUERIES[name](spark, SF_ORACLE)

@@ -1,0 +1,97 @@
+"""Property tests (SURVEY.md §5 item 4): the algebraic invariants the
+engine's correctness rests on, checked with hypothesis where the domain
+is enumerable and with partitioning perturbations where it is not.
+
+- P3/P5: normalize -> quantize is the identity on 0-255 ints (IEEE
+  double x/255*255 recovers x exactly; holds for floor/trunc semantics);
+- P7/A1: posexplode -> groupBy-sum inverts to the array sum (the
+  oracle-form gradient topology is information-preserving);
+- A4: the CD-1 mean gradient is invariant to partitioning (partial
+  per-partition accumulators + final sum must not depend on how rows are
+  split across tasks);
+- C5/C6: the distributed trainer loop equals the pure-NumPy golden model
+  epoch for epoch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hadoop_digit_recognition_spark.rbm.cd1 import (
+    cd1_gradient_collect,
+    init_weights_sin,
+    numpy_cd1_meanfield,
+)
+from hadoop_digit_recognition_spark.rbm.trainer import RBMTrainer
+
+from .conftest import SF_SMOKE
+
+
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_normalize_quantize_roundtrip_model(xs):
+    """Pure-math form of P3 -> P5: trunc((x/255)*255) == x for every
+    pixel value (the reference's text re-encoding between layers is
+    lossless for the values it actually carries)."""
+    assert [int((x / 255.0) * 255.0) for x in xs] == xs
+
+
+def test_normalize_quantize_roundtrip_spark(spark):
+    """Same invariant through the engine's actual expressions, all 256
+    values in one row."""
+    df = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(255)).alias("v"))
+    out = df.select(
+        F.transform(
+            F.transform("v", lambda x: x.cast("double") / 255.0),
+            lambda p: F.floor(p * 255.0).cast("int")).alias("q")
+    ).first()["q"]
+    assert out == list(range(256))
+
+
+def test_posexplode_groupby_inverts_array_sum(spark):
+    """P7/A1: exploding (idx, val) then summing per idx recovers each
+    element; summing everything recovers the array total."""
+    data = [([1.5, -2.25, 3.0],), ([0.5, 1.25, -1.0],)]
+    df = spark.createDataFrame(data, "v array<double>")
+    back = (df.select(F.posexplode("v").alias("idx", "x"))
+            .groupBy("idx").agg(F.sum("x").alias("s"))
+            .orderBy("idx").collect())
+    assert [r["s"] for r in back] == [2.0, -1.0, 2.0]
+
+
+def test_gradient_invariant_to_partitioning(spark):
+    """A4: identical CD-1 delta whether the rows arrive as 1, 3, or 13
+    partitions (partial accumulators + sum are associative; float
+    reorder tolerance 1e-12 relative)."""
+    emb = (spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+           .select(F.col("embedding").cast("array<double>").alias("v")))
+    W = init_weights_sin(64, 16)
+    deltas = [
+        cd1_gradient_collect(emb.repartition(n), "v", W, numcase=100)
+        for n in (1, 3, 13)
+    ]
+    np.testing.assert_allclose(deltas[1], deltas[0], rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(deltas[2], deltas[0], rtol=1e-12, atol=1e-15)
+
+
+def test_trainer_matches_numpy_golden(spark):
+    """C5: three epochs of the distributed trainer == three epochs of the
+    pure-NumPy reference loop, weight for weight."""
+    rng = np.random.default_rng(3)
+    V = rng.random((40, 6))
+    pdf = pd.DataFrame({"v": [list(r) for r in V]})
+    df = spark.createDataFrame(pdf)
+
+    t = RBMTrainer(6, 4, max_epoch=3, seed=11)
+    W_dist = t.fit(df, "v")
+
+    from hadoop_digit_recognition_spark.rbm.cd1 import init_weights_gaussian
+    W = init_weights_gaussian(6, 4, seed=11)
+    for _ in range(3):
+        W = W + 0.1 * (numpy_cd1_meanfield(V, W) / 40)
+    np.testing.assert_allclose(W_dist, W, rtol=1e-10, atol=1e-13)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..tables import load_parallel
+from ..tables import load, load_parallel
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -175,16 +175,22 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    # tf rows are already distinct (doc_id, word) pairs, so document
+    # frequency derives from tf (one explode + one exchange, reused) —
+    # the countDistinct-over-tokens alternative re-explodes and
+    # re-shuffles the whole corpus. And since split() yields >= 1 token
+    # for every string (even ''), "documents with tokens" == all
+    # documents: the N in idf is a metadata-only parquet count, no job.
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()
     from pyspark.sql import Window as W
     # rank on the ROUNDED score: rounding first makes the sort key
     # identical across engines (raw doubles can differ in the last ulp
     # when two terms are mathematically tied, flipping ranks)
     scored = (tf.join(df, "word")
-              .crossJoin(F.broadcast(n_docs))
               .select("doc_id", "word",
-                      F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+                      F.round(F.col("tf")
+                              * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
                       .alias("tfidf")))
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))

@@ -55,8 +55,15 @@ def main() -> None:
     spark = get_spark("hdr-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: a cheap query to absorb JVM/codegen/Arrow startup cost.
+    # Warmup: a cheap query absorbs JVM/codegen startup; a trivial
+    # mapInPandas spins up the Python worker pool + Arrow channel so the
+    # first pandas-backed query isn't billed for one-time process forks.
     _force(SPARK_QUERIES["scan_filter_project"](spark, sf_dir))
+
+    def _ident(it):
+        yield from it
+
+    _force(spark.range(64, numPartitions=32).mapInPandas(_ident, "id long"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -47,3 +47,52 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("v").cast("bigint").alias("n_vals"),
         F.aggregate("v", F.lit(0.0), lambda a, x: a + x)
         .cast("bigint").alias("checksum"))
+
+
+@query("source_csv_roundtrip", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM events GROUP BY event_type
+""")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + schema'd CSV scan: events written as headered CSV
+    (timestamps as epoch micros — CSV has no timestamp type worth
+    trusting), read back with an explicit schema (no inference job), then
+    aggregated. The oracle aggregates the parquet source directly, so any
+    quoting/precision loss in the CSV path breaks the match."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_csv_stage",
+                         uuid.uuid4().hex)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts_us", "user_id", "event_type", "value")
+    ev.write.option("header", True).mode("overwrite").csv(stage)
+    back = (spark.read
+            .schema("event_id long, ts_us long, user_id long, "
+                    "event_type string, value double")
+            .option("header", True).csv(stage))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"),
+                 F.sum("user_id").cast("bigint").alias("uid_sum")))
+
+
+@query("source_json_roundtrip", oracle="""
+SELECT doc_id, lang,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd scan: documents written as JSONL, read
+    back with explicit schema, byte-length checked per row — UTF-8 and
+    escaping must survive the round trip exactly."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_json_stage",
+                         uuid.uuid4().hex)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").json(stage)
+    back = (spark.read.schema("doc_id long, lang string, text string")
+            .json(stage))
+    return back.select(
+        "doc_id", "lang",
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint")
+        .alias("n_bytes"))

@@ -84,3 +84,10 @@ def test_weights_text_arity_guard():
     write_weights_text(np.zeros((2, 2)), path)
     with pytest.raises(ValueError, match="expected 3\\*3"):
         read_weights_text(path, 3, 3)
+
+
+@pytest.mark.parametrize("name", ["source_csv_roundtrip",
+                                  "source_json_roundtrip"])
+def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)

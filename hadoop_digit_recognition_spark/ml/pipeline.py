@@ -16,6 +16,7 @@ no sampling shuffle, reproducible on any partitioning.
 
 from __future__ import annotations
 
+from pyspark.ml import Transformer
 from pyspark.ml.classification import (
     LogisticRegression,
     MultilayerPerceptronClassifier,
@@ -56,6 +57,27 @@ def fit_mlp(train: DataFrame, layers: list[int], label_col: str = "label",
     return MultilayerPerceptronClassifier(
         layers=layers, maxIter=max_iter, seed=seed,
         featuresCol=features_col, labelCol=label_col).fit(train)
+
+
+class DBNFeaturizer(Transformer):
+    """A fitted DBN as an MLlib Transformer, so the stacked-RBM feature
+    extraction composes in a real `Pipeline` with any downstream
+    estimator (`Pipeline(stages=[featurizer, LogisticRegression()])` ->
+    `PipelineModel`). Wraps rbm.trainer.DBN.transform: the forward pass
+    is a narrow mapInPandas stage; the weights ride in the closure as
+    broadcast NumPy."""
+
+    def __init__(self, dbn, vec_col: str = "embedding",
+                 out_col: str = "features"):
+        super().__init__()
+        self._dbn, self._vec_col, self._out_col = dbn, vec_col, out_col
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        out = self._dbn.transform(
+            df.withColumn("__v", F.col(self._vec_col).cast("array<double>")),
+            "__v", out_col="__dbn_act")
+        return (out.withColumn(self._out_col, array_to_vector("__dbn_act"))
+                .drop("__v", "__dbn_act"))
 
 
 def per_label_accuracy(scored: DataFrame, label_col: str = "label",

@@ -95,21 +95,26 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_dbn_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference pipeline, completed: greedy layer-wise RBM
     pre-training (64->32, deterministic mean-field CD-1, seeded — SURVEY.md
-    C5/C6) -> forward-prop features -> logistic-regression head. This is
-    the README's promised-but-missing supervised stage
+    C5/C6) -> forward-prop features -> logistic-regression head, composed
+    through the real MLlib Pipeline/PipelineModel API. This is the
+    README's promised-but-missing supervised stage
     (/root/reference/README.md:2). Rows-only."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+
     from ..rbm.trainer import DBN
+    from .pipeline import DBNFeaturizer
 
     emb = load(spark, sf_dir, "embeddings")
     train, test = deterministic_split(emb)
     dbn = DBN([64, 32], max_epoch=2, seed=42).fit(
         train.withColumn("v", F.col("embedding").cast("array<double>")), "v")
-    def featurize(df: DataFrame) -> DataFrame:
-        out = dbn.transform(
-            df.withColumn("v", F.col("embedding").cast("array<double>")), "v")
-        return with_features(out, vec_col="features", out_col="features")
-    model = fit_logreg(featurize(train))
-    return per_label_accuracy(model.transform(featurize(test)))
+    pipe = Pipeline(stages=[
+        DBNFeaturizer(dbn),
+        LogisticRegression(maxIter=50, family="multinomial"),
+    ])
+    model = pipe.fit(train)  # PipelineModel
+    return per_label_accuracy(model.transform(test))
 
 
 @query("ml_mlp_eval")

@@ -3,7 +3,7 @@ joins and aggregations alive at 100 TB (SURVEY.md §7 phase 6; the
 reference has exactly one physical strategy — hash-partition everything —
 driver.java:155-156).
 
-Three patterns, each with a DuckDB oracle because they change ONLY the
+Five patterns, each with a DuckDB oracle because they change ONLY the
 physical distribution, never the result:
 
 - bucketed co-located join: both fact tables persisted bucketed+sorted on
@@ -13,7 +13,11 @@ physical distribution, never the result:
   groupBy(key, salt) partial then groupBy(key) merge, so the hot key's
   rows spread over S reducers instead of one straggler;
 - salted skew join: replicate the small side S ways, salt the big side
-  deterministically -> the hot key's probe rows fan over S tasks.
+  deterministically -> the hot key's probe rows fan over S tasks;
+- range-bucketed interval join: time-bucket replication turns a range
+  predicate into an equi-join (no BNLJ, bounded probe width);
+- partitioned layout + partition pruning: date-partitioned writes let a
+  range query skip directories at file listing, before any I/O.
 """
 
 from __future__ import annotations
@@ -131,3 +135,78 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("value") * F.col("weight")), 6)
                  .alias("weighted")))
+
+
+@query("join_range_bucketed", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+""")
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (purchases within 1h after a click, per user) via
+    range bucketing: each click replicates into the 1-hour buckets its
+    window overlaps (<= 2), each purchase keeps its own bucket, and the
+    join becomes an EQUI-join on (user_id, bucket) + residual range
+    filter. The naive plan is an equi-join on user_id with the range as a
+    post-filter — fine until one user's history is huge; bucketing bounds
+    each probe to two buckets regardless of history length, and with no
+    equi-key at all it is the difference between BNLJ (quadratic) and a
+    shuffle join. Bucket width = range width, the standard choice."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "ts_us")
+    hour_us = 3_600_000_000
+    # integer `div`, not `/`: float division truncated at an exact bucket
+    # boundary can land one bucket low (same ulp trap as the events loader)
+    b = F.expr(f"ts_us div {hour_us}")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .withColumn("bkt", F.explode(F.array(b, b + 1)))
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts_us").alias("c_us"), "bkt"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts_us").alias("p_us"), b.alias("bkt")))
+    return (clicks.join(purch, (F.col("user_id") == F.col("p_user"))
+                        & (clicks.bkt == purch.bkt))
+            .filter((F.col("p_us") >= F.col("c_us"))
+                    & (F.col("p_us") < F.col("c_us") + hour_us))
+            .select("click_id", "purchase_id", "user_id"))
+
+
+@query("partition_pruned_scan", oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events
+WHERE ts >= (SELECT min(ts) FROM events)
+  AND ts <  (SELECT min(ts) FROM events) + INTERVAL '3 days'
+GROUP BY 1
+""")
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning: events written once partitioned by
+    event date; a date-range query then reads ONLY the matching
+    directories (PartitionFilters in the scan — asserted in tests). At
+    100 TB this is the first and cheapest data-skipping layer: pruning
+    happens at file listing, before any I/O."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "hdr_part", tag)
+    marker = os.path.join(base, "_SUCCESS")
+    if not os.path.exists(marker):
+        (load(spark, sf_dir, "events")
+         .withColumn("d", F.to_date("ts"))
+         .write.partitionBy("d").mode("overwrite").parquet(base))
+    ev = spark.read.parquet(base)
+    lo = load(spark, sf_dir, "events").agg(F.min("ts")).first()[0]
+    lo_d = lo.date()
+    hi_d = lo_d + __import__("datetime").timedelta(days=3)
+    pruned = ev.filter((F.col("d") >= F.lit(lo_d)) & (F.col("d") < F.lit(hi_d)))
+    # partition column d is DATE; restrict rows to the same [min_ts,
+    # min_ts+3d) window the oracle uses (date-partition pruning is the
+    # coarse cut; the residual ts filter is exact)
+    pruned = pruned.filter(
+        (F.col("ts") >= F.lit(lo))
+        & (F.col("ts") < F.lit(lo) + F.expr("INTERVAL 3 DAYS")))
+    return (pruned.groupBy(F.col("d").cast("string").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total")))

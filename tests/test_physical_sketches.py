@@ -72,3 +72,28 @@ def test_cms_query_shape(spark):
     assert all(r["sketch_bytes"] > 0 for r in rows)
     ns = [r["exact_n"] for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+@pytest.mark.parametrize("name", ["join_range_bucketed",
+                                  "partition_pruned_scan"])
+def test_range_and_pruning_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """The date filter must prune partitions at file listing
+    (PartitionFilters on the scan), not as a post-scan row filter."""
+    df = SPARK_QUERIES["partition_pruned_scan"](spark, SF_ORACLE)
+    txt = explain_formatted(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
+    assert m and "d#" in m.group(1), txt
+
+
+def test_range_join_is_equi_not_bnl(spark):
+    """Range bucketing must produce an equi-join (hash/merge), never a
+    nested-loop over user histories."""
+    df = SPARK_QUERIES["join_range_bucketed"](spark, SF_ORACLE)
+    txt = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt

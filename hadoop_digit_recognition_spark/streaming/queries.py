@@ -92,3 +92,40 @@ def streaming_stateful_user_counts(spark: SparkSession,
     updates = run_to_memory(running_user_counts(ev), "update")
     return (updates.groupBy("user_id")
             .agg(F.max("n_events").alias("n_events")))
+
+
+@query("streaming_stream_stream_join", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+""")
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (clicks x purchases within 1h, per user):
+    both sides watermarked, the event-time range condition bounds the
+    join state each side must buffer — the thing that makes an infinite
+    stream-stream join feasible at all. The delay (2h) exceeds the
+    source's disorder, so no match is dropped and the final append-mode
+    output equals the batch interval join (the oracle). 4 micro-batches:
+    stream-stream state maintenance runs per trigger on BOTH sides, so
+    this query's per-trigger cost is double the single-input ones."""
+    ev = events_stream(spark, sf_dir, n_files=4)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", "2 hours"))
+    j = clicks.join(
+        purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")))
+    out = run_to_memory(j, "append")
+    return out.select("click_id", "purchase_id",
+                      F.col("c_user").alias("user_id"))

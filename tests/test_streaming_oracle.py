@@ -74,3 +74,10 @@ def test_streaming_parquet_sink_parity(spark):
     assert got.count() == src.count()
     assert got.exceptAll(src).count() == 0
     assert src.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_vs_duckdb(spark, duck):
+    from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL as OS
+    df = SPARK_QUERIES["streaming_stream_stream_join"](spark, SF_ORACLE)
+    compare(df, duck, OS["streaming_stream_stream_join"],
+            "streaming_stream_stream_join")

@@ -91,8 +91,22 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(mm).select("doc_id", "byte_len", "sig")
 
 
-@query("multimodal_features")  # rows-only: stubbed feature path
+@query("multimodal_features", oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       round(octet_length(encode(text)) / 1000.0, 6) AS f0,
+       round((coalesce(list_aggregate(
+                list_transform(range(1, least(length(text), 64) + 1),
+                               i -> ascii(text[i])), 'sum'), 0) % 256)
+             / 255.0, 6) AS f1
+FROM documents
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic byte-level features through the full mapInPandas
+    path. The oracle recomputes them relationally from the text — valid
+    because this corpus is pure ASCII (byte == code point, checked in
+    tests); on real binary media the decode stub takes over and the
+    check is rows-only by nature."""
     docs = load(spark, sf_dir, "documents")
     mm = attach_binary_payload(docs)
     out = extract_features(mm)

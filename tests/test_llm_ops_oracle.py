@@ -74,3 +74,21 @@ def test_pandas_udf_surface_vs_duckdb(spark, duck, name):
     """The Arrow-batched Python path must equal the relational form."""
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_corpus_is_ascii(spark):
+    """Precondition of the multimodal_features oracle: byte == code
+    point. If testdata ever grows non-ASCII text this fails loudly
+    instead of the oracle mismatching obscurely."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+    docs = load(spark, SF_ORACLE, "documents")
+    n = docs.filter(
+        F.octet_length(F.encode("text", "utf-8")) != F.length("text")).count()
+    assert n == 0
+
+
+def test_multimodal_features_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["multimodal_features"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["multimodal_features"], "multimodal_features")

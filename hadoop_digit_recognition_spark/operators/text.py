@@ -196,3 +196,70 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= 3)
             .select("doc_id", "word", "tfidf", "rn"))
+
+
+# Rabin-Karp polynomial window hash: wh(s) = sum_j tv[s+j] * B^j mod P.
+# tv = det_hash64(token) mod 2^16 keeps every product under 2^63 when the
+# power is pre-reduced mod P — exact int64 arithmetic in both engines.
+_RK_B, _RK_P, _RK_K = 131, 1_000_000_007, 8
+_RK_POWERS = [pow(_RK_B, j, _RK_P) for j in range(_RK_K)]
+
+
+@query("text_rolling_hash_fingerprint", oracle=f"""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tv AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS i,
+              ('0x' || substr(md5(unnest(w)), 1, 8))::BIGINT % 65536 AS tv
+       FROM t0),
+sz AS (SELECT doc_id, count(*) AS n FROM tv GROUP BY doc_id),
+p(j, pw) AS (VALUES {", ".join(f"({j}, {pw})" for j, pw in enumerate(_RK_POWERS))}),
+win AS (
+  SELECT a.doc_id, a.i AS s,
+         sum(b.tv * p.pw) % {_RK_P} AS wh
+  FROM tv a
+  JOIN tv b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + {_RK_K}
+  JOIN p ON p.j = b.i - a.i
+  JOIN sz ON sz.doc_id = a.doc_id
+  WHERE a.i + {_RK_K} <= sz.n
+  GROUP BY a.doc_id, a.i
+)
+SELECT doc_id,
+       count(*) AS n_windows,
+       min(wh) AS fingerprint
+FROM win GROUP BY doc_id
+""")
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp windows + winnowing
+    min-selection): hash every {_RK_K}-token window polynomially, keep the
+    minimum as the document fingerprint — near-identical documents share
+    window hashes, so their min collides with high probability (the
+    content-defined-chunking / MOSS winnowing primitive).
+
+    Spark side is one narrow pass: token hash array (one md5 per token),
+    then each window folds as an 8-term integer expression with
+    pre-reduced powers — exact mod-P arithmetic, bit-identical to the
+    oracle's positional-join formulation. Docs shorter than {_RK_K} tokens
+    have no full window and drop out (both sides)."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    base = (docs
+            .select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= _RK_K)
+            .select("doc_id",
+                    F.transform("w", lambda t: det_hash64(t) % 65536)
+                    .alias("tv")))
+
+    def window_hash(s):
+        total = None
+        for j, pw in enumerate(_RK_POWERS):
+            term = F.element_at(F.col("tv"), s + j + 1) * F.lit(pw)
+            total = term if total is None else total + term
+        return total % F.lit(_RK_P)
+
+    wins = F.transform(F.sequence(F.lit(0), F.size("tv") - _RK_K),
+                       lambda s: window_hash(s))
+    return (base
+            .select("doc_id", wins.alias("whs"))
+            .select("doc_id",
+                    F.size("whs").cast("bigint").alias("n_windows"),
+                    F.array_min("whs").alias("fingerprint")))

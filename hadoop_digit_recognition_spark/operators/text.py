@@ -263,3 +263,80 @@ def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("doc_id",
                     F.size("whs").cast("bigint").alias("n_windows"),
                     F.array_min("whs").alias("fingerprint")))
+
+
+@query("text_clean_normalize", oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                           ' +', ' ', 'g')) AS clean,
+       CAST(length(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+FROM documents
+""")
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning (the first stage of every LLM data pipeline):
+    lowercase -> strip non-alphanumerics -> collapse whitespace -> trim.
+    Pure JVM regexp expressions; the cleaned text is materialized once at
+    a projection boundary and its length derived from the attribute."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    return (docs.select("doc_id", clean.alias("clean"))
+            .select("doc_id", "clean",
+                    F.length("clean").cast("bigint").alias("clean_len")))
+
+
+@query("text_quality_filter", oracle="""
+WITH q AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+               + 0.6 * (len(list_distinct(w)) * 1.0 / len(w)), 6) AS quality
+  FROM q
+),
+c AS (SELECT m.*, percent_rank() OVER (ORDER BY quality, doc_id) AS pr FROM m)
+SELECT doc_id, quality FROM c WHERE pr >= 0.1
+""")
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based corpus filtering: score every document, drop the
+    bottom decile by percent_rank (deterministic doc_id tiebreak). The
+    composition every training-data pipeline runs — score -> rank ->
+    threshold — as one global-window pass. At 100 TB the global rank
+    would be replaced by an approx-quantile cut (sketch_quantiles), which
+    needs no global sort; this exact form is the oracle-checkable
+    variant."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .select("doc_id",
+                 F.size("w").cast("double").alias("n"),
+                 F.size(F.array_distinct("w")).cast("double").alias("nd")))
+    quality = F.round(
+        0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
+        + 0.6 * (F.col("nd") / F.col("n")), 6)
+    scored = m.select("doc_id", quality.alias("quality"))
+    w = W.orderBy("quality", "doc_id")
+    return (scored.withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") >= 0.1)
+            .select("doc_id", "quality"))
+
+
+@query("agg_collect_sorted", oracle="""
+SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""")
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (grouped array building) — sorted for
+    engine-neutral comparison. The collect-type aggs are exactly the ones
+    whose state skews with hot keys (see agg_skew_salted_twophase)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
+                 F.count(F.lit(1)).alias("n")))

@@ -363,3 +363,84 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"),
                     F.round(cos, 6).alias("cos")))
+
+
+_LSH_PAIRS_SQL = _MINHASH_SQL + f""",
+bands AS (
+  SELECT doc_id, b // {BAND_ROWS} AS g,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY b) AS key
+  FROM mh GROUP BY doc_id, b // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.g = b.g AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz x ON x.doc_id = doc_a
+  JOIN sz y ON y.doc_id = doc_b
+  WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+)
+"""
+
+
+@query("dedup_connected_components", oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS canonical_id
+FROM reach GROUP BY u
+""")
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: near-dup pairs only name edges; the
+    deliverable of a dedup pipeline is one canonical document per
+    connected component (keep lowest doc_id, drop the rest). Iterative
+    min-label propagation over the LSH pair graph: each round every node
+    takes the min of its own label and its neighbors' labels; fixpoint in
+    <= diameter rounds (checked each round with a cheap count). The same
+    driver-side iterate-until-converged loop as the RBM trainer (C5) —
+    Spark's replacement for the reference's per-epoch job resubmission.
+    The oracle computes the identical components via a recursive CTE.
+
+    Scale: each round is one self-join on current labels + a min-agg —
+    all equi-joins; rounds needed = component diameter (tiny for dup
+    clusters; for web-scale graphs swap in large-star/small-star, same
+    loop skeleton)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v")))
+             .distinct().persist())
+    labels = (edges.select("u").distinct()
+              .select("u", F.col("u").alias("lbl")).persist())
+    for _ in range(20):  # diameter bound; dup clusters are near-cliques
+        neigh = (edges.join(labels.withColumnRenamed("u", "v")
+                            .withColumnRenamed("lbl", "nlbl"), "v")
+                 .groupBy("u").agg(F.min("nlbl").alias("minn")))
+        new_labels = (labels.join(neigh, "u", "left")
+                      .select("u", F.least("lbl", F.coalesce("minn", "lbl"))
+                              .alias("lbl")).persist())
+        changed = (new_labels.withColumnRenamed("lbl", "new")
+                   .join(labels, "u")
+                   .filter(F.col("new") != F.col("lbl")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()  # labels is materialized (the convergence count ran)
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("lbl").alias("canonical_id"))

@@ -94,3 +94,20 @@ def test_corpus_is_ascii(spark):
 def test_multimodal_features_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["multimodal_features"](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL["multimodal_features"], "multimodal_features")
+
+
+def test_connected_components_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["dedup_connected_components"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["dedup_connected_components"],
+            "dedup_connected_components")
+
+
+def test_connected_components_properties(spark):
+    """Every canonical id is a member of its own cluster and is the
+    cluster minimum (idempotent representative choice)."""
+    rows = SPARK_QUERIES["dedup_connected_components"](
+        spark, SF_ORACLE).collect()
+    label = {r["doc_id"]: r["canonical_id"] for r in rows}
+    for doc, canon in label.items():
+        assert canon <= doc
+        assert label[canon] == canon

@@ -444,3 +444,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()  # labels is materialized (the convergence count ran)
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("canonical_id"))
+
+
+@query("dedup_fuzzy_levenshtein", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+t AS (SELECT doc_id, substr(text, 1, 64) AS pre FROM documents)
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+FROM pairs p
+JOIN t a ON a.doc_id = p.doc_a
+JOIN t b ON b.doc_id = p.doc_b
+""")
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidates: levenshtein over
+    64-char prefixes. The fuzzy-match third axis next to set-based
+    (Jaccard) and vector-based (cosine) similarity; prefix-bounded
+    because edit distance is O(len^2) — at scale you never run it on full
+    documents, only on candidates a cheap filter already produced."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pre = (load(spark, sf_dir, "documents")
+           .select("doc_id", F.substring("text", 1, 64).alias("pre")))
+    return (pairs
+            .join(pre.select(F.col("doc_id").alias("doc_a"),
+                             F.col("pre").alias("pa")), "doc_a")
+            .join(pre.select(F.col("doc_id").alias("doc_b"),
+                             F.col("pre").alias("pb")), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.levenshtein("pa", "pb").cast("bigint")
+                    .alias("edit_dist")))

@@ -643,3 +643,37 @@ def pivot_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                  piv("view").alias("view_v"),
                  piv("purchase").alias("purchase_v"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query("join_null_safe", oracle="""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN NULL ELSE event_type END AS k,
+         value
+  FROM events
+),
+d AS (SELECT NULL AS k, -1.0 AS w UNION ALL
+      SELECT 'click', 1.0 UNION ALL SELECT 'view', 0.5)
+SELECT coalesce(e.k, '<null>') AS k, count(*) AS n,
+       round(sum(e.value * d.w), 6) AS weighted
+FROM e JOIN d ON e.k IS NOT DISTINCT FROM d.k
+GROUP BY 1
+""")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantic corner every
+    engine must define (standard equi-join drops NULL keys on both
+    sides). Executed as a plain hash join; the null bucket is just
+    another key."""
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id",
+                  F.when(F.col("event_id") % 10 == 0, F.lit(None))
+                  .otherwise(F.col("event_type")).alias("k"),
+                  "value"))
+    dim = spark.createDataFrame(
+        [(None, -1.0), ("click", 1.0), ("view", 0.5)],
+        "k string, w double")
+    return (ev.join(F.broadcast(dim), ev.k.eqNullSafe(dim.k))
+            .groupBy(F.coalesce(ev.k, F.lit("<null>")).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(ev.value * dim.w), 6).alias("weighted")))

@@ -19,7 +19,8 @@ LLM_QUERIES = [
     "text_token_stats", "text_quality_score", "text_langid",
     "text_fingerprint", "text_ngram_freq", "text_tfidf_top_terms",
     "text_rolling_hash_fingerprint", "text_clean_normalize",
-    "text_quality_filter", "agg_collect_sorted",
+    "text_quality_filter", "agg_collect_sorted", "join_null_safe",
+    "dedup_fuzzy_levenshtein",
     "window_tumbling", "window_sliding", "window_session",
     "sessionize_relational", "asof_join",
     "multimodal_meta",

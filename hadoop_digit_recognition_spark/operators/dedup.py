@@ -305,20 +305,29 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow per-doc simhash: token-hash array once, then 32 in-row
+    ±1-vote folds (one per bit) and a sign combine — zero shuffles, same
+    values as the oracle's explode+groupBy formulation (integer votes are
+    order-independent). Same plan family as minhash_sig_arrays."""
     docs = load_parallel(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    th = tok.select("doc_id", det_hash64(F.col("word")).alias("h"))
-    bitsrc = spark.range(32).select(F.col("id").alias("b"))
-    bitval = (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
-              .cast("bigint") % 2)
-    bits = (th.crossJoin(F.broadcast(bitsrc))
-            .select("doc_id", "b",
-                    F.when(bitval == 1, 1).otherwise(-1).alias("v"))
-            .groupBy("doc_id", "b").agg(F.sum("v").alias("s")))
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s") > 0,
-                              F.pow(F.lit(2.0), F.col("b")).cast("bigint"))
-                       .otherwise(F.lit(0))).cast("bigint").alias("simhash")))
+    th = (docs
+          .select("doc_id", F.split("text", " ").alias("w"))
+          .select("doc_id",
+                  F.transform("w", lambda t: det_hash64(t)).alias("tv")))
+
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+
+    bits = th.select("doc_id", *[
+        F.aggregate("tv", F.lit(0), vote(b)).alias(f"s{b}") for b in range(32)
+    ])
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.alias("simhash"))
 
 
 @query("simhash_dup_pairs", oracle=f"""

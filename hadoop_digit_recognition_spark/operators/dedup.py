@@ -481,3 +481,50 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b",
                     F.levenshtein("pa", "pb").cast("bigint")
                     .alias("edit_dist")))
+
+
+@query("simhash_dup_pairs_banded", oracle=f"""
+WITH {_SIMHASH_SQL.lstrip()},
+bands AS (
+  SELECT doc_id, simhash, b.g,
+         CAST(floor(simhash / CAST(pow(2, b.g * 4) AS BIGINT)) AS BIGINT) % 16
+           AS key
+  FROM sig CROSS JOIN range(8) b(g)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b ON a.g = b.g AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+""")
+def simhash_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of simhash near-dup search: split the 32-bit
+    signature into 8 bands of 4 bits; a pair within Hamming distance 6
+    differs in at most 6 bands, so by pigeonhole at least one of the 8
+    bands matches EXACTLY — the banded equi-join is lossless for d <= 6
+    (oracle + test_llm_ops confirm it returns the identical pair set as
+    the all-pairs form). Plan: narrow band derivation, one equi-join, one
+    distinct; no cartesian anything."""
+    sig = _simhash_df(spark, sf_dir)
+    keys = F.array(*[
+        F.shiftright("simhash", g * 4).bitwiseAND(F.lit(15)).alias(f"k{g}")
+        for g in range(8)
+    ])
+    bands = (sig.select("doc_id", "simhash",
+                        F.posexplode(keys).alias("g", "key")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.simhash").alias("sa"),
+                    F.col("b.simhash").alias("sb"))
+            .distinct())
+    hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (cand.filter(hd <= 6)
+            .select("doc_a", "doc_b", hd.cast("bigint").alias("hamming")))

@@ -112,3 +112,19 @@ def test_connected_components_properties(spark):
     for doc, canon in label.items():
         assert canon <= doc
         assert label[canon] == canon
+
+
+def test_banded_simhash_equals_allpairs(spark, duck):
+    """Pigeonhole losslessness: 8 bands of 4 bits find every pair with
+    Hamming distance <= 6, so the banded equi-join must return the
+    identical pair set as the all-pairs form — and with no cartesian
+    product in its plan."""
+    from hadoop_digit_recognition_spark.plans import (
+        explain_formatted, has_cartesian_product)
+    banded = SPARK_QUERIES["simhash_dup_pairs_banded"](spark, SF_ORACLE)
+    allp = SPARK_QUERIES["simhash_dup_pairs"](spark, SF_ORACLE)
+    assert banded.exceptAll(allp).count() == 0
+    assert allp.exceptAll(banded).count() == 0
+    assert not has_cartesian_product(banded)
+    compare(banded, duck, ORACLE_SQL["simhash_dup_pairs_banded"],
+            "simhash_dup_pairs_banded")

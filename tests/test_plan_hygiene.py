@@ -1,0 +1,52 @@
+"""Fleet-wide plan hygiene: build (don't execute) every registered
+query's plan and assert the two properties that must hold engine-wide at
+100 TB — no row-at-a-time Python (BatchEvalPython) anywhere, and no
+cartesian/broadcast-nested-loop joins outside the explicitly declared
+all-pairs ground-truth queries.
+
+Queries with build-time side effects (streaming runs, ML training,
+bucketed-table writes, staged file writes, driver loops) are skipped:
+their plans are audited by their own tests; this sweep covers the ~80
+pure-plan queries in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+from hadoop_digit_recognition_spark.plans import explain_formatted
+
+from .conftest import SF_ORACLE
+
+# build-time side effects: executed elsewhere, skipped here
+_SIDE_EFFECT_PREFIXES = ("streaming_", "ml_", "source_")
+_SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
+                      "join_bucketed_colocated", "partition_pruned_scan",
+                      "dedup_minhash_lsh", "dedup_fuzzy_levenshtein"}
+
+# declared all-pairs / nested-loop queries (test-SF ground truth or
+# intentionally non-equi): the only places cartesian-family joins may appear
+_ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
+                "dedup_embedding_cosine", "sim_topk_cosine",
+                "join_theta_bnl", "join_nonequi_band",
+                "sketch_cms_heavy_hitters",
+                # constant-range matrix generation (literal-sized inputs)
+                "gemm_sql"}
+
+# the Python UDTF demo is, by definition, Python in the plan
+_PYTHON_OK = {"udtf_tokenize"}
+
+_PURE = [n for n in sorted(SPARK_QUERIES)
+         if not n.startswith(_SIDE_EFFECT_PREFIXES)
+         and n not in _SIDE_EFFECT_NAMES]
+
+
+@pytest.mark.parametrize("name", _PURE)
+def test_plan_hygiene(spark, name):
+    txt = explain_formatted(SPARK_QUERIES[name](spark, SF_ORACLE))
+    if name not in _PYTHON_OK:
+        assert "BatchEvalPython" not in txt, f"{name}: row-at-a-time Python"
+    if name not in _ALLPAIRS_OK:
+        assert "CartesianProduct" not in txt, f"{name}: cartesian product"
+        assert "BroadcastNestedLoopJoin" not in txt, f"{name}: BNLJ"

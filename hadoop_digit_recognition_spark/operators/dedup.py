@@ -1,14 +1,18 @@
 """Deduplication operators for LLM training-data pipelines (north-star
 requirement; absent in the reference — SURVEY.md §2.5 last row).
 
-Five families, all deterministic and engine-portable:
+Seven families, all deterministic and engine-portable:
 
 - exact        : content-hash groupBy (md5), keep lowest doc_id
 - n-gram Jaccard: exact all-pairs similarity over distinct word 3-shingles
 - MinHash + LSH: md5-derived minhash signatures -> banded buckets ->
                  candidate pairs -> exact-Jaccard verification
-- SimHash      : 32-bit sign-aggregated fingerprint + Hamming-ball pairs
+- SimHash      : 32-bit sign-aggregated fingerprint; all-pairs Hamming
+                 ground truth + pigeonhole-lossless banded equi-join
 - embedding cosine: near-duplicate pairs in vector space
+- edit distance: Levenshtein verification over LSH candidates
+- cluster resolution: connected components (min-label propagation) ->
+                 one canonical doc per duplicate cluster
 
 Every hash is the first 8 hex chars of md5 parsed as an integer
 (functions.vector.det_hash64) so the DuckDB oracle reproduces signatures

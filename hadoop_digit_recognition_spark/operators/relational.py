@@ -677,3 +677,22 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.coalesce(ev.k, F.lit("<null>")).alias("k"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(ev.value * dim.w), 6).alias("weighted")))
+
+
+@query("agg_median_quartiles", oracle="""
+SELECT event_type,
+       round(median(value), 6) AS med,
+       round(quantile_cont(value, 0.25), 6) AS q1,
+       round(quantile_cont(value, 0.75), 6) AS q3
+FROM events GROUP BY event_type
+""")
+def agg_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and quartiles (continuous interpolation — the same
+    definition as SQL percentile_cont). Exact percentiles need the full
+    group's values; the bounded-state alternative at 100 TB is
+    sketch_quantiles."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.median("value"), 6).alias("med"),
+                 F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+                 F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3")))

@@ -144,3 +144,28 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("event_id").alias("purchase_id"),
                     F.col("last_click").alias("click_id"),
                     "user_id"))
+
+
+@query("window_time_range_frame", oracle="""
+WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: per user, the trailing 1-hour
+    moving count/sum at every event. RANGE frames bound by the ORDER
+    column's VALUES (all events within 1h), unlike ROWS frames which
+    bound by position — the semantic every trailing-window feature
+    pipeline needs. Ordered by exact epoch micros (ts_us) so the frame
+    arithmetic is integer-exact on both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, W.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"))

@@ -22,6 +22,7 @@ LLM_QUERIES = [
     "text_quality_filter", "agg_collect_sorted", "join_null_safe",
     "dedup_fuzzy_levenshtein",
     "window_tumbling", "window_sliding", "window_session",
+    "window_time_range_frame", "agg_median_quartiles",
     "sessionize_relational", "asof_join",
     "multimodal_meta",
 ]

@@ -81,3 +81,46 @@ def test_stream_stream_join_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["streaming_stream_stream_join"](spark, SF_ORACLE)
     compare(df, duck, OS["streaming_stream_stream_join"],
             "streaming_stream_stream_join")
+
+
+def test_foreachbatch_upsert_parity(spark):
+    """foreachBatch — the arbitrary-sink API: update-mode per-user counts
+    upserted into driver state per micro-batch; the final keyed state
+    must equal the batch aggregation (the merge-into-a-store pattern
+    every production streaming sink uses)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.streaming.pipeline import events_stream
+    from hadoop_digit_recognition_spark.tables import load
+
+    state: dict[int, int] = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            state[r["user_id"]] = r["count"]
+
+    sdf = events_stream(spark, "/root/testdata/sf0.01")
+    agg = sdf.groupBy("user_id").count()
+    ckpt = os.path.join(tempfile.gettempdir(), "hdr_feb", uuid.uuid4().hex)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (agg.writeStream.outputMode("update").foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    expected = {r["user_id"]: r["n"] for r in
+                load(spark, "/root/testdata/sf0.01", "events")
+                .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert state == expected

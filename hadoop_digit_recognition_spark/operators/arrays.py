@@ -176,3 +176,42 @@ def gemm_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (v.join(F.broadcast(w), "i")
             .groupBy("vec_id", "j")
             .agg(F.round(F.sum(F.col("x") * F.col("w")), 6).alias("h")))
+
+
+@query("matrix_transpose_sql", oracle="""
+WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings WHERE vec_id < 8)
+SELECT i AS r, vec_id AS c, round(x, 6) AS x FROM v
+""")
+def matrix_transpose_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 transpose in relational form (matrix.java:161-170): a matrix
+    stored as (row, col, value) transposes by swapping the key roles —
+    a pure projection, no data movement at all (the reference allocates
+    and copies an n x m array). Here: the first 8 embeddings as an
+    8 x 64 matrix -> its 64 x 8 transpose."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    return (emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+            .select(F.col("i").cast("bigint").alias("r"),
+                    F.col("vec_id").alias("c"),
+                    F.round(F.col("x").cast("double"), 6).alias("x")))
+
+
+@query("matrix_reshape_colpacked", oracle="""
+WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS k,
+                  CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings WHERE vec_id = 0)
+SELECT k % 8 AS i, k // 8 AS j, round(x, 6) AS x FROM v
+""")
+def matrix_reshape_colpacked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1's COLUMN-PACKED reshape (matrix.java:40-53: A[i][j] = v[i+j*m])
+    — the layout whose clash with the row-major update indexing is
+    reference defect D3. Implemented faithfully here as the explicit
+    index map k -> (k mod m, k div m) on a 64-vector viewed as 8 x 8, so
+    the semantics are on record even though the engine's own weight
+    handling is consistently row-major."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    return (emb.select(F.posexplode("embedding").alias("k", "x"))
+            .select((F.col("k") % 8).cast("bigint").alias("i"),
+                    F.expr("k div 8").alias("j"),
+                    F.round(F.col("x").cast("double"), 6).alias("x")))

@@ -696,3 +696,42 @@ def agg_median_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.median("value"), 6).alias("med"),
                  F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
                  F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3")))
+
+
+@query("scalar_subquery_filter", oracle="""
+SELECT event_id, round(value, 6) AS value
+FROM events
+WHERE value > 2 * (SELECT avg(value) FROM events)
+""")
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery through the spark.sql entry path
+    (every other query uses the DataFrame API; this one proves the SQL
+    front door compiles to the same Catalyst plans — the subquery becomes
+    a broadcast scalar, SURVEY.md §4 O10 'subquery handling')."""
+    from ..tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_id, round(value, 6) AS value
+        FROM events
+        WHERE value > 2 * (SELECT avg(value) FROM events)
+    """)
+
+
+@query("exists_subquery", oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+""")
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (SQL path): Catalyst decorrelates it
+    into a left-semi hash join — the plan join_semi builds explicitly,
+    derived here by the optimizer from the nested form."""
+    from ..tables import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """)

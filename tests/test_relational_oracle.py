@@ -23,6 +23,7 @@ RELATIONAL = [
     "set_union", "set_intersect", "set_except",
     "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",
     "json_extract", "pivot_conditional",
+    "scalar_subquery_filter", "exists_subquery",
 ]
 
 

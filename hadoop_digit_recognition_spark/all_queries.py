@@ -28,7 +28,11 @@ import importlib
 for _m in _OPTIONAL_MODULES:
     try:
         importlib.import_module(_m)
-    except ModuleNotFoundError:
-        pass  # module not built yet (round-incremental construction)
+    except ModuleNotFoundError as _e:
+        # Only "module not built yet" is ignorable. A missing TRANSITIVE
+        # dependency (pandas, pyspark.ml, ...) must re-raise — swallowing it
+        # would silently shrink the registry the driver verifies.
+        if _e.name != _m:
+            raise
 
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

@@ -23,14 +23,25 @@ _V64 = ("SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i, "
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings")
 
 
-@query("arr_normalize", oracle="""
-SELECT vec_id,
-       list_transform(embedding, x -> round(CAST(x AS DOUBLE) / 255.0, 9)) AS norm
-FROM embeddings
+@query("arr_normalize", oracle=f"""
+SELECT vec_id, i, round(x / 255.0, 9) AS norm
+FROM ({_V64}) v
 """)
 def arr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3: x -> x/255 elementwise (rbmmapper.java:116-119), array-valued
-    output (exercises array-column comparison end to end)."""
+    """P3: x -> x/255 elementwise (rbmmapper.java:116-119), exploded to
+    scalar (vec_id, i, norm) rows so the driver's value hasher — which
+    cannot hash array cells — compares it exactly (mirrors arr_sigmoid).
+    The array-valued form lives in arr_normalize_array (pytest-only)."""
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.transform("embedding",
+                       lambda x: F.round(x.cast("double") / 255.0, 9))
+    return (emb.select("vec_id", F.posexplode(norm).alias("i", "norm"))
+            .select("vec_id", F.col("i").cast("bigint").alias("i"), "norm"))
+
+
+def arr_normalize_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued twin of arr_normalize (pytest-only — the driver's
+    hash comparator cannot hash array<double> cells, CORRECTNESS_r01)."""
     emb = load(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",

@@ -17,9 +17,13 @@ override via `numcase`).
 
 Deterministic (mean-field) mode uses hidden probabilities h0p directly in
 the negative phase instead of Bernoulli samples, so a DuckDB SQL oracle
-exists; sampled mode seeds the RNG per (row, epoch) for reproducibility —
-the reference uses a fresh unseeded Random per record and is
-irreproducible by construction (/root/reference/rbmmapper.java:169).
+exists. Sampled mode draws each Bernoulli uniform from a content hash,
+u[row,j] = md5("{row_id}|{j}|{epoch}")[:8] % 2^24 / 2^24 (the same
+det_hash64 used by sample_deterministic / minhash), so the sampled epoch
+is ALSO exactly SQL-expressible — identical on any partitioning, any
+cluster, any engine. The reference uses a fresh unseeded Random per
+record and is irreproducible by construction
+(/root/reference/rbmmapper.java:169).
 """
 
 from __future__ import annotations
@@ -76,15 +80,36 @@ def numpy_cd1_meanfield(V: np.ndarray, W: np.ndarray,
     return V.T @ h0p - v1.T @ h1p
 
 
-def numpy_cd1_sampled(V: np.ndarray, W: np.ndarray, rng: np.random.Generator,
+def det_uniforms(ids: np.ndarray, nh: int, epoch: int = 0) -> np.ndarray:
+    """(len(ids), nh) matrix of deterministic uniforms in [0, 1):
+    u[r, j] = (int(md5(f"{ids[r]}|{j}|{epoch}")[:8 hex], 16) % 2^24) / 2^24.
+
+    Bit-for-bit the same formula as functions.vector.det_hash64 and any
+    ANSI-SQL engine's md5, which is what makes the SAMPLED CD-1 epoch
+    oracle-checkable (and partition-invariant, unlike a per-partition RNG)."""
+    import hashlib
+
+    U = np.empty((len(ids), nh), dtype=np.float64)
+    for r, rid in enumerate(ids):
+        pre = f"{rid}|"
+        for j in range(nh):
+            h = int(hashlib.md5(f"{pre}{j}|{epoch}".encode()).hexdigest()[:8], 16)
+            U[r, j] = (h % 16777216) / 16777216.0
+    return U
+
+
+def numpy_cd1_sampled(V: np.ndarray, W: np.ndarray, U: np.ndarray,
                       hb: np.ndarray | None = None,
                       vb: np.ndarray | None = None) -> np.ndarray:
-    """Golden-model CD-1 with Bernoulli hidden states (P6), seeded."""
+    """Golden-model CD-1 with Bernoulli hidden states (P6): h0s = h0p > U
+    where U is a per-(row, hidden-unit) uniform matrix (see det_uniforms).
+    Positive phase uses probabilities h0p (Hinton's practical guide §3),
+    matching getposphase (/root/reference/rbmmapper.java:144-178)."""
     nd, nh = W.shape
     hb = np.zeros(nh) if hb is None else hb
     vb = np.zeros(nd) if vb is None else vb
     h0p = _sigmoid(V @ W + hb)
-    h0s = (h0p > rng.random(h0p.shape)).astype(np.float64)
+    h0s = (h0p > U).astype(np.float64)
     v1 = _sigmoid(h0s @ W.T + vb)
     h1p = _sigmoid(v1 @ W + hb)
     return V.T @ h0p - v1.T @ h1p
@@ -100,7 +125,7 @@ def _to_matrix(series: pd.Series, numdims: int) -> np.ndarray:
 def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
                     epsilon: float = 0.1, weightcost: float = 0.0,
                     numcase: int | None = None,
-                    sampled: bool = False, seed: int = 0,
+                    sampled: bool = False, id_col: str | None = None,
                     epoch: int = 0) -> DataFrame:
     """One CD-1 epoch as a DataFrame job: returns (idx bigint, dw double)
     with dw = epsilon * (sum_rows(posprods - negprods)/numcase
@@ -109,9 +134,16 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
     Physical shape: mapInPandas emits ONE partial-gradient block per
     partition (map-side combine the reference lacks — SURVEY.md O1), then a
     tiny groupBy(idx).sum() shuffle of numPartitions*numdims*numhid rows.
+
+    sampled=True requires id_col: the Bernoulli uniforms are content-hashed
+    from (row id, hidden unit, epoch) — see det_uniforms — so the result is
+    invariant to partitioning and exactly reproducible in the SQL oracle.
     """
     from ..shipping import ensure_shipped
 
+    if sampled and id_col is None:
+        raise ValueError("sampled=True requires id_col (deterministic "
+                         "per-row Bernoulli draws need a stable row id)")
     spark = df.sparkSession
     ensure_shipped(spark)
     nd, nh = W.shape
@@ -124,16 +156,13 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
     def grad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Wv = b_w.value
         acc = np.zeros((nd, nh), dtype=np.float64)
-        rng = None
         for pdf in batches:
             V = _to_matrix(pdf[vec_col], nd)
             if V.shape[0] == 0:
                 continue
             if sampled:
-                # partition-stable seed: first row id in batch + epoch
-                if rng is None:
-                    rng = np.random.default_rng((seed, epoch, int(V[0, 0] * 1e6) & 0xFFFF))
-                acc += numpy_cd1_sampled(V, Wv, rng)
+                U = det_uniforms(pdf[id_col].to_numpy(), nh, epoch)
+                acc += numpy_cd1_sampled(V, Wv, U)
             else:
                 acc += numpy_cd1_meanfield(V, Wv)
         yield pd.DataFrame({
@@ -141,7 +170,8 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
             "dw": acc.ravel(),  # row-major i*numhid+j, the INTENDED layout (not defect D3)
         })
 
-    partial = df.select(vec_col).mapInPandas(grad, schema="idx bigint, dw double")
+    cols = [id_col, vec_col] if sampled else [vec_col]
+    partial = df.select(*cols).mapInPandas(grad, schema="idx bigint, dw double")
     summed = partial.groupBy("idx").agg(F.sum("dw").alias("gsum"))
     if weightcost != 0.0:
         b_flat = spark.sparkContext.broadcast(W.ravel())
@@ -157,14 +187,14 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
 
 def cd1_gradient_collect(df: DataFrame, vec_col: str, W: np.ndarray,
                          epsilon: float = 0.1, numcase: int | None = None,
-                         sampled: bool = False, seed: int = 0,
+                         sampled: bool = False, id_col: str | None = None,
                          epoch: int = 0) -> np.ndarray:
     """Production path: same partial-gradient mapInPandas, collected
     straight to a (numdims, numhid) NumPy delta on the driver (weight-sized
     data only — never rows; 100 TB posture, SURVEY.md §7)."""
     nd, nh = W.shape
     rows = cd1_gradient_df(df, vec_col, W, epsilon=epsilon, numcase=numcase,
-                           sampled=sampled, seed=seed, epoch=epoch).collect()
+                           sampled=sampled, id_col=id_col, epoch=epoch).collect()
     out = np.zeros(nd * nh, dtype=np.float64)
     for r in rows:
         out[r["idx"]] = r["dw"]

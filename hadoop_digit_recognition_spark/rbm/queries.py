@@ -105,9 +105,54 @@ def rbm_forward_prop_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", F.col("j").cast("bigint").alias("j"), "hq"))
 
 
-@query("rbm_cd1_epoch_sampled")  # rows-only: Bernoulli-sampled negative phase (P6)
+# Deterministic Bernoulli uniform u[vec_id, j] for epoch 0 — the exact
+# content-hash formula det_uniforms/det_hash64 use, expressed in ANSI SQL:
+# first 8 hex chars of md5("{vec_id}|{j}|0"), mod 2^24, scaled to [0, 1).
+_U0 = ("(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|' || "
+       "CAST(j AS VARCHAR) || '|0'), 1, 8))::BIGINT % 16777216) / 16777216.0")
+
+_CD1_SAMPLED_ORACLE = f"""
+WITH v AS ({_V}),
+w AS ({_W}),
+h0 AS (
+  SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
+  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+h0s AS (
+  SELECT vec_id, j, CASE WHEN h > {_U0} THEN 1.0 ELSE 0.0 END AS s
+  FROM h0
+),
+v1 AS (
+  SELECT h0s.vec_id, w.i, 1.0/(1.0+exp(-sum(h0s.s*w.w))) AS x
+  FROM h0s JOIN w ON h0s.j = w.j GROUP BY h0s.vec_id, w.i
+),
+h1 AS (
+  SELECT v1.vec_id, w.j, 1.0/(1.0+exp(-sum(v1.x*w.w))) AS h
+  FROM v1 JOIN w ON v1.i = w.i GROUP BY v1.vec_id, w.j
+),
+pos AS (
+  SELECT v.i, h0.j, sum(v.x*h0.h) AS p
+  FROM v JOIN h0 ON v.vec_id = h0.vec_id GROUP BY v.i, h0.j
+),
+neg AS (
+  SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
+  FROM v1 JOIN h1 ON v1.vec_id = h1.vec_id GROUP BY v1.i, h1.j
+),
+nc AS (SELECT count(*) AS c FROM embeddings)
+SELECT pos.i*{NUMHID}+pos.j AS idx,
+       round({EPSILON}*(pos.p - neg.n)/nc.c, 9) AS dw
+FROM pos JOIN neg ON pos.i = neg.i AND pos.j = neg.j CROSS JOIN nc
+"""
+
+
+@query("rbm_cd1_epoch_sampled", oracle=_CD1_SAMPLED_ORACLE)
 def rbm_cd1_epoch_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 + C2-C4: one SAMPLED CD-1 epoch — h0s drawn per (row, unit) from
+    a content hash (cd1.det_uniforms), so the Bernoulli epoch is exactly
+    SQL-expressible and partition-invariant (the reference's fresh unseeded
+    Random per record, rbmmapper.java:169, is irreproducible by design)."""
     emb = load(spark, sf_dir, "embeddings")
     W = init_weights_sin(NUMDIMS, NUMHID)
-    grad = cd1_gradient_df(emb, "embedding", W, epsilon=EPSILON, sampled=True, seed=7)
+    grad = cd1_gradient_df(emb, "embedding", W, epsilon=EPSILON,
+                           sampled=True, id_col="vec_id")
     return grad.select("idx", F.round("dw", 9).alias("dw"))

@@ -26,9 +26,10 @@ class RBMTrainer:
 
     Fidelity switches (documented reference behaviors, off by default —
     SURVEY.md §2.6):
-    - round3: truncate weights to 3 decimals each epoch, the side effect of
-      the reference's DecimalFormat("#.###") serialization
-      (/root/reference/driver.java:33, 133, 254 — defect D7).
+    - round3: round weights HALF_EVEN to 3 decimals each epoch, the side
+      effect of the reference's DecimalFormat("#.###") serialization
+      (DecimalFormat's default rounding mode is HALF_EVEN;
+      /root/reference/driver.java:33, 133, 254 — defect D7).
     - numcase: divide by a configured count instead of the observed row
       count (/root/reference/driver.java:53, 204 — defect D10).
     """
@@ -36,28 +37,31 @@ class RBMTrainer:
     def __init__(self, numdims: int, numhid: int, epsilon: float = 0.1,
                  weightcost: float = 0.0, max_epoch: int = 1, seed: int = 42,
                  sampled: bool = False, round3: bool = False,
-                 numcase: int | None = None):
+                 numcase: int | None = None, id_col: str | None = None):
         self.numdims, self.numhid = numdims, numhid
         self.epsilon, self.weightcost = epsilon, weightcost
         self.max_epoch, self.seed = max_epoch, seed
         self.sampled, self.round3, self.numcase = sampled, round3, numcase
+        self.id_col = id_col  # required when sampled: det-hash Bernoulli key
         self.W: np.ndarray | None = None
 
     def fit(self, df: DataFrame, vec_col: str,
             W0: np.ndarray | None = None) -> np.ndarray:
         W = (init_weights_gaussian(self.numdims, self.numhid, seed=self.seed)
              if W0 is None else W0.astype(np.float64).copy())
-        cached = df.select(vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+        cols = [self.id_col, vec_col] if self.sampled else [vec_col]
+        cached = df.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             numcase = self.numcase if self.numcase is not None else cached.count()
             for epoch in range(self.max_epoch):
                 delta = cd1_gradient_collect(
                     cached, vec_col, W, epsilon=self.epsilon,
                     numcase=numcase, sampled=self.sampled,
-                    seed=self.seed, epoch=epoch)
+                    id_col=self.id_col, epoch=epoch)
                 W += delta
                 if self.round3:
-                    W = np.trunc(W * 1000.0) / 1000.0
+                    # HALF_EVEN like DecimalFormat (np.round is banker's)
+                    W = np.round(W * 1000.0) / 1000.0
         finally:
             cached.unpersist()
         self.W = W
@@ -80,12 +84,14 @@ class DBN:
     re-parse."""
 
     def __init__(self, layer_sizes: list[int], max_epoch: int = 1,
-                 epsilon: float = 0.1, seed: int = 42, sampled: bool = False):
+                 epsilon: float = 0.1, seed: int = 42, sampled: bool = False,
+                 id_col: str | None = None):
         if len(layer_sizes) < 2:
             raise ValueError("need at least [numdims, numhid]")
         self.layer_sizes = layer_sizes
         self.max_epoch, self.epsilon, self.seed, self.sampled = (
             max_epoch, epsilon, seed, sampled)
+        self.id_col = id_col
         self.weights: list[np.ndarray] = []
 
     def fit(self, df: DataFrame, vec_col: str) -> "DBN":
@@ -93,7 +99,8 @@ class DBN:
         cur, cur_col = df, vec_col
         for layer, (nd, nh) in enumerate(zip(self.layer_sizes, self.layer_sizes[1:])):
             t = RBMTrainer(nd, nh, epsilon=self.epsilon, max_epoch=self.max_epoch,
-                           seed=self.seed + layer, sampled=self.sampled)
+                           seed=self.seed + layer, sampled=self.sampled,
+                           id_col=self.id_col)
             W = t.fit(cur, cur_col)
             self.weights.append(W)
             if layer < len(self.layer_sizes) - 2:

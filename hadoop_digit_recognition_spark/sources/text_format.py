@@ -70,12 +70,15 @@ def write_examples_text(df: DataFrame, vec_col: str, path: str,
 
 
 def write_weights_text(W: np.ndarray, path: str, decimals: int = 3) -> None:
-    """Weight matrix -> one line of space-joined decimals, truncated (not
-    rounded) to `decimals` digits — DecimalFormat("#.###") semantics
-    (/root/reference/driver.java:33,133). Driver-side file, no Spark job:
-    the matrix is the one payload small enough to live on the driver."""
+    """Weight matrix -> one line of space-joined decimals, rounded
+    HALF_EVEN to `decimals` digits — Java DecimalFormat("#.###")'s default
+    rounding mode (/root/reference/driver.java:33,133); np.round is
+    banker's rounding at the .5 boundary, so 0.1236 -> 0.124 and
+    0.1235 -> 0.124 exactly as DecimalFormat serializes them. Driver-side
+    file, no Spark job: the matrix is the one payload small enough to
+    live on the driver."""
     scale = 10.0 ** decimals
-    vals = np.trunc(np.asarray(W, dtype=np.float64).ravel() * scale) / scale
+    vals = np.round(np.asarray(W, dtype=np.float64).ravel() * scale) / scale
     line = " ".join(f"{v:.{decimals}f}".rstrip("0").rstrip(".") if v % 1 else
                     str(int(v)) for v in vals)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -16,7 +16,8 @@ from hadoop_digit_recognition_spark.rbm.cd1 import (
 from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
-RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized"]
+RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized",
+               "rbm_cd1_epoch_sampled"]
 
 
 @pytest.mark.parametrize("name", RBM_QUERIES)

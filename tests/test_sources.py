@@ -75,8 +75,9 @@ def test_weights_text_roundtrip():
     write_weights_text(W, path)
     back = read_weights_text(path, 6, 4)
     assert back.shape == (6, 4)
-    # 3-decimal truncation semantics (driver.java:33): trunc, not round
-    assert np.array_equal(back, np.trunc(W * 1000) / 1000)
+    # DecimalFormat("#.###") HALF_EVEN semantics (driver.java:33):
+    # banker's rounding, not truncation — 0.1236 serializes as 0.124
+    assert np.array_equal(back, np.round(W * 1000) / 1000)
 
 
 def test_weights_text_arity_guard():

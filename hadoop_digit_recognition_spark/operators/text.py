@@ -326,6 +326,50 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality"))
 
 
+@query("text_quality_filter_approx", oracle="""
+WITH q AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+               + 0.6 * (len(list_distinct(w)) * 1.0 / len(w)), 6) AS quality
+  FROM q
+),
+t AS (SELECT quantile_disc(quality, 0.1) AS thr FROM m)
+SELECT m.doc_id, m.quality FROM m CROSS JOIN t WHERE m.quality >= t.thr
+""")
+def text_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe quantile corpus filter: the 100 TB replacement for
+    text_quality_filter's global-window percent_rank (a single-partition
+    sort). Two-phase instead: (1) `percentile_approx(quality, 0.1)` — a
+    bounded-memory Greenwald-Khanna sketch aggregated map-side, one
+    scalar out; (2) broadcast that scalar back and keep docs with
+    quality >= threshold as a NARROW filter. No global sort, no window,
+    no skew: the only shuffle is the one-row sketch merge.
+
+    Exactness contract: percentile_approx returns an actual data value
+    (the discrete percentile) and is exact whenever distinct values fit
+    the sketch accuracy (1e6 here), which is what makes the DuckDB
+    `quantile_disc` oracle an exact match rather than approximate-ish.
+    Semantics differ from the exact twin only in tie handling at the
+    cut: threshold-inclusive (>= thr) vs rank-exclusive (pr >= 0.1)."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .select("doc_id",
+                 F.size("w").cast("double").alias("n"),
+                 F.size(F.array_distinct("w")).cast("double").alias("nd")))
+    quality = F.round(
+        0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
+        + 0.6 * (F.col("nd") / F.col("n")), 6)
+    scored = m.select("doc_id", quality.alias("quality"))
+    thr = scored.agg(
+        F.percentile_approx("quality", F.lit(0.1), F.lit(1000000)).alias("thr"))
+    return (scored.join(F.broadcast(thr))
+            .filter(F.col("quality") >= F.col("thr"))
+            .select("doc_id", "quality"))
+
+
 @query("agg_collect_sorted", oracle="""
 SELECT user_id,
        list_sort(list(DISTINCT event_type)) AS types,

@@ -91,3 +91,19 @@ def test_no_python_udfs_in_relational_paths(spark):
                  "window_session", "sim_topk_cosine"]:
         txt = explain_formatted(SPARK_QUERIES[name](spark, SF_ORACLE))
         assert "BatchEvalPython" not in txt, name
+
+
+def test_quality_filter_approx_has_no_window_sort(spark):
+    """The approx quantile filter exists precisely to kill the exact
+    twin's single-partition global window (text.py text_quality_filter):
+    its plan must contain no Window and no global Sort — just a sketch
+    aggregate, a broadcast of the one-row threshold, and a narrow
+    filter."""
+    df = SPARK_QUERIES["text_quality_filter_approx"](spark, SF_ORACLE)
+    plan = explain_formatted(df)
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan.replace("SortAggregate", ""), plan
+    assert has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in plan
+    # and the exact twin really does have the window (oracle-twin pairing)
+    exact = SPARK_QUERIES["text_quality_filter"](spark, SF_ORACLE)
+    assert "Window" in explain_formatted(exact)

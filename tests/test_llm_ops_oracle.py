@@ -62,13 +62,53 @@ def test_ivf_recall_vs_exact(spark):
     assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
 
 
-def test_multimodal_decode_stub_raises(spark):
+def test_multimodal_decode_pool_golden(spark):
+    """Real raster decode golden check: a known 256-byte payload decoded
+    as 16x16 and 4x4 mean-pooled must equal the hand-computed NumPy
+    pooling (and the registered query matches the DuckDB oracle in
+    test_multimodal_decode_vs_duckdb)."""
+    import numpy as np
+
     from hadoop_digit_recognition_spark.operators.multimodal import (
-        attach_binary_payload, extract_features)
-    from hadoop_digit_recognition_spark.tables import load
-    docs = load(spark, SF_ORACLE, "documents")
-    with pytest.raises(NotImplementedError):
-        extract_features(attach_binary_payload(docs), decode=True)
+        POOL, RASTER_H, RASTER_W, extract_features)
+
+    payload = bytes(range(256))  # 16x16 ramp raster
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id bigint, payload binary")
+    rows = {(r["pr"], r["pc"]): r["pooled"]
+            for r in extract_features(df, decode=True).collect()}
+    img = np.frombuffer(payload, dtype=np.uint8).reshape(RASTER_H, RASTER_W)
+    expect = (img.astype(np.int64)
+              .reshape(RASTER_H // POOL, POOL, RASTER_W // POOL, POOL)
+              .sum(axis=(1, 3)) / (POOL * POOL * 255.0))
+    assert len(rows) == (RASTER_H // POOL) * (RASTER_W // POOL)
+    for (pr, pc), v in rows.items():
+        assert v == expect[pr, pc], (pr, pc, v, expect[pr, pc])
+
+
+def test_multimodal_decode_short_payload_zero_pads(spark):
+    """Payloads shorter than the raster are zero-padded (and empty
+    payloads decode to an all-zero pooled map), matching the oracle's
+    CASE padding."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff" * 8)), (2, bytearray(b""))],
+        "doc_id bigint, payload binary")
+    from hadoop_digit_recognition_spark.operators.multimodal import extract_features
+    out = extract_features(df, decode=True).collect()
+    by_doc: dict[int, dict] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[(r["pr"], r["pc"])] = r["pooled"]
+    # doc 1: eight 0xff bytes land in pooled blocks (0,0) and (0,1)
+    assert by_doc[1][(0, 0)] == 4 * 255 / (16 * 255.0)
+    assert by_doc[1][(0, 1)] == 4 * 255 / (16 * 255.0)
+    assert by_doc[1][(1, 1)] == 0.0
+    assert all(v == 0.0 for v in by_doc[2].values())
+
+
+def test_multimodal_decode_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["multimodal_decode_pool"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["multimodal_decode_pool"],
+            "multimodal_decode_pool")
 
 
 @pytest.mark.parametrize("name", ["grouped_zscore_pandas",

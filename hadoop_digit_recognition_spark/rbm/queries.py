@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..tables import load
 from .cd1 import cd1_gradient_df, forward_prop_df, init_weights_sin
+from .trainer import RBMTrainer
 
 NUMDIMS, NUMHID, EPSILON = 64, 16, 0.1
 
@@ -156,3 +157,69 @@ def rbm_cd1_epoch_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     grad = cd1_gradient_df(emb, "embedding", W, epsilon=EPSILON,
                            sampled=True, id_col="vec_id")
     return grad.select("idx", F.round("dw", 9).alias("dw"))
+
+
+def _cd1_chain(wcte: str, suf: str) -> str:
+    """One mean-field CD-1 epoch as CTEs against weight CTE `wcte`,
+    producing d{suf}(i, j, dw) — the chain rbm_cd1_epoch's oracle uses,
+    parameterized so it can be applied twice for the 2-epoch query."""
+    return f"""
+h0{suf} AS (
+  SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
+  FROM v JOIN {wcte} w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+v1{suf} AS (
+  SELECT h.vec_id, w.i, 1.0/(1.0+exp(-sum(h.h*w.w))) AS x
+  FROM h0{suf} h JOIN {wcte} w ON h.j = w.j GROUP BY h.vec_id, w.i
+),
+h1{suf} AS (
+  SELECT v1.vec_id, w.j, 1.0/(1.0+exp(-sum(v1.x*w.w))) AS h
+  FROM v1{suf} v1 JOIN {wcte} w ON v1.i = w.i GROUP BY v1.vec_id, w.j
+),
+pos{suf} AS (
+  SELECT v.i, h.j, sum(v.x*h.h) AS p
+  FROM v JOIN h0{suf} h ON v.vec_id = h.vec_id GROUP BY v.i, h.j
+),
+neg{suf} AS (
+  SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
+  FROM v1{suf} v1 JOIN h1{suf} h1 ON v1.vec_id = h1.vec_id
+  GROUP BY v1.i, h1.j
+),
+d{suf} AS (
+  SELECT pos.i, pos.j, {EPSILON}*(pos.p - neg.n)/nc.c AS dw
+  FROM pos{suf} pos JOIN neg{suf} neg ON pos.i = neg.i AND pos.j = neg.j
+  CROSS JOIN nc
+)"""
+
+
+_CD1_2EP_ORACLE = f"""
+WITH v AS ({_V}),
+w0 AS ({_W}),
+nc AS (SELECT count(*) AS c FROM embeddings),
+{_cd1_chain("w0", "1")},
+w1 AS (
+  SELECT w0.i, w0.j, w0.w + d1.dw AS w
+  FROM w0 JOIN d1 ON w0.i = d1.i AND w0.j = d1.j
+),
+{_cd1_chain("w1", "2")}
+SELECT w1.i*{NUMHID}+w1.j AS idx, round(w1.w + d2.dw, 7) AS w
+FROM w1 JOIN d2 ON w1.i = d2.i AND w1.j = d2.j
+"""
+
+
+@query("rbm_cd1_two_epochs", oracle=_CD1_2EP_ORACLE)
+def rbm_cd1_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/A5 end-to-end: the REAL trainer loop (RBMTrainer.fit, two
+    epochs, full batch, mean-field) — epoch-1 weights fold into epoch 2
+    exactly as the reference's per-epoch job chain does via HDFS text
+    round-trips (/root/reference/driver.java:90-219), except the weights
+    stay in driver memory and are re-broadcast. Oracle applies the CD-1
+    CTE chain twice with the epoch-1 update in between; rounded to 7
+    decimals because two chained epochs compound ~1e-13 of cross-engine
+    float summation noise."""
+    emb = load(spark, sf_dir, "embeddings")
+    t = RBMTrainer(NUMDIMS, NUMHID, epsilon=EPSILON, max_epoch=2)
+    W = t.fit(emb, "embedding", W0=init_weights_sin(NUMDIMS, NUMHID))
+    flat = [(int(i), float(x)) for i, x in enumerate(W.ravel())]
+    return (spark.createDataFrame(flat, "idx bigint, w double")
+            .select("idx", F.round("w", 7).alias("w")))

@@ -17,7 +17,7 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized",
-               "rbm_cd1_epoch_sampled"]
+               "rbm_cd1_epoch_sampled", "rbm_cd1_two_epochs"]
 
 
 @pytest.mark.parametrize("name", RBM_QUERIES)

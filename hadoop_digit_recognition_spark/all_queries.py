@@ -19,6 +19,7 @@ _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.sketches",
     "hadoop_digit_recognition_spark.operators.pandas_udfs",
     "hadoop_digit_recognition_spark.ml.queries",
+    "hadoop_digit_recognition_spark.ml.lsh",
     "hadoop_digit_recognition_spark.streaming.queries",
     "hadoop_digit_recognition_spark.sources.queries",
 ]

@@ -44,3 +44,38 @@ def test_deterministic_split_disjoint_total(spark):
     n, ntr, nte = emb.count(), train.count(), test.count()
     assert ntr + nte == n
     assert train.join(test, "vec_id").count() == 0
+
+
+def test_mllib_minhash_agrees_with_handrolled(spark):
+    """The MLlib MinHashLSH twin must recover (nearly) every verified
+    duplicate pair the hand-rolled banded LSH finds: its OR-amplified
+    candidate set is a superset of the banded one, and both verify with
+    exact Jaccard at the same threshold — only 2^-18-rate HashingTF
+    collisions can perturb the verified set."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    hand = {(r["doc_a"], r["doc_b"])
+            for r in SPARK_QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE).collect()}
+    mllib = {(r["doc_a"], r["doc_b"])
+             for r in SPARK_QUERIES["dedup_minhash_mllib"](spark, SF_ORACLE).collect()}
+    assert hand, "hand-rolled LSH found no pairs — fixture broken"
+    recall = len(hand & mllib) / len(hand)
+    assert recall >= 0.9, (recall, hand - mllib)
+
+
+def test_mllib_brp_recall_vs_exact(spark):
+    """BucketedRandomProjectionLSH top-k on unit-normalized vectors must
+    recover a solid fraction of the exact cosine top-k (same grading as
+    the hand-rolled IVF: >= 0.5 asserted with margin)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    exact = SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE).collect()
+    brp = SPARK_QUERIES["sim_ann_mllib_brp"](spark, SF_ORACLE).collect()
+    ex: dict[int, set] = {}
+    for r in exact:
+        ex.setdefault(r["qid"], set()).add(r["cid"])
+    got: dict[int, set] = {}
+    for r in brp:
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    recalls = [len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)

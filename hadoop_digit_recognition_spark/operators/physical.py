@@ -210,3 +210,34 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pruned.groupBy(F.col("d").cast("string").alias("d"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 6).alias("total")))
+
+
+def aqe_skew_join_demo(spark: SparkSession, n_rows: int = 150_000,
+                       n_keys: int = 64) -> DataFrame:
+    """Planted-skew sort-merge join for demonstrating AQE's runtime
+    skew-split (spark.sql.adaptive.skewJoin) — the alternative to manual
+    salting (join_skew_salted) when skew is discoverable at runtime.
+
+    90% of left rows share key 0; the remainder spread over n_keys keys.
+    The pad column is hex (md5-derived, incompressible enough) so the hot
+    partition's SHUFFLE BYTES — what AQE's skew detector measures —
+    dominate the median. The final filter references columns from BOTH
+    sides so Catalyst cannot push it below the join and the full skewed
+    shuffle actually happens; it selects nothing, so executing the plan
+    is cheap. Callers (tests/test_plans.py) lower
+    skewedPartitionThresholdInBytes to trigger the split at test scale
+    and assert `skew=true` in the FINAL adaptive plan."""
+    left = spark.range(n_rows).select(
+        F.when(F.pmod(F.col("id"), F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(n_keys))).alias("k"),
+        F.col("id").alias("lid"),
+        F.concat(F.md5(F.col("id").cast("string")),
+                 F.md5((F.col("id") + 1).cast("string")),
+                 F.md5((F.col("id") + 2).cast("string")),
+                 F.md5((F.col("id") + 3).cast("string"))).alias("pad"))
+    right = spark.range(n_keys).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("weight"))
+    joined = left.join(right.hint("merge"), "k")
+    # references both sides -> not pushable below the join; always false
+    # (len(pad)=128, weight <= 2*n_keys) -> empty, cheap to execute
+    return joined.filter(F.length("pad") + F.col("weight") > F.lit(100_000))

@@ -186,3 +186,40 @@ def running_user_counts(ev: DataFrame) -> DataFrame:
     return (ev.groupBy("user_id")
             .applyInPandasWithState(upd, _COUNT_OUT, _COUNT_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+def run_foreachbatch_upsert(agg: DataFrame, key_col: str, val_col: str,
+                            timeout_sec: int = 300,
+                            state_partitions: int = 16) -> dict:
+    """Execute an update-mode streaming aggregation through a foreachBatch
+    UPSERT sink — the merge-into-a-store pattern every production
+    streaming sink uses (JDBC MERGE, Delta MERGE INTO, key-value put).
+    Each micro-batch delivers only the keys whose aggregate CHANGED
+    (update mode); the sink overwrites those keys in the store. Here the
+    store is a driver dict keyed by `key_col` — keyed-aggregate-sized
+    state, same driver-state budget as the weight matrix; in production
+    the batch_df would be written with batch_df.write.jdbc / MERGE INTO
+    instead of collected. Returns the final store contents."""
+    spark = agg.sparkSession
+    state: dict = {}
+
+    def upsert(batch_df, batch_id):
+        # update-mode batch = changed keys only; last write per key wins
+        for r in batch_df.collect():
+            state[r[key_col]] = r[val_col]
+
+    ckpt = os.path.join(tempfile.gettempdir(), "hdr_feb",
+                        f"q_{uuid.uuid4().hex[:12]}")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (agg.writeStream.outputMode("update").foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return state

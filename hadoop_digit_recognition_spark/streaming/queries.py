@@ -129,3 +129,22 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(j, "append")
     return out.select("click_id", "purchase_id",
                       F.col("c_user").alias("user_id"))
+
+
+@query("streaming_foreachbatch_upsert", oracle="""
+SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+""")
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink (exactly-once arbitrary-sink API): an
+    update-mode per-user count streamed through 8 micro-batches into a
+    keyed store via pipeline.run_foreachbatch_upsert; the final store
+    must equal the batch aggregation — which is exactly what the oracle
+    states. Exactly-once argument: availableNow + checkpoint dedups
+    batch replays, and the upsert is idempotent per (key, batch)."""
+    from .pipeline import run_foreachbatch_upsert
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    state = run_foreachbatch_upsert(agg, "user_id", "n")
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in state.items()], "user_id bigint, n bigint")

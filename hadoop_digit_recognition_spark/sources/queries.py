@@ -96,3 +96,27 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.octet_length(F.encode("text", "utf-8")).cast("bigint")
         .alias("n_bytes"))
+
+
+@query("source_orc_roundtrip", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(sum(o_totalprice), 4) AS total
+FROM orders GROUP BY o_orderpriority
+""")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan (the second columnar format a warehouse speaks):
+    orders written as ORC, read back, aggregated; the oracle aggregates
+    the parquet source, so type mapping and value fidelity across the
+    format boundary is what is under test. ORC carries the same
+    pushdown/pruning machinery as parquet in Spark (predicate pushdown,
+    column projection), so the 100 TB posture is unchanged."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_orc_stage",
+                         uuid.uuid4().hex)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 4).alias("total")))

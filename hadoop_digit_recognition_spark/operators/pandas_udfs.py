@@ -105,3 +105,45 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hdr_udtf_docs d, LATERAL hdr_tokenize(d.text) u
         WHERE d.doc_id < 50
     """)
+
+
+@query("asof_join_cogrouped", oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""")
+def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join through the COGROUPED pandas surface: both sides group
+    by user_id, each key's pair of pandas frames meets in one task, and
+    pd.merge_asof does the backward match — the twin of the relational
+    union+last_value form (operators/windows.asof_join), graded against
+    the same DuckDB ASOF oracle. Joins on integer epoch micros (ts_us)
+    so the pandas dtype is exact int64, no tz coercion.
+
+    Scale: cogroup shuffles both sides once on the key; per-key frames
+    must fit a task (user histories here; pre-bucket time ranges for
+    whale keys). Tie rule matches the relational form: among equal-ts
+    clicks the largest event_id wins (sort + backward takes the last)."""
+    ev = load(spark, sf_dir, "events")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "event_id", "ts_us"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "event_id", "ts_us"))
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts_us", "event_id"])
+        right = right.sort_values(["ts_us", "event_id"])
+        merged = pd.merge_asof(left, right, on="ts_us",
+                               direction="backward", suffixes=("_p", "_c"))
+        out = merged.dropna(subset=["event_id_c"])
+        return pd.DataFrame({
+            "purchase_id": out["event_id_p"].astype("int64"),
+            "click_id": out["event_id_c"].astype("int64"),
+            "user_id": out["user_id_p"].astype("int64"),
+        })
+
+    return (purch.groupBy("user_id").cogroup(clicks.groupBy("user_id"))
+            .applyInPandas(asof,
+                           "purchase_id bigint, click_id bigint, user_id bigint"))

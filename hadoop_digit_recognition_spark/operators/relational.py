@@ -762,3 +762,33 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("measure")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("val"), 4).alias("total")))
+
+
+@query("map_funcs", oracle="""
+WITH kv AS (
+  SELECT k.key,
+         CAST(json_extract_string(e.props, '$.' || k.key) AS BIGINT) AS val
+  FROM events e, unnest(json_keys(e.props)) k(key)
+)
+SELECT key, count(*) AS n,
+       CAST(sum(val) AS BIGINT) AS total,
+       CAST(min(val) AS BIGINT) AS lo,
+       CAST(max(val) AS BIGINT) AS hi
+FROM kv GROUP BY key
+""")
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: JSON props parsed to map<string,bigint>
+    (from_json), entries exploded to (key, value) rows, per-key
+    aggregation — the schema-on-read path for semi-structured columns
+    whose key set is open. The oracle walks the same JSON generically via
+    unnest(json_keys(...)) + json_extract per key. Explode of a map is a narrow generator; only the
+    per-key aggregate shuffles (distinct keys, not rows, after partial
+    agg)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (ev.select(F.explode(m).alias("key", "val"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("val").alias("total"),
+                 F.min("val").alias("lo"),
+                 F.max("val").alias("hi")))

@@ -169,3 +169,48 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 6).alias("sum_1h"))
+
+
+@query("timeseries_gapfill", oracle="""
+WITH b AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+         time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                            (SELECT hi FROM bounds),
+                                            INTERVAL '1 hour')) AS h) g
+)
+SELECT g.event_type, g.h AS bucket, coalesce(b.n, 0) AS n
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+""")
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly counts per event
+    type INCLUDING empty hours (n=0) — the densification every
+    downstream time-series model needs. The bucket grid is
+    sequence(min_hour, max_hour) exploded per type (grid size = types x
+    hours — metadata-scale, broadcast to the left join); observed counts
+    come from the usual tumbling aggregate. No window functions, no
+    global sort; the only data-sized shuffle is the tumbling groupBy."""
+    ev = load(spark, sf_dir, "events")
+    counts = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("bucket"), "event_type", "n"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"))
+    grid = (ev.select("event_type").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")))
+    return (grid.join(counts, ["event_type", "bucket"], "left")
+            .select("event_type", "bucket",
+                    F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))

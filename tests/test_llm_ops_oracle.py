@@ -23,7 +23,9 @@ LLM_QUERIES = [
     "dedup_fuzzy_levenshtein",
     "window_tumbling", "window_sliding", "window_session",
     "window_time_range_frame", "agg_median_quartiles",
-    "sessionize_relational", "asof_join",
+    "sessionize_relational", "asof_join", "asof_join_cogrouped",
+    "timeseries_gapfill",
+    "text_quality_filter_approx",
     "multimodal_meta",
 ]
 

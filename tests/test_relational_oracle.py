@@ -22,7 +22,7 @@ RELATIONAL = [
     "sort_limit_topk",
     "set_union", "set_intersect", "set_except",
     "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",
-    "json_extract", "pivot_conditional", "unpivot_measures",
+    "json_extract", "map_funcs", "pivot_conditional", "unpivot_measures",
     "scalar_subquery_filter", "exists_subquery",
 ]
 

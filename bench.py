@@ -40,6 +40,7 @@ HEADLINE = [
     "agg_skew_salted_twophase",
     "dedup_connected_components",
     "streaming_tumbling_append_watermark",
+    "pipeline_llm_corpus",
 ]
 
 

@@ -17,6 +17,7 @@ _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.windows",
     "hadoop_digit_recognition_spark.operators.physical",
     "hadoop_digit_recognition_spark.operators.sketches",
+    "hadoop_digit_recognition_spark.operators.corpus",
     "hadoop_digit_recognition_spark.operators.pandas_udfs",
     "hadoop_digit_recognition_spark.ml.queries",
     "hadoop_digit_recognition_spark.ml.lsh",

@@ -26,6 +26,7 @@ LLM_QUERIES = [
     "sessionize_relational", "asof_join", "asof_join_cogrouped",
     "timeseries_gapfill",
     "text_quality_filter_approx",
+    "pipeline_llm_corpus",
     "multimodal_meta",
 ]
 

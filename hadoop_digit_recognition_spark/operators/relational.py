@@ -792,3 +792,27 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("val").alias("total"),
                  F.min("val").alias("lo"),
                  F.max("val").alias("hi")))
+
+
+@query("sample_stratified", oracle="""
+SELECT event_id, event_type
+FROM events
+WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE event_type WHEN 'purchase' THEN 90
+                      WHEN 'click' THEN 20
+                      ELSE 5 END
+""")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sample with per-stratum rates (keep 90% of
+    rare purchases, 20% of clicks, 5% of everything else) — the
+    class-rebalancing downsample every imbalanced corpus needs. Same
+    content-hash determinism as sample_deterministic (df.sampleBy is
+    partition-order-sensitive and engine-private, so it cannot be
+    oracle-checked); a narrow filter, no shuffle, trivially reproducible
+    on any cluster."""
+    ev = load(spark, sf_dir, "events")
+    rate = (F.when(F.col("event_type") == "purchase", 90)
+            .when(F.col("event_type") == "click", 20)
+            .otherwise(5))
+    return (ev.filter(det_hash64(F.col("event_id").cast("string")) % 100 < rate)
+            .select("event_id", "event_type"))

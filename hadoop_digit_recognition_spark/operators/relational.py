@@ -816,3 +816,36 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(5))
     return (ev.filter(det_hash64(F.col("event_id").cast("string")) % 100 < rate)
             .select("event_id", "event_type"))
+
+
+@query("window_first_last_nth", oracle="""
+SELECT event_id, user_id,
+       first_value(event_id) OVER w AS first_id,
+       last_value(event_id) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id,
+       nth_value(event_id, 3) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_id,
+       first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                   IGNORE NULLS) OVER w AS first_purchase_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window analytics: first_value, whole-partition
+    last_value / nth_value (explicit unbounded frame — the default frame
+    ends at CURRENT ROW, the classic last_value gotcha), and
+    first_value(... IGNORE NULLS) for 'first event of a kind' feature
+    extraction."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return ev.select(
+        "event_id", "user_id",
+        F.first("event_id").over(w).alias("first_id"),
+        F.last("event_id").over(wfull).alias("last_id"),
+        F.nth_value("event_id", 3).over(wfull).alias("third_id"),
+        F.first(purchase_id, ignorenulls=True).over(w)
+        .alias("first_purchase_id"))

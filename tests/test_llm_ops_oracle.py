@@ -20,7 +20,7 @@ LLM_QUERIES = [
     "text_fingerprint", "text_ngram_freq", "text_tfidf_top_terms",
     "text_rolling_hash_fingerprint", "text_clean_normalize",
     "text_quality_filter", "agg_collect_sorted", "join_null_safe",
-    "dedup_fuzzy_levenshtein",
+    "dedup_fuzzy_levenshtein", "dedup_incremental",
     "window_tumbling", "window_sliding", "window_session",
     "window_time_range_frame", "agg_median_quartiles",
     "sessionize_relational", "asof_join", "asof_join_cogrouped",

@@ -23,7 +23,10 @@ from .conftest import SF_ORACLE
 _SIDE_EFFECT_PREFIXES = ("streaming_", "ml_", "source_")
 _SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
                       "join_bucketed_colocated", "partition_pruned_scan",
-                      "dedup_minhash_lsh", "dedup_fuzzy_levenshtein"}
+                      "dedup_minhash_lsh", "dedup_fuzzy_levenshtein",
+                      "dedup_incremental", "pipeline_llm_corpus",
+                      "text_quality_filter_approx", "timeseries_gapfill",
+                      "rbm_cd1_two_epochs"}
 
 # declared all-pairs / nested-loop queries (test-SF ground truth or
 # intentionally non-equi): the only places cartesian-family joins may appear

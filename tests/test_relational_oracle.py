@@ -19,6 +19,7 @@ RELATIONAL = [
     "agg_having", "agg_distinct", "agg_stats", "agg_rollup", "agg_cube",
     "agg_grouping_sets", "distinct_pairs",
     "window_rank_topk", "window_running_sum", "window_lag_lead",
+    "window_first_last_nth",
     "sort_limit_topk",
     "set_union", "set_intersect", "set_except",
     "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",

@@ -226,3 +226,27 @@ def matrix_reshape_colpacked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("k") % 8).cast("bigint").alias("i"),
                     F.expr("k div 8").alias("j"),
                     F.round(F.col("x").cast("double"), 6).alias("x")))
+
+
+@query("arr_explode_outer", oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN []
+              ELSE string_split(text, ' ')[1:2] END AS w
+  FROM documents
+)
+SELECT t.doc_id, u.word
+FROM t LEFT JOIN (SELECT doc_id, unnest(w) AS word FROM t) u
+  ON u.doc_id = t.doc_id
+""")
+def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer semantics: rows with empty arrays SURVIVE as a
+    single NULL row (plain explode silently drops them — the classic
+    row-loss bug in flattening pipelines). Every 3rd doc's array is
+    emptied to make the difference observable; the oracle states the
+    outer behavior as a LEFT JOIN against the unnested form."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.when(F.col("doc_id") % 3 == 0, F.array().cast("array<string>")) \
+         .otherwise(F.slice(F.split("text", " "), 1, 2))
+    return (docs.select("doc_id", w.alias("w"))
+            .select("doc_id", F.explode_outer("w").alias("word")))

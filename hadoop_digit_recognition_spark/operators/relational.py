@@ -849,3 +849,29 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_id", 3).over(wfull).alias("third_id"),
         F.first(purchase_id, ignorenulls=True).over(w)
         .alias("first_purchase_id"))
+
+
+@query("error_safe_funcs", oracle="""
+SELECT event_id,
+       CASE WHEN (event_id % 7) = 0 THEN NULL
+            ELSE round(value / (event_id % 7), 6) END AS safe_div,
+       TRY_CAST(CASE WHEN event_type = 'view' THEN 'x' || event_type
+                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS maybe_id,
+       nullif(event_type, 'view') AS type_or_null
+FROM events
+""")
+def error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on /0 instead of a
+    job-killing exception under ANSI mode), try_cast (NULL on malformed
+    input — the dirty-data survival function every 100 TB ingest needs),
+    nullif. The oracle states the same semantics with CASE/TRY_CAST."""
+    ev = load(spark, sf_dir, "events")
+    denom = F.col("event_id") % 7
+    maybe_num = F.when(F.col("event_type") == "view",
+                       F.concat(F.lit("x"), F.col("event_type"))
+                       ).otherwise(F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.round(F.try_divide(F.col("value"), denom), 6).alias("safe_div"),
+        maybe_num.try_cast("bigint").alias("maybe_id"),
+        F.nullif(F.col("event_type"), F.lit("view")).alias("type_or_null"))

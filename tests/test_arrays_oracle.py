@@ -11,7 +11,7 @@ from .oracle_harness import compare
 ARRAY_QUERIES = [
     "arr_normalize", "arr_sigmoid", "arr_quantize", "arr_posexplode",
     "arr_concat_ws", "vec_self_dot", "vec_zip_ops", "arr_stats", "gemm_sql",
-    "matrix_transpose_sql", "matrix_reshape_colpacked",
+    "matrix_transpose_sql", "matrix_reshape_colpacked", "arr_explode_outer",
 ]
 
 

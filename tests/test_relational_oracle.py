@@ -24,7 +24,7 @@ RELATIONAL = [
     "set_union", "set_intersect", "set_except",
     "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",
     "json_extract", "map_funcs", "pivot_conditional", "unpivot_measures",
-    "scalar_subquery_filter", "exists_subquery",
+    "scalar_subquery_filter", "exists_subquery", "error_safe_funcs",
 ]
 
 

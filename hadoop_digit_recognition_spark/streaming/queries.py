@@ -148,3 +148,52 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     state = run_foreachbatch_upsert(agg, "user_id", "n")
     return spark.createDataFrame(
         [(int(k), int(v)) for k, v in state.items()], "user_id bigint, n bigint")
+
+
+@query("streaming_sliding_complete", oracle="""
+SELECT ws, count(*) AS n, round(sum(value), 6) AS total
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS ws, value
+  FROM events
+) GROUP BY ws
+""")
+def streaming_sliding_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min width / 5 min slide) on a real stream,
+    complete mode — each event feeds exactly two overlapping windows
+    (the state operator holds width/slide windows per key). Same oracle
+    as the batch twin window_sliding: unified-API parity."""
+    from .pipeline import _ntz
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("total"))
+           .select(_ntz("w.start").alias("ws"), "n", "total"))
+    return run_to_memory(agg, "complete")
+
+
+@query("streaming_dedup_dropduplicates", oracle="""
+SELECT user_id, count(*) AS n
+FROM (SELECT DISTINCT ON (event_id) event_id, user_id FROM events)
+GROUP BY user_id
+""")
+def streaming_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACTLY-ONCE dedup: dropDuplicates on event_id over a
+    watermarked stream — the at-least-once -> exactly-once repair stage
+    every event pipeline runs (Kafka redelivery, producer retries). The
+    staged source replays each event once and a planted duplicate of
+    every 10th event is unioned in, so the operator provably drops
+    something; the watermark bounds the dedup state (ids older than the
+    delay are evicted — without it state grows with the stream).
+    Oracle: per-user counts of DISTINCT event ids."""
+    from .pipeline import run_to_memory
+
+    ev = events_stream(spark, sf_dir)
+    dup = ev.filter(F.col("event_id") % 10 == 0)  # planted redelivery
+    dd = (ev.unionByName(dup)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicates(["event_id"]))
+    agg = dd.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "complete")

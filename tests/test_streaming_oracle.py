@@ -17,6 +17,8 @@ STREAMING_QUERIES = [
     "streaming_session_complete",
     "streaming_stateful_user_counts",
     "streaming_foreachbatch_upsert",
+    "streaming_sliding_complete",
+    "streaming_dedup_dropduplicates",
 ]
 
 

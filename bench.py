@@ -27,6 +27,7 @@ from hadoop_digit_recognition_spark.session import get_spark  # noqa: E402
 # windows, rollup, sessionization, dedup, similarity, text, and the CD-1 epoch.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q6_forecast_revenue",
     "join_star_nation_revenue",
     "agg_rollup",

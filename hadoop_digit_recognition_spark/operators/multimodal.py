@@ -184,3 +184,75 @@ def multimodal_decode_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_binary_payload(docs)
     out = extract_features(mm, decode=True)
     return out.select("doc_id", "pr", "pc", F.round("pooled", 9).alias("pooled"))
+
+
+# Frame-sampling geometry for the video-shaped path: the payload is a
+# stream of FRAME-byte frames; every STRIDE-th frame is kept (frame 0,
+# STRIDE, 2*STRIDE, ...), the final partial frame zero-padded. The frame
+# SUM stays integer so every value is bit-reproducible in any engine.
+FRAME, STRIDE = 32, 4
+_MAX_FRAMES = 64  # oracle range bound; 64*32 = 2048 bytes >> max doc len
+
+
+@query("multimodal_frame_sample", oracle=f"""
+WITH f AS (
+  SELECT d.doc_id, r.f AS frame_id,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS blen, d.text
+  FROM documents d CROSS JOIN range({_MAX_FRAMES}) r(f)
+  WHERE r.f * {FRAME} < octet_length(encode(d.text))
+    AND r.f % {STRIDE} = 0
+),
+px AS (
+  SELECT doc_id, frame_id, blen,
+         CASE WHEN frame_id * {FRAME} + b.i < blen
+              THEN ascii(substr(text, CAST(frame_id * {FRAME} + b.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM f CROSS JOIN range({FRAME}) b(i)
+)
+SELECT doc_id, frame_id, CAST(sum(v) AS BIGINT) AS fsum,
+       round(sum(v) / {FRAME * 255}.0, 9) AS fmean
+FROM px GROUP BY doc_id, frame_id
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped frame sampling over opaque binary payloads: split the
+    payload into fixed FRAME-byte frames, keep every STRIDE-th frame
+    (uniform temporal subsampling — the standard first step of any video
+    feature pipeline), emit per-frame integer byte-sum + mean.
+
+    The decode inside mapInPandas is a NumPy frombuffer + reshape —
+    swapping it for an ffmpeg/pyav frame decoder changes only the UDF
+    body, none of the Spark plumbing (schema, batching, partitioning).
+    The oracle recomputes every sampled frame relationally (ascii(char)
+    == payload byte on this pure-ASCII corpus, zero-pad as CASE).
+
+    At 100 TB: frame sampling is a NARROW map — no shuffle; output rows
+    carry only (doc_id, frame_id, stats), never the frame bytes, so
+    downstream aggs shuffle metadata, not media."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    schema = "doc_id bigint, frame_id bigint, fsum bigint, fmean double"
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, sums = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_frames = -(-raw.size // FRAME)  # ceil
+                pad = n_frames * FRAME - raw.size
+                fr = np.pad(raw, (0, pad)).reshape(n_frames, FRAME)
+                keep = np.arange(0, n_frames, STRIDE)
+                fsum = fr[keep].astype(np.int64).sum(axis=1)
+                ids.extend([did] * keep.size)
+                fids.append(keep)
+                sums.append(fsum)
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_id": (np.concatenate(fids) if fids
+                             else np.empty(0, dtype=np.int64)),
+                "fsum": (np.concatenate(sums) if sums
+                         else np.empty(0, dtype=np.int64)),
+            }).assign(fmean=lambda d: np.round(d["fsum"] / (FRAME * 255.0), 9))
+
+    return mm.mapInPandas(sample_frames, schema)

@@ -875,3 +875,105 @@ def error_safe_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.col("value"), denom), 6).alias("safe_div"),
         maybe_num.try_cast("bigint").alias("maybe_id"),
         F.nullif(F.col("event_type"), F.lit("view")).alias("type_or_null"))
+
+
+@query("q3_shipping_priority", oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+  AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> agg -> top-k.
+
+    The scale-shaped plan: the filtered customer side broadcasts into
+    orders (BHJ, no shuffle of the fact), orders joins lineitem on the
+    shared orderkey (SMJ on the big pair), aggregation is partial+final,
+    and the ORDER BY .. LIMIT plans as TakeOrderedAndProject — no global
+    sort ever materializes. Reference analog: none (joins absent,
+    SURVEY.md 2.5); this is the engine-extension star-query workhorse."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (li.join(orders.join(F.broadcast(cust),
+                                F.col("o_custkey") == F.col("c_custkey"))
+                    .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+@query("q13_customer_distribution", oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with a predicate INSIDE the join
+    condition (rows failing it keep the customer, null the order — a
+    filter-above-join would wrongly drop customers), then two stacked
+    aggregations. Scale shape: both aggs are partial+final; the second
+    agg's input is one row per customer, already tiny. The first groupBy
+    reuses the join's hash partitioning on c_custkey when AQE keeps the
+    exchange — no extra shuffle."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (cust.join(orders,
+                          (F.col("c_custkey") == F.col("o_custkey"))
+                          & (F.col("o_orderpriority") != "1-URGENT"),
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query("window_distribution_ranks", oracle="""
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 9) AS pct_rank,
+       round(cume_dist()    OVER w, 9) AS cdist,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""")
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile
+    per event_type. The (value, event_id) ordering is total, so every
+    rank is deterministic and engine-independent. One shuffle on the
+    partition key; each partition sorts locally — no global sort."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"))

@@ -214,3 +214,50 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K).select("qid", "cid", "cos", "rnk"))
+
+
+KNN_K = 3
+
+
+@query("sim_knn_graph", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {KNN_K}
+""")
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH: every vector is a query (the all-pairs
+    version of sim_ann_lsh) — the neighbor-graph primitive that feeds
+    embedding near-dup clustering and graph-based ANN indexes at corpus
+    scale.
+
+    Scale shape: a SELF equi-join on the LSH bucket key (no broadcast —
+    both sides are the full corpus, so this is an SMJ/shuffle-hash join
+    on `bkt`), exact cosine rerank inside buckets, per-vector top-k via
+    window. Cost is sum over buckets of |bucket|^2 instead of N^2; bucket
+    width is tuned by N_PLANES. The exact-all-pairs ground truth twin is
+    dedup_embedding_cosine (operators/dedup.py)."""
+    be = _bucket_df(spark, sf_dir).withColumn(
+        "nrm", l2norm_col(F.col("embedding")))
+    q = be.select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
+                  F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    c = be.select(F.col("vec_id").alias("cid"), F.col("bkt").alias("cbkt"),
+                  F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (q.join(c, (F.col("qbkt") == F.col("cbkt"))
+                     & (F.col("qid") != F.col("cid")))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= KNN_K))

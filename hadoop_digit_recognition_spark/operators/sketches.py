@@ -125,3 +125,53 @@ def hll_estimate_from_registers(reg_df: DataFrame, m: int = 256) -> DataFrame:
                F.lit(float(m)) * F.log(F.lit(float(m)) / v)
                ).otherwise(e_raw)
     return agg.select("event_type", e.alias("hll_estimate"))
+
+
+@query("sketch_hll_merge_rollup", oracle="""
+WITH h AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, hv % 256 AS bucket,
+         max(CASE WHEN hv // 256 = 0 THEN 25
+                  ELSE 24 - CAST(floor(log2(hv // 256)) AS BIGINT) END)
+           AS register
+  FROM h GROUP BY event_type, day, bucket
+)
+SELECT event_type, bucket,
+       max(register) AS register,
+       count(*) AS days_present
+FROM daily GROUP BY event_type, bucket
+""")
+def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP: the continuous-aggregate pattern a 100 TB pipeline
+    actually runs. Build per-(event_type, DAY) HLL register state (the
+    stored pre-aggregate — what a streaming job would upsert hourly),
+    then MERGE the daily sketches up to event_type level with a plain
+    max per register.
+
+    The oracle recomputes the registers directly from the raw rows, so a
+    hash-MATCH here is a machine-checked proof that merge(daily sketches)
+    == sketch(all rows) — the algebraic property (max is commutative,
+    associative, idempotent) that lets register state roll up across any
+    time partitioning without rescanning history. days_present counts how
+    many daily sketches each merged register actually folded. Estimation
+    from the merged registers: hll_estimate_from_registers (tested with
+    the published error bound in tests/test_physical_sketches.py)."""
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    hv = det_hash64(F.col("user_id").cast("string"))
+    w = F.floor(hv / 256)
+    register = F.when(w == 0, F.lit(25)).otherwise(
+        24 - F.floor(F.log2(w.cast("double")))).cast("bigint")
+    daily = (ev.select("event_type",
+                       F.date_trunc("day", "ts").cast("date").alias("day"),
+                       (hv % 256).alias("bucket"), register.alias("reg"))
+             .groupBy("event_type", "day", "bucket")
+             .agg(F.max("reg").alias("register")))
+    return (daily.groupBy("event_type", "bucket")
+            .agg(F.max("register").alias("register"),
+                 F.count(F.lit(1)).alias("days_present")))

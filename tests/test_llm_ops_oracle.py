@@ -27,7 +27,8 @@ LLM_QUERIES = [
     "timeseries_gapfill",
     "text_quality_filter_approx",
     "pipeline_llm_corpus",
-    "multimodal_meta",
+    "multimodal_meta", "multimodal_frame_sample",
+    "sim_knn_graph", "sketch_hll_merge_rollup",
 ]
 
 

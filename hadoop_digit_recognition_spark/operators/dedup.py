@@ -618,3 +618,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.filter(jac >= JACCARD_THRESHOLD)
             .groupBy(F.col("n_id").alias("doc_id"))
             .agg(F.min("x_id").alias("keep_id")))
+
+
+@query("dedup_embedding_lsh", oracle="""
+WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+pl AS (SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w
+       FROM range(8) p(p), range(64) i(i)),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bkt
+  FROM dots GROUP BY vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+""")
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, SCALE path: random-hyperplane LSH
+    buckets (same deterministic sin-derived planes as similarity.py)
+    turn the all-pairs cosine cross join (dedup_embedding_cosine, the
+    ground-truth twin) into a self equi-join on the bucket key, with the
+    exact cosine threshold applied only inside buckets.
+
+    Sign-LSH collision probability is 1 - theta/pi per plane; near-dup
+    pairs (cos >= 0.4 -> theta <= 66 deg) collide on all 8 bits with
+    usable probability while the bucket join prunes the N^2 candidate
+    space to sum-of-bucket-sizes^2. Recall vs the exact twin is asserted
+    in tests; every emitted pair is exact-verified (no false positives
+    by construction)."""
+    from .similarity import _bucket_df
+    from ..functions.vector import dot_col, l2norm_col
+
+    be = _bucket_df(spark, sf_dir).withColumn(
+        "nrm", l2norm_col(F.col("embedding")))
+    a = be.select(F.col("vec_id").alias("vec_a"), F.col("bkt").alias("ba"),
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = be.select(F.col("vec_id").alias("vec_b"), F.col("bkt").alias("bb"),
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (a.join(b, (F.col("ba") == F.col("bb"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+            .filter(cos >= 0.4)
+            .select("vec_a", "vec_b", F.round(cos, 6).alias("cos")))

@@ -28,7 +28,7 @@ LLM_QUERIES = [
     "text_quality_filter_approx",
     "pipeline_llm_corpus",
     "multimodal_meta", "multimodal_frame_sample",
-    "sim_knn_graph", "sketch_hll_merge_rollup",
+    "sim_knn_graph", "sketch_hll_merge_rollup", "dedup_embedding_lsh",
 ]
 
 
@@ -173,3 +173,18 @@ def test_banded_simhash_equals_allpairs(spark, duck):
     assert not has_cartesian_product(banded)
     compare(banded, duck, ORACLE_SQL["simhash_dup_pairs_banded"],
             "simhash_dup_pairs_banded")
+
+
+def test_embedding_lsh_subset_of_exact(spark):
+    """Every LSH-bucketed near-dup pair must appear in the exact all-pairs
+    result with the same cosine (no false positives), and recall on this
+    corpus must be non-trivial."""
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"]
+             for r in SPARK_QUERIES["dedup_embedding_cosine"](
+                 spark, SF_ORACLE).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in SPARK_QUERIES["dedup_embedding_lsh"](
+               spark, SF_ORACLE).collect()}
+    assert lsh, "LSH bucketing found no near-dup pairs at all"
+    for pair, cos in lsh.items():
+        assert pair in exact and abs(exact[pair] - cos) < 1e-9, pair

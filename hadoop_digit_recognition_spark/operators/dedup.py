@@ -669,3 +669,59 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("vec_a") < F.col("vec_b")))
             .filter(cos >= 0.4)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos")))
+
+
+CC_RECURSION_DEPTH = 4  # >= max dup-cluster diameter at any tested SF
+
+
+@query("dedup_cc_recursive_sql", oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+reach(doc_id, r, d) AS (
+  SELECT doc_id, doc_id, 0 FROM nodes
+  UNION ALL
+  SELECT reach.doc_id, e.b, reach.d + 1
+  FROM reach JOIN edges e ON reach.r = e.a
+  WHERE reach.d < {CC_RECURSION_DEPTH}
+)
+SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+""")
+def dedup_cc_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution as a DECLARATIVE recursive CTE
+    (Spark 4 WITH RECURSIVE) — the single-statement twin of the
+    iterative dedup_connected_components loop. BFS from every node over
+    the symmetric near-dup edge list, depth-bounded (Spark supports only
+    UNION ALL recursion, so termination comes from the depth guard, not
+    dedup); canonical id = min node reached.
+
+    Equal to the iterative fixpoint whenever cluster diameter <=
+    CC_RECURSION_DEPTH (asserted in tests; near-dup clusters are
+    near-cliques of diameter 1-2). Scale posture: the iterative form
+    remains the production path — its per-round state is one label per
+    node, while UNION ALL recursion materializes one row per PATH, which
+    explodes on large dense components. This query exists to cover the
+    recursive-SQL surface and as a second independent derivation of the
+    same clusters."""
+    # Materialize the (tiny) pair list before recursing: Spark's
+    # UnionLoopExec re-evaluates the recursive step's inputs per
+    # iteration, which would re-run the whole LSH pipeline each round.
+    # localCheckpoint truncates the lineage to a cached table scan.
+    pairs = (dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+             .localCheckpoint())
+    pairs.createOrReplaceTempView("cc_pairs_v")
+    return spark.sql(f"""
+      WITH RECURSIVE
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM cc_pairs_v
+                UNION ALL SELECT doc_b, doc_a FROM cc_pairs_v),
+      nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+      reach(doc_id, r, d) AS (
+        SELECT doc_id, doc_id, 0 FROM nodes
+        UNION ALL
+        SELECT reach.doc_id, e.b, reach.d + 1
+        FROM reach JOIN edges e ON reach.r = e.a
+        WHERE reach.d < {CC_RECURSION_DEPTH}
+      )
+      SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
+    """)

@@ -188,3 +188,19 @@ def test_embedding_lsh_subset_of_exact(spark):
     assert lsh, "LSH bucketing found no near-dup pairs at all"
     for pair, cos in lsh.items():
         assert pair in exact and abs(exact[pair] - cos) < 1e-9, pair
+
+
+def test_cc_recursive_equals_iterative(spark, duck):
+    """The declarative recursive-CTE clustering must produce exactly the
+    iterative fixpoint's labels (cluster diameter <= recursion depth on
+    this corpus), and must match its own depth-bounded DuckDB oracle."""
+    it = {(r["doc_id"], r["canonical_id"])
+          for r in SPARK_QUERIES["dedup_connected_components"](
+              spark, SF_ORACLE).collect()}
+    rec = {(r["doc_id"], r["canonical_id"])
+           for r in SPARK_QUERIES["dedup_cc_recursive_sql"](
+               spark, SF_ORACLE).collect()}
+    assert rec == it
+    compare(SPARK_QUERIES["dedup_cc_recursive_sql"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["dedup_cc_recursive_sql"],
+            "dedup_cc_recursive_sql")

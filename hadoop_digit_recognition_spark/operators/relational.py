@@ -977,3 +977,51 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cdist"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"))
+
+
+@query("lateral_topk_per_group", oracle="""
+SELECT n.n_name, c.c_name, c.c_acctbal
+FROM nation n JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2) c ON true
+""")
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per nation) through
+    the spark.sql path — the modern SQL spelling of per-group top-k.
+    Catalyst decorrelates the lateral into a join + per-key window
+    rather than executing one subquery per outer row; semantically
+    identical to window_rank_topk's row_number form."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql("""
+      SELECT n.n_name, c.c_name, c.c_acctbal
+      FROM nation_v n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM customer_v
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")
+
+
+@query("agg_regression_stats", oracle="""
+SELECT event_type,
+       round(regr_slope(value, user_id), 6)     AS slope,
+       round(regr_intercept(value, user_id), 6) AS intercept,
+       round(regr_r2(value, user_id), 6)        AS r2,
+       round(corr(value, user_id), 6)           AS corr_vu,
+       round(covar_samp(value, user_id), 6)     AS covar_vu
+FROM events GROUP BY event_type
+""")
+def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (least-squares fit, correlation,
+    covariance) per key — single-pass partial+final aggregation of the
+    (n, sum x, sum y, sum xy, sum x2, sum y2) moment state, the same
+    mergeable-state shape as every other agg here. Rounded to 6 digits
+    so the float summation order cannot flip the hash."""
+    ev = load(spark, sf_dir, "events")
+    y, x = F.col("value"), F.col("user_id")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.regr_slope(y, x), 6).alias("slope"),
+                 F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+                 F.round(F.regr_r2(y, x), 6).alias("r2"),
+                 F.round(F.corr(y, x), 6).alias("corr_vu"),
+                 F.round(F.covar_samp(y, x), 6).alias("covar_vu")))

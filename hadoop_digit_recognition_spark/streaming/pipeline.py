@@ -156,6 +156,10 @@ def run_to_memory(sdf: DataFrame, mode: str, timeout_sec: int = 300,
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory-sink table is fully materialized once the query
+        # stops; its checkpoint has no replay value — reclaim the disk
+        # (a long-lived process would otherwise leak one dir per run)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

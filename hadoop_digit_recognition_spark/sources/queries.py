@@ -120,3 +120,49 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("o_totalprice"), 4).alias("total")))
+
+
+FIX_DAY = "2024-01-15"  # the partition the backfill corrects
+
+
+@query("sink_partition_overwrite", oracle=f"""
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                           = DATE '{FIX_DAY}'
+                      THEN value * 2 ELSE value END), 6) AS total
+FROM events GROUP BY day
+""")
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the BACKFILL primitive: rewrite one
+    day's partition (here: re-score {FIX_DAY} with value*2) without
+    touching any other partition's files.
+
+    Mechanics: full day-partitioned write once, then a dataframe holding
+    ONLY the corrected day written with mode("overwrite") under
+    spark.sql.sources.partitionOverwriteMode=dynamic — Spark replaces
+    exactly the partitions present in the incoming data (static mode
+    would truncate the whole table; the conf is set around the eager
+    write and restored). At 100 TB this is the difference between
+    rewriting ~1/365th of a table and rewriting the table.
+    Untouched-partition file identity is asserted in
+    tests/test_sources.py."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    stage = os.path.join(tempfile.gettempdir(), "hdr_pof_stage", tag)
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "ts_us", "value",
+                  F.date_trunc("day", "ts").cast("date").alias("day")))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        ev.write.mode("overwrite").partitionBy("day").parquet(stage)
+    fixed = (ev.filter(F.col("day") == F.lit(FIX_DAY).cast("date"))
+             .withColumn("value", F.col("value") * 2))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("day").parquet(stage)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(stage)
+    return (back.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total")))

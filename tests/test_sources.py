@@ -93,3 +93,36 @@ def test_weights_text_arity_guard():
 def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_sink_partition_overwrite_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["sink_partition_overwrite"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["sink_partition_overwrite"],
+            "sink_partition_overwrite")
+
+
+def test_partition_overwrite_touches_only_target(spark):
+    """Dynamic overwrite must replace ONLY the corrected day's files:
+    every other partition's parquet files keep byte-identical paths and
+    mtimes across a second backfill run."""
+    import glob
+
+    from hadoop_digit_recognition_spark.sources.queries import FIX_DAY
+
+    SPARK_QUERIES["sink_partition_overwrite"](spark, SF_ORACLE).collect()
+    stage = os.path.join(tempfile.gettempdir(), "hdr_pof_stage",
+                         os.path.basename(SF_ORACLE.rstrip("/")))
+
+    def snapshot(include_target: bool):
+        out = {}
+        for p in glob.glob(os.path.join(stage, "day=*", "*.parquet")):
+            if (f"day={FIX_DAY}" in p) == include_target:
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before_others = snapshot(False)
+    before_target = snapshot(True)
+    assert before_others and before_target
+    SPARK_QUERIES["sink_partition_overwrite"](spark, SF_ORACLE).collect()
+    assert snapshot(False) == before_others  # untouched partitions intact
+    assert snapshot(True) != before_target   # target partition rewritten

@@ -166,3 +166,79 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 6).alias("total")))
+
+
+@query("source_schema_evolution", oracle="""
+SELECT o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey ELSE 0 END)
+            AS BIGINT) AS flagged_key_sum
+FROM orders GROUP BY o_orderpriority
+""")
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 is written
+    without the `flag` column, generation 2 adds it (the table grew a
+    column mid-life — every long-lived warehouse table does). Reading
+    with mergeSchema=true unions the schemas; gen-1 rows surface NULL
+    flags, handled with coalesce. The oracle recomputes the same
+    aggregate from the raw table, so both the schema merge AND the
+    null-semantics of the evolved column are under test.
+
+    At 100 TB: schema merge is a FOOTER-only operation (no data rewrite);
+    the cost discipline is to keep mergeSchema off by default (footer
+    sampling isn't free at millions of files) and declare the evolved
+    schema explicitly — done here via the read option exactly because
+    the generations genuinely differ."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_evo_stage",
+                         uuid.uuid4().hex)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    gen2 = (orders.filter(F.col("o_orderkey") % 2 == 0)
+            .withColumn("flag", F.lit(True)))
+    gen1.write.mode("overwrite").parquet(os.path.join(stage, "g=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(stage, "g=2"))
+    back = (spark.read.option("mergeSchema", True)
+            .parquet(os.path.join(stage, "g=1"), os.path.join(stage, "g=2")))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.coalesce("flag", F.lit(False)),
+                              F.col("o_orderkey")).otherwise(0))
+                 .cast("bigint").alias("flagged_key_sum")))
+
+
+COMPACT_FILES = 4
+
+
+@query("sink_compaction", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total
+FROM events GROUP BY event_type
+""")
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the nightly job every streaming ingest
+    needs: a fragmented landing zone (64 files here, standing in for the
+    one-file-per-trigger-per-partition debris a stream leaves) is
+    rewritten as COMPACT_FILES large files via repartition, and the
+    compacted copy must be value-identical to the source (the oracle
+    aggregates the raw table).
+
+    The repartition shuffle is the price; the payoff is every later scan
+    does 16x fewer opens/seeks and gets full-size row groups. File count
+    is asserted in tests/test_sources.py — a compaction that silently
+    fragments again is a perf regression, not a correctness bug, which
+    is exactly why it needs its own assertion."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_compact_stage",
+                         uuid.uuid4().hex)
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    frag = os.path.join(stage, "fragmented")
+    comp = os.path.join(stage, "compacted")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    (spark.read.parquet(frag)
+     .repartition(COMPACT_FILES)
+     .write.mode("overwrite").parquet(comp))
+    back = spark.read.parquet(comp)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total")))

@@ -126,3 +126,25 @@ def test_partition_overwrite_touches_only_target(spark):
     SPARK_QUERIES["sink_partition_overwrite"](spark, SF_ORACLE).collect()
     assert snapshot(False) == before_others  # untouched partitions intact
     assert snapshot(True) != before_target   # target partition rewritten
+
+
+def test_schema_evolution_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["source_schema_evolution"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["source_schema_evolution"],
+            "source_schema_evolution")
+
+
+def test_compaction_vs_duckdb_and_file_count(spark, duck):
+    """Compacted copy must be value-identical AND actually compact."""
+    import glob
+
+    from hadoop_digit_recognition_spark.sources.queries import COMPACT_FILES
+
+    df = SPARK_QUERIES["sink_compaction"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["sink_compaction"], "sink_compaction")
+    files = df.inputFiles()
+    assert 0 < len(files) <= COMPACT_FILES, files
+    frag = glob.glob(os.path.join(os.path.dirname(
+        os.path.dirname(files[0].removeprefix("file:"))),
+        "fragmented", "*.parquet"))
+    assert len(frag) == 64, len(frag)

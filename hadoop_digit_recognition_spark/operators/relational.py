@@ -1025,3 +1025,44 @@ def agg_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.regr_r2(y, x), 6).alias("r2"),
                  F.round(F.corr(y, x), 6).alias("corr_vu"),
                  F.round(F.covar_samp(y, x), 6).alias("covar_vu")))
+
+
+@query("agg_argmax_conditional", oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id DESC) AS rmax,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+),
+args AS (
+  SELECT event_type,
+         max(CASE WHEN rmax = 1 THEN event_id END) AS top_event,
+         max(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event
+  FROM ranked GROUP BY event_type
+)
+SELECT a.event_type, a.top_event, a.bottom_event,
+       c.n_high, c.any_extreme, c.all_positive
+FROM args a JOIN (
+  SELECT event_type,
+         count(*) FILTER (WHERE value > 50) AS n_high,
+         bool_or(value > 99)  AS any_extreme,
+         bool_and(value > 0)  AS all_positive
+  FROM events GROUP BY event_type) c ON c.event_type = a.event_type
+""")
+def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin (max_by/min_by) and conditional aggregates
+    (count_if, bool_or, bool_and) per key — all single-pass mergeable
+    aggregates. The struct ordering key (value, event_id) makes the
+    arg-extremes deterministic under ties; the oracle states the same
+    selection with ranked windows, so the semantics (not just the
+    built-in's name) are what is verified."""
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return (ev.groupBy("event_type")
+            .agg(F.max_by("event_id", key).alias("top_event"),
+                 F.min_by("event_id", key).alias("bottom_event"),
+                 F.count_if(F.col("value") > 50).alias("n_high"),
+                 F.bool_or(F.col("value") > 99).alias("any_extreme"),
+                 F.bool_and(F.col("value") > 0).alias("all_positive")))

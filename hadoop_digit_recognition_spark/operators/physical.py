@@ -241,3 +241,33 @@ def aqe_skew_join_demo(spark: SparkSession, n_rows: int = 150_000,
     # references both sides -> not pushable below the join; always false
     # (len(pad)=128, weight <= 2*n_keys) -> empty, cheap to execute
     return joined.filter(F.length("pad") + F.col("weight") > F.lit(100_000))
+
+
+def runtime_bloom_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-build-side fact-fact join for demonstrating Catalyst's
+    RUNTIME BLOOM FILTER (spark.sql.optimizer.runtime.bloomFilter.*):
+    when one side of a shuffle join carries a selective filter, the
+    optimizer aggregates a bloom filter over that side's join keys and
+    injects `might_contain(...)` into the OTHER side's scan — rows that
+    cannot match are dropped before the shuffle instead of after it. At
+    100 TB this is the semi-join reduction that turns "shuffle the whole
+    fact table" into "shuffle the ~1/5th that can possibly join".
+
+    Plan + value assertions live in tests/test_plans.py (the filter is
+    injected at optimization time, so the demonstration needs the conf
+    set on the running session — same structure as aqe_skew_join_demo).
+    On a default session the query still runs with identical results,
+    just without the reduction."""
+    from ..tables import load
+
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    return (li.join(orders.hint("merge"),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4)
+                 .alias("urgent_revenue")))

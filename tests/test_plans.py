@@ -143,3 +143,41 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With the runtime bloom filter enabled, the selective orders side
+    must inject might_contain(bloomFilter) into the lineitem side of the
+    SMJ — the semi-join reduction that prunes the fact shuffle. Values
+    must be identical with the filter on and off."""
+    from hadoop_digit_recognition_spark.operators.physical import (
+        runtime_bloom_join_demo)
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        df = runtime_bloom_join_demo(spark, SF_ORACLE)
+        txt = explain_formatted(df)
+        assert "bloom_filter_agg" in txt, txt[:3000]
+        assert "might_contain" in txt, txt[:3000]
+        with_filter = df.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try:
+        without = runtime_bloom_join_demo(spark, SF_ORACLE).collect()
+    finally:
+        spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    assert [tuple(r) for r in with_filter] == [tuple(r) for r in without]

@@ -1066,3 +1066,62 @@ def agg_argmax_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_if(F.col("value") > 50).alias("n_high"),
                  F.bool_or(F.col("value") > 99).alias("any_extreme"),
                  F.bool_and(F.col("value") > 0).alias("all_positive")))
+
+
+@query("q14_promo_revenue", oracle="""
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: time-sliced fact scan, dimension broadcast join,
+    conditional-vs-total revenue ratio in ONE aggregate pass (both sums
+    share the partial-agg state; no second scan, no self-join). The
+    month filter prunes at the parquet scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                                       .otherwise(0.0)) / F.sum(rev), 6)
+                 .alias("promo_pct")))
+
+
+@query("q19_disjunctive_join", oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_type = 'PROMO'    AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_type = 'ECONOMY'  AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""")
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning
+    BOTH join sides. Catalyst derives the per-side implied filters
+    (p_type IN (...), l_quantity BETWEEN min..max) and pushes them below
+    the join, so each scan prunes before the (broadcast) join and only
+    the residual OR is evaluated on joined rows — the OR never forces a
+    full cross evaluation."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type", "p_size")
+    cond = (
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(20, 40)))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .filter(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))

@@ -242,3 +242,25 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 6).alias("total")))
+
+
+@query("source_python_datasource", oracle="""
+WITH g AS (
+  SELECT r.i,
+         ('0x' || substr(md5(CAST(r.i AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM range(1000) r(i)
+)
+SELECT CAST(i // 250 AS INTEGER) AS part, i, h,
+       (h % 1000000) / 1000000.0 AS val
+FROM g
+""")
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through Spark 4's Python DataSource API
+    (sources/synthetic.py): 4 InputPartitions x 250 rows of
+    content-hash-derived values, read as an ordinary DataFrame. The
+    oracle regenerates every row from the same md5 derivation, so the
+    whole connector path — registration, partition planning, per-task
+    read(), Arrow transport — must be lossless to match."""
+    from .synthetic import register_synthetic_source
+    register_synthetic_source(spark)
+    return spark.read.format("hdr_synthetic").load()

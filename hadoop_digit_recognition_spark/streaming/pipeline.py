@@ -17,6 +17,13 @@ a 100 TB stream).
 Batch/stream unification: `tumbling_counts` is the SAME function the
 batch `window_tumbling` query uses conceptually — one definition, two
 execution modes; parity is the correctness argument.
+
+API note: arbitrary keyed state uses applyInPandasWithState. Spark 4's
+successor API (transformWithStateInPandas — timers, multiple state
+variables, TTL) is present in this PySpark build but its driver worker
+requires google.protobuf, which this environment does not ship; the
+operator surface it would cover is the same keyed-state contract
+exercised by running_user_counts.
 """
 
 from __future__ import annotations

@@ -148,3 +148,13 @@ def test_compaction_vs_duckdb_and_file_count(spark, duck):
         os.path.dirname(files[0].removeprefix("file:"))),
         "fragmented", "*.parquet"))
     assert len(frag) == 64, len(frag)
+
+
+def test_python_datasource_vs_duckdb(spark, duck):
+    """The Spark 4 Python DataSource connector must reproduce the
+    oracle's md5-derived rows exactly, and expose real partition-level
+    parallelism (one task per InputPartition)."""
+    df = SPARK_QUERIES["source_python_datasource"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["source_python_datasource"],
+            "source_python_datasource")
+    assert df.rdd.getNumPartitions() == 4

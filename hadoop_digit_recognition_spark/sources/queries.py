@@ -264,3 +264,64 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .synthetic import register_synthetic_source
     register_synthetic_source(spark)
     return spark.read.format("hdr_synthetic").load()
+
+
+@query("streaming_python_datasource", oracle="""
+WITH g AS (
+  SELECT r.i,
+         ('0x' || substr(md5(CAST(r.i AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM range(1000) r(i)
+)
+SELECT CAST(i // 200 AS INTEGER) AS chunk,
+       count(*) AS n,
+       CAST(sum(h) AS BIGINT) AS h_sum,
+       round(sum((h % 1000000) / 1000000.0), 6) AS val_sum
+FROM g GROUP BY chunk
+""")
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector (Spark 4 SimpleDataSourceStreamReader):
+    a bounded offset-tracked feed replayed as real micro-batches into a
+    memory sink, then aggregated per chunk. Offsets are {"chunk": k};
+    checkpoint replay regenerates ranges via readBetweenOffsets — the
+    Kafka offset contract in miniature. The oracle regenerates every row
+    from the same md5 derivation, so offset bookkeeping, batch
+    boundaries, and Arrow transport must all be lossless.
+
+    The feed is bounded but the query must drain MULTIPLE batches
+    (availableNow on a simple reader captures only the first), so the
+    runner polls the sink until the expected row count arrives — the
+    deterministic end state batching cannot change."""
+    import time
+
+    from ..streaming.pipeline import run_to_memory  # noqa: F401  (conf pattern)
+    from .synthetic import (
+        STREAM_CHUNKS, STREAM_ROWS, register_synthetic_stream_source)
+
+    register_synthetic_stream_source(spark)
+    sdf = spark.readStream.format("hdr_synthetic_stream").load()
+    name = f"pyds_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), "hdr_ckpt", name)
+    total = STREAM_CHUNKS * STREAM_ROWS
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (sdf.writeStream.format("memory").queryName(name)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .start())
+        try:
+            deadline = time.time() + 300
+            while (spark.table(name).count() < total
+                   and time.time() < deadline):
+                time.sleep(0.2)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        import shutil
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = spark.table(name)
+    return (got.groupBy("chunk")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("h").cast("bigint").alias("h_sum"),
+                 F.round(F.sum((F.col("h") % 1_000_000) / 1_000_000.0), 6)
+                 .alias("val_sum")))

@@ -158,3 +158,11 @@ def test_python_datasource_vs_duckdb(spark, duck):
     compare(df, duck, ORACLE_SQL["source_python_datasource"],
             "source_python_datasource")
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_streaming_python_datasource_vs_duckdb(spark, duck):
+    """The custom streaming connector must drain all chunks through real
+    micro-batches and reproduce the oracle's md5-derived rows exactly."""
+    df = SPARK_QUERIES["streaming_python_datasource"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["streaming_python_datasource"],
+            "streaming_python_datasource")

@@ -175,3 +175,49 @@ def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (daily.groupBy("event_type", "bucket")
             .agg(F.max("register").alias("register"),
                  F.count(F.lit(1)).alias("days_present")))
+
+
+@query("rollup_reaggregation", oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS s,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(CAST(date_trunc('day', h) AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(sum(n) AS BIGINT) AS n,
+       round(CAST(sum(s) AS DOUBLE) / sum(n), 6) AS avg_value,
+       round(min(mn), 6) AS min_value,
+       round(max(mx), 6) AS max_value
+FROM hourly GROUP BY 1, 2
+""")
+def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup done RIGHT: the hourly pre-aggregate
+    stores the mergeable state (count, sum, min, max) — never the
+    derived mean — and the daily view re-derives avg as merged-sum /
+    merged-count. Averaging the hourly averages would weight every hour
+    equally regardless of row count; the oracle recomputes daily stats
+    through the same hourly state, and the hash MATCH certifies the
+    re-aggregation algebra end-to-end.
+
+    At 100 TB this is the hypertable/materialized-rollup pattern: raw
+    events age out, hourly state is ~5 rows/key/day, and every coarser
+    granularity derives from it without rescanning history — the plain-
+    aggregate sibling of sketch_hll_merge_rollup (registers for
+    distinct-count, (n, sum, min, max) for moments). The stored sum is
+    DECIMAL so merging is exact integer arithmetic — the merged result
+    is bit-identical under ANY partitioning or merge order, which is the
+    property a distributed rollup must have (float sums are
+    order-dependent and flipped a rounding midpoint in testing)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+                   F.min("value").alias("mn"), F.max("value").alias("mx")))
+    return (hourly.groupBy(F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+                           "event_type")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.round(F.sum("s").cast("double") / F.sum("n"), 6)
+                 .alias("avg_value"),
+                 F.round(F.min("mn"), 6).alias("min_value"),
+                 F.round(F.max("mx"), 6).alias("max_value")))

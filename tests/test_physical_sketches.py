@@ -125,3 +125,12 @@ def test_hll_registers_estimate_within_bound(spark):
     for k, n in exact.items():
         rel = abs(est[k] - n) / n
         assert rel <= 4 * 1.04 / (256 ** 0.5), (k, est[k], n, rel)
+
+
+def test_rollup_reaggregation_vs_duckdb(spark, duck):
+    """Daily stats derived from the hourly mergeable state must equal
+    the oracle's same two-level derivation exactly (decimal sums make
+    the merge order-independent)."""
+    df = SPARK_QUERIES["rollup_reaggregation"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["rollup_reaggregation"],
+            "rollup_reaggregation")

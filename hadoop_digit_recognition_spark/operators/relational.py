@@ -1125,3 +1125,32 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 4).alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
+
+
+@query("variant_semi_structured", oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+       event_type AS et,
+       round(value, 6) AS val
+FROM events
+""")
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type: the stored
+    JSON column parses once into a variant (binary-encoded, typed-path
+    access without re-parsing — the open-format answer to a string
+    column you json-extract five times), and a struct -> to_json ->
+    parse_json -> typed variant_get round trip must reproduce the
+    original columns exactly (losslessness of the encoding, not just
+    the happy path). variant_get paths are evaluated JVM-side; at scale
+    a variant column shreds into parquet like any other column while
+    staying schema-flexible."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    nested = F.parse_json(F.to_json(F.struct("event_type", "value")))
+    return (ev.select("event_id", v.alias("v"), nested.alias("nv"))
+            .select("event_id",
+                    F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+                    F.expr("variant_get(nv, '$.event_type', 'string')")
+                    .alias("et"),
+                    F.round(F.expr("variant_get(nv, '$.value', 'double')"), 6)
+                    .alias("val")))

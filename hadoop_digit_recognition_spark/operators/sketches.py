@@ -33,18 +33,52 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
-@query("sketch_quantiles")
+@query("sketch_quantiles", oracle="""
+SELECT event_type, 0.5 AS p,
+       round(quantile_disc(value, 0.5), 6) AS approx_v,
+       round(quantile_cont(value, 0.5), 6) AS exact_v
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.95,
+       round(quantile_disc(value, 0.95), 6),
+       round(quantile_cont(value, 0.95), 6)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.99,
+       round(quantile_disc(value, 0.99), 6),
+       round(quantile_cont(value, 0.99), 6)
+FROM events GROUP BY event_type
+""")
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of event value per type via Spark's
-    quantile summaries (percentile_approx, accuracy 10000 -> error
-    <= 0.01%), with the exact percentiles alongside."""
+    quantile summary (percentile_approx), exact percentiles alongside —
+    one exploded row per (event_type, p) so every value is a scalar the
+    driver hasher can compare.
+
+    Oracle note: a GK-style summary with accuracy A stores every value
+    until n > A, so at verification scale (n per group << 1e6) the
+    "approximation" is EXACTLY the lower discrete quantile — DuckDB's
+    quantile_disc — while Spark's exact `percentile` is interpolated,
+    matching quantile_cont. The sketch's bounded-state machinery is what
+    runs (state <= 1/accuracy regardless of n); the oracle pins its
+    small-n behavior, and the rank-error bound at large n is covered by
+    tests/test_physical_sketches.py."""
     ev = load(spark, sf_dir, "events")
-    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
-    return (ev.groupBy("event_type")
-            .agg(F.percentile_approx("value", pcts, 10000).alias("approx_p"),
-                 F.expr("percentile(value, array(0.5, 0.95, 0.99))")
-                 .alias("exact_p"))
-            .orderBy("event_type"))
+    pcts = [0.5, 0.95, 0.99]
+    agg = (ev.groupBy("event_type")
+           .agg(F.percentile_approx(
+                    "value", F.array(*[F.lit(p) for p in pcts]), 1_000_000)
+                .alias("ap"),
+                F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+                .alias("ep")))
+    pairs = F.array(*[
+        F.struct(F.lit(p).alias("p"),
+                 F.round(F.element_at("ap", i + 1), 6).alias("approx_v"),
+                 F.round(F.element_at("ep", i + 1), 6).alias("exact_v"))
+        for i, p in enumerate(pcts)
+    ])
+    return (agg.select("event_type", F.explode(pairs).alias("x"))
+            .select("event_type", "x.p", "x.approx_v", "x.exact_v"))
 
 
 @query("sketch_cms_heavy_hitters")

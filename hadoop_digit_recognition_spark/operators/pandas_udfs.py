@@ -147,3 +147,31 @@ def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (purch.groupBy("user_id").cogroup(clicks.groupBy("user_id"))
             .applyInPandas(asof,
                            "purchase_id bigint, click_id bigint, user_id bigint"))
+
+
+@query("pandas_api_groupby", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total,
+       round(avg(value), 6) AS mean_value
+FROM events GROUP BY event_type
+""")
+def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (pyspark.pandas): the pandas-dialect surface
+    over the same engine — groupby/agg written as pandas, EXECUTED as
+    the identical distributed plan (pandas_api() is a zero-copy view;
+    to_spark() returns the logical plan, not collected data). Covered so
+    a pandas-fluent user of the engine has a verified on-ramp; the
+    oracle pins that the dialect changes nothing about the semantics."""
+    import pyspark.pandas as ps  # noqa: F401  (registers the API)
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    pdf = ev.pandas_api()
+    out = (pdf.groupby("event_type")
+           .agg(n=("value", "count"), total=("value", "sum"),
+                mean_value=("value", "mean"))
+           .reset_index())
+    sdf = out.to_spark()
+    return sdf.select("event_type", F.col("n").cast("bigint").alias("n"),
+                      F.round("total", 6).alias("total"),
+                      F.round("mean_value", 6).alias("mean_value"))

@@ -117,7 +117,8 @@ def test_multimodal_decode_vs_duckdb(spark, duck):
 
 @pytest.mark.parametrize("name", ["grouped_zscore_pandas",
                                   "grouped_wavg_pandas",
-                                  "udtf_tokenize"])
+                                  "udtf_tokenize",
+                                  "pandas_api_groupby"])
 def test_pandas_udf_surface_vs_duckdb(spark, duck, name):
     """The Arrow-batched Python path must equal the relational form."""
     df = SPARK_QUERIES[name](spark, SF_ORACLE)

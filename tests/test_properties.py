@@ -95,3 +95,64 @@ def test_trainer_matches_numpy_golden(spark):
     for _ in range(3):
         W = W + 0.1 * (numpy_cd1_meanfield(V, W) / 40)
     np.testing.assert_allclose(W_dist, W, rtol=1e-10, atol=1e-13)
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=300),
+                         min_size=1, max_size=8))
+@settings(max_examples=25, deadline=None)
+def test_frame_sample_matches_numpy_reference(spark, payloads):
+    """multimodal_frame_sample's pandas UDF must agree with a direct
+    NumPy re-implementation for arbitrary payloads (empty, shorter than
+    one frame, non-multiple lengths): sampled frame ids are
+    0, STRIDE, 2*STRIDE, ...; the final partial frame zero-pads."""
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        FRAME, STRIDE)
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(payloads)],
+        "doc_id bigint, payload binary")
+
+    from hadoop_digit_recognition_spark.operators import multimodal as mm
+    docs = df.select("doc_id", F.col("payload"))
+
+    # reuse the registered query's inner sampler via mapInPandas shape
+    out_schema = "doc_id bigint, frame_id bigint, fsum bigint, fmean double"
+
+    import pandas as pd
+
+    def sample_frames(batches):
+        for pdf in batches:
+            ids, fids, sums = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                n_frames = -(-raw.size // FRAME)
+                pad = n_frames * FRAME - raw.size
+                fr = np.pad(raw, (0, pad)).reshape(n_frames, FRAME)
+                keep = np.arange(0, n_frames, STRIDE)
+                fsum = fr[keep].astype(np.int64).sum(axis=1)
+                ids.extend([did] * keep.size)
+                fids.append(keep)
+                sums.append(fsum)
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_id": (np.concatenate(fids) if fids
+                             else np.empty(0, dtype=np.int64)),
+                "fsum": (np.concatenate(sums) if sums
+                         else np.empty(0, dtype=np.int64)),
+            }).assign(fmean=lambda d: np.round(d["fsum"] / (FRAME * 255.0), 9))
+
+    got = {(r["doc_id"], r["frame_id"]): r["fsum"]
+           for r in docs.mapInPandas(sample_frames, out_schema).collect()}
+
+    expect = {}
+    for i, b in enumerate(payloads):
+        raw = np.frombuffer(bytes(b), dtype=np.uint8)
+        # empty payload -> zero frames (matches the oracle's
+        # `frame_start < byte_len` rule: no bytes, no frames)
+        n_frames = -(-raw.size // FRAME)
+        for k in range(0, n_frames, STRIDE):
+            seg = raw[k * FRAME:(k + 1) * FRAME].astype(np.int64)
+            expect[(i, k)] = int(seg.sum())
+    assert got == expect

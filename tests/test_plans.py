@@ -181,3 +181,48 @@ def test_runtime_bloom_filter_injected(spark):
     finally:
         spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     assert [tuple(r) for r in with_filter] == [tuple(r) for r in without]
+
+
+def test_q3_topk_and_broadcast_shape(spark):
+    """Q3 must end in TakeOrderedAndProject (no global sort materializes
+    for ORDER BY..LIMIT) with the filtered dimension broadcast."""
+    txt = explain_formatted(SPARK_QUERIES["q3_shipping_priority"](
+        spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in txt
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q13_outer_join_predicate_pushed_to_right_scan(spark):
+    """The predicate inside the LEFT JOIN condition applies to the
+    null-producing side only, so Catalyst may (and does) push it into
+    the orders scan — while the join itself must stay LeftOuter (a
+    filter above the join would wrongly drop customers)."""
+    txt = explain_formatted(SPARK_QUERIES["q13_customer_distribution"](
+        spark, SF_ORACLE))
+    assert "LeftOuter" in txt
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in txt
+
+
+def test_q19_or_predicates_pushed_to_both_scans(spark):
+    """From the OR-of-ANDs spanning both join sides, Catalyst must
+    derive each side's implied disjunction and push it into that side's
+    parquet scan — the reason a Q19-shaped query doesn't degenerate to
+    scan-everything-then-filter."""
+    import re
+
+    txt = explain_formatted(SPARK_QUERIES["q19_disjunctive_join"](
+        spark, SF_ORACLE))
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", txt))
+    assert "Or(And(GreaterThanOrEqual(l_quantity,10.0)" in pushed
+    assert "Or(And(EqualTo(p_type,PROMO)" in pushed
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """The correlated LATERAL top-k must decorrelate into a per-key
+    window plan, never a per-outer-row nested-loop execution."""
+    txt = explain_formatted(SPARK_QUERIES["lateral_topk_per_group"](
+        spark, SF_ORACLE))
+    assert "Window" in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt

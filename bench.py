@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_connected_components",
     "streaming_tumbling_append_watermark",
     "pipeline_llm_corpus",
+    "sim_knn_graph",
 ]
 
 

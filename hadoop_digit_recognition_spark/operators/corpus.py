@@ -100,3 +100,90 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("ntok").alias("total_tokens"),
                  F.round(F.avg("quality"), 6).alias("avg_quality")))
+
+
+_EMB_BUCKETS_SQL = """
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+pl AS (SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w
+       FROM range(8) p(p), range(64) i(i)),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bkt
+  FROM dots GROUP BY vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+vpairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+)
+"""
+
+
+@query("pipeline_embedding_dedup", oracle=f"""
+WITH RECURSIVE {_EMB_BUCKETS_SQL.lstrip()},
+edges AS (SELECT vec_a AS u, vec_b AS v FROM vpairs
+          UNION SELECT vec_b, vec_a FROM vpairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS vec_id, least(u, min(v)) AS canonical_id
+  FROM reach GROUP BY u
+)
+SELECT canonical_id,
+       count(*) AS n_members,
+       CAST(max(vec_id) AS BIGINT) AS max_member
+FROM labels GROUP BY canonical_id
+""")
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side corpus pipeline as ONE plan: hyperplane-LSH
+    buckets -> same-bucket cosine-verified near-dup pairs
+    (dedup_embedding_lsh) -> connected components (iterative min-label,
+    same loop as dedup_connected_components) -> per-cluster membership
+    stats. The oracle rebuilds the identical chain with a recursive-CTE
+    closure, so stage composition — bucketing determinism, threshold
+    placement, label fixpoint — is verified end-to-end, not just each
+    stage alone.
+
+    Scale shape: every stage is narrow or an equi-join (bucket self-join,
+    label-propagation joins); cluster count and per-cluster state are
+    near-dup-sized, orders below corpus size. This is the vector-space
+    sibling of pipeline_llm_corpus's text chain."""
+    from .dedup import dedup_embedding_lsh
+
+    pairs = (dedup_embedding_lsh(spark, sf_dir)
+             .select("vec_a", "vec_b").localCheckpoint())
+    edges = (pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
+             .unionByName(pairs.select(F.col("vec_b").alias("u"),
+                                       F.col("vec_a").alias("v")))
+             .distinct().persist())
+    labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+              .select("u", F.least("u", "mv").alias("lbl")).persist())
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(20):
+        neigh = (edges.join(labels.withColumnRenamed("u", "v")
+                            .withColumnRenamed("lbl", "nlbl"), "v")
+                 .groupBy("u").agg(F.min("nlbl").alias("minn")))
+        new_labels = (labels.join(neigh, "u", "left")
+                      .select("u", F.least("lbl", F.coalesce("minn", "lbl"))
+                              .alias("lbl")).persist())
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return (labels.groupBy(F.col("lbl").alias("canonical_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("u").cast("bigint").alias("max_member")))

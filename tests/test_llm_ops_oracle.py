@@ -205,3 +205,9 @@ def test_cc_recursive_equals_iterative(spark, duck):
     compare(SPARK_QUERIES["dedup_cc_recursive_sql"](spark, SF_ORACLE),
             duck, ORACLE_SQL["dedup_cc_recursive_sql"],
             "dedup_cc_recursive_sql")
+
+
+def test_pipeline_embedding_dedup_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["pipeline_embedding_dedup"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["pipeline_embedding_dedup"],
+            "pipeline_embedding_dedup")

@@ -152,6 +152,7 @@ SELECT vec_id,
 FROM embeddings
 """)
 def arr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array statistics (size/min/max/sum) without exploding."""
     emb = load(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",

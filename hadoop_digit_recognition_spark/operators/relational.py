@@ -195,6 +195,7 @@ FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 """)
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every left row survives; unmatched right side nulls."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     return (
@@ -243,6 +244,7 @@ FULL OUTER JOIN
 ON cu.k = su.k
 """)
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join keeps unmatched rows from BOTH sides (null-padded)."""
     cu = (load(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("k"))
           .agg(F.count(F.lit(1)).alias("n_cust")))
     su = (load(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("k"))
@@ -305,6 +307,7 @@ SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
 FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """)
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate + post-aggregation HAVING filter over orders."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -343,6 +346,7 @@ SELECT l_linestatus,
 FROM lineitem GROUP BY l_linestatus
 """)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-statistic aggregate (sum/avg/min/max/stddev/variance) per line status."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
@@ -361,6 +365,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """)
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (flag, status) -> flag -> grand total, grouping-id tagged."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -376,6 +381,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """)
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (flag, status): every grouping combination in one pass."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -403,6 +409,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
 """)
 def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a projected pair: one shuffle on both columns."""
     return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
@@ -439,6 +446,7 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
 FROM lineitem
 """)
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum frame (rows unbounded preceding to current) per user."""
     li = load(spark, sf_dir, "lineitem")
     w = (W.partitionBy("l_suppkey")
          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
@@ -454,6 +462,7 @@ SELECT event_id, user_id,
 FROM events
 """)
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic window: previous and next value per user ordered by time."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select("event_id", "user_id",
@@ -487,6 +496,7 @@ UNION
 SELECT s_nationkey FROM supplier
 """)
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two projections; duplicates collapse in one shuffle."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
@@ -498,6 +508,7 @@ INTERSECT
 SELECT c_custkey FROM customer WHERE c_acctbal > 5000
 """)
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: distinct rows present on both sides."""
     a = (load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
          .select(F.col("o_custkey").alias("k")))
     b = (load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
@@ -511,6 +522,7 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """)
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: multiset difference with duplicate multiplicity preserved."""
     a = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     b = (load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
          .select(F.col("o_custkey").alias("k")))
@@ -534,6 +546,7 @@ SELECT p_partkey,
 FROM part WHERE p_name LIKE '%ol%'
 """)
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/lower/substring/trim/concat/length/replace."""
     p = load(spark, sf_dir, "part")
     return (
         p.filter(F.col("p_name").like("%ol%"))
@@ -555,6 +568,7 @@ FROM orders
 GROUP BY 1, 2, 3
 """)
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: year/month extraction and month truncation over orders."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").cast("bigint").alias("y"),
@@ -576,6 +590,7 @@ SELECT l_orderkey, l_linenumber,
 FROM lineitem WHERE l_orderkey % 37 = 0
 """)
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/sqrt/exp/ln/pow/mod kept JVM-side."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") % 37 == 0)
@@ -597,6 +612,7 @@ SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
 FROM orders GROUP BY 1
 """)
 def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing into value bands, then counts per band."""
     o = load(spark, sf_dir, "orders")
     bucket = (F.when(F.col("o_totalprice") < 100000, "low")
               .when(F.col("o_totalprice") < 250000, "mid")

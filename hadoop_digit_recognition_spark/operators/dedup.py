@@ -742,3 +742,93 @@ def dedup_cc_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT doc_id, min(r) AS canonical_id FROM reach GROUP BY doc_id
     """)
+
+
+@query("dedup_cc_two_phase_star", oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id,
+       least(u, min(v)) AS canonical_id
+FROM reach GROUP BY u
+""")
+def dedup_cc_two_phase_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale replacement for plain min-label propagation that
+    SCALE.md promises. Both operations are one groupBy + one equi-join
+    per round:
+
+      large-star: every neighbor v > u re-attaches to m(u) = min of
+                  u's closed neighborhood — tall chains flatten toward
+                  the minimum in O(log n) rounds;
+      small-star: every neighbor v <= u (and u itself) attaches to
+                  m(u) — stars collapse onto their centers.
+
+    Rounds needed are logarithmic in component size (vs diameter for
+    min-label), and per-round state is the edge list itself — no
+    per-node label table. Fixpoint when the canonical edge multiset
+    stops changing; final labels read off the star edges. Output and
+    oracle are identical to dedup_connected_components (the recursive
+    closure), and the two implementations are agreement-tested."""
+    pairs = (dedup_minhash_lsh(spark, sf_dir)
+             .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+             .localCheckpoint())
+
+    def canon(e: DataFrame) -> DataFrame:
+        # unordered edge set, self-loops dropped, deduped: (hi, lo)
+        return (e.filter(F.col("u") != F.col("v"))
+                .select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+                .distinct())
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+
+    def min_closed(e_sym: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) + {u})
+        return (e_sym.unionByName(e_sym.select("u", F.col("u").alias("v")))
+                .groupBy("u").agg(F.min("v").alias("m")))
+
+    edges = canon(pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
+    edges = edges.localCheckpoint()
+    prev = None
+    for _ in range(25):  # O(log n) expected; hard bound for safety
+        es = sym(edges)
+        m = min_closed(es)
+        # large-star: (v, m(u)) for v in N(u), v > u
+        large = canon(es.filter(F.col("v") > F.col("u")).join(m, "u")
+                      .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        ls = sym(large)
+        m2 = min_closed(ls)
+        # small-star: (v, m(u)) for v in N(u), v <= u — with self edge
+        small = canon(ls.filter(F.col("v") < F.col("u")).join(m2, "u")
+                      .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                      .unionByName(m2.select("u", F.col("m").alias("v"))))
+        # each round references the previous round's plan several times
+        # (sym/min_closed/large/small), so lineage grows EXPONENTIALLY —
+        # localCheckpoint materializes the tiny edge list and truncates
+        # the plan (without it, round ~8's plan tree OOMs the driver
+        # during explain, long before any executor works hard)
+        small = small.localCheckpoint()
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s")).first()
+        edges = small
+        if prev == (sig["n"], sig["s"]):
+            break
+        prev = (sig["n"], sig["s"])
+    # fixpoint: every edge is (member, component-min); min maps to itself
+    members = edges.select(F.col("u").alias("doc_id"),
+                           F.col("v").alias("canonical_id"))
+    roots = (edges.select(F.col("v").alias("doc_id"))
+             .distinct()
+             .join(members.select(F.col("doc_id")), "doc_id", "left_anti")
+             .select("doc_id", F.col("doc_id").alias("canonical_id")))
+    return members.unionByName(roots)

@@ -211,3 +211,18 @@ def test_pipeline_embedding_dedup_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["pipeline_embedding_dedup"](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL["pipeline_embedding_dedup"],
             "pipeline_embedding_dedup")
+
+
+def test_two_phase_star_equals_min_label(spark, duck):
+    """Large-star/small-star must converge to exactly the min-label
+    fixpoint's labels, and match the recursive-closure oracle."""
+    it = {(r["doc_id"], r["canonical_id"])
+          for r in SPARK_QUERIES["dedup_connected_components"](
+              spark, SF_ORACLE).collect()}
+    star = {(r["doc_id"], r["canonical_id"])
+            for r in SPARK_QUERIES["dedup_cc_two_phase_star"](
+                spark, SF_ORACLE).collect()}
+    assert star == it
+    compare(SPARK_QUERIES["dedup_cc_two_phase_star"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["dedup_cc_two_phase_star"],
+            "dedup_cc_two_phase_star")

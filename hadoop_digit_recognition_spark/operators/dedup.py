@@ -832,3 +832,75 @@ def dedup_cc_two_phase_star(spark: SparkSession, sf_dir: str) -> DataFrame:
              .join(members.select(F.col("doc_id")), "doc_id", "left_anti")
              .select("doc_id", F.col("doc_id").alias("canonical_id")))
     return members.unionByName(roots)
+
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@query("dedup_containment", oracle=f"""
+WITH {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, b // {BAND_ROWS} AS g,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY b) AS key
+  FROM mh GROUP BY doc_id, b // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.g = b.g AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       round(i * 1.0 / least(x.n, y.n), 6) AS containment
+FROM inter
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / least(x.n, y.n) >= {CONTAINMENT_THRESHOLD}
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup: |A ∩ B| / min(|A|, |B|) over distinct
+    shingle sets — the one-sided measure that catches a document
+    embedded inside a larger one (quotation, concatenated crawl dumps),
+    where symmetric Jaccard stays low because the union is dominated by
+    the larger doc. Candidates come from the same MinHash band join as
+    dedup_minhash_lsh (min-containment >= Jaccard, so every
+    high-containment pair that shares band keys is recalled by the same
+    banding); verification is the exact shingle intersection divided by
+    the SMALLER set. Same scale shape as the LSH path: narrow
+    signatures, band equi-join, candidate-only verify."""
+    sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+    bands = (sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+             .select("doc_id", "g", "key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    arrs = sig.select("doc_id", "sh", "n")
+    pairs = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sh").alias("sha"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sh").alias("shb"),
+                               F.col("n").alias("nb")), "doc_b"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    cont = inter / F.least("na", "nb")
+    return (pairs.filter(cont >= CONTAINMENT_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(cont, 6).alias("containment")))

@@ -161,29 +161,87 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling of pipeline_llm_corpus's text chain."""
     from .dedup import dedup_embedding_lsh
 
+    from ..session import pinned_shuffle
+
     pairs = (dedup_embedding_lsh(spark, sf_dir)
              .select("vec_a", "vec_b").localCheckpoint())
     edges = (pairs.select(F.col("vec_a").alias("u"), F.col("vec_b").alias("v"))
              .unionByName(pairs.select(F.col("vec_b").alias("u"),
                                        F.col("vec_a").alias("v")))
              .distinct().persist())
-    labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-              .select("u", F.least("u", "mv").alias("lbl")).persist())
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(20):
-        neigh = (edges.join(labels.withColumnRenamed("u", "v")
-                            .withColumnRenamed("lbl", "nlbl"), "v")
-                 .groupBy("u").agg(F.min("nlbl").alias("minn")))
-        new_labels = (labels.join(neigh, "u", "left")
-                      .select("u", F.least("lbl", F.coalesce("minn", "lbl"))
-                              .alias("lbl")).persist())
-        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    with pinned_shuffle(spark):
+        labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+                  .select("u", F.least("u", "mv").alias("lbl")).persist())
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(20):
+            neigh = (edges.join(labels.withColumnRenamed("u", "v")
+                                .withColumnRenamed("lbl", "nlbl"), "v")
+                     .groupBy("u").agg(F.min("nlbl").alias("minn")))
+            new_labels = (labels.join(neigh, "u", "left")
+                          .select("u",
+                                  F.least("lbl", F.coalesce("minn", "lbl"))
+                                  .alias("lbl")).persist())
+            cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     edges.unpersist()
     return (labels.groupBy(F.col("lbl").alias("canonical_id"))
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.max("u").cast("bigint").alias("max_member")))
+
+
+@query("graph_quality_propagation", oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+labels AS (
+  SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+  FROM reach GROUP BY u
+),
+q AS (
+  SELECT d.doc_id,
+         round(0.4 * least(len(string_split(d.text, ' ')) / 100.0, 1.0)
+               + 0.6 * (len(list_distinct(string_split(d.text, ' '))) * 1.0
+                        / len(string_split(d.text, ' '))), 6) AS quality
+  FROM documents d
+)
+SELECT l.canonical_id,
+       count(*) AS n_members,
+       round(max(q.quality), 6) AS best_quality,
+       round(min(q.quality), 6) AS worst_quality
+FROM labels l JOIN q ON q.doc_id = l.doc_id
+GROUP BY l.canonical_id
+""")
+def graph_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata propagation across duplicate clusters: after cluster
+    resolution, the KEPT canonical document should carry the best
+    evidence its duplicates collected (max quality here; in production
+    also source lists, license bits, crawl dates). One join from labels
+    to per-doc scores, one per-cluster aggregate — cluster-count-sized
+    output. Composes three verified subsystems (MinHash LSH pairs,
+    connected components, quality scoring) under one oracle."""
+    from .dedup import dedup_connected_components
+
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    q = (docs.select("doc_id", w.alias("w"))
+         .select("doc_id", F.size("w").cast("double").alias("n"),
+                 F.size(F.array_distinct("w")).cast("double").alias("nd"))
+         .select("doc_id",
+                 F.round(0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
+                         + 0.6 * (F.col("nd") / F.col("n")), 6)
+                 .alias("quality")))
+    return (labels.join(q, "doc_id")
+            .groupBy("canonical_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.max("quality"), 6).alias("best_quality"),
+                 F.round(F.min("quality"), 6).alias("worst_quality")))

@@ -450,6 +450,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     all equi-joins; rounds needed = component diameter (tiny for dup
     clusters; for web-scale graphs swap in large-star/small-star, same
     loop skeleton)."""
+    from ..session import pinned_shuffle
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
              .unionByName(pairs.select(F.col("doc_b").alias("u"),
@@ -457,24 +459,28 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              .distinct().persist())
     # seed with round 1 folded in: lbl0(u) = min(u, min neighbor) — one
     # groupBy instead of a distinct + a full propagation round
-    labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-              .select("u", F.least("u", "mv").alias("lbl")).persist())
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(20):  # diameter bound; dup clusters are near-cliques
-        neigh = (edges.join(labels.withColumnRenamed("u", "v")
-                            .withColumnRenamed("lbl", "nlbl"), "v")
-                 .groupBy("u").agg(F.min("nlbl").alias("minn")))
-        new_labels = (labels.join(neigh, "u", "left")
-                      .select("u", F.least("lbl", F.coalesce("minn", "lbl"))
-                              .alias("lbl")).persist())
-        # labels only decrease, so fixpoint <=> sum unchanged: one narrow
-        # agg per round instead of a labels-vs-labels join + count
-        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    with pinned_shuffle(spark):
+        # tiny-state rounds: pin shuffle width for the loop's own actions
+        # (200 default tasks/round on an untuned session, for KBs of labels)
+        labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+                  .select("u", F.least("u", "mv").alias("lbl")).persist())
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        for _ in range(20):  # diameter bound; dup clusters are near-cliques
+            neigh = (edges.join(labels.withColumnRenamed("u", "v")
+                                .withColumnRenamed("lbl", "nlbl"), "v")
+                     .groupBy("u").agg(F.min("nlbl").alias("minn")))
+            new_labels = (labels.join(neigh, "u", "left")
+                          .select("u",
+                                  F.least("lbl", F.coalesce("minn", "lbl"))
+                                  .alias("lbl")).persist())
+            # labels only decrease, so fixpoint <=> sum unchanged: one
+            # narrow agg per round instead of a labels join + count
+            cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     edges.unpersist()  # labels is materialized (the convergence count ran)
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("canonical_id"))
@@ -796,34 +802,40 @@ def dedup_cc_two_phase_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (e_sym.unionByName(e_sym.select("u", F.col("u").alias("v")))
                 .groupBy("u").agg(F.min("v").alias("m")))
 
+    from ..session import pinned_shuffle
+
     edges = canon(pairs.select(F.col("a").alias("u"), F.col("b").alias("v")))
-    edges = edges.localCheckpoint()
-    prev = None
-    for _ in range(25):  # O(log n) expected; hard bound for safety
-        es = sym(edges)
-        m = min_closed(es)
-        # large-star: (v, m(u)) for v in N(u), v > u
-        large = canon(es.filter(F.col("v") > F.col("u")).join(m, "u")
-                      .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        ls = sym(large)
-        m2 = min_closed(ls)
-        # small-star: (v, m(u)) for v in N(u), v <= u — with self edge
-        small = canon(ls.filter(F.col("v") < F.col("u")).join(m2, "u")
-                      .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                      .unionByName(m2.select("u", F.col("m").alias("v"))))
-        # each round references the previous round's plan several times
-        # (sym/min_closed/large/small), so lineage grows EXPONENTIALLY —
-        # localCheckpoint materializes the tiny edge list and truncates
-        # the plan (without it, round ~8's plan tree OOMs the driver
-        # during explain, long before any executor works hard)
-        small = small.localCheckpoint()
-        sig = small.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s")).first()
-        edges = small
-        if prev == (sig["n"], sig["s"]):
-            break
-        prev = (sig["n"], sig["s"])
+    with pinned_shuffle(spark):
+        edges = edges.localCheckpoint()
+        prev = None
+        for _ in range(25):  # O(log n) expected; hard bound for safety
+            es = sym(edges)
+            m = min_closed(es)
+            # large-star: (v, m(u)) for v in N(u), v > u
+            large = canon(es.filter(F.col("v") > F.col("u")).join(m, "u")
+                          .select(F.col("v").alias("u"),
+                                  F.col("m").alias("v")))
+            ls = sym(large)
+            m2 = min_closed(ls)
+            # small-star: (v, m(u)) for v in N(u), v <= u — with self edge
+            small = canon(ls.filter(F.col("v") < F.col("u")).join(m2, "u")
+                          .select(F.col("v").alias("u"),
+                                  F.col("m").alias("v"))
+                          .unionByName(m2.select("u", F.col("m").alias("v"))))
+            # each round references the previous round's plan several
+            # times (sym/min_closed/large/small), so lineage grows
+            # EXPONENTIALLY — localCheckpoint materializes the tiny edge
+            # list and truncates the plan (without it, round ~8's plan
+            # tree OOMs the driver during explain, long before any
+            # executor works hard)
+            small = small.localCheckpoint()
+            sig = small.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s")).first()
+            edges = small
+            if prev == (sig["n"], sig["s"]):
+                break
+            prev = (sig["n"], sig["s"])
     # fixpoint: every edge is (member, component-min); min maps to itself
     members = edges.select(F.col("u").alias("doc_id"),
                            F.col("v").alias("canonical_id"))

@@ -38,3 +38,24 @@ def get_spark(app_name: str = "hdr-spark", cpus: int | None = None,
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def pinned_shuffle(spark, n: int = 8):
+    """Pin spark.sql.shuffle.partitions around an EAGER driver-side loop
+    (iterative label propagation, trainer epochs): each round's
+    joins/aggs over tiny state otherwise schedule one task per default
+    shuffle partition — 200 on an untuned session — per round. Restores
+    the caller's setting on exit; only the loop's own actions are
+    affected (the returned lazy DataFrame executes under the caller's
+    conf, which is the caller's business). Same sizing reasoning as the
+    streaming state stores (streaming/pipeline.py::run_to_memory)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -325,3 +325,34 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("h").cast("bigint").alias("h_sum"),
                  F.round(F.sum((F.col("h") % 1_000_000) / 1_000_000.0), 6)
                  .alias("val_sum")))
+
+
+@query("source_xml_roundtrip", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum
+FROM events GROUP BY event_type
+""")
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd XML scan (native in Spark 4 — the spark-xml
+    package folded into the engine): events written as <event> rows,
+    read back with an explicit schema (no inference pass), aggregated.
+    The oracle aggregates the parquet source, so escaping and numeric
+    fidelity across the XML boundary is what is under test. Same scale
+    posture as CSV/JSON line formats: row-oriented text, no pushdown —
+    an INGEST format, converted to parquet at the first opportunity."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_xml_stage",
+                         uuid.uuid4().hex)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    (ev.write.mode("overwrite")
+     .option("rootTag", "events").option("rowTag", "event").xml(stage))
+    back = (spark.read
+            .schema("event_id long, user_id long, event_type string, "
+                    "value double")
+            .option("rowTag", "event").xml(stage))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"),
+                 F.sum("user_id").cast("bigint").alias("uid_sum")))

@@ -166,3 +166,9 @@ def test_streaming_python_datasource_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["streaming_python_datasource"](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL["streaming_python_datasource"],
             "streaming_python_datasource")
+
+
+def test_xml_roundtrip_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["source_xml_roundtrip"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["source_xml_roundtrip"],
+            "source_xml_roundtrip")

@@ -216,3 +216,81 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (grid.join(counts, ["event_type", "bucket"], "left")
             .select("event_type", "bucket",
                     F.coalesce("n", F.lit(0)).cast("bigint").alias("n")))
+
+
+@query("funnel_conversion", oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view_then_click,
+       CAST(sum(CASE WHEN t_buy > t_click AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM firsts
+""")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase, first
+    occurrences in order) — the product-analytics sequence operator.
+    One conditional-min aggregate per user (single shuffle on user_id,
+    partial+final), then a scalar funnel count; no self-joins, no
+    per-step passes — the n-way sequence collapses into one grouped
+    pass, which is what keeps funnels tractable over 100 TB of events.
+    NULL ordering does the step gating: a missing earlier step leaves
+    the comparison NULL, which fails the predicate on both engines."""
+    ev = load(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+                   .alias("t_view"),
+                   F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+                   .alias("t_click"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.col("ts"))).alias("t_buy")))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .cast("bigint").alias("n_view_then_click"),
+        F.sum(F.when((F.col("t_buy") > F.col("t_click"))
+                     & (F.col("t_click") > F.col("t_view")), 1).otherwise(0))
+        .cast("bigint").alias("n_full_funnel"))
+
+
+@query("cohort_retention", oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(a.day - c.cohort_day AS BIGINT) AS k,
+       count(DISTINCT a.user_id) AS n_active
+FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+WHERE a.day - c.cohort_day <= 7
+GROUP BY 1, 2
+""")
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted distinct on each of the next 7 days. Two keyed aggregates
+    (per-user first day; per-(cohort, offset) distinct count) and one
+    equi-join — at scale the distinct count is the state to watch, and
+    its bounded-state replacement is exactly the HLL register rollup
+    (sketch_hll_merge_rollup) keyed by (cohort_day, k)."""
+    ev = load(spark, sf_dir, "events")
+    activity = (ev.select("user_id",
+                          F.date_trunc("day", "ts").cast("date").alias("day"))
+                .distinct())
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (activity.join(cohorts, "user_id")
+            .withColumn("k", F.datediff("day", "cohort_day").cast("bigint"))
+            .filter(F.col("k") <= 7)
+            .groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
+                     .alias("cohort_day"), "k")
+            .agg(F.countDistinct("user_id").alias("n_active")))

@@ -29,7 +29,7 @@ LLM_QUERIES = [
     "pipeline_llm_corpus",
     "multimodal_meta", "multimodal_frame_sample",
     "sim_knn_graph", "sketch_hll_merge_rollup", "dedup_embedding_lsh",
-    "dedup_containment",
+    "dedup_containment", "funnel_conversion", "cohort_retention",
 ]
 
 

@@ -1170,3 +1170,82 @@ def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("et"),
                     F.round(F.expr("variant_get(nv, '$.value', 'double')"), 6)
                     .alias("val")))
+
+
+@query("ab_test_welch", oracle="""
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY event_type
+),
+a AS (SELECT * FROM g WHERE event_type = 'view'),
+b AS (SELECT * FROM g WHERE event_type = 'purchase')
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.m - b.m, 6) AS mean_diff,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(pow(a.v / a.n + b.v / b.n, 2)
+             / (pow(a.v / a.n, 2) / (a.n - 1)
+                + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS welch_df
+FROM a, b
+""")
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-test computed relationally (the A/B readout
+    every experimentation pipeline runs): both arms' (n, mean, var_samp)
+    come from ONE conditional-aggregation pass over the events — no
+    per-arm subqueries, no join of 1-row aggregates (which would plan as
+    a nested-loop join; conditional aggregation is the hygiene-clean
+    spelling) — then the t statistic and Welch-Satterthwaite degrees of
+    freedom are scalar arithmetic on that single row. All moment state
+    is mergeable, so the same query runs over raw events or
+    pre-aggregated per-partition moments unchanged."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type").isin("view", "purchase")))
+    va = F.when(F.col("event_type") == "view", F.col("value"))
+    vb = F.when(F.col("event_type") == "purchase", F.col("value"))
+    g = ev.agg(F.count(va).alias("na"), F.avg(va).alias("ma"),
+               F.var_samp(va).alias("va"),
+               F.count(vb).alias("nb"), F.avg(vb).alias("mb"),
+               F.var_samp(vb).alias("vb"))
+    va_n = F.col("va") / F.col("na")
+    vb_n = F.col("vb") / F.col("nb")
+    return g.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(va_n + vb_n), 6)
+        .alias("t_stat"),
+        F.round(F.pow(va_n + vb_n, 2)
+                / (F.pow(va_n, 2) / (F.col("na") - 1)
+                   + F.pow(vb_n, 2) / (F.col("nb") - 1)), 6)
+        .alias("welch_df"))
+
+
+HIST_BUCKETS = 10
+
+
+@query("histogram_equi_width", oracle=f"""
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+b AS (
+  SELECT least(CAST(floor((e.value - bounds.lo)
+                          / ((bounds.hi - bounds.lo) / {HIST_BUCKETS}.0))
+                    AS BIGINT), {HIST_BUCKETS - 1}) AS bucket
+  FROM events e, bounds
+)
+SELECT bucket, count(*) AS n FROM b GROUP BY bucket
+""")
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram: global min/max collected as ONE scalar row
+    (weight-matrix-sized driver state), folded back as literals so the
+    bucketing pass is a narrow map + one keyed count — the two-pass
+    shape every distributed histogram uses (a 1-row crossJoin would
+    plan as BNLJ and trip the fleet-wide hygiene ban; literal folding is
+    this repo's standard scalar-broadcast idiom)."""
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    width = (hi - lo) / float(HIST_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1))
+    return (ev.select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))

@@ -16,6 +16,7 @@ RELATIONAL = [
     "window_distribution_ranks", "lateral_topk_per_group",
     "agg_regression_stats", "agg_argmax_conditional",
     "q14_promo_revenue", "q19_disjunctive_join", "variant_semi_structured",
+    "ab_test_welch", "histogram_equi_width",
     "sample_deterministic", "sample_stratified",
     "join_broadcast_dim", "join_star_nation_revenue", "join_left_outer",
     "join_semi", "join_anti", "join_full_outer", "join_nonequi_band",

@@ -294,3 +294,48 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("cohort_day", "yyyy-MM-dd")
                      .alias("cohort_day"), "k")
             .agg(F.countDistinct("user_id").alias("n_active")))
+
+
+@query("streaks_gaps_islands", oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+isl AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island,
+         count(*) AS streak_len,
+         strftime(min(day), '%Y-%m-%d') AS streak_start
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, streak_start, streak_len
+FROM streaks WHERE streak_len >= 3
+""")
+def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the classic (day - row_number) island key — consecutive days share
+    a constant difference, so one window + one groupBy finds every
+    maximal run with no self-joins or recursion. Reports streaks of 3+
+    days. Scale shape: the window partitions by user (keyed sort, no
+    global ordering) and the island aggregate reuses the same hash
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.date_trunc("day", "ts").cast("date").alias("day"))
+            .distinct())
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w)))
+    return (isl.groupBy("user_id", "island")
+            .agg(F.count(F.lit(1)).alias("streak_len"),
+                 F.date_format(F.min("day"), "yyyy-MM-dd")
+                 .alias("streak_start"))
+            .filter(F.col("streak_len") >= 3)
+            .select("user_id", "streak_start", "streak_len"))

@@ -30,6 +30,7 @@ LLM_QUERIES = [
     "multimodal_meta", "multimodal_frame_sample",
     "sim_knn_graph", "sketch_hll_merge_rollup", "dedup_embedding_lsh",
     "dedup_containment", "funnel_conversion", "cohort_retention",
+    "streaks_gaps_islands",
 ]
 
 

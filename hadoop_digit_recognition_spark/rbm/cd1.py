@@ -86,7 +86,12 @@ def det_uniforms(ids: np.ndarray, nh: int, epoch: int = 0) -> np.ndarray:
 
     Bit-for-bit the same formula as functions.vector.det_hash64 and any
     ANSI-SQL engine's md5, which is what makes the SAMPLED CD-1 epoch
-    oracle-checkable (and partition-invariant, unlike a per-partition RNG)."""
+    oracle-checkable (and partition-invariant, unlike a per-partition RNG).
+
+    GOLDEN-MODEL TWIN ONLY: this O(rows*nh) interpreted-Python loop exists
+    for pytest agreement checks against the production path, which computes
+    the identical matrix JVM-side (`det_uniforms_col`) and ships it to the
+    pandas UDF as an Arrow array column — no per-element Python work."""
     import hashlib
 
     U = np.empty((len(ids), nh), dtype=np.float64)
@@ -96,6 +101,22 @@ def det_uniforms(ids: np.ndarray, nh: int, epoch: int = 0) -> np.ndarray:
             h = int(hashlib.md5(f"{pre}{j}|{epoch}".encode()).hexdigest()[:8], 16)
             U[r, j] = (h % 16777216) / 16777216.0
     return U
+
+
+def det_uniforms_col(id_col: str, nh: int, epoch: int = 0):
+    """The det_uniforms matrix as a JVM-side Column: array<double> of length
+    nh with u[j] = (conv(substr(md5(id|'|'|j|'|'|epoch), 1, 8), 16, 10)
+    % 2^24) / 2^24 — byte-identical to det_uniforms (UTF-8 md5, first 8 hex
+    chars) but evaluated in whole-stage codegen, so the sampled CD-1 path
+    has NO per-element Python loop (the reference does rows*numhid unseeded
+    java.util.Random draws in the mapper, rbmmapper.java:166-182)."""
+    def _u(j):
+        s = F.concat_ws("|", F.col(id_col).cast("string"),
+                        j.cast("string"), F.lit(str(epoch)))
+        h = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        return (h % F.lit(16777216)).cast("double") / F.lit(16777216.0)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(nh - 1)), _u)
 
 
 def numpy_cd1_sampled(V: np.ndarray, W: np.ndarray, U: np.ndarray,
@@ -161,7 +182,9 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
             if V.shape[0] == 0:
                 continue
             if sampled:
-                U = det_uniforms(pdf[id_col].to_numpy(), nh, epoch)
+                # uniforms precomputed JVM-side (det_uniforms_col) — arrives
+                # as an Arrow array column, no Python hashing here
+                U = _to_matrix(pdf["__u"], nh)
                 acc += numpy_cd1_sampled(V, Wv, U)
             else:
                 acc += numpy_cd1_meanfield(V, Wv)
@@ -170,8 +193,12 @@ def cd1_gradient_df(df: DataFrame, vec_col: str, W: np.ndarray,
             "dw": acc.ravel(),  # row-major i*numhid+j, the INTENDED layout (not defect D3)
         })
 
-    cols = [id_col, vec_col] if sampled else [vec_col]
-    partial = df.select(*cols).mapInPandas(grad, schema="idx bigint, dw double")
+    if sampled:
+        src = df.select(F.col(vec_col),
+                        det_uniforms_col(id_col, nh, epoch).alias("__u"))
+    else:
+        src = df.select(vec_col)
+    partial = src.mapInPandas(grad, schema="idx bigint, dw double")
     summed = partial.groupBy("idx").agg(F.sum("dw").alias("gsum"))
     if weightcost != 0.0:
         b_flat = spark.sparkContext.broadcast(W.ravel())

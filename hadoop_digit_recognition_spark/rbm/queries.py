@@ -162,14 +162,15 @@ def rbm_cd1_epoch_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grad.select("idx", F.round("dw", 9).alias("dw"))
 
 
-def _cd1_chain(wcte: str, suf: str) -> str:
-    """One mean-field CD-1 epoch as CTEs against weight CTE `wcte`,
-    producing d{suf}(i, j, dw) — the chain rbm_cd1_epoch's oracle uses,
-    parameterized so it can be applied twice for the 2-epoch query."""
+def _cd1_chain(wcte: str, suf: str, vcte: str = "v") -> str:
+    """One mean-field CD-1 epoch as CTEs against weight CTE `wcte` and
+    input CTE `vcte`(vec_id, i, x), producing d{suf}(i, j, dw) — the chain
+    rbm_cd1_epoch's oracle uses, parameterized so it can be applied twice
+    for the 2-epoch query and per-layer for the DBN stack."""
     return f"""
 h0{suf} AS (
   SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
-  FROM v JOIN {wcte} w ON v.i = w.i GROUP BY v.vec_id, w.j
+  FROM {vcte} v JOIN {wcte} w ON v.i = w.i GROUP BY v.vec_id, w.j
 ),
 v1{suf} AS (
   SELECT h.vec_id, w.i, 1.0/(1.0+exp(-sum(h.h*w.w))) AS x
@@ -181,7 +182,7 @@ h1{suf} AS (
 ),
 pos{suf} AS (
   SELECT v.i, h.j, sum(v.x*h.h) AS p
-  FROM v JOIN h0{suf} h ON v.vec_id = h.vec_id GROUP BY v.i, h.j
+  FROM {vcte} v JOIN h0{suf} h ON v.vec_id = h.vec_id GROUP BY v.i, h.j
 ),
 neg{suf} AS (
   SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
@@ -210,6 +211,51 @@ FROM w1 JOIN d2 ON w1.i = d2.i AND w1.j = d2.j
 """
 
 
+def _u_sql(epoch: int) -> str:
+    """The det_uniforms/det_uniforms_col formula at a given epoch, in ANSI
+    SQL, referencing columns (vec_id, j) of the enclosing CTE."""
+    return ("(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|' || "
+            f"CAST(j AS VARCHAR) || '|{epoch}'), 1, 8))::BIGINT "
+            "% 16777216) / 16777216.0")
+
+
+def _cd1_sampled_chain(wcte: str, suf: str, epoch: int, vcte: str = "v") -> str:
+    """One SAMPLED CD-1 epoch as CTEs: hidden states thresholded against the
+    epoch-keyed content-hash uniforms (positive phase still uses the
+    probabilities, Hinton's practical guide §3). Produces d{suf}(i, j, dw)."""
+    return f"""
+h0{suf} AS (
+  SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
+  FROM {vcte} v JOIN {wcte} w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+h0s{suf} AS (
+  SELECT vec_id, j, CASE WHEN h > {_u_sql(epoch)} THEN 1.0 ELSE 0.0 END AS s
+  FROM h0{suf}
+),
+v1{suf} AS (
+  SELECT h.vec_id, w.i, 1.0/(1.0+exp(-sum(h.s*w.w))) AS x
+  FROM h0s{suf} h JOIN {wcte} w ON h.j = w.j GROUP BY h.vec_id, w.i
+),
+h1{suf} AS (
+  SELECT v1.vec_id, w.j, 1.0/(1.0+exp(-sum(v1.x*w.w))) AS h
+  FROM v1{suf} v1 JOIN {wcte} w ON v1.i = w.i GROUP BY v1.vec_id, w.j
+),
+pos{suf} AS (
+  SELECT v.i, h.j, sum(v.x*h.h) AS p
+  FROM {vcte} v JOIN h0{suf} h ON v.vec_id = h.vec_id GROUP BY v.i, h.j
+),
+neg{suf} AS (
+  SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
+  FROM v1{suf} v1 JOIN h1{suf} h1 ON v1.vec_id = h1.vec_id
+  GROUP BY v1.i, h1.j
+),
+d{suf} AS (
+  SELECT pos.i, pos.j, {EPSILON}*(pos.p - neg.n)/nc.c AS dw
+  FROM pos{suf} pos JOIN neg{suf} neg ON pos.i = neg.i AND pos.j = neg.j
+  CROSS JOIN nc
+)"""
+
+
 @query("rbm_cd1_two_epochs", oracle=_CD1_2EP_ORACLE)
 def rbm_cd1_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5/A5 end-to-end: the REAL trainer loop (RBMTrainer.fit, two
@@ -226,3 +272,89 @@ def rbm_cd1_two_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = [(int(i), float(x)) for i, x in enumerate(W.ravel())]
     return (spark.createDataFrame(flat, "idx bigint, w double")
             .select("idx", F.round("w", 7).alias("w")))
+
+
+_CD1_2EP_SAMPLED_ORACLE = f"""
+WITH v AS ({_V}),
+w0 AS ({_W}),
+nc AS (SELECT count(*) AS c FROM embeddings),
+{_cd1_sampled_chain("w0", "1", epoch=0)},
+w1 AS (
+  SELECT w0.i, w0.j, w0.w + d1.dw AS w
+  FROM w0 JOIN d1 ON w0.i = d1.i AND w0.j = d1.j
+),
+{_cd1_sampled_chain("w1", "2", epoch=1)}
+SELECT w1.i*{NUMHID}+w1.j AS idx, round(w1.w + d2.dw, 7) AS w
+FROM w1 JOIN d2 ON w1.i = d2.i AND w1.j = d2.j
+"""
+
+
+@query("rbm_cd1_two_epochs_sampled", oracle=_CD1_2EP_SAMPLED_ORACLE)
+def rbm_cd1_two_epochs_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 + P6 end-to-end: the STOCHASTIC trainer loop, oracle-checked —
+    two sampled CD-1 epochs through RBMTrainer.fit, with the Bernoulli
+    uniforms content-hash-keyed on (row, unit, epoch) so each epoch's
+    draws are distinct yet exactly reproducible in SQL (epoch flows into
+    det_uniforms_col; reference: one job per epoch with a fresh unseeded
+    Random per record, driver.java:90-219 + rbmmapper.java:169)."""
+    emb = load(spark, sf_dir, "embeddings")
+    t = RBMTrainer(NUMDIMS, NUMHID, epsilon=EPSILON, max_epoch=2,
+                   sampled=True, id_col="vec_id")
+    W = t.fit(emb, "embedding", W0=init_weights_sin(NUMDIMS, NUMHID))
+    flat = [(int(i), float(x)) for i, x in enumerate(W.ravel())]
+    return (spark.createDataFrame(flat, "idx bigint, w double")
+            .select("idx", F.round("w", 7).alias("w")))
+
+
+NUMHID2 = 8  # second RBM layer width for the oracle-checked DBN stack
+
+_W2 = (f"SELECT i.i, j.j, 0.1*sin(CAST(i.i*{NUMHID2}+j.j AS DOUBLE)) AS w "
+       f"FROM range({NUMHID}) i(i), range({NUMHID2}) j(j)")
+
+_DBN_2LAYER_ORACLE = f"""
+WITH v AS ({_V}),
+w0 AS ({_W}),
+nc AS (SELECT count(*) AS c FROM embeddings),
+{_cd1_chain("w0", "1")},
+w1 AS (
+  SELECT w0.i, w0.j, w0.w + d1.dw AS w
+  FROM w0 JOIN d1 ON w0.i = d1.i AND w0.j = d1.j
+),
+act AS (
+  SELECT v.vec_id, w.j AS i, 1.0/(1.0+exp(-sum(v.x*w.w))) AS x
+  FROM v JOIN w1 w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+w20 AS ({_W2}),
+{_cd1_chain("w20", "2", vcte="act")},
+w2 AS (
+  SELECT w20.i, w20.j, w20.w + d2.dw AS w
+  FROM w20 JOIN d2 ON w20.i = d2.i AND w20.j = d2.j
+)
+SELECT CAST(1 AS BIGINT) AS layer, i*{NUMHID}+j AS idx, round(w, 7) AS w FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS layer, i*{NUMHID2}+j AS idx, round(w, 7) AS w FROM w2
+"""
+
+
+@query("rbm_dbn_two_layer", oracle=_DBN_2LAYER_ORACLE)
+def rbm_dbn_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 oracle-checked: the greedy two-layer DBN stack (64->16->8) through
+    the REAL DBN.fit loop — train layer 1 (one mean-field CD-1 epoch, sin
+    init), forward-prop the TRAINED weights to activations, train layer 2
+    on those activations (sin init), emit both updated weight matrices.
+    The oracle replays the identical stack as chained CTEs: CD-1 chain on v
+    with w0 -> w1, sigmoid activations under w1, CD-1 chain on act with
+    w20 -> w2 (reference: per-layer-pair job chain with TEXT round-trips
+    between layers, driver.java:64-287)."""
+    from .trainer import DBN
+
+    emb = load(spark, sf_dir, "embeddings")
+    dbn = DBN([NUMDIMS, NUMHID, NUMHID2], max_epoch=1, epsilon=EPSILON)
+    dbn.fit(emb, "embedding",
+            w0s=[init_weights_sin(NUMDIMS, NUMHID),
+                 init_weights_sin(NUMHID, NUMHID2)])
+    rows = [(layer, int(i), float(x))
+            for layer, W in enumerate(dbn.weights, start=1)
+            for i, x in enumerate(W.ravel())]
+    return (spark.createDataFrame(rows, "layer bigint, idx bigint, w double")
+            .select("layer", "idx", F.round("w", 7).alias("w")))

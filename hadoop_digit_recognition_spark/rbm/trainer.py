@@ -101,14 +101,20 @@ class DBN:
         self.id_col = id_col
         self.weights: list[np.ndarray] = []
 
-    def fit(self, df: DataFrame, vec_col: str) -> "DBN":
+    def fit(self, df: DataFrame, vec_col: str,
+            w0s: list[np.ndarray] | None = None) -> "DBN":
+        """w0s: optional per-layer initial weights (e.g. init_weights_sin),
+        overriding the seeded gaussian init — the hook that makes the whole
+        greedy stack SQL-oracle-checkable (rbm_dbn_two_layer)."""
+        if w0s is not None and len(w0s) != len(self.layer_sizes) - 1:
+            raise ValueError("w0s must have one matrix per layer pair")
         self.weights = []
         cur, cur_col = df, vec_col
         for layer, (nd, nh) in enumerate(zip(self.layer_sizes, self.layer_sizes[1:])):
             t = RBMTrainer(nd, nh, epsilon=self.epsilon, max_epoch=self.max_epoch,
                            seed=self.seed + layer, sampled=self.sampled,
                            id_col=self.id_col)
-            W = t.fit(cur, cur_col)
+            W = t.fit(cur, cur_col, W0=None if w0s is None else w0s[layer])
             self.weights.append(W)
             if layer < len(self.layer_sizes) - 2:
                 nxt_col = f"__act{layer + 1}"

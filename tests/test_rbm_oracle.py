@@ -17,7 +17,23 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized",
-               "rbm_cd1_epoch_sampled", "rbm_cd1_two_epochs"]
+               "rbm_cd1_epoch_sampled", "rbm_cd1_two_epochs",
+               "rbm_cd1_two_epochs_sampled", "rbm_dbn_two_layer"]
+
+
+def test_det_uniforms_col_matches_python_twin(spark):
+    """The JVM-side draw column (production path) must be bit-identical to
+    the interpreted-Python golden twin for several epochs and id shapes."""
+    from hadoop_digit_recognition_spark.rbm.cd1 import det_uniforms, det_uniforms_col
+
+    ids = np.array([0, 1, 7, 99, 12345, 2**40])
+    df = spark.createDataFrame([(int(i),) for i in ids], "vec_id bigint")
+    for epoch in (0, 1, 5):
+        rows = (df.select("vec_id", det_uniforms_col("vec_id", 9, epoch).alias("u"))
+                .orderBy("vec_id").collect())
+        got = np.array([r["u"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+        want = det_uniforms(np.sort(ids), 9, epoch)
+        assert np.array_equal(got, want)
 
 
 @pytest.mark.parametrize("name", RBM_QUERIES)

@@ -83,9 +83,17 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
                               + 0.6 * (F.col("nd") / F.col("n")), 6)
                       .alias("quality")))
-    thr = scored.agg(
-        F.percentile_approx("quality", F.lit(0.1), F.lit(1000000))).first()[0]
-    s1 = scored.filter(F.col("quality") >= F.lit(float(thr)))
+    # quality threshold as a scalar subquery — same action as the filter,
+    # no .first() driver round-trip (see text_quality_filter_approx)
+    import uuid as _uuid
+
+    v = f"hdr_corpus_scored_{_uuid.uuid4().hex[:8]}"
+    scored.createOrReplaceTempView(v)
+    s1 = spark.sql(f"""
+        SELECT * FROM {v}
+        WHERE quality >= (SELECT percentile_approx(quality, 0.1, 1000000)
+                          FROM {v})""")
+    spark.catalog.dropTempView(v)
     s2 = (s1.withColumn("rn", F.row_number().over(
               W.partitionBy(F.md5("text")).orderBy("doc_id")))
           .filter(F.col("rn") == 1).drop("rn"))

@@ -98,7 +98,26 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.explode("sh").alias("s")))
 
 
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+# session -> {sf_dir: persisted signatures}. Weak keys: when a session is
+# stopped and garbage-collected its entries vanish with it, so a recycled
+# CPython id() can never resurrect a DataFrame bound to a dead session,
+# and a long-lived process doesn't accumulate orphaned persisted tables.
+import weakref
+
+_SIG_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary())
+
+
+def clear_signature_cache(spark: SparkSession) -> int:
+    """Evict + unpersist this session's memoized signature tables.
+    Returns how many entries were dropped."""
+    per = _SIG_CACHE.pop(spark, None) or {}
+    for df in per.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to unpersist
+    return len(per)
 
 
 def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,10 +132,9 @@ def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline) derive from this table, and at 100 TB the signature
     store is exactly the thing a pipeline computes once and shares —
     billing every consumer for a fresh signature pass is the anti-pattern."""
-    key = (id(spark), sf_dir)
-    cached = _SIG_CACHE.get(key)
-    if cached is not None:
-        return cached
+    per = _SIG_CACHE.get(spark)
+    if per is not None and sf_dir in per:
+        return per[sf_dir]
 
     def affine(a: int, c: int):
         return lambda h: (F.lit(a) * h + F.lit(c)) % F.lit(MINHASH_P)
@@ -131,7 +149,7 @@ def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("sig", sig)
            .drop("hs")
            .persist())
-    _SIG_CACHE[key] = out
+    _SIG_CACHE.setdefault(spark, {})[sf_dir] = out
     return out
 
 
@@ -596,10 +614,20 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_all = minhash_sig_arrays(spark, sf_dir)
     is_new = (F.col("doc_id") % NEW_MOD) >= 8
 
-    # --- signature store for the existing corpus (built once per sf_dir,
-    # marker-idempotent; an ingest pipeline appends to it instead) ---
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    store_dir = os.path.join(tempfile.gettempdir(), "hdr_sigstore", tag)
+    # --- signature store for the existing corpus (built once per dataset,
+    # marker-idempotent; an ingest pipeline appends to it instead). Keyed
+    # by a CONTENT FINGERPRINT of the dataset (absolute path + documents
+    # file mtime/size), not the basename: a regenerated dataset at the
+    # same path, or a same-named path in another checkout, gets a fresh
+    # store instead of silently reusing a stale one. ---
+    import hashlib
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(doc_path)
+    fp = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    store_dir = os.path.join(tempfile.gettempdir(), "hdr_sigstore", fp)
     if not os.path.exists(os.path.join(store_dir, "_SUCCESS")):
         (sig_all.filter(~is_new)
          .write.mode("overwrite").parquet(store_dir))

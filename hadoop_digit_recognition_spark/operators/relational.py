@@ -1243,9 +1243,14 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     this repo's standard scalar-broadcast idiom)."""
     ev = load(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    if lo is None:  # empty input: no buckets, not a null-division crash
+        return spark.createDataFrame([], "bucket bigint, n bigint")
     width = (hi - lo) / float(HIST_BUCKETS)
-    bucket = F.least(
-        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("bigint"),
-        F.lit(HIST_BUCKETS - 1))
+    if width == 0.0:  # all values equal: everything lands in bucket 0
+        bucket = F.lit(0).cast("bigint")
+    else:
+        bucket = F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("bigint"),
+            F.lit(HIST_BUCKETS - 1))
     return (ev.select(bucket.alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))

@@ -363,13 +363,21 @@ def text_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
         + 0.6 * (F.col("nd") / F.col("n")), 6)
     scored = m.select("doc_id", quality.alias("quality"))
-    thr = scored.agg(
-        F.percentile_approx("quality", F.lit(0.1), F.lit(1000000))).first()[0]
-    # one double to the driver (well under the weight-matrix budget),
-    # folded back as a literal: the filter plan is pure narrow — no
-    # window, no join, no exchange (plan-asserted)
-    return (scored.filter(F.col("quality") >= F.lit(float(thr)))
-            .select("doc_id", "quality"))
+    # threshold as a SCALAR SUBQUERY: the sketch aggregate executes inside
+    # the same action as the filter (no .first() driver round-trip, no
+    # scheduling barrier between two client-issued jobs); the plan stays
+    # Window/Join-free (plan-asserted) — the subquery shows up as a
+    # Subquery node, not an exchange on data keys
+    import uuid as _uuid
+
+    v = f"hdr_quality_scored_{_uuid.uuid4().hex[:8]}"
+    scored.createOrReplaceTempView(v)
+    out = spark.sql(f"""
+        SELECT doc_id, quality FROM {v}
+        WHERE quality >= (SELECT percentile_approx(quality, 0.1, 1000000)
+                          FROM {v})""")
+    spark.catalog.dropTempView(v)  # plan already analyzed; view no longer needed
+    return out
 
 
 @query("agg_collect_sorted", oracle="""

@@ -327,6 +327,49 @@ def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("val_sum")))
 
 
+@query("source_avro_roundtrip", oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total,
+       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+       count(maybe_note) AS notes
+FROM (
+  SELECT event_type, value, user_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL
+              ELSE event_type || '#' || CAST(event_id AS VARCHAR) END
+           AS maybe_note
+  FROM events
+) GROUP BY event_type
+""")
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container-file sink + scan through the engine's own pure-Python
+    codec (sources/avro_lite.py — the env has no spark-avro module):
+    events written partition-parallel as deflate-compressed Avro 1.x
+    container files (nullable-union fields included via maybe_note),
+    read back through the `hdr_avro` Python DataSource (one InputPartition
+    per file), aggregated. The oracle aggregates the parquet source, so
+    zigzag varints, union branch indexes, DEFLATE blocks, and sync-marker
+    framing must all survive the round trip to match."""
+    from .avro_lite import register_avro_source, write_avro_dir
+
+    stage = os.path.join(tempfile.gettempdir(), "hdr_avro_stage",
+                         uuid.uuid4().hex)
+    ev = (load(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type", "value",
+                  F.when(F.col("event_id") % 3 == 0, F.lit(None))
+                  .otherwise(F.concat_ws("#", "event_type",
+                                         F.col("event_id").cast("string")))
+                  .alias("maybe_note")))
+    write_avro_dir(ev, stage, codec="deflate").collect()  # manifest-sized
+    register_avro_source(spark)
+    back = spark.read.format("hdr_avro").load(stage)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total"),
+                 F.sum("user_id").cast("bigint").alias("uid_sum"),
+                 F.count("maybe_note").alias("notes")))
+
+
 @query("source_xml_roundtrip", oracle="""
 SELECT event_type,
        count(*) AS n,

@@ -232,9 +232,16 @@ def run_foreachbatch_upsert(agg: DataFrame, key_col: str, val_col: str,
              .option("checkpointLocation", ckpt)
              .trigger(availableNow=True).start())
         try:
-            q.awaitTermination(timeout_sec)
+            # availableNow terminates on its own; a False return means the
+            # drain TIMED OUT and `state` would be silently partial —
+            # that's an error, not a result
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(
+                    f"foreachBatch upsert did not drain within "
+                    f"{timeout_sec}s (checkpoint {ckpt})")
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)  # per-run dir, never reused
     return state

@@ -172,3 +172,47 @@ def test_xml_roundtrip_vs_duckdb(spark, duck):
     compare(SPARK_QUERIES["source_xml_roundtrip"](spark, SF_ORACLE),
             duck, ORACLE_SQL["source_xml_roundtrip"],
             "source_xml_roundtrip")
+
+
+def test_avro_roundtrip_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["source_avro_roundtrip"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["source_avro_roundtrip"],
+            "source_avro_roundtrip")
+
+
+def test_avro_lite_codec_unit(tmp_path):
+    """Container-file framing: both codecs, nullable unions, multi-block
+    files, every primitive type, and negative varint values."""
+    from hadoop_digit_recognition_spark.sources.avro_lite import (
+        _make_avro_source, write_container)
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": ["null", "long"]},
+        {"name": "b", "type": ["null", "double"]},
+        {"name": "c", "type": ["null", "string"]},
+        {"name": "d", "type": ["null", "boolean"]},
+        {"name": "e", "type": ["null", "bytes"]},
+    ]}
+    rows = [(i if i % 5 else -i, i * 0.5, f"s{i}" if i % 3 else None,
+             i % 2 == 0, bytes([i % 256, 255]))
+            for i in range(1000)]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        n = write_container(p, schema, rows, codec=codec, block_rows=128)
+        assert n == 1000
+        # decode through the DataSource factory's closure decoder
+        src = _make_avro_source()
+
+        class Opt(dict):
+            pass
+
+        ds = src(options={"path": str(tmp_path)})
+        reader = ds.reader(None)
+        got = []
+        for part in reader.partitions():
+            if part.value == p:
+                got = list(reader.read(part))
+        assert len(got) == 1000
+        assert got[7] == (7, 3.5, "s7", False, bytes([7, 255]))
+        assert got[5][0] == -5  # negative zigzag branch
+        assert got[9][2] is None

@@ -9,6 +9,8 @@ from .rbm import queries as _rbm_queries  # noqa: F401,E402
 
 _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.relational",
+    "hadoop_digit_recognition_spark.operators.tpch_extra",
+    "hadoop_digit_recognition_spark.operators.analytics_extra",
     "hadoop_digit_recognition_spark.operators.arrays",
     "hadoop_digit_recognition_spark.operators.dedup",
     "hadoop_digit_recognition_spark.operators.similarity",

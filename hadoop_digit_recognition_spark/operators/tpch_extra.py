@@ -1,4 +1,4 @@
-"""Remaining TPC-H query shapes (Q2/Q4/Q15/Q17/Q18/Q21/Q22 analogs).
+"""Remaining TPC-H query shapes (Q2/Q4/Q7-Q12/Q15-Q18/Q20-Q22 analogs).
 
 The reference has no joins at all (SURVEY.md §2.5) — these are engine
 extensions completing the TPC-H shape coverage begun with Q1/Q3/Q5/Q6/
@@ -212,3 +212,247 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema's stand-in for the phone country code)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22)
+
+
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    Five-way star join with a DISJUNCTIVE cross-dimension predicate
+    (either nation may be the supplier side); the two nation dims join
+    twice under different aliases and both broadcast. At 100 TB only the
+    lineitem-orders equi-join shuffles; the nation pair filter cuts the
+    group space to 2 x years before the final aggregate."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7)
+
+
+_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'ASIA'
+    AND p.p_type = 'PROMO'
+    AND year(o.o_orderdate) IN (1996, 1997)
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("q8_national_market_share", oracle=_Q8)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue sold into
+    one region, by year — the deepest TPC-H star (8 tables, nation joined
+    twice, region closing the snowflake). The share is a conditional-sum /
+    total-sum ratio inside one aggregate, so a single pass computes both
+    numerator and denominator — no self-join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8)
+
+
+_Q9 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - c.unit_cost * l.l_quantity AS amount
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN cost c ON c.l_partkey = l.l_partkey AND c.l_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_type_profit", oracle=_Q9)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for one product
+    family. partsupp's supplycost is absent from the fixture schema, so it
+    derives as the min observed unit price per (part, supplier) — the same
+    grouped CTE Q2 uses — joined back to the fact on the composite key.
+    That join is fact-vs-groupsized and shares the (partkey) shuffle key
+    with the part join; the '%gear%' LIKE prunes before the wide joins."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
+_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       c.c_acctbal, n.n_name, c.c_mktsegment
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-10-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name, c.c_mktsegment
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_item_reporting", oracle=_Q10)
+def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the quarter's top-20 customers by returned-item
+    revenue. Orders prune on the date range BEFORE joining lineitem
+    (predicate pushdown through the join), returnflag prunes the fact at
+    the scan; the top-20 runs as TakeOrderedAndProject — per-partition
+    heaps, no global sort. custkey tiebreak keeps the cut deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
+_Q11 = """
+WITH value AS (
+  SELECT l.l_partkey AS partkey,
+         sum(l.l_extendedprice * l.l_quantity) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_5'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, round(val, 4) AS val
+FROM value
+WHERE val > (SELECT 0.001 * sum(val) FROM value)
+"""
+
+
+@query("q11_important_stock", oracle=_Q11)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of one
+    nation's traded value (partsupp availqty*supplycost stands in as
+    lineitem price*quantity). The HAVING-style threshold is an
+    UNCORRELATED scalar subquery over the same grouped CTE — Spark plans
+    the CTE once, computes the one-row total, and broadcasts it into the
+    filter; no per-group re-aggregation."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+_Q12 = """
+SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+            THEN 'FAST' ELSE 'SLOW' END AS ship_mode,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = 1997
+GROUP BY CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+              THEN 'FAST' ELSE 'SLOW' END
+"""
+
+
+@query("q12_shipping_mode_priority", oracle=_Q12)
+def q12_shipping_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix by shipping mode. The schema has no
+    shipmode column, so mode derives from delivery speed (shipped within
+    30 days of ordering = FAST) — a cross-table CASE that must be computed
+    post-join, grouped into exactly two rows via conditional sums (the
+    same single-pass pivot pattern as pivot_conditional)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q12)
+
+
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("q16_parts_supplier_count", oracle=_Q16)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute combo,
+    excluding blacklisted suppliers (negative balance stands in for the
+    complaints LIKE). NOT IN over a never-NULL key column plans as a
+    null-aware anti-join against a tiny broadcast set; count(DISTINCT)
+    expands to a two-phase aggregate (dedup shuffle, then count) — both
+    scale linearly in the fact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q16)
+
+
+_Q20 = """
+WITH shipped AS (
+  SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%' AND year(l.l_shipdate) = 1997
+  GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_7', 'NATION_8')
+  AND s.s_suppkey IN (
+    SELECT sh.l_suppkey FROM shipped sh
+    WHERE sh.qty > (SELECT 0.5 * sum(sh2.qty) FROM shipped sh2
+                    WHERE sh2.l_partkey = sh.l_partkey)
+  )
+"""
+
+
+@query("q20_excess_suppliers", oracle=_Q20)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in two nations who dominated a part's
+    1997 shipments (over half the part's total — availqty > 0.5*shipped
+    re-expressed shipment-side, as the fixture has no partsupp). An IN
+    subquery wrapping a CORRELATED scalar subquery over the same CTE:
+    Catalyst decorrelates the inner half-total into a per-partkey
+    aggregate joined back group-vs-group, and the outer IN becomes a
+    left-semi join on suppkey."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20)

@@ -23,22 +23,47 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet INT64 TIMESTAMP(NANOS) which Spark refuses by
-    default (PARQUET_TYPE_ILLEGAL). Read nanos as long, truncate to
-    microseconds, rebuild as TIMESTAMP_NTZ — NTZ keeps every downstream
-    query independent of the (driver-owned) session timezone, matching the
-    DuckDB oracle's naive timestamps. ts_us (bigint epoch micros) is kept
-    for timezone-proof bucket arithmetic."""
+    """Normalize events.ts across driver data generations. Older testdata
+    wrote parquet INT64 TIMESTAMP(NANOS), which Spark refuses by default
+    (PARQUET_TYPE_ILLEGAL) and reads as raw long nanos under
+    nanosAsLong=true; newer testdata writes native timestamp[us], which
+    Spark reads directly as TIMESTAMP_NTZ. Either way the view exposes
+    ts as TIMESTAMP_NTZ — NTZ keeps every downstream query independent of
+    the (driver-owned) session timezone, matching the DuckDB oracle's
+    naive timestamps — plus ts_us (bigint epoch micros) for
+    timezone-proof bucket arithmetic."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # nanos-as-long generation: truncate to micros with integer
+        # division (`/` promotes to double, whose ulp at 1.7e15 is
+        # 0.25us), then rebuild the NTZ timestamp with exact integer
+        # micros arithmetic (make_dt_interval goes through double
+        # seconds and can be off by 1us).
+        return (
+            raw.withColumn("ts_us", F.expr("ts div 1000"))
+            .withColumn(
+                "ts",
+                F.expr("timestampadd(MICROSECOND, ts_us, "
+                       "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn(
+            "ts_us",
+            F.expr("timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"),
+        )
+    # TIMESTAMP_LTZ fallback (inferTimestampNTZ disabled): unix_micros is
+    # exact; rebuild ts as NTZ from the same epoch micros so downstream
+    # plans never depend on the session timezone.
     return (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))  # integer division —
-        # `/` promotes to double, whose ulp at 1.7e15 is 0.25us
+        raw.withColumn("ts_us", F.expr("unix_micros(ts)"))
         .withColumn(
-            # exact integer micros arithmetic — make_dt_interval(…, us/1e6)
-            # goes through double seconds and can be off by 1us
             "ts",
             F.expr("timestampadd(MICROSECOND, ts_us, "
                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"),

@@ -1,0 +1,118 @@
+"""Graph analytics over relational-derived edge lists.
+
+The reference has no graph operators (SURVEY.md §2.5 declared-absent) —
+these extend the engine the same way the connected-components family in
+dedup.py does: the ITERATIVE DataFrame loop is the production shape (one
+keyed equi-join + aggregate per round, the Pregel-on-relational pattern),
+and the unrolled-CTE SQL twin is the declarative oracle the driver can
+hash-check.
+
+PageRank at 100 TB: the edge list is the big table; each iteration is
+  ranks(join on src)edges -> groupBy(dst) sum
+i.e. one shuffle on src + one on dst per iteration. The rank vector is
+node-sized (small side) — Spark broadcasts it against the edge fact, so
+iterations never shuffle the edges twice. Here nodes = 25 nations, edges =
+nation->nation trade flows aggregated from lineitem x orders (the
+aggregation itself is the heavy part and runs once, fact-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+
+_DAMP = 0.85
+_NITER = 3
+
+# nation -> nation trade edges, weight = lineitem count (bigint so both
+# engines aggregate exactly; rank arithmetic is then the only float path).
+_EDGES_SQL = """
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+         count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+"""
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+r1 AS (
+  SELECT nodes.node,
+         (1 - {_DAMP}) / nn.n
+         + {_DAMP} * coalesce(sum(r0.pr * e.w / outw.ow), 0) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r0 ON r0.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node, nn.n
+),
+r2 AS (
+  SELECT nodes.node,
+         (1 - {_DAMP}) / nn.n
+         + {_DAMP} * coalesce(sum(r1.pr * e.w / outw.ow), 0) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r1 ON r1.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node, nn.n
+),
+r3 AS (
+  SELECT nodes.node,
+         (1 - {_DAMP}) / nn.n
+         + {_DAMP} * coalesce(sum(r2.pr * e.w / outw.ow), 0) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r2 ON r2.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node, nn.n
+)
+SELECT node, round(pr, 6) AS pagerank FROM r3
+"""
+
+
+@query("graph_pagerank_nations", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 3 iterations, simplified — no
+    dangling-mass redistribution) over the nation->nation trade graph.
+
+    The Spark side runs the REAL iterative loop: the rank vector joins the
+    (pre-aggregated, normalized) edge list on src and re-aggregates on
+    dst each round. Edge weights are bigint counts so the only floating
+    arithmetic is the rank propagation itself, identical on both engines;
+    the output rounds to 6 digits (rank magnitudes ~1e-2, summands ≤25).
+    Reference analog: the epoch loop shape of driver.java:64-287 — an
+    iterative fixpoint the engine expresses as repeated keyed joins."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    edges = spark.sql(_EDGES_SQL)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # normalized transition weight — computed once, persisted node²-sized
+    trans = (edges.join(outw, "src")
+             .select("src", "dst", (F.col("w") / F.col("ow")).alias("p")))
+    trans.persist()
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node"))
+    n = nodes.count()
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(_NITER):
+        contrib = (trans.join(ranks, trans.src == ranks.node)
+                   .select(trans.dst.alias("node"),
+                           (F.col("pr") * F.col("p")).alias("c")))
+        ranks = (nodes.join(contrib.groupBy("node").agg(F.sum("c").alias("s")),
+                            "node", "left")
+                 .select("node",
+                         (F.lit((1 - _DAMP) / n)
+                          + F.lit(_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                          ).alias("pr")))
+    trans.unpersist()
+    return ranks.select("node", F.round("pr", 6).alias("pagerank"))

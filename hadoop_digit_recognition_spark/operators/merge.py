@@ -1,0 +1,115 @@
+"""Batch MERGE / slowly-changing-dimension maintenance.
+
+The streaming side already has upsert semantics (foreachBatch MERGE into a
+keyed store, streaming/pipeline.py); this module is the BATCH half every
+warehouse needs: apply a change batch to a dimension with full SCD Type 2
+history — close out changed rows, append their new versions, insert
+brand-new keys, pass unchanged rows through.
+
+No Delta/Iceberg in this environment, so the transactional wrapper is out
+of scope — but the PLAN is exactly what those engines run under their
+MERGE INTO: one equi-join of target vs source on the business key, a
+row-level action decision (UPDATE/INSERT/NOOP), and a union of the
+outcomes. At 100 TB: one shuffle on the business key (or zero if the
+dimension is bucketed on it — join_bucketed_colocated shows that path);
+the change batch is typically small enough to broadcast, which Spark picks
+via AQE when it is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+
+# Deterministic change batch derived from the data itself:
+# - RESEGMENT: customers with >= 40 lineitems in 1997 move to segment 'VIP'
+# - INSERT: one new customer per nation, key = 10_000_000 + nationkey
+_UPDATES_SQL = """
+  SELECT c.c_custkey,
+         c.c_name,
+         c.c_acctbal,
+         'VIP' AS c_mktsegment
+  FROM customer c
+  JOIN (SELECT o.o_custkey, count(*) AS n
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE year(o.o_orderdate) = 1997
+        GROUP BY o.o_custkey
+        HAVING count(*) >= 40) b ON b.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment <> 'VIP'
+  UNION ALL
+  SELECT 10000000 + n.n_nationkey AS c_custkey,
+         concat('Customer#NEW_', n.n_name) AS c_name,
+         cast(0.0 AS DOUBLE) AS c_acctbal,
+         'NEW' AS c_mktsegment
+  FROM nation n
+"""
+
+_SCD2_ORACLE = f"""
+WITH updates AS ({_UPDATES_SQL}),
+base AS (
+  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+         '1995-01-01' AS valid_from,
+         CAST(NULL AS VARCHAR) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+)
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+       b.valid_from, b.valid_to, b.is_current
+FROM base b
+WHERE b.c_custkey NOT IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_acctbal, b.c_mktsegment,
+       b.valid_from, '1998-01-01' AS valid_to, FALSE AS is_current
+FROM base b
+WHERE b.c_custkey IN (SELECT c_custkey FROM updates)
+UNION ALL
+SELECT u.c_custkey, u.c_name, u.c_acctbal, u.c_mktsegment,
+       '1998-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+       TRUE AS is_current
+FROM updates u
+"""
+
+
+@query("merge_scd2_dimension", oracle=_SCD2_ORACLE)
+def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 MERGE: apply a derived change batch to the customer
+    dimension, keeping full history. Three row actions, decided by ONE
+    semi/anti-join pair on the business key then unioned:
+
+      unchanged  = target ANTI-join source            (pass-through)
+      closed-out = target SEMI-join source            (valid_to set,
+                                                       is_current false)
+      new rows   = source as-is (updates of existing keys AND inserts of
+                   new keys both become the current version)
+
+    The change batch itself derives deterministically from the fact table
+    (heavy-activity customers re-segmented to VIP, plus one synthetic new
+    customer per nation) so the query needs no out-of-band input.
+    Validity bounds are ISO-date strings (not DATE) so the cross-engine
+    hash comparison is stable for NULL open intervals."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    updates = spark.sql(_UPDATES_SQL)
+    base = (load(spark, sf_dir, "customer")
+            .withColumn("valid_from", F.lit("1995-01-01"))
+            .withColumn("valid_to", F.lit(None).cast("string"))
+            .withColumn("is_current", F.lit(True)))
+
+    keys = updates.select("c_custkey")
+    unchanged = base.join(keys, "c_custkey", "left_anti")
+    closed = (base.join(keys, "c_custkey", "left_semi")
+              .withColumn("valid_to", F.lit("1998-01-01"))
+              .withColumn("is_current", F.lit(False)))
+    fresh = (updates
+             .withColumn("valid_from", F.lit("1998-01-01"))
+             .withColumn("valid_to", F.lit(None).cast("string"))
+             .withColumn("is_current", F.lit(True)))
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            "valid_from", "valid_to", "is_current"]
+    return (unchanged.select(*cols)
+            .unionByName(closed.select(*cols))
+            .unionByName(fresh.select(*cols)))

@@ -1,0 +1,43 @@
+"""Oracle comparison + invariants for graph (PageRank) and batch MERGE
+(SCD2) operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_digit_recognition_spark.all_queries import ORACLE_SQL, SPARK_QUERIES
+from hadoop_digit_recognition_spark.operators import graph, merge  # noqa: F401
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+NAMES = ["graph_pagerank_nations", "merge_scd2_dimension"]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_vs_duckdb(spark, duck, name):
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+
+
+def test_pagerank_invariants(spark):
+    """Ranks are positive, and with every nation having out-edges the
+    total mass stays ~1 (no dangling leakage at this graph density)."""
+    rows = SPARK_QUERIES["graph_pagerank_nations"](spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    total = sum(r.pagerank for r in rows)
+    assert all(r.pagerank > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+
+
+def test_scd2_invariants(spark):
+    """Every business key has exactly one current row; closed rows carry a
+    valid_to; history rows per updated key = 2."""
+    from pyspark.sql import functions as F
+
+    df = SPARK_QUERIES["merge_scd2_dimension"](spark, SF_ORACLE)
+    cur = df.filter("is_current").groupBy("c_custkey").count()
+    assert cur.filter("count <> 1").count() == 0
+    assert df.filter("NOT is_current AND valid_to IS NULL").count() == 0
+    per_key = df.groupBy("c_custkey").agg(F.count("*").alias("n"))
+    assert per_key.filter("n > 2").count() == 0

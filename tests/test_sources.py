@@ -216,3 +216,31 @@ def test_avro_lite_codec_unit(tmp_path):
         assert got[7] == (7, 3.5, "s7", False, bytes([7, 255]))
         assert got[5][0] == -5  # negative zigzag branch
         assert got[9][2] is None
+
+
+def test_events_loader_ts_normalization(spark, duck):
+    """The events loader must expose ts as TIMESTAMP_NTZ with exact epoch
+    micros in ts_us REGARDLESS of the parquet generation (INT64 nanos-as-
+    long in older driver testdata, native timestamp[us] in newer) — and
+    the values must agree with what DuckDB reads from the same file.
+    Regression guard: the round-3 data regeneration switched encodings and
+    broke every events query under the nanos-only assumption."""
+    from pyspark.sql import types as T
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    ev = load(spark, SF_ORACLE, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampNTZType)
+    assert isinstance(ev.schema["ts_us"].dataType, T.LongType)
+    # ts and ts_us must be the same instant
+    bad = ev.filter(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " <> ts_us").count()
+    assert bad == 0
+    # spot-check absolute values against DuckDB's naive read of the file
+    s = {r.event_id: r.ts_us for r in
+         ev.select("event_id", "ts_us").orderBy("event_id").limit(100).collect()}
+    d = dict(duck.execute(
+        f"SELECT event_id, epoch_us(ts) FROM '{SF_ORACLE}/events.parquet' "
+        "ORDER BY event_id LIMIT 100").fetchall())
+    assert s == d

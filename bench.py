@@ -44,6 +44,9 @@ HEADLINE = [
     "streaming_tumbling_append_watermark",
     "pipeline_llm_corpus",
     "sim_knn_graph",
+    "q9_product_type_profit",
+    "merge_scd2_dimension",
+    "graph_pagerank_nations",
 ]
 
 

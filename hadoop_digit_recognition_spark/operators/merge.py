@@ -113,3 +113,47 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unchanged.select(*cols)
             .unionByName(closed.select(*cols))
             .unionByName(fresh.select(*cols)))
+
+
+# Snapshot v2 = v1 with the SCD2 change batch applied as in-place updates
+# (Type 1), one synthetic insert per nation, and deep-debt customers
+# (acctbal < -900) deleted.
+_CDC_ORACLE = f"""
+WITH updates AS ({_UPDATES_SQL}),
+v1 AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+v2 AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+  FROM customer c
+  LEFT JOIN updates u ON u.c_custkey = c.c_custkey
+  WHERE c.c_acctbal >= -900
+  UNION ALL
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM updates
+  WHERE c_custkey >= 10000000
+)
+SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+       CASE WHEN v1.c_custkey IS NULL THEN 'I'
+            WHEN v2.c_custkey IS NULL THEN 'D'
+            ELSE 'U' END AS change_type,
+       v1.c_mktsegment AS old_segment,
+       v2.c_mktsegment AS new_segment
+FROM v1
+FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+WHERE v1.c_custkey IS NULL OR v2.c_custkey IS NULL
+   OR v1.c_mktsegment <> v2.c_mktsegment
+"""
+
+
+@query("cdc_snapshot_diff", oracle=_CDC_ORACLE)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture by snapshot diff: given two versions of a
+    dimension, emit the I/U/D change rows — the batch fallback every
+    pipeline needs when the source has no change log (and the inverse of
+    merge_scd2_dimension, which CONSUMES such a batch). One full outer
+    join on the business key; change classification and the
+    unchanged-row filter are row-local. At 100 TB: a single co-shuffle
+    of the two snapshots on the key (zero exchange if both snapshots are
+    bucketed on it), never a row-by-row compare on the driver."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CDC_ORACLE)

@@ -271,3 +271,82 @@ def runtime_bloom_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 4)
                  .alias("urgent_revenue")))
+
+
+_DPP_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events
+WHERE CAST(ts AS DATE) <
+      CAST((SELECT min(ts) FROM events) AS DATE) + 3
+GROUP BY 1
+"""
+
+
+@query("join_dpp_partitioned", oracle=_DPP_ORACLE)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact is date-partitioned (same
+    layout as partition_pruned_scan), but the date predicate lives on a
+    dimension table — the fact's pruning filter only materializes at
+    runtime from the dim side of the join (Spark reuses the broadcast as
+    `dynamicpruningexpression` in the scan's PartitionFilters — asserted
+    in tests). At 100 TB this is how star-schema date filters skip fact
+    partitions without the user ever touching the partition column."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), "hdr_part", tag)
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        (load(spark, sf_dir, "events")
+         .withColumn("d", F.to_date("ts"))
+         .write.partitionBy("d").mode("overwrite").parquet(base))
+    dim_dir = os.path.join(tempfile.gettempdir(), "hdr_dpp_dim", tag)
+    if not os.path.exists(os.path.join(dim_dir, "_SUCCESS")):
+        ev = load(spark, sf_dir, "events")
+        lo = ev.agg(F.min("ts")).first()[0].date()
+        (ev.select(F.to_date("ts").alias("d")).distinct()
+         .withColumn(
+             "period",
+             F.when(F.col("d") < F.lit(
+                 lo + __import__("datetime").timedelta(days=3)), "early")
+             .otherwise("late"))
+         .write.mode("overwrite").parquet(dim_dir))
+    fact = spark.read.parquet(base)
+    # equality comparison, not a bare boolean column: the PartitionPruning
+    # rule only injects for "likely selective" predicate shapes
+    # (BinaryComparison/In/...), which a lone boolean attribute is not
+    dim = spark.read.parquet(dim_dir).filter(F.col("period") == "early")
+    return (fact.join(dim, "d")
+            .groupBy(F.col("d").cast("string").alias("d"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 6).alias("total")))
+
+
+def bloom_filter_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (InjectRuntimeFilter): a
+    selective filter on one side of a SHUFFLE join gets compiled into a
+    bloom_filter_agg on that side and a might_contain pre-filter on the
+    other — the probe side drops non-matching rows BEFORE the shuffle.
+    At 100 TB this is the difference between shuffling the whole fact
+    and shuffling only the ~selectivity fraction that can join.
+
+    Broadcast joins don't need (or get) the rule, so the demo clones the
+    session (newSession shares the context but not runtime conf) and
+    disables autoBroadcastJoinThreshold to force the shuffle join — the
+    driver-facing registered queries never mutate session conf. Returns
+    the joined aggregate; tests assert bloom_filter_agg/might_contain in
+    the optimized plan and that results match the un-filtered twin."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+                "100MB")
+    o = load(s2, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1997) & (F.col("o_orderpriority") == "1-URGENT"))
+    li = load(s2, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue")))

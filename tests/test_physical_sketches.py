@@ -134,3 +134,43 @@ def test_rollup_reaggregation_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["rollup_reaggregation"](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL["rollup_reaggregation"],
             "rollup_reaggregation")
+
+
+def test_dpp_partitioned_oracle_and_plan(spark, duck):
+    """join_dpp_partitioned matches its oracle AND the fact scan's
+    partition filter is a runtime dynamicpruningexpression (the date
+    predicate arrives via the dim join, not a literal)."""
+    df = SPARK_QUERIES["join_dpp_partitioned"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["join_dpp_partitioned"],
+            "join_dpp_partitioned")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_bloom_filter_join_demo(spark):
+    """The bloom demo's optimized plan carries bloom_filter_agg (creation
+    side) and might_contain (application side), and the result equals the
+    same aggregate computed without the runtime-filter machinery."""
+    from hadoop_digit_recognition_spark.operators.physical import (
+        bloom_filter_join_demo)
+
+    df = bloom_filter_join_demo(spark, SF_ORACLE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bloom_filter_agg" in opt, opt[:3000]
+    assert "might_contain" in opt, opt[:3000]
+    got = {tuple(r) for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+    o = load(spark, SF_ORACLE, "orders").filter(
+        (F.year("o_orderdate") == 1997)
+        & (F.col("o_orderpriority") == "1-URGENT"))
+    li = load(spark, SF_ORACLE, "lineitem")
+    want = {tuple(r) for r in
+            (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 4)
+                  .alias("revenue"))).collect()}
+    assert got == want

@@ -1,0 +1,129 @@
+"""Data-quality validation — expectations-style checks as ONE pass.
+
+A training-data pipeline gates every ingest batch on validation
+(null rates, domain ranges, referential orphans, duplicate keys) before
+anything downstream sees it. The engine form: all row-local checks
+compile into a SINGLE conditional-aggregate scan (one job, no
+per-check passes), cross-table checks (orphans, duplicate keys) each
+add exactly one keyed operation, and the report unpivots into one row
+per check so the gate is a trivial `violations == 0` filter.
+
+At 100 TB: the scan-side checks are free riders on one full scan
+(predicates never leave whole-stage codegen); the orphan check is an
+anti-join on the key it would shuffle for anyway; the duplicate check is
+a keyed count. Nothing collects to the driver but the per-check summary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+from ..tables import load
+
+_DQ_ORACLE = """
+WITH scan AS (
+  SELECT
+    count(*) AS n_rows,
+    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_quantity,
+    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      AS range_quantity,
+    sum(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END)
+      AS range_discount,
+    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+      AS nonpositive_price,
+    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+      AS domain_returnflag,
+    sum(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 0 END)
+      AS stale_shipdate
+  FROM lineitem
+),
+orphans AS (
+  SELECT count(*) AS n FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+),
+dupkeys AS (
+  SELECT count(*) AS n FROM (
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+  )
+)
+SELECT ck.check_name,
+       ck.violations,
+       s.n_rows,
+       round(ck.violations / s.n_rows, 9) AS violation_rate
+FROM scan s CROSS JOIN (
+  SELECT 'null_quantity' AS check_name, null_quantity AS violations FROM scan
+  UNION ALL SELECT 'range_quantity', range_quantity FROM scan
+  UNION ALL SELECT 'range_discount', range_discount FROM scan
+  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM scan
+  UNION ALL SELECT 'domain_returnflag', domain_returnflag FROM scan
+  UNION ALL SELECT 'stale_shipdate', stale_shipdate FROM scan
+  UNION ALL SELECT 'orphan_orderkey', n FROM orphans
+  UNION ALL SELECT 'dup_line_key', n FROM dupkeys
+) ck
+"""
+
+
+@query("dq_validation_summary", oracle=_DQ_ORACLE)
+def dq_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eight expectations over lineitem in TWO aggregates: six row-local
+    checks AND the orphan check fused into one conditional-aggregate scan
+    (the referential probe is a cardinality-preserving left join against
+    the unique orders key), plus one keyed duplicate-key check —
+    unpivoted to a (check_name, violations, n_rows, violation_rate)
+    report. The range_discount bound (0.08) deliberately trips on real
+    rows so the report demonstrably counts, not just zeroes."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+
+    # Orphan detection rides the same scan as the row-local checks: a
+    # LEFT join against the (unique-key) orders side preserves lineitem
+    # cardinality, so ONE aggregate yields n_rows, all six local checks,
+    # and the orphan count — no second pass, no joining of 1-row
+    # summaries (whose constant-key equi-joins would fold to BNLJ).
+    li = li.join(F.broadcast(orders.select("o_orderkey")),
+                 li.l_orderkey == F.col("o_orderkey"), "left")
+
+    scan = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0))
+        .alias("null_quantity"),
+        F.sum(F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+              .otherwise(0)).alias("range_quantity"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.08),
+                     1).otherwise(0)).alias("range_discount"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .alias("nonpositive_price"),
+        F.sum(F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1)
+              .otherwise(0)).alias("domain_returnflag"),
+        F.sum(F.when(F.col("l_shipdate")
+                     < F.lit("1995-01-01").cast("timestamp_ntz"), 1)
+              .otherwise(0)).alias("stale_shipdate"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .alias("orphan_orderkey"),
+    )
+    # duplicate-key check: keyed count, then summarize — carries its own
+    # n_rows (= sum of group counts) so it needs no join back to the scan
+    dup_n = (li.groupBy("l_orderkey", "l_linenumber")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                  .cast("bigint").alias("violations"),
+                  F.sum("c").alias("n_rows"))
+             .withColumn("check_name", F.lit("dup_line_key"))
+             .select("check_name", "violations", "n_rows"))
+
+    checks = ["null_quantity", "range_quantity", "range_discount",
+              "nonpositive_price", "domain_returnflag", "stale_shipdate",
+              "orphan_orderkey"]
+    unpivoted = scan.selectExpr(
+        "n_rows",
+        "stack({}, {}) AS (check_name, violations)".format(
+            len(checks),
+            ", ".join(f"'{c}', {c}" for c in checks)),
+    ).select("check_name", "violations", "n_rows")
+
+    return (unpivoted.unionByName(dup_n)
+            .withColumn("violation_rate",
+                        F.round(F.col("violations") / F.col("n_rows"), 9)))

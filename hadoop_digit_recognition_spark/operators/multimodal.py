@@ -256,3 +256,80 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             }).assign(fmean=lambda d: np.round(d["fsum"] / (FRAME * 255.0), 9))
 
     return mm.mapInPandas(sample_frames, schema)
+
+
+# Audio-shaped geometry: the payload is 8-bit PCM centered at 128; frames
+# of WIN samples, short final frame padded with 128 (digital silence, so
+# padding adds zero energy and no crossings). Energy and zero-crossing
+# sums stay integer -> bit-reproducible in any engine.
+WIN = 64
+_MAX_WIN = 16  # oracle range bound; 16*64 = 1024 bytes > max doc len
+
+
+@query("multimodal_audio_energy", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i // {WIN} AS frame_id, r.i AS i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1)) - 128
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({_MAX_WIN * WIN}) r(i)
+  WHERE (r.i // {WIN}) * {WIN} < octet_length(encode(d.text))
+),
+p2 AS (
+  SELECT doc_id, frame_id, i, v,
+         lead(v) OVER (PARTITION BY doc_id, frame_id ORDER BY i) AS vn
+  FROM px
+)
+SELECT doc_id, frame_id,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(coalesce(sum(CASE WHEN v * vn < 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS zero_crossings
+FROM p2 GROUP BY doc_id, frame_id
+""")
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped feature extraction over opaque binary payloads: treat
+    the payload as 8-bit PCM (samples centered at 128), window into
+    WIN-sample frames, emit per-frame ENERGY (sum of squared deviation)
+    and ZERO-CROSSING count — the two cheapest speech/audio activity
+    features, the standard first pass before any codec or model.
+
+    The decode inside mapInPandas is NumPy frombuffer + reshape; swapping
+    it for soundfile/librosa changes only the UDF body, none of the Spark
+    plumbing. The oracle recomputes every frame relationally
+    (ascii(char)-128 == centered sample on this pure-ASCII corpus,
+    silence-padding as CASE) with a lead() window for crossings — both
+    sums integer-exact in both engines.
+
+    At 100 TB: a NARROW map — no shuffle; output rows carry (doc_id,
+    frame_id, two ints), never the waveform."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+
+    schema = ("doc_id bigint, frame_id bigint, energy bigint, "
+              "zero_crossings bigint")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, en, zc = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                nf = max(1, -(-raw.size // WIN))
+                pad = np.full(nf * WIN, 128, dtype=np.int64)
+                pad[:raw.size] = raw
+                d = (pad - 128).reshape(nf, WIN)
+                ids.extend([did] * nf)
+                fids.extend(range(nf))
+                en.extend((d * d).sum(axis=1).tolist())
+                zc.extend(((d[:, :-1] * d[:, 1:]) < 0).sum(axis=1).tolist())
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_id": np.asarray(fids, dtype=np.int64),
+                "energy": np.asarray(en, dtype=np.int64),
+                "zero_crossings": np.asarray(zc, dtype=np.int64),
+            })
+
+    return mm.mapInPandas(frames, schema)

@@ -31,6 +31,7 @@ LLM_QUERIES = [
     "sim_knn_graph", "sketch_hll_merge_rollup", "dedup_embedding_lsh",
     "dedup_containment", "funnel_conversion", "cohort_retention",
     "streaks_gaps_islands",
+    "multimodal_audio_energy", "dq_validation_summary",
 ]
 
 

@@ -394,3 +394,54 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("user_id")
             .agg(F.array_sort(F.collect_set("event_type")).alias("types"),
                  F.count(F.lit(1)).alias("n")))
+
+
+# RAG-style chunking geometry: WIDTH-word windows advancing by STRIDE
+# (WIDTH - STRIDE words of overlap between consecutive chunks).
+CHUNK_WIDTH, CHUNK_STRIDE = 32, 24
+
+
+@query("text_chunk_sliding", oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents
+)
+SELECT doc_id, r.i AS chunk_id,
+       CAST(least({CHUNK_WIDTH},
+                  len(words) - r.i * {CHUNK_STRIDE}) AS BIGINT) AS n_words,
+       array_to_string(
+         words[r.i * {CHUNK_STRIDE} + 1 :
+               r.i * {CHUNK_STRIDE} + {CHUNK_WIDTH}], ' ') AS chunk
+FROM w CROSS JOIN range(64) r(i)
+WHERE r.i * {CHUNK_STRIDE} < len(words)
+""")
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the standard RAG/embedding
+    pre-processing step: WIDTH-word chunks advancing by STRIDE words
+    (overlap keeps sentences that straddle a boundary retrievable).
+
+    Pure JVM expressions: split once, then transform over a sequence of
+    chunk starts with slice + array_join — a NARROW per-document map, no
+    shuffle, no UDF. Chunk ids are per-document ordinals so downstream
+    embedding jobs can key (doc_id, chunk_id) without a window function.
+    At 100 TB: chunking multiplies rows by ~len/STRIDE but each output
+    row carries only its own text; the explode is pipelined inside the
+    same stage as the scan."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((n - F.lit(1)) / F.lit(CHUNK_STRIDE)).cast("int"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.least(F.lit(CHUNK_WIDTH),
+                    n - i * F.lit(CHUNK_STRIDE)).cast("bigint")
+            .alias("n_words"),
+            F.array_join(
+                F.slice(words, i * F.lit(CHUNK_STRIDE) + F.lit(1),
+                        F.lit(CHUNK_WIDTH)), " ").alias("chunk")))
+    return (docs.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id", "c.chunk_id", "c.n_words", "c.chunk"))

@@ -197,3 +197,37 @@ def streaming_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFram
           .dropDuplicates(["event_id"]))
     agg = dd.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     return run_to_memory(agg, "complete")
+
+
+@query("streaming_static_join", oracle="""
+SELECT n.n_name, e.event_type, count(*) AS n, round(sum(e.value), 6) AS total
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id + 1
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, e.event_type
+""")
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the most common production
+    streaming join: each micro-batch of the event stream joins the
+    STATIC customer->nation dimension (no watermark needed on the static
+    side; Spark re-plans it per trigger, broadcasting the small dim),
+    then feeds a complete-mode aggregate per (nation, event_type).
+
+    At 100 TB of stream: the static side is dimension-sized and
+    broadcast, so enrichment adds zero shuffle to the stream path; only
+    the final keyed aggregate shuffles, and its state is group-count-
+    bounded. Unified-API parity: the sink equals the batch join+agg
+    (the oracle) exactly."""
+    from ..tables import load
+
+    ev = events_stream(spark, sf_dir)
+    dim = (load(spark, sf_dir, "customer")
+           .join(load(spark, sf_dir, "nation"),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .select(F.col("c_custkey"), F.col("n_name")))
+    enriched = ev.join(F.broadcast(dim),
+                       ev.user_id + 1 == F.col("c_custkey"))
+    agg = (enriched.groupBy("n_name", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("total")))
+    return run_to_memory(agg, "complete")

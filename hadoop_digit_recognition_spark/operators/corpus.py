@@ -253,3 +253,43 @@ def graph_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.round(F.max("quality"), 6).alias("best_quality"),
                  F.round(F.min("quality"), 6).alias("worst_quality")))
+
+
+@query("corpus_balanced_sample", oracle="""
+WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+thr AS (
+  SELECT lang, ((SELECT min(c) FROM counts) * 1000000) // c AS keep_ppm
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN thr ON thr.lang = d.lang
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % 1000000 < thr.keep_ppm
+""")
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus downsampling — the rebalancing step of a
+    multilingual training-data pipeline: each language keeps a
+    content-hash Bernoulli sample at rate min_count/count_lang (ppm
+    integer arithmetic so both engines compute the identical threshold),
+    equalizing expected per-language volume to the smallest language.
+
+    One keyed aggregate for the per-language counts (language-count-sized
+    — a global min over it is a ~5-row single-partition window, not a
+    scan-side bottleneck), broadcast back as thresholds; the sample
+    itself is the same det_hash64 filter as sample_deterministic —
+    partition-invariant, engine-invariant, reproducible across reruns.
+    At 100 TB: one narrow filtered pass + one tiny broadcast; no global
+    shuffle of the corpus."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    thr = (counts
+           .withColumn("t", F.min("c").over(W.partitionBy(F.lit(1))))
+           .withColumn("keep_ppm", F.expr("t * 1000000 div c"))
+           .select("lang", "keep_ppm"))
+    return (docs.join(F.broadcast(thr), "lang")
+            .filter(det_hash64(F.col("doc_id").cast("string")) % 1000000
+                    < F.col("keep_ppm"))
+            .select("doc_id", "lang"))

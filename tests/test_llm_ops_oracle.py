@@ -32,7 +32,7 @@ LLM_QUERIES = [
     "dedup_containment", "funnel_conversion", "cohort_retention",
     "streaks_gaps_islands",
     "multimodal_audio_energy", "dq_validation_summary",
-    "text_chunk_sliding",
+    "text_chunk_sliding", "corpus_balanced_sample",
 ]
 
 

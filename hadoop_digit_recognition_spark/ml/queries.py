@@ -127,3 +127,101 @@ def ml_mlp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = deterministic_split(emb)
     model = fit_mlp(train, layers=[64, 32, 10])
     return per_label_accuracy(model.transform(test))
+
+
+_KMEANS_K = 8
+
+_KMEANS_ORACLE = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS x FROM embeddings),
+seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {_KMEANS_K}),
+d1 AS (SELECT e.vec_id, s.cid, sum((e.x - s.x) * (e.x - s.x)) AS d2
+       FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cid, e.i, avg(e.x) AS x
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.i),
+d2_ AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d2
+        FROM e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM d2_) WHERE rn = 1),
+c2 AS (SELECT a2.cid, e.i, avg(e.x) AS x
+       FROM a2 JOIN e USING (vec_id) GROUP BY a2.cid, e.i)
+SELECT cnt.cid AS cluster, cnt.n, round(n2.norm2, 6) AS norm2
+FROM (SELECT cid, count(*)::BIGINT AS n FROM a2 GROUP BY cid) cnt
+JOIN (SELECT cid, sum(x * x) AS norm2 FROM c2 GROUP BY cid) n2
+  USING (cid)
+"""
+
+
+def _kmeans_assign(df, centroids: dict) -> "DataFrame":
+    """Assign each vector to its nearest centroid — centroids are folded
+    in as array LITERALS (k x dim doubles, weight-matrix-sized driver
+    state, same budget rule as ml_centroid_classifier), so assignment is
+    one narrow whole-stage-codegen pass: zip_with squared-diff +
+    sequential aggregate per centroid, array_min over (distance, cid)
+    structs for the deterministic smallest-cid-tiebreak argmin."""
+    v = F.col("embedding").cast("array<double>")
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda acc, y: acc + y).alias("d"),
+            F.lit(cid).cast("bigint").alias("cid"))
+        for cid, cvec in sorted(centroids.items())
+    ])
+    return df.withColumn("cid", F.array_min(cands)["cid"])
+
+
+@query("ml_kmeans_lloyd_2iter", oracle=_KMEANS_ORACLE)
+def ml_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, 2 full iterations, ORACLE-EXACT — upgrades the
+    engine's clustering story beyond the rows-only MLlib KMeans inside
+    sim_ivf_topk. Deterministic seeding (first k vectors), then per
+    iteration: literal-folded centroid assignment (narrow, no shuffle)
+    and a posexplode + groupBy(cid, dim) mean for the update — the
+    shuffle carries k x dims rows regardless of input size, exactly the
+    RBM gradient-shuffle shape. The oracle replays both iterations
+    relationally; row_number tie-breaks mirror the array_min struct
+    ordering. Output: per-cluster size + rounded centroid norm.
+
+    At 100 TB: each iteration = one narrow scored pass + one
+    k*dims-wide aggregate; centroids (k x dims doubles) are the only
+    driver state. More iterations = same plan repeated; 2 are enough to
+    exercise assign->update->reassign against the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i", "x"))
+
+    seeds = {r["vec_id"]: list(r["embedding"])
+             for r in emb.filter(F.col("vec_id") < _KMEANS_K)
+             .select("vec_id", F.col("embedding").cast("array<double>")
+                     .alias("embedding")).collect()}
+
+    cents = seeds
+    assigned = None
+    for _ in range(2):
+        assigned = _kmeans_assign(emb, cents).select("vec_id", "cid")
+        cent_rows = (assigned.join(exploded, "vec_id")
+                     .groupBy("cid", "i").agg(F.avg("x").alias("x"))
+                     .collect())
+        new_cents: dict = {}
+        dim = len(next(iter(cents.values())))
+        for r in cent_rows:
+            new_cents.setdefault(r["cid"], [0.0] * dim)[r["i"]] = r["x"]
+        cents = new_cents
+
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    norms = spark.createDataFrame(
+        [(int(cid), float(sum(x * x for x in vec)))
+         for cid, vec in sorted(cents.items())],
+        "cid bigint, norm2 double")
+    return (counts.join(F.broadcast(norms), "cid")
+            .select(F.col("cid").alias("cluster"), "n",
+                    F.round("norm2", 6).alias("norm2")))

@@ -79,3 +79,19 @@ def test_mllib_brp_recall_vs_exact(spark):
         got.setdefault(r["qid"], set()).add(r["cid"])
     recalls = [len(ex[q] & got.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
+def test_ml_kmeans_lloyd_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["ml_kmeans_lloyd_2iter"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["ml_kmeans_lloyd_2iter"],
+            "ml_kmeans_lloyd_2iter")
+
+
+def test_ml_kmeans_partitions_all_vectors(spark):
+    """Cluster sizes sum to the corpus and every cluster is non-empty
+    (seeding from real vectors guarantees each seed owns itself)."""
+    rows = SPARK_QUERIES["ml_kmeans_lloyd_2iter"](spark, SF_ORACLE).collect()
+    from hadoop_digit_recognition_spark.tables import load
+    total = load(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n for r in rows) == total
+    assert all(r.n > 0 for r in rows)

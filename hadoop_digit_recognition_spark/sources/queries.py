@@ -399,3 +399,59 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("value"), 6).alias("total"),
                  F.sum("user_id").cast("bigint").alias("uid_sum")))
+
+
+@query("source_binaryfile_ingest", oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS sig
+FROM documents
+WHERE doc_id % 10 = 3
+""")
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingestion via the `binaryFile` format — the front door
+    of every multimodal pipeline (images/audio arrive as FILES, not
+    rows). A 10% document slice is emitted as one .bin file each by a
+    mapInPandas pass (EXECUTOR-side file writes, partition-parallel — no
+    driver collect), then read back with
+    spark.read.format('binaryFile') + pathGlobFilter; doc ids recover
+    from filenames, payloads checksum with JVM-side md5.
+
+    At 100 TB: binaryFile scans parallelize per file; tasks carry
+    (path, length, content) so maxPartitionBytes bounds memory, and the
+    glob filter prunes at listing time. The oracle never touches the
+    filesystem — it recomputes length+md5 from the source table, so the
+    file sink+scan pair is what is actually under test."""
+    import uuid as _uuid
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    stage = os.path.join(tempfile.gettempdir(), "hdr_binfiles", tag)
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").filter("doc_id % 10 = 3")
+
+        def write_files(batches):
+            import pandas as pd
+            for pdf in batches:
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    tmp = os.path.join(stage, f".{did}.{_uuid.uuid4().hex}")
+                    with open(tmp, "wb") as f:
+                        f.write(txt.encode("utf-8"))
+                    os.replace(tmp, os.path.join(stage, f"{did}.bin"))
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        from ..shipping import ensure_shipped
+        ensure_shipped(spark)
+        docs.select("doc_id", "text").mapInPandas(
+            write_files, "n bigint").agg(F.sum("n")).collect()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    binf = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin").load(stage))
+    return binf.select(
+        F.regexp_extract(F.col("path"), r"/(\d+)\.bin$", 1)
+        .cast("bigint").alias("doc_id"),
+        F.col("length").alias("byte_len"),
+        F.md5("content").alias("sig"))

@@ -156,3 +156,27 @@ def test_frame_sample_matches_numpy_reference(spark, payloads):
             seg = raw[k * FRAME:(k + 1) * FRAME].astype(np.int64)
             expect[(i, k)] = int(seg.sum())
     assert got == expect
+
+
+@given(st.lists(st.text(alphabet="abcde ", min_size=1, max_size=12),
+                min_size=1, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_chunking_covers_and_overlaps(words):
+    """Model check of the chunking geometry used by text_chunk_sliding:
+    strides tile every word index, consecutive chunks overlap by
+    WIDTH - STRIDE (when a next chunk exists), and chunk word counts
+    match the least(WIDTH, remaining) rule."""
+    from hadoop_digit_recognition_spark.operators.text import (
+        CHUNK_STRIDE, CHUNK_WIDTH)
+
+    n = len(words)
+    starts = list(range(0, n, CHUNK_STRIDE))
+    chunks = [words[s:s + CHUNK_WIDTH] for s in starts]
+    covered = set()
+    for s, c in zip(starts, chunks):
+        assert len(c) == min(CHUNK_WIDTH, n - s)
+        covered.update(range(s, s + len(c)))
+    assert covered == set(range(n))
+    for k in range(len(starts) - 1):
+        overlap = (starts[k] + len(chunks[k])) - starts[k + 1]
+        assert overlap == min(CHUNK_WIDTH, n - starts[k]) - CHUNK_STRIDE

@@ -244,3 +244,9 @@ def test_events_loader_ts_normalization(spark, duck):
         f"SELECT event_id, epoch_us(ts) FROM '{SF_ORACLE}/events.parquet' "
         "ORDER BY event_id LIMIT 100").fetchall())
     assert s == d
+
+
+def test_binaryfile_ingest_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["source_binaryfile_ingest"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["source_binaryfile_ingest"],
+            "source_binaryfile_ingest")

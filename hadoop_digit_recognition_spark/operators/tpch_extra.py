@@ -117,9 +117,16 @@ SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
-  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
-                      WHERE l2.l_partkey = l.l_partkey)
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      JOIN part p2 ON p2.p_partkey = l2.l_partkey
+                      WHERE l2.l_partkey = l.l_partkey
+                        AND p2.p_brand = 'Brand#3')
 """
+# p2.p_brand pre-filters the decorrelated per-partkey average to the only
+# partkeys the outer query probes (Brand#3) — same semi-join-into-aggregate
+# pushdown as Q9's cost CTE; results are identical because the correlation
+# key restricts to those partkeys anyway.
 
 
 @query("q17_small_quantity_revenue", oracle=_Q17)
@@ -283,10 +290,12 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q9 = """
 WITH cost AS (
-  SELECT l_partkey, l_suppkey,
-         min(l_extendedprice / l_quantity) AS unit_cost
-  FROM lineitem WHERE l_quantity > 0
-  GROUP BY l_partkey, l_suppkey
+  SELECT l.l_partkey, l.l_suppkey,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%gear%' AND l.l_quantity > 0
+  GROUP BY l.l_partkey, l.l_suppkey
 )
 SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
 FROM (
@@ -303,6 +312,10 @@ FROM (
 ) profit
 GROUP BY nation, o_year
 """
+# The cost CTE pre-joins the part filter: only '%gear%' partkeys are ever
+# probed downstream, so restricting the aggregate is semantically free but
+# shrinks the heaviest shuffle ~40x — the semi-join-into-aggregate
+# pushdown Catalyst cannot infer across the CTE boundary itself.
 
 
 @query("q9_product_type_profit", oracle=_Q9)

@@ -16,6 +16,7 @@ is enumerable and with partitioning perturbations where it is not.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -28,7 +29,7 @@ from hadoop_digit_recognition_spark.rbm.cd1 import (
 )
 from hadoop_digit_recognition_spark.rbm.trainer import RBMTrainer
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 
 @given(st.lists(st.integers(0, 255), min_size=1, max_size=64))
@@ -180,3 +181,26 @@ def test_chunking_covers_and_overlaps(words):
     for k in range(len(starts) - 1):
         overlap = (starts[k] + len(chunks[k])) - starts[k + 1]
         assert overlap == min(CHUNK_WIDTH, n - starts[k]) - CHUNK_STRIDE
+
+
+@pytest.mark.parametrize("name", [
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "corpus_balanced_sample",
+])
+def test_result_invariant_to_shuffle_width(spark, name):
+    """Engine-wide analog of the A4 invariant: results of hash-keyed and
+    iterative operators must not depend on spark.sql.shuffle.partitions.
+    Runs each query under two widths and compares full sorted row sets."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    def rows_at(width):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            df = SPARK_QUERIES[name](spark, SF_ORACLE)
+            return sorted(tuple(str(c) for c in r) for r in df.collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert rows_at(5) == rows_at(32)

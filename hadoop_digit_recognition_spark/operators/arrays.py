@@ -251,3 +251,34 @@ def arr_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.slice(F.split("text", " "), 1, 2))
     return (docs.select("doc_id", w.alias("w"))
             .select("doc_id", F.explode_outer("w").alias("word")))
+
+
+@query("arr_higher_order_funcs", oracle=f"""
+WITH v AS ({_V64})
+SELECT vec_id,
+       CAST(count(CASE WHEN x > 0 THEN 1 END) AS BIGINT) AS n_pos,
+       CAST(max(CASE WHEN x > 2.5 THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS any_big,
+       CAST(min(CASE WHEN x > -10 THEN 1 ELSE 0 END) AS BOOLEAN)
+         AS all_gt_neg10,
+       round(sum(CASE WHEN x > 0 THEN x * x ELSE 0 END), 6)
+         AS pos_sq_sum
+FROM v GROUP BY vec_id
+""")
+def arr_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface in one pass: `filter` (keep
+    positives), `exists` (any element > 2.5), `forall` (all > -10), and
+    `aggregate` over the filtered array (sum of squares) — all JVM
+    lambda expressions inside whole-stage codegen, zero UDFs. The oracle
+    states each as a conditional aggregate over the exploded vector —
+    the relational semantics the lambda forms must reproduce."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    pos = F.filter(v, lambda x: x > 0)
+    return emb.select(
+        "vec_id",
+        F.size(pos).cast("bigint").alias("n_pos"),
+        F.exists(v, lambda x: x > 2.5).alias("any_big"),
+        F.forall(v, lambda x: x > -10).alias("all_gt_neg10"),
+        F.round(F.aggregate(pos, F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("pos_sq_sum"))

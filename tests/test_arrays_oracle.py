@@ -12,6 +12,7 @@ ARRAY_QUERIES = [
     "arr_normalize", "arr_sigmoid", "arr_quantize", "arr_posexplode",
     "arr_concat_ws", "vec_self_dot", "vec_zip_ops", "arr_stats", "gemm_sql",
     "matrix_transpose_sql", "matrix_reshape_colpacked", "arr_explode_outer",
+    "arr_higher_order_funcs",
 ]
 
 

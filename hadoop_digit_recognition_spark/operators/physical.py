@@ -350,3 +350,26 @@ def bloom_filter_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                  .alias("revenue")))
+
+
+@query("join_hint_shuffle_hash", oracle="""
+SELECT o.o_orderstatus, count(*) AS n,
+       round(sum(l.l_extendedprice), 4) AS total
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""")
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT control: the same fact-fact join Catalyst would
+    plan as broadcast (small side under the threshold at test SF) or
+    sort-merge, forced to SHUFFLED HASH via .hint('shuffle_hash') —
+    plan-asserted in tests. The knob that matters at 100 TB: when the
+    build side fits executor memory per partition but not in a
+    broadcast, shuffled-hash skips both the broadcast AND the sort-merge
+    sort phases. Results are strategy-invariant (the oracle doesn't know
+    or care which join ran)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("total")))

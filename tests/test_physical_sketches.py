@@ -174,3 +174,13 @@ def test_bloom_filter_join_demo(spark):
                                 * (1 - F.col("l_discount"))), 4)
                   .alias("revenue"))).collect()}
     assert got == want
+
+
+def test_join_hint_shuffle_hash(spark, duck):
+    """Hint must force ShuffledHashJoin (not BHJ/SMJ) and results must
+    match the strategy-agnostic oracle."""
+    df = SPARK_QUERIES["join_hint_shuffle_hash"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["join_hint_shuffle_hash"],
+            "join_hint_shuffle_hash")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]

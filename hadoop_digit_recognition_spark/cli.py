@@ -27,8 +27,40 @@ import sys
 from pyspark.sql import functions as F
 
 
+def _run_query(argv: list[str]) -> int:
+    """`run <query_name> <sf_dir> [out_dir]`: execute any registered
+    engine query against a testdata directory; print rows (default) or
+    write parquet. `run --list` enumerates the registry."""
+    from .all_queries import SPARK_QUERIES
+    from .session import get_spark
+
+    if not argv or argv[0] in ("--list", "-l"):
+        for name in sorted(SPARK_QUERIES):
+            print(name)
+        return 0
+    name = argv[0]
+    if name not in SPARK_QUERIES:
+        print(f"unknown query {name!r}; `run --list` shows all "
+              f"{len(SPARK_QUERIES)} registered queries", file=sys.stderr)
+        return 2
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("hdr-cli-run")
+    df = SPARK_QUERIES[name](spark, sf_dir)
+    if len(argv) > 2:
+        df.write.mode("overwrite").parquet(argv[2])
+        print(f"wrote {argv[2]}")
+    else:
+        df.show(50, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "run":
+        # engine extension: generic query runner (`run --list`, `run
+        # <name> <sf_dir> [out]`); the bare positional form below keeps
+        # exact reference-driver parity
+        return _run_query(argv[1:])
     if len(argv) < 5:
         print(__doc__)
         return 2

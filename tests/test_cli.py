@@ -31,3 +31,23 @@ def test_cli_end_to_end(spark):
 def test_cli_bad_args():
     assert main([]) == 2
     assert main(["in", "out", "1", "3", "64"]) == 2  # missing layer sizes
+
+
+def test_cli_run_list_and_query(tmp_path, capsys):
+    """`run --list` enumerates the registry; `run <name> <sf> <out>`
+    writes the query result as parquet."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.cli import main
+
+    assert main(["run", "--list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert set(out) == set(SPARK_QUERIES)
+
+    dest = str(tmp_path / "q1_out.parquet")
+    assert main(["run", "q1_pricing_summary",
+                 "/root/testdata/sf0.001", dest]) == 0
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM '{dest}/*.parquet'").fetchone()[0]
+    assert n > 0
+
+    assert main(["run", "nope_not_a_query"]) == 2

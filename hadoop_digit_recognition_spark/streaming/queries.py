@@ -231,3 +231,57 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n"),
                 F.round(F.sum("value"), 6).alias("total")))
     return run_to_memory(agg, "complete")
+
+
+@query("streaming_stream_stream_left_outer", oracle="""
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c),
+                    (SELECT max(ts) FROM p)) AS m)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+UNION ALL
+SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour')
+  AND c.ts + INTERVAL '1 hour' <= wm.m - INTERVAL '2 hours'
+""")
+def streaming_stream_stream_left_outer(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics inner joins can't
+    give: matched rows emit as matches arrive, while an UNMATCHED click
+    emits (null purchase) only once the watermark proves no purchase can
+    still arrive in its 1-hour window. The oracle states exactly that:
+    the inner interval join UNION ALL the anti-joined clicks whose
+    windows the final GLOBAL watermark has closed — and global means the
+    MIN across both watermarked branches (least of the two branch
+    maxima, minus the 2h delay), Spark's multi-input watermark rule;
+    clicks near stream end stay buffered, correctly unemitted.
+
+    At 100 TB: the outer side's state is bounded by the same watermark
+    eviction as the inner join's; without the event-time range the state
+    would grow without bound and the outer join would be inexpressible."""
+    ev = events_stream(spark, sf_dir, n_files=4)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", "2 hours"))
+    j = clicks.join(
+        purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer")
+    out = run_to_memory(j, "append")
+    return out.select(F.col("click_id"), F.col("purchase_id"),
+                      F.col("c_user").alias("user_id"))

@@ -23,6 +23,14 @@ column (partkey/orderkey/custkey/suppkey) — shuffle-partitioned,
 AQE-coalesced; the grouped CTEs (cost, lat, revenue) pre-aggregate
 before joining so the join inputs are group-count-sized, not
 row-count-sized.
+
+CTE-recompute caveat: Spark does not materialize CTEs, so a CTE
+referenced k times scans its inputs k times (no ReusedExchange across
+differing consumers). Q21 hit this hardest (3 consumers) and its Spark
+side is rewritten as a single-pass per-order aggregate; Q2/Q15/Q20
+(2 consumers each, <1.7s at sf0.1) keep the declarative form — apply
+the same rewrite (compute the CTE once, fold existence tests into
+counts, or persist it) when the CTE recompute dominates at larger SF.
 """
 
 from __future__ import annotations

@@ -245,3 +245,61 @@ def run_foreachbatch_upsert(agg: DataFrame, key_col: str, val_col: str,
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(ckpt, ignore_errors=True)  # per-run dir, never reused
     return state
+
+
+def run_upsert_with_restart(spark: SparkSession, sf_dir: str,
+                            key_col: str = "user_id",
+                            timeout_sec: int = 120) -> dict:
+    """Exactly-once RECOVERY across a query restart: half the chunk files
+    arrive, a foreachBatch-upsert query drains them and STOPS; the rest
+    arrive; a SECOND query starts from the SAME checkpoint and processes
+    only the new files (source offsets) on top of restored aggregation
+    state (state store). The upsert store accumulates across both runs —
+    final contents must equal the batch aggregate over ALL events, which
+    is exactly the recovery guarantee a production pipeline relies on.
+
+    Mechanics that make it deterministic: the staged chunks are
+    time-ordered and file-listed; run 1 sees chunks 0-3 only (copied into
+    a fresh arrival dir), run 2 sees all 8; both runs trigger
+    availableNow so each drains precisely what has arrived."""
+    staged = stage_events_dir(spark, sf_dir, 8)
+    chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    arrive = os.path.join(tempfile.gettempdir(), "hdr_restart",
+                          f"a_{uuid.uuid4().hex[:12]}")
+    ckpt = os.path.join(tempfile.gettempdir(), "hdr_restart",
+                        f"c_{uuid.uuid4().hex[:12]}")
+    os.makedirs(arrive, exist_ok=True)
+    state: dict = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.collect():
+            state[r[key_col]] = r["n"]
+
+    def one_run():
+        raw = (spark.readStream.schema(_STAGE_SCHEMA)
+               .option("maxFilesPerTrigger", 2).parquet(arrive))
+        agg = raw.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+        q = (agg.writeStream.outputMode("update").foreachBatch(upsert)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(f"restart-recovery run did not drain "
+                                   f"within {timeout_sec}s")
+        finally:
+            q.stop()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for f in chunks[:4]:
+            shutil.copy2(os.path.join(staged, f), os.path.join(arrive, f))
+        one_run()  # run 1: first half, then the query STOPS
+        for f in chunks[4:]:
+            shutil.copy2(os.path.join(staged, f), os.path.join(arrive, f))
+        one_run()  # run 2: same checkpoint — only new files, restored state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(arrive, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return state

@@ -285,3 +285,25 @@ def streaming_stream_stream_left_outer(spark: SparkSession,
     out = run_to_memory(j, "append")
     return out.select(F.col("click_id"), F.col("purchase_id"),
                       F.col("c_user").alias("user_id"))
+
+
+@query("streaming_restart_recovery", oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+""")
+def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery across a query RESTART: half the input arrives
+    and is drained by one foreachBatch-upsert query; the query stops; the
+    rest arrives; a new query resumes from the same checkpoint — source
+    offsets skip the already-processed files and the state store restores
+    the running counts. The accumulated upsert store must equal the batch
+    aggregate over all events (the oracle): Structured Streaming's
+    end-to-end exactly-once contract, demonstrated rather than assumed.
+    At 100 TB this is THE operational property: executors die and
+    queries restart; totals must not drift."""
+    from .pipeline import run_upsert_with_restart
+
+    state = run_upsert_with_restart(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted((int(k), int(v)) for k, v in state.items()),
+        "user_id bigint, n bigint")

@@ -944,3 +944,43 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = inter / F.least("na", "nb")
     return (pairs.filter(cont >= CONTAINMENT_THRESHOLD)
             .select("doc_a", "doc_b", F.round(cont, 6).alias("containment")))
+
+
+@query("graph_triangle_count", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+tri AS (
+  SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+FROM (SELECT u AS doc_id FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri)
+GROUP BY doc_id
+""")
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the near-dup pair graph —
+    the standard density/clustering-coefficient signal (a doc in many
+    triangles sits in a tight duplicate clique; a bridge doc in none).
+
+    The ordered-edge trick makes it ONE pass of two self-equi-joins:
+    edges are canonical (doc_a < doc_b), so joining e1(u,v)-e2(v,w)
+    enumerates each candidate wedge once with u<v<w, and the e3(u,w)
+    probe closes it — no triangle is counted twice, no orientation
+    dedup needed. At 100 TB: both joins key on a doc id (shuffle or
+    broadcast by AQE); cost is sum of wedge counts (Σ deg²), the
+    standard distributed triangle bound — and the input here is already
+    the LSH-banded candidate graph, orders of magnitude sparser than
+    the corpus. Reuses the shared memoized signature pass."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e2 = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
+    e3 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    nodes = (tri.select(F.col("u").alias("doc_id"))
+             .unionAll(tri.select(F.col("v").alias("doc_id")))
+             .unionAll(tri.select(F.col("w").alias("doc_id"))))
+    return nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"))

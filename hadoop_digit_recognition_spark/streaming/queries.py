@@ -307,3 +307,58 @@ def streaming_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted((int(k), int(v)) for k, v in state.items()),
         "user_id bigint, n bigint")
+
+
+@query("streaming_stream_stream_full_outer", oracle="""
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(ts) FROM c),
+                    (SELECT max(ts) FROM p)) AS m)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM c JOIN p ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour'
+UNION ALL
+SELECT c.event_id, CAST(NULL AS BIGINT)
+FROM c, wm
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                    AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour')
+  AND c.ts + INTERVAL '1 hour' <= wm.m - INTERVAL '2 hours'
+UNION ALL
+SELECT CAST(NULL AS BIGINT), p.event_id
+FROM p, wm
+WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                    AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '1 hour')
+  AND p.ts <= wm.m - INTERVAL '2 hours'
+""")
+def streaming_stream_stream_full_outer(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: both sides emit watermark-gated
+    nulls. The two null boundaries are ASYMMETRIC, and the oracle states
+    each exactly: an unmatched click waits for its whole 1-hour window
+    to close (c_ts + 1h <= watermark) because a purchase could still
+    arrive anywhere in it; an unmatched purchase only waits for its own
+    event time to pass (p_ts <= watermark) because any click it could
+    match is in the PAST (p_ts >= c_ts). Late-edge rows on either side
+    stay buffered, correctly unemitted — same global-watermark (min of
+    branch maxima) rule as the left-outer twin."""
+    ev = events_stream(spark, sf_dir, n_files=4)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"))
+              .withWatermark("c_ts", "2 hours"))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("event_id").alias("purchase_id"),
+                     F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("p_ts"))
+             .withWatermark("p_ts", "2 hours"))
+    j = clicks.join(
+        purch,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer")
+    out = run_to_memory(j, "append")
+    return out.select("click_id", "purchase_id")

@@ -22,6 +22,7 @@ STREAMING_QUERIES = [
     "streaming_static_join",
     "streaming_stream_stream_left_outer",
     "streaming_restart_recovery",
+    "streaming_stream_stream_full_outer",
 ]
 
 

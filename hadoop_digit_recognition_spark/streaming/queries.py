@@ -185,8 +185,12 @@ def streaming_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFram
     every event pipeline runs (Kafka redelivery, producer retries). The
     staged source replays each event once and a planted duplicate of
     every 10th event is unioned in, so the operator provably drops
-    something; the watermark bounds the dedup state (ids older than the
-    delay are evicted — without it state grows with the stream).
+    something. State boundedness: plain dropDuplicates(["event_id"])
+    would keep every id FOREVER despite the watermark (eviction only
+    applies when the event-time column is part of the dedup key);
+    dropDuplicatesWithinWatermark is the form that evicts ids once the
+    watermark passes their first-seen time — the only shape whose state
+    is bounded at 100 TB when the business key carries no timestamp.
     Oracle: per-user counts of DISTINCT event ids."""
     from .pipeline import run_to_memory
 
@@ -194,7 +198,7 @@ def streaming_dedup_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFram
     dup = ev.filter(F.col("event_id") % 10 == 0)  # planted redelivery
     dd = (ev.unionByName(dup)
           .withWatermark("ts", "2 hours")
-          .dropDuplicates(["event_id"]))
+          .dropDuplicatesWithinWatermark(["event_id"]))
     agg = dd.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     return run_to_memory(agg, "complete")
 

@@ -38,7 +38,8 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Persist lineitem+orders bucketed and sorted by orderkey (external
     tables under /tmp so the driver's cwd stays untouched). Idempotent per
     (session, sf)."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "lineitem", "orders")
     li, orders = f"li_bkt_{tag}", f"ord_bkt_{tag}"
     base = os.path.join(tempfile.gettempdir(), "hdr_bucketed", tag)
     if not spark.catalog.tableExists(li):
@@ -189,7 +190,8 @@ def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     directories (PartitionFilters in the scan — asserted in tests). At
     100 TB this is the first and cheapest data-skipping layer: pruning
     happens at file listing, before any I/O."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "events")
     base = os.path.join(tempfile.gettempdir(), "hdr_part", tag)
     marker = os.path.join(base, "_SUCCESS")
     if not os.path.exists(marker):
@@ -292,7 +294,8 @@ def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dynamicpruningexpression` in the scan's PartitionFilters — asserted
     in tests). At 100 TB this is how star-schema date filters skip fact
     partitions without the user ever touching the partition column."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "events")
     base = os.path.join(tempfile.gettempdir(), "hdr_part", tag)
     if not os.path.exists(os.path.join(base, "_SUCCESS")):
         (load(spark, sf_dir, "events")

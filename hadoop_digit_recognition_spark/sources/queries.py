@@ -147,7 +147,8 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewriting ~1/365th of a table and rewriting the table.
     Untouched-partition file identity is asserted in
     tests/test_sources.py."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "events")
     stage = os.path.join(tempfile.gettempdir(), "hdr_pof_stage", tag)
     ev = (load(spark, sf_dir, "events")
           .select("event_id", "ts_us", "value",
@@ -424,7 +425,8 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     file sink+scan pair is what is actually under test."""
     import uuid as _uuid
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "documents")
     stage = os.path.join(tempfile.gettempdir(), "hdr_binfiles", tag)
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):

@@ -56,7 +56,8 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     file stream source replays them as an ordered sequence of micro-batches.
     Idempotent per (sf_dir, n_files); chunk k holds the k-th time-quantile,
     file mtimes increase with k so FileStreamSource picks them up in order."""
-    tag = os.path.basename(sf_dir.rstrip("/"))
+    from ..tables import dataset_tag
+    tag = dataset_tag(sf_dir, "events")
     dest = os.path.join(STAGE_ROOT, f"{tag}_n{n_files}")
     marker = os.path.join(dest, "_STAGED")
     if os.path.exists(marker):

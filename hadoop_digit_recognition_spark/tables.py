@@ -89,3 +89,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     against the same names the DuckDB oracle uses."""
     for t in TABLE_NAMES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def dataset_tag(sf_dir: str, *tables: str) -> str:
+    """Cache key for derived/staged layouts (bucketed tables, streaming
+    chunk stages, partitioned rewrites, binary-file exports): dataset
+    basename + a content fingerprint (absolute path + mtime + size of
+    the given table files). The driver regenerates /root/testdata
+    between rounds, so a basename-only key would silently reuse stale
+    staged data — the same hazard the round-2 advice flagged for the
+    incremental-dedup signature store, fixed fleet-wide here."""
+    import hashlib
+    import os
+
+    parts = [os.path.abspath(sf_dir)]
+    for t in tables:
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}|{st.st_mtime_ns}|{st.st_size}")
+    fp = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"{base}_{fp}"

@@ -250,3 +250,24 @@ def test_binaryfile_ingest_vs_duckdb(spark, duck):
     df = SPARK_QUERIES["source_binaryfile_ingest"](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL["source_binaryfile_ingest"],
             "source_binaryfile_ingest")
+
+
+def test_dataset_tag_tracks_content(tmp_path):
+    """dataset_tag must change when a table file is regenerated (mtime /
+    size change) and differ across paths — stale-staging guard."""
+    import shutil
+    import time
+
+    from hadoop_digit_recognition_spark.tables import dataset_tag
+
+    d = tmp_path / "sf_test"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet",
+                d / "events.parquet")
+    t1 = dataset_tag(str(d), "events")
+    assert t1.startswith("sf_test_")
+    time.sleep(0.01)
+    (d / "events.parquet").touch()  # simulate regeneration
+    t2 = dataset_tag(str(d), "events")
+    assert t1 != t2
+    assert dataset_tag("/root/testdata/sf0.001", "events") != t2

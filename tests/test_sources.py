@@ -109,9 +109,11 @@ def test_partition_overwrite_touches_only_target(spark):
 
     from hadoop_digit_recognition_spark.sources.queries import FIX_DAY
 
+    from hadoop_digit_recognition_spark.tables import dataset_tag
+
     SPARK_QUERIES["sink_partition_overwrite"](spark, SF_ORACLE).collect()
     stage = os.path.join(tempfile.gettempdir(), "hdr_pof_stage",
-                         os.path.basename(SF_ORACLE.rstrip("/")))
+                         dataset_tag(SF_ORACLE, "events"))
 
     def snapshot(include_target: bool):
         out = {}

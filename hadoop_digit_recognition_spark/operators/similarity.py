@@ -261,3 +261,104 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= KNN_K))
+
+
+_IVF_DET_ORACLE = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS x FROM embeddings),
+seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {K_CELLS}),
+d1 AS (SELECT e.vec_id, s.cid, sum((e.x - s.x) * (e.x - s.x)) AS d2
+       FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         FROM d1) WHERE rn = 1),
+c1 AS (SELECT a1.cid, e.i, avg(e.x) AS x
+       FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.i),
+d2_ AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d2
+        FROM e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.cid),
+rankcells AS (SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM d2_),
+cell AS (SELECT vec_id, cid AS cell FROM rankcells WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, cid AS cell FROM rankcells
+          WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
+nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM e GROUP BY vec_id),
+dots AS (SELECT p.qid, c2.vec_id AS cid, sum(eq.x * ec.x) AS dp
+         FROM probe p
+         JOIN cell c2 ON c2.cell = p.cell
+         JOIN e eq ON eq.vec_id = p.qid
+         JOIN e ec ON ec.vec_id = c2.vec_id AND ec.i = eq.i
+         WHERE c2.vec_id <> p.qid
+         GROUP BY p.qid, c2.vec_id),
+scored AS (SELECT d.qid, d.cid, round(d.dp / (nq.n * nc.n), 6) AS cos
+           FROM dots d
+           JOIN nrm nq ON nq.vec_id = d.qid
+           JOIN nrm nc ON nc.vec_id = d.cid),
+ranked AS (SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, cid) AS rnk
+           FROM scored)
+SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+@query("sim_ivf_det_topk", oracle=_IVF_DET_ORACLE)
+def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a fully DETERMINISTIC quantizer — the oracle-exact
+    twin of sim_ivf_topk (whose MLlib-KMeans index is seeded but not
+    SQL-replayable). Index: first-K_CELLS seeds + ONE Lloyd iteration
+    (the ml_kmeans_lloyd_2iter recipe); every vector gets its nearest
+    cell in a literal-folded narrow pass. Search: each query probes its
+    NPROBE nearest cells (equi-join on cell id — never a cross join),
+    exact cosine rerank inside, rank on the ROUNDED score with cid
+    tiebreak so both engines cut identical top-k sets. The DuckDB
+    oracle replays the entire index build AND search relationally —
+    ANN graded by value hash, not just recall."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    v = F.col("embedding").cast("array<double>")
+
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < K_CELLS)
+             .select("vec_id", v.alias("e")).collect()}
+
+    def ranked_cells(cents):
+        return F.transform(
+            F.array_sort(F.array(*[
+                F.struct(
+                    F.aggregate(F.zip_with(v, F.lit(cvec),
+                                           lambda x, c: (x - c) * (x - c)),
+                                F.lit(0.0), lambda a, y: a + y).alias("d"),
+                    F.lit(cid).cast("bigint").alias("c"))
+                for cid, cvec in sorted(cents.items())])),
+            lambda s: s["c"])
+
+    a1 = emb.withColumn("cid", F.element_at(ranked_cells(seeds), 1))
+    cent_rows = (a1.select("cid", F.posexplode(v).alias("i", "x"))
+                 .groupBy("cid", "i").agg(F.avg("x").alias("x")).collect())
+    dim = len(next(iter(seeds.values())))
+    c1: dict = {}
+    for r in cent_rows:
+        c1.setdefault(r["cid"], [0.0] * dim)[r["i"]] = r["x"]
+
+    cells = ranked_cells(c1)
+    indexed = emb.withColumn("cell", F.element_at(cells, 1))
+    q = (indexed.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(F.slice(cells, 1, NPROBE)).alias("cell")))
+    c = indexed.select(F.col("vec_id").alias("cid"),
+                       F.col("embedding").alias("ce"),
+                       F.col("nrm").alias("cn"), "cell")
+    scored = (c.join(F.broadcast(q), ["cell"])
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K).select("qid", "cid", "cos", "rnk"))

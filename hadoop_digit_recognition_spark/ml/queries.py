@@ -225,3 +225,61 @@ def ml_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.join(F.broadcast(norms), "cid")
             .select(F.col("cid").alias("cluster"), "n",
                     F.round("norm2", 6).alias("norm2")))
+
+
+_LR_RATE = 0.1
+
+_LOGREG_GD_ORACLE = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  unnest(embedding)::DOUBLE AS x FROM embeddings),
+y AS (SELECT vec_id, CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+g1 AS (SELECT e.i, sum((0.5 - y.y) * e.x) AS g
+       FROM e JOIN y USING (vec_id) GROUP BY e.i),
+w1 AS (SELECT i, -{_LR_RATE} * g / n.n AS w FROM g1, n),
+z2 AS (SELECT e.vec_id, sum(e.x * w1.w) AS z
+       FROM e JOIN w1 USING (i) GROUP BY e.vec_id),
+p2 AS (SELECT vec_id, 1.0 / (1.0 + exp(-z)) AS p FROM z2),
+g2 AS (SELECT e.i, sum((p2.p - y.y) * e.x) AS g
+       FROM e JOIN p2 USING (vec_id) JOIN y USING (vec_id)
+       GROUP BY e.i)
+SELECT w1.i, round(w1.w - {_LR_RATE} * g2.g / n.n, 6) AS w
+FROM w1 JOIN g2 USING (i), n
+"""
+
+
+@query("ml_logreg_gd_2iter", oracle=_LOGREG_GD_ORACLE)
+def ml_logreg_gd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-gradient logistic regression (one-vs-rest on label 0), two
+    full GD iterations, ORACLE-EXACT — the from-scratch twin of the
+    MLlib ml_logreg_eval (rows-only; its LBFGS internals are not
+    SQL-replayable). From w0 = 0 the first gradient is closed-form
+    (sigmoid(0) = 0.5); the second scores every row against w1 and
+    re-aggregates. FULLY DISTRIBUTED, no driver-side weight folding:
+    gradients are posexplode + groupBy(dim) (the shuffle carries dims
+    rows, the RBM-gradient shape), the weight vector is a dim-sized
+    DataFrame broadcast back for scoring. Sigmoid parity between
+    engines is already pinned by the arr_sigmoid oracle (P4).
+    Reference analog: the per-epoch gradient aggregation of
+    driver.java:197-205, as one declarative plan per iteration."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = float(emb.count())
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", F.posexplode(v).alias("i", "x"))
+    yv = emb.select("vec_id", F.when(F.col("label") == 0, 1.0)
+                    .otherwise(0.0).alias("y"))
+
+    g1 = (e.join(yv, "vec_id").groupBy("i")
+          .agg(F.sum((F.lit(0.5) - F.col("y")) * F.col("x")).alias("g")))
+    w1 = g1.select("i", (F.lit(-_LR_RATE) * F.col("g") / F.lit(n)).alias("w"))
+    z2 = (e.join(F.broadcast(w1), "i").groupBy("vec_id")
+          .agg(F.sum(F.col("x") * F.col("w")).alias("z")))
+    p2 = z2.select("vec_id",
+                   (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"))
+    g2 = (e.join(p2, "vec_id").join(yv, "vec_id").groupBy("i")
+          .agg(F.sum((F.col("p") - F.col("y")) * F.col("x")).alias("g")))
+    return (w1.join(g2, "i")
+            .select(F.col("i"),
+                    F.round(F.col("w") - F.lit(_LR_RATE) * F.col("g")
+                            / F.lit(n), 6).alias("w")))

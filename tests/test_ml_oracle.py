@@ -95,3 +95,31 @@ def test_ml_kmeans_partitions_all_vectors(spark):
     total = load(spark, SF_ORACLE, "embeddings").count()
     assert sum(r.n for r in rows) == total
     assert all(r.n > 0 for r in rows)
+
+
+def test_ml_logreg_gd_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["ml_logreg_gd_2iter"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["ml_logreg_gd_2iter"],
+            "ml_logreg_gd_2iter")
+
+
+def test_ml_logreg_gd_loss_decreases(spark):
+    """Two GD steps must reduce the training log-loss vs w=0 (whose loss
+    is exactly log 2) — the sanity check that the update direction and
+    scale are right, not just oracle-replayable."""
+    import math
+
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    w = {r.i: r.w for r in
+         SPARK_QUERIES["ml_logreg_gd_2iter"](spark, SF_ORACLE).collect()}
+    rows = (load(spark, SF_ORACLE, "embeddings")
+            .select("embedding", "label").collect())
+    wv = np.array([w[i] for i in range(len(w))])
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    y = np.array([1.0 if r.label == 0 else 0.0 for r in rows])
+    p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+    loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert loss < math.log(2), loss

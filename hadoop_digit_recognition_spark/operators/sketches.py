@@ -255,3 +255,58 @@ def rollup_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_value"),
                  F.round(F.min("mn"), 6).alias("min_value"),
                  F.round(F.max("mx"), 6).alias("max_value")))
+
+
+_CMS_D, _CMS_W = 4, 32
+
+_CMS_REG_ORACLE = f"""
+WITH h AS (
+  SELECT e.user_id, r.j,
+         ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '|' ||
+                             CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS b
+  FROM events e CROSS JOIN range({_CMS_D}) r(j)
+),
+cms AS (SELECT j, b, count(*) AS c FROM h GROUP BY j, b),
+top AS (SELECT user_id, count(*) AS exact_n FROM events
+        GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 10),
+probe AS (
+  SELECT t.user_id, t.exact_n, r.j,
+         ('0x' || substr(md5(CAST(r.j AS VARCHAR) || '|' ||
+                             CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_CMS_W} AS b
+  FROM top t CROSS JOIN range({_CMS_D}) r(j)
+)
+SELECT p.user_id, p.exact_n, CAST(min(c.c) AS BIGINT) AS est_n
+FROM probe p JOIN cms c ON c.j = p.j AND c.b = p.b
+GROUP BY p.user_id, p.exact_n
+"""
+
+
+@query("sketch_cms_registers", oracle=_CMS_REG_ORACLE)
+def sketch_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, ORACLE-EXACT — the relational twin of
+    sketch_cms_heavy_hitters (whose built-in count_min_sketch has an
+    opaque serialization no other engine can replay). The d x w counter
+    grid is an ordinary keyed aggregate over md5-derived row hashes
+    (engine-invariant, same recipe as sketch_hll_registers); the top-10
+    heavy users then probe it with est = min over rows of their bucket
+    counts. CMS's one-sided guarantee (est_n >= exact_n) is asserted in
+    tests. At 100 TB: the sketch build is one map-side-combined
+    aggregate into d*w counters — mergeable state, the rollup shape —
+    and the probe touches d rows per queried key."""
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    js = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    b = (det_hash64(F.concat_ws("|", F.col("j"), F.col("user_id")))
+         % _CMS_W).alias("b")
+    cms = (ev.select("user_id").select("user_id", js).select("j", b)
+           .groupBy("j", "b").agg(F.count(F.lit(1)).alias("c")))
+    top = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+           .orderBy(F.desc("exact_n"), "user_id").limit(10))
+    probe = top.select("user_id", "exact_n", js).select(
+        "user_id", "exact_n", "j", b)
+    return (probe.join(F.broadcast(cms), ["j", "b"])
+            .groupBy("user_id", "exact_n")
+            .agg(F.min("c").cast("bigint").alias("est_n")))

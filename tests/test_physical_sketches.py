@@ -184,3 +184,13 @@ def test_join_hint_shuffle_hash(spark, duck):
             "join_hint_shuffle_hash")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan[:2000]
+
+
+def test_cms_registers_oracle_and_bound(spark, duck):
+    """Relational CMS matches its oracle AND honors the one-sided
+    guarantee: estimates never undercount."""
+    df = SPARK_QUERIES["sketch_cms_registers"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["sketch_cms_registers"],
+            "sketch_cms_registers")
+    rows = df.collect()
+    assert rows and all(r.est_n >= r.exact_n for r in rows)

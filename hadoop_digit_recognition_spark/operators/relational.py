@@ -1254,3 +1254,21 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(HIST_BUCKETS - 1))
     return (ev.select(bucket.alias("bucket"))
             .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("sort_global_range_partitioned", oracle="""
+SELECT event_id, user_id FROM events WHERE value > 99
+""")
+def sort_global_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL total-order sort (no limit): Spark samples the sort key to
+    build range boundaries, range-partitions the data, and sorts within
+    partitions — the only distributed total order that scales (a single-
+    partition sort would serialize 100 TB through one task). The plan
+    must show Exchange rangepartitioning, NOT a coalesce-to-1 —
+    plan-asserted in tests. The driver's value-hash is order-insensitive,
+    so the oracle states only the row SET; the ordering guarantee is the
+    plan's RangePartitioning + per-partition sort."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.filter(F.col("value") > 99)
+            .select("event_id", "user_id")
+            .orderBy("event_id"))

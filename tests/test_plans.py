@@ -226,3 +226,16 @@ def test_lateral_decorrelates_to_window(spark):
     assert "Window" in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert "CartesianProduct" not in txt
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """Total-order sort must plan as rangepartitioning exchange +
+    per-partition Sort — never a single-partition global sort."""
+    from .conftest import SF_ORACLE
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sort_global_range_partitioned"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan[:2000]
+    assert "Sort" in plan

@@ -254,3 +254,59 @@ def forward_prop_df(df: DataFrame, vec_col: str, W: np.ndarray,
         out = out.withColumn(
             out_col, F.transform(F.col(out_col), lambda x: F.floor(x * F.lit(255.0)).cast("long")))
     return out
+
+
+def cd1_gradient_full_df(df: DataFrame, vec_col: str, W: np.ndarray,
+                         epsilon: float = 0.1,
+                         numcase: int | None = None) -> DataFrame:
+    """Mean-field CD-1 epoch emitting the FULL parameter gradient —
+    weights AND both bias vectors — in one pass (the reference allocates
+    hidbiases/visbiases but never trains or emits them, defect D5; this
+    is the intended Hinton update the engine provides instead).
+
+    Index layout in one flat keyed stream (so the same groupBy(idx)
+    shuffle carries everything):
+      [0, nd*nh)              W row-major i*nh+j
+      [nd*nh, nd*nh+nh)       hidden biases (j)
+      [nd*nh+nh, nd*nh+nh+nd) visible biases (i)
+    Bias gradients cost nothing extra: h0p/h1p/v1 are already in hand,
+    and the shuffle grows by (nd+nh) rows per partition — invisible next
+    to nd*nh."""
+    from ..shipping import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    nd, nh = W.shape
+    if numcase is None:
+        numcase = df.count()
+    b_w = spark.sparkContext.broadcast(
+        np.ascontiguousarray(W, dtype=np.float64))
+
+    def grad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wv = b_w.value
+        acc_w = np.zeros((nd, nh), dtype=np.float64)
+        acc_hb = np.zeros(nh, dtype=np.float64)
+        acc_vb = np.zeros(nd, dtype=np.float64)
+        for pdf in batches:
+            V = _to_matrix(pdf[vec_col], nd)
+            if V.shape[0] == 0:
+                continue
+            h0p = _sigmoid(V @ Wv)
+            v1 = _sigmoid(h0p @ Wv.T)
+            h1p = _sigmoid(v1 @ Wv)
+            acc_w += V.T @ h0p - v1.T @ h1p
+            acc_hb += h0p.sum(axis=0) - h1p.sum(axis=0)
+            acc_vb += V.sum(axis=0) - v1.sum(axis=0)
+        yield pd.DataFrame({
+            "idx": np.concatenate([
+                np.arange(nd * nh, dtype=np.int64),
+                nd * nh + np.arange(nh, dtype=np.int64),
+                nd * nh + nh + np.arange(nd, dtype=np.int64)]),
+            "dw": np.concatenate([acc_w.ravel(), acc_hb, acc_vb]),
+        })
+
+    partial = df.select(vec_col).mapInPandas(grad, schema="idx bigint, dw double")
+    return (partial.groupBy("idx").agg(F.sum("dw").alias("gsum"))
+            .select("idx",
+                    F.round(F.lit(float(epsilon)) * F.col("gsum")
+                            / F.lit(float(numcase)), 9).alias("dw")))

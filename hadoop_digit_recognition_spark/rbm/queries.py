@@ -358,3 +358,62 @@ def rbm_dbn_two_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, x in enumerate(W.ravel())]
     return (spark.createDataFrame(rows, "layer bigint, idx bigint, w double")
             .select("layer", "idx", F.round("w", 7).alias("w")))
+
+
+_CD1_FULL_ORACLE = f"""
+WITH v AS ({_V}),
+w AS ({_W}),
+h0 AS (
+  SELECT v.vec_id, w.j, 1.0/(1.0+exp(-sum(v.x*w.w))) AS h
+  FROM v JOIN w ON v.i = w.i GROUP BY v.vec_id, w.j
+),
+v1 AS (
+  SELECT h0.vec_id, w.i, 1.0/(1.0+exp(-sum(h0.h*w.w))) AS x
+  FROM h0 JOIN w ON h0.j = w.j GROUP BY h0.vec_id, w.i
+),
+h1 AS (
+  SELECT v1.vec_id, w.j, 1.0/(1.0+exp(-sum(v1.x*w.w))) AS h
+  FROM v1 JOIN w ON v1.i = w.i GROUP BY v1.vec_id, w.j
+),
+pos AS (
+  SELECT v.i, h0.j, sum(v.x*h0.h) AS p
+  FROM v JOIN h0 ON v.vec_id = h0.vec_id GROUP BY v.i, h0.j
+),
+neg AS (
+  SELECT v1.i, h1.j, sum(v1.x*h1.h) AS n
+  FROM v1 JOIN h1 ON v1.vec_id = h1.vec_id GROUP BY v1.i, h1.j
+),
+nc AS (SELECT count(*) AS c FROM embeddings)
+SELECT pos.i*{NUMHID}+pos.j AS idx,
+       round({EPSILON}*(pos.p - neg.n)/nc.c, 9) AS dw
+FROM pos JOIN neg ON pos.i = neg.i AND pos.j = neg.j CROSS JOIN nc
+UNION ALL
+SELECT {NUMDIMS * NUMHID} + hb.j AS idx,
+       round({EPSILON}*hb.g/nc.c, 9) AS dw
+FROM (SELECT h0.j, sum(h0.h - h1.h) AS g
+      FROM h0 JOIN h1 ON h0.vec_id = h1.vec_id AND h0.j = h1.j
+      GROUP BY h0.j) hb CROSS JOIN nc
+UNION ALL
+SELECT {NUMDIMS * NUMHID + NUMHID} + vb.i AS idx,
+       round({EPSILON}*vb.g/nc.c, 9) AS dw
+FROM (SELECT v.i, sum(v.x - v1.x) AS g
+      FROM v JOIN v1 ON v.vec_id = v1.vec_id AND v.i = v1.i
+      GROUP BY v.i) vb CROSS JOIN nc
+"""
+
+
+@query("rbm_cd1_epoch_biases", oracle=_CD1_FULL_ORACLE)
+def rbm_cd1_epoch_biases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-parameter mean-field CD-1 epoch: weight gradient PLUS hidden-
+    and visible-bias gradients in one flat keyed stream (zero-initialized
+    biases, so the phase math matches the flagship epoch and the oracle
+    reuses its CTEs with two UNION branches). The reference declares both
+    bias vectors but never trains or emits them (defect D5,
+    rbmmapper.java:131-132); this is the intended Hinton update."""
+    from .cd1 import cd1_gradient_full_df, init_weights_sin
+
+    emb = load(spark, sf_dir, "embeddings")
+    W = init_weights_sin(NUMDIMS, NUMHID)
+    return cd1_gradient_full_df(
+        emb.select(F.col("embedding").cast("array<double>").alias("v")),
+        "v", W, epsilon=EPSILON)

@@ -18,7 +18,8 @@ from .oracle_harness import compare
 
 RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized",
                "rbm_cd1_epoch_sampled", "rbm_cd1_two_epochs",
-               "rbm_cd1_two_epochs_sampled", "rbm_dbn_two_layer"]
+               "rbm_cd1_two_epochs_sampled", "rbm_dbn_two_layer",
+               "rbm_cd1_epoch_biases"]
 
 
 def test_det_uniforms_col_matches_python_twin(spark):
@@ -62,3 +63,33 @@ def test_sigmoid_stable_extremes():
     assert np.all(np.isfinite(s))
     np.testing.assert_allclose(s[2], 0.5)
     assert s[0] == 0.0 and s[4] == 1.0
+
+
+def test_cd1_full_gradient_matches_numpy(spark):
+    """The full-parameter epoch (weights + biases) equals the direct
+    NumPy computation at every index — golden-model parity for the
+    D5-repair path."""
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.rbm.cd1 import (
+        _sigmoid, init_weights_sin)
+    from hadoop_digit_recognition_spark.tables import load
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from .conftest import SF_ORACLE
+
+    got = {r.idx: r.dw for r in
+           SPARK_QUERIES["rbm_cd1_epoch_biases"](spark, SF_ORACLE).collect()}
+    rows = load(spark, SF_ORACLE, "embeddings").select("embedding").collect()
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    nd, nh = 64, 16
+    W = init_weights_sin(nd, nh)
+    h0 = _sigmoid(V @ W)
+    v1 = _sigmoid(h0 @ W.T)
+    h1 = _sigmoid(v1 @ W)
+    n = len(V)
+    gw = 0.1 * (V.T @ h0 - v1.T @ h1) / n
+    ghb = 0.1 * (h0.sum(0) - h1.sum(0)) / n
+    gvb = 0.1 * (V.sum(0) - v1.sum(0)) / n
+    want = np.concatenate([gw.ravel(), ghb, gvb])
+    for idx in range(nd * nh + nh + nd):
+        assert abs(got[idx] - round(want[idx], 9)) < 1e-9, idx

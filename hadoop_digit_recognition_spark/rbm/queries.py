@@ -417,3 +417,40 @@ def rbm_cd1_epoch_biases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd1_gradient_full_df(
         emb.select(F.col("embedding").cast("array<double>").alias("v")),
         "v", W, epsilon=EPSILON)
+
+
+_MOMENTUM = 0.5
+
+_CD1_2EP_MOM_ORACLE = f"""
+WITH v AS ({_V}),
+w0 AS ({_W}),
+nc AS (SELECT count(*) AS c FROM embeddings),
+{_cd1_chain("w0", "1")},
+w1 AS (
+  SELECT w0.i, w0.j, w0.w + d1.dw AS w
+  FROM w0 JOIN d1 ON w0.i = d1.i AND w0.j = d1.j
+),
+{_cd1_chain("w1", "2")}
+SELECT w1.i*{NUMHID}+w1.j AS idx,
+       round(w1.w + {_MOMENTUM}*d1.dw + d2.dw, 7) AS w
+FROM w1
+JOIN d1 ON w1.i = d1.i AND w1.j = d1.j
+JOIN d2 ON w1.i = d2.i AND w1.j = d2.j
+"""
+
+
+@query("rbm_cd1_two_epochs_momentum", oracle=_CD1_2EP_MOM_ORACLE)
+def rbm_cd1_two_epochs_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 repair, oracle-checked: the two-epoch trainer loop with classic
+    heavy-ball momentum (m=0.5 — the reference's declared-but-never-
+    applied initialmomentum, rbmmapper.java:78). Epoch 1's velocity is
+    its gradient (vel0=0), so W1 matches the plain loop and the oracle
+    reuses the two-epoch CTE chain; epoch 2 applies
+    W2 = W1 + m*d1 + d2 — the only line momentum changes."""
+    emb = load(spark, sf_dir, "embeddings")
+    t = RBMTrainer(NUMDIMS, NUMHID, epsilon=EPSILON, max_epoch=2,
+                   momentum=_MOMENTUM)
+    W = t.fit(emb, "embedding", W0=init_weights_sin(NUMDIMS, NUMHID))
+    flat = [(int(i), float(x)) for i, x in enumerate(W.ravel())]
+    return (spark.createDataFrame(flat, "idx bigint, w double")
+            .select("idx", F.round("w", 7).alias("w")))

@@ -37,11 +37,17 @@ class RBMTrainer:
     def __init__(self, numdims: int, numhid: int, epsilon: float = 0.1,
                  weightcost: float = 0.0, max_epoch: int = 1, seed: int = 42,
                  sampled: bool = False, round3: bool = False,
-                 numcase: int | None = None, id_col: str | None = None):
+                 numcase: int | None = None, id_col: str | None = None,
+                 momentum: float = 0.0):
         self.numdims, self.numhid = numdims, numhid
         self.epsilon, self.weightcost = epsilon, weightcost
         self.max_epoch, self.seed = max_epoch, seed
         self.sampled, self.round3, self.numcase = sampled, round3, numcase
+        # classic heavy-ball momentum: vel = m*vel + eps*grad; W += vel.
+        # The reference DECLARES momentum constants (0.5 initial / 0.9
+        # final) but never applies them (defect D4, rbmmapper.java:78-79);
+        # momentum=0 (default) reproduces the no-momentum update exactly.
+        self.momentum = momentum
         self.id_col = id_col  # required when sampled: det-hash Bernoulli key
         self.W: np.ndarray | None = None
 
@@ -60,12 +66,14 @@ class RBMTrainer:
             with pinned_shuffle(df.sparkSession, 16):
                 numcase = (self.numcase if self.numcase is not None
                            else cached.count())
+                vel = np.zeros_like(W)
                 for epoch in range(self.max_epoch):
                     delta = cd1_gradient_collect(
                         cached, vec_col, W, epsilon=self.epsilon,
                         numcase=numcase, sampled=self.sampled,
                         id_col=self.id_col, epoch=epoch)
-                    W += delta
+                    vel = self.momentum * vel + delta
+                    W += vel
                     if self.round3:
                         # HALF_EVEN like DecimalFormat (np.round is banker's)
                         W = np.round(W * 1000.0) / 1000.0

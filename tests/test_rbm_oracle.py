@@ -19,7 +19,7 @@ from .oracle_harness import compare
 RBM_QUERIES = ["rbm_cd1_epoch", "rbm_forward_prop", "rbm_forward_prop_quantized",
                "rbm_cd1_epoch_sampled", "rbm_cd1_two_epochs",
                "rbm_cd1_two_epochs_sampled", "rbm_dbn_two_layer",
-               "rbm_cd1_epoch_biases"]
+               "rbm_cd1_epoch_biases", "rbm_cd1_two_epochs_momentum"]
 
 
 def test_det_uniforms_col_matches_python_twin(spark):

@@ -339,3 +339,38 @@ def streaks_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("streak_start"))
             .filter(F.col("streak_len") >= 3)
             .select("user_id", "streak_start", "streak_len"))
+
+
+@query("timeseries_ewma", oracle="""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                         (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM events GROUP BY user_id
+""")
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — ORDER-DEPENDENT
+    RECURSION, the class of computation plain window frames can't state
+    (ewma_t = a*x_t + (1-a)*ewma_{t-1} has no frame-sum form that is
+    numerically safe: the (1-a)^-s rescaling trick overflows/loses
+    precision on long series). The engine pattern: sort-collect each
+    key's series, then ONE sequential fold — F.aggregate seeded with the
+    first element, mirroring DuckDB's list_reduce, so both engines run
+    the identical left fold and the result is bit-reproducible.
+
+    At 100 TB: one keyed shuffle; each key's series must fit a task
+    (bounded by per-user event counts — for unbounded keys, segment the
+    fold: per-chunk (factor, partial) pairs compose associatively and
+    reduce in a second keyed pass)."""
+    ev = load(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("ts_us").alias("t"), F.col("event_id").alias("e"),
+                 F.col("value").cast("double").alias("v"))))
+    vals = F.transform(F.col("__a"), lambda s: s["v"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc)
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("__a"))
+            .select("user_id", "n_events",
+                    F.round(ewma, 6).alias("ewma")))

@@ -293,3 +293,41 @@ def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(det_hash64(F.col("doc_id").cast("string")) % 1000000
                     < F.col("keep_ppm"))
             .select("doc_id", "lang"))
+
+
+@query("corpus_dedup_report", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+pd AS (SELECT doc_a AS doc_id FROM pairs
+       UNION SELECT doc_b AS doc_id FROM pairs)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(d.text)) AS BIGINT) AS n_exact_unique,
+       CAST(count(CASE WHEN pd.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_near_dup,
+       round(1.0 - count(DISTINCT md5(d.text)) / count(*), 6)
+         AS exact_dup_rate
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+GROUP BY d.source
+""")
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY — the per-source report a corpus pipeline
+    publishes after every ingest: document counts, exact-unique counts
+    (md5 content identity), near-dup membership (docs in >= 1 LSH-banded
+    candidate pair, via the shared memoized signature pass), and the
+    exact-dup rate. One scan + one distinct-aggregate + one left
+    semi-ish join against the pair-derived id set; at 100 TB the only
+    corpus-wide shuffle keys on source, and the pair set is
+    candidate-sized, not corpus-sized."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pd_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+              .union(pairs.select(F.col("doc_b").alias("doc_id")))
+              .distinct().withColumn("__near", F.lit(1)))
+    docs = load_parallel(spark, sf_dir, "documents")
+    return (docs.join(pd_ids, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct(F.md5("text")).alias("n_exact_unique"),
+                 F.sum(F.coalesce(F.col("__near"), F.lit(0)))
+                 .cast("bigint").alias("n_near_dup"),
+                 F.round(F.lit(1.0) - F.countDistinct(F.md5("text"))
+                         / F.count(F.lit(1)), 6).alias("exact_dup_rate")))

@@ -34,7 +34,7 @@ LLM_QUERIES = [
     "multimodal_audio_energy", "dq_validation_summary",
     "text_chunk_sliding", "corpus_balanced_sample",
     "graph_triangle_count", "sim_ivf_det_topk", "timeseries_ewma",
-    "corpus_dedup_report",
+    "corpus_dedup_report", "basket_association_rules",
 ]
 
 

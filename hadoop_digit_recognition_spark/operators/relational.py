@@ -1272,3 +1272,37 @@ def sort_global_range_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     return (ev.filter(F.col("value") > 99)
             .select("event_id", "user_id")
             .orderBy("event_id"))
+
+
+@query("sample_weighted_topk", oracle="""
+WITH keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         pow((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              % 16777216 + 1) / 16777216.0,
+             1.0 / o_totalprice) AS k
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+FROM (SELECT *, row_number() OVER (ORDER BY round(k, 12) DESC,
+                                   o_orderkey) AS rn
+      FROM keyed)
+WHERE rn <= 100
+""")
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis-Spirakis
+    A-Res): each row draws u from its CONTENT HASH (det_hash64 -> (0,1],
+    partition- and engine-invariant like sample_deterministic) and keeps
+    key u^(1/w); the global top-k by key is a weighted sample — heavier
+    rows win proportionally more often. One narrow keyed pass + a
+    TakeOrderedAndProject top-k: no shuffle of the population, no RNG
+    state, reproducible on any cluster. Ranking uses the ROUNDED key
+    with id tiebreak so both engines cut the same set."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    u = ((det_hash64(F.col("o_orderkey").cast("string")) % 16777216 + 1)
+         / F.lit(16777216.0))
+    k = F.pow(u, F.lit(1.0) / F.col("o_totalprice"))
+    return (o.select("o_orderkey",
+                     F.round("o_totalprice", 4).alias("o_totalprice"),
+                     F.round(k, 12).alias("__k"))
+            .orderBy(F.desc("__k"), "o_orderkey").limit(100)
+            .drop("__k"))

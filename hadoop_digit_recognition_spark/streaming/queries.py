@@ -366,3 +366,40 @@ def streaming_stream_stream_full_outer(spark: SparkSession,
         "full_outer")
     out = run_to_memory(j, "append")
     return out.select("click_id", "purchase_id")
+
+
+@query("streaming_stateful_rocksdb", oracle="""
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+""")
+def streaming_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful counter on the ROCKSDB state store — the backend that
+    matters at 100 TB: HDFSBackedStateStore keeps every key's state in
+    executor HEAP (state size caps at memory); RocksDB spills to local
+    disk with incremental checkpointing, so state scales with disk, not
+    heap. Same operator, same oracle as streaming_stateful_user_counts —
+    the provider swap must be result-invariant, which is exactly what
+    the driver verifies. Conf is set/restored around the run; the
+    provider is read at query start."""
+    from .pipeline import run_to_memory
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        ev = events_stream(spark, sf_dir)
+        updates = run_to_memory(running_user_counts(ev), "update")
+        out = (updates.groupBy("user_id")
+               .agg(F.max("n_events").alias("n_events")))
+        # materialize BEFORE restoring the conf: the memory sink already
+        # ran the stream, so this is just the batch agg over the sink
+        out = out.cache()
+        out.count()
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

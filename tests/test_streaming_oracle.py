@@ -23,6 +23,7 @@ STREAMING_QUERIES = [
     "streaming_stream_stream_left_outer",
     "streaming_restart_recovery",
     "streaming_stream_stream_full_outer",
+    "streaming_stateful_rocksdb",
 ]
 
 

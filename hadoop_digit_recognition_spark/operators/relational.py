@@ -1306,3 +1306,32 @@ def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(k, 12).alias("__k"))
             .orderBy(F.desc("__k"), "o_orderkey").limit(100)
             .drop("__k"))
+
+
+@query("sql_udf_and_params", oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS disc_total
+FROM lineitem
+WHERE l_quantity >= 30
+GROUP BY l_returnflag
+""")
+def sql_udf_and_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-language surface: a SQL-DEFINED scalar function
+    (CREATE TEMPORARY FUNCTION ... RETURN expr — INLINED by Catalyst at
+    resolution, so it costs nothing at runtime, unlike a Python UDF) and
+    a PARAMETERIZED query (named :marker binding — the injection-safe way
+    to template queries). The oracle states the expanded, bound form;
+    identical results prove both surfaces are sugar, not semantics."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION hdr_disc_price"
+              "(p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(hdr_disc_price(l_extendedprice, l_discount)), 4)
+                    AS disc_total
+           FROM lineitem
+           WHERE l_quantity >= :min_qty
+           GROUP BY l_returnflag""",
+        args={"min_qty": 30})

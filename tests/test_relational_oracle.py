@@ -18,7 +18,7 @@ RELATIONAL = [
     "q14_promo_revenue", "q19_disjunctive_join", "variant_semi_structured",
     "ab_test_welch", "histogram_equi_width",
     "sample_deterministic", "sample_stratified", "sample_weighted_topk",
-    "sort_global_range_partitioned",
+    "sort_global_range_partitioned", "sql_udf_and_params",
     "join_broadcast_dim", "join_star_nation_revenue", "join_left_outer",
     "join_semi", "join_anti", "join_full_outer", "join_nonequi_band",
     "join_theta_bnl",

@@ -310,3 +310,29 @@ def sketch_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (probe.join(F.broadcast(cms), ["j", "b"])
             .groupBy("user_id", "exact_n")
             .agg(F.min("c").cast("bigint").alias("est_n")))
+
+
+@query("sketch_hll_datasketches")
+def sketch_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL surface (Spark 4 built-ins): per-type
+    sketches via hll_sketch_agg, MERGED with hll_union_agg into a global
+    sketch — the two-level rollup pattern (partial sketches are
+    mergeable state, so re-aggregation needs no raw-data re-scan).
+    Rows-only by design: the DataSketches binary is engine-opaque (the
+    oracle-exact relational twin is sketch_hll_registers); tests bound
+    the estimates against exact distinct counts instead. At 100 TB the
+    sketch bytes per group replace a count-distinct shuffle of raw ids."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    per_type = spark.sql("""
+        SELECT event_type,
+               hll_sketch_estimate(hll_sketch_agg(user_id)) AS approx_users,
+               hll_sketch_agg(user_id) AS sk
+        FROM events GROUP BY event_type""")
+    per_type.createOrReplaceTempView("hdr_hll_per_type")
+    merged = spark.sql("""
+        SELECT 'ALL' AS event_type,
+               hll_sketch_estimate(hll_union_agg(sk)) AS approx_users
+        FROM hdr_hll_per_type""")
+    return (per_type.select("event_type", "approx_users")
+            .unionByName(merged))

@@ -194,3 +194,22 @@ def test_cms_registers_oracle_and_bound(spark, duck):
             "sketch_cms_registers")
     rows = df.collect()
     assert rows and all(r.est_n >= r.exact_n for r in rows)
+
+
+def test_hll_datasketches_error_bound(spark):
+    """DataSketches HLL estimates must sit within 5% of exact distinct
+    counts at this cardinality (150 users), and the merged 'ALL' sketch
+    must equal a direct global estimate."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = {r.event_type: r.approx_users for r in
+            SPARK_QUERIES["sketch_hll_datasketches"](spark, SF_ORACLE)
+            .collect()}
+    ev = load(spark, SF_ORACLE, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact_all) / exact_all < 0.05
+    for r in (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()):
+        assert abs(rows[r.event_type] - r.n) / r.n < 0.05, r.event_type

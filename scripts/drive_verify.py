@@ -21,6 +21,8 @@ print(f"t1 entry(): {len(rows)} rows, schema={df.schema.simpleString()}, {time.t
 assert len(rows) > 0
 
 SF = "/root/testdata/sf0.01"
+if "--sf" in sys.argv:
+    SF = sys.argv[sys.argv.index("--sf") + 1]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")

@@ -58,7 +58,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 @query("join_bucketed_colocated", oracle="""
 SELECT o.o_orderpriority,
        count(*) AS n_lines,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(14,2)))
+                  AS DOUBLE), 4) AS revenue
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """)
@@ -76,8 +78,13 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_lines"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 4)
+                 # DECIMAL-exact money sum: a double sum of ~600k products
+                 # at sf0.1 carries summation-order noise past the 1e-4
+                 # rounding grid; decimal aggregation is exact in both
+                 # engines at ANY scale factor
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")
+                               * (F.lit(1) - F.col("l_discount"))
+                               .cast("decimal(14,2)")).cast("double"), 4)
                  .alias("revenue")))
 
 
@@ -357,7 +364,8 @@ def bloom_filter_join_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("join_hint_shuffle_hash", oracle="""
 SELECT o.o_orderstatus, count(*) AS n,
-       round(sum(l.l_extendedprice), 4) AS total
+       round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE), 4)
+         AS total
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderstatus
 """)
@@ -375,4 +383,7 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderstatus")
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("l_extendedprice"), 4).alias("total")))
+                 # decimal-exact sum — see join_bucketed_colocated
+                 F.round(F.sum(F.col("l_extendedprice")
+                               .cast("decimal(14,2)")).cast("double"), 4)
+                 .alias("total")))

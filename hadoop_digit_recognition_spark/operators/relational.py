@@ -441,15 +441,21 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_quantity) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
 FROM lineitem
 """)
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum frame (rows unbounded preceding to current) per user."""
+    """Running sum frame (rows unbounded preceding to current) per
+    supplier. The ORDER BY must be TOTAL for the prefix sums to be
+    engine-invariant: regenerated testdata can contain duplicate
+    (orderkey, linenumber) rows, and a tie lets each engine pick which
+    of the pair gets the smaller prefix. l_quantity closes the order —
+    any rows still tied are value-identical, so their order cannot
+    change any prefix."""
     li = load(spark, sf_dir, "lineitem")
     w = (W.partitionBy("l_suppkey")
-         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return li.select("l_suppkey", "l_orderkey", "l_linenumber",
                      F.round(F.sum("l_quantity").over(w), 4).alias("running_qty"))

@@ -1341,3 +1341,35 @@ def sql_udf_and_params(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE l_quantity >= :min_qty
            GROUP BY l_returnflag""",
         args={"min_qty": 30})
+
+
+@query("sql_pivot_unpivot_clause", oracle="""
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS F_cnt,
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+              AS BIGINT) AS O_cnt
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'F_cnt' AS status_col, F_cnt AS n FROM p
+UNION ALL
+SELECT l_returnflag, 'O_cnt' AS status_col, O_cnt AS n FROM p
+""")
+def sql_pivot_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native PIVOT and UNPIVOT clauses round-tripped in ONE
+    statement: lineitem counts pivot wide by linestatus, then unpivot
+    back to long — the syntax surface (Spark 3.4+) next to the
+    DataFrame-API twins pivot_conditional / unpivot_measures. Catalyst
+    compiles PIVOT to the same conditional-aggregate plan the oracle
+    states, and UNPIVOT to an Expand — no extra shuffle beyond the one
+    aggregation. NULL semantics: a flag with no rows in a status pivots
+    to NULL; coalesce restores the count-zero the long form expects."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_returnflag, status_col, coalesce(n, 0) AS n
+        FROM (
+          SELECT * FROM (SELECT l_returnflag, l_linestatus FROM lineitem)
+          PIVOT (count(*) FOR l_linestatus IN ('F' AS F_cnt, 'O' AS O_cnt))
+        )
+        UNPIVOT INCLUDE NULLS (n FOR status_col IN (F_cnt, O_cnt))""")

@@ -1373,3 +1373,44 @@ def sql_pivot_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
           PIVOT (count(*) FOR l_linestatus IN ('F' AS F_cnt, 'O' AS O_cnt))
         )
         UNPIVOT INCLUDE NULLS (n FOR status_col IN (F_cnt, O_cnt))""")
+
+
+@query("sql_lateral_view_explode", oracle="""
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word
+HAVING count(*) >= 100
+""")
+def sql_lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-compat LATERAL VIEW explode — the syntax every legacy
+    HiveQL/Hadoop migration carries (the reference's ecosystem dialect);
+    semantically identical to the generator-expression form the engine
+    uses elsewhere (Catalyst plans both as Generate). Word counts over
+    the corpus with a HAVING floor keep the output stable."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("""
+        SELECT word, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) w AS word
+        WHERE word <> ''
+        GROUP BY word
+        HAVING count(*) >= 100""")
+
+
+@query("sql_distribute_sort_by", oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber
+FROM lineitem WHERE l_quantity >= 49
+""")
+def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-compat DISTRIBUTE BY ... SORT BY — partition-then-local-sort
+    without a global order, the write-preparation idiom (co-locate by
+    key, sort within files for row-group skipping) that predates
+    repartition()/sortWithinPartitions(). The result SET is
+    order-insensitive (the driver's hash is too); the plan carries
+    hashpartitioning + a non-global Sort — asserted in tests."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT l_suppkey, l_orderkey, l_linenumber
+        FROM lineitem WHERE l_quantity >= 49
+        DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey""")

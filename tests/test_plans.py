@@ -239,3 +239,17 @@ def test_global_sort_is_range_partitioned(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower(), plan[:2000]
     assert "Sort" in plan
+
+
+def test_distribute_sort_by_plan(spark):
+    """DISTRIBUTE BY must produce hashpartitioning (not range) and SORT
+    BY a sort with global=false — partition-local order only."""
+    from .conftest import SF_ORACLE
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["sql_distribute_sort_by"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_suppkey" in plan, plan[:2000]
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+    assert "Sort [l_suppkey" in plan and "false, 0" in plan, plan[:2000]

@@ -19,7 +19,8 @@ RELATIONAL = [
     "ab_test_welch", "histogram_equi_width",
     "sample_deterministic", "sample_stratified", "sample_weighted_topk",
     "sort_global_range_partitioned", "sql_udf_and_params",
-    "sql_pivot_unpivot_clause",
+    "sql_pivot_unpivot_clause", "sql_lateral_view_explode",
+    "sql_distribute_sort_by",
     "join_broadcast_dim", "join_star_nation_revenue", "join_left_outer",
     "join_semi", "join_anti", "join_full_outer", "join_nonequi_band",
     "join_theta_bnl",

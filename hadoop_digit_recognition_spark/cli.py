@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 
 def _run_query(argv: list[str]) -> int:
     """`run <query_name> <sf_dir> [out_dir]`: execute any registered
-    engine query against a testdata directory; print rows (default) or
-    write parquet. `run --list` enumerates the registry."""
+    engine query against a testdata directory; print rows (default),
+    write parquet, or `--explain` the formatted physical plan.
+    `run --list` enumerates the registry."""
     from .all_queries import SPARK_QUERIES
     from .session import get_spark
 
+    explain = "--explain" in argv
+    argv = [a for a in argv if a != "--explain"]
     if not argv or argv[0] in ("--list", "-l"):
         for name in sorted(SPARK_QUERIES):
             print(name)
@@ -46,6 +49,10 @@ def _run_query(argv: list[str]) -> int:
     sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("hdr-cli-run")
     df = SPARK_QUERIES[name](spark, sf_dir)
+    if explain:
+        from .plans import explain_formatted
+        print(explain_formatted(df))
+        return 0
     if len(argv) > 2:
         df.write.mode("overwrite").parquet(argv[2])
         print(f"wrote {argv[2]}")

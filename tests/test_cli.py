@@ -51,3 +51,14 @@ def test_cli_run_list_and_query(tmp_path, capsys):
     assert n > 0
 
     assert main(["run", "nope_not_a_query"]) == 2
+
+
+def test_cli_run_explain(capsys):
+    """`run <name> <sf> --explain` prints the formatted plan instead of
+    executing the query."""
+    from hadoop_digit_recognition_spark.cli import main
+
+    assert main(["run", "q6_forecast_revenue",
+                 "/root/testdata/sf0.001", "--explain"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out

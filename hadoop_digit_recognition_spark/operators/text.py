@@ -445,3 +445,71 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(CHUNK_WIDTH)), " ").alias("chunk")))
     return (docs.select("doc_id", F.explode(chunks).alias("c"))
             .select("doc_id", "c.chunk_id", "c.n_words", "c.chunk"))
+
+
+@query("text_bigram_surprisal", oracle="""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(string_split(lower(text), ' ')) AS word,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+  FROM documents
+),
+w AS (
+  SELECT doc_id, word, ord,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt
+  FROM raw WHERE word <> ''
+),
+uni AS (SELECT word, count(*) AS cu FROM w GROUP BY word),
+bi AS (SELECT word, nxt, count(*) AS cb FROM w
+       WHERE nxt IS NOT NULL AND nxt <> '' GROUP BY word, nxt),
+scored AS (
+  SELECT w.doc_id, -ln(bi.cb / uni.cu) AS s
+  FROM w
+  JOIN uni ON uni.word = w.word
+  JOIN bi ON bi.word = w.word AND bi.nxt = w.nxt
+  WHERE w.nxt IS NOT NULL AND w.nxt <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(s), 6) AS surprisal
+FROM scored GROUP BY doc_id
+""")
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring WITHOUT a model: per-document mean
+    bigram surprisal -log P(w2|w1) under the corpus's own bigram/unigram
+    counts — the classic perplexity proxy that flags boilerplate (low
+    surprisal) and garbled text (high) before any neural scorer runs.
+
+    Two corpus-level keyed aggregates (unigram and bigram counts — term-
+    vocabulary-sized, not token-sized, thanks to partial aggregation),
+    then the per-doc pass joins each bigram occurrence to both tables on
+    term keys and averages. Bigrams are built NARROWLY per document
+    (arrays_zip of the word array against its own tail) — no window over
+    the token stream, no cross-document shuffle until the count
+    aggregates. Consecutive empty tokens are dropped like the oracle's
+    WHERE."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda x: x != "")
+    pairs = (docs.select("doc_id", words.alias("ws"))
+             .select("doc_id",
+                     F.explode(F.arrays_zip(
+                         F.col("ws"),
+                         F.concat(F.slice(F.col("ws"), 2,
+                                          F.greatest(F.size("ws") - 1,
+                                                     F.lit(0))),
+                                  F.array(F.lit(None).cast("string")))))
+                     .alias("p"))
+             .select("doc_id", F.col("p.ws").alias("w1"),
+                     F.col("p.1").alias("w2")))
+    occ = pairs.persist()
+    uni = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    bi = (occ.filter(F.col("w2").isNotNull())
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
+    scored = (occ.filter(F.col("w2").isNotNull())
+              .join(uni, "w1").join(bi, ["w1", "w2"])
+              .select("doc_id",
+                      (-F.log(F.col("cb") / F.col("cu"))).alias("s")))
+    out = (scored.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("s"), 6).alias("surprisal")))
+    return out

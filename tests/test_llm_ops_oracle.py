@@ -35,6 +35,7 @@ LLM_QUERIES = [
     "text_chunk_sliding", "corpus_balanced_sample",
     "graph_triangle_count", "sim_ivf_det_topk", "timeseries_ewma",
     "corpus_dedup_report", "basket_association_rules",
+    "text_bigram_surprisal",
 ]
 
 

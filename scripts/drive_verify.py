@@ -8,7 +8,11 @@ from pyspark.sql import SparkSession
 import duckdb
 import numpy as np
 
-spark = (SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate())
+_cores = "8"
+if "--cores" in sys.argv:
+    _cores = sys.argv[sys.argv.index("--cores") + 1]
+spark = (SparkSession.builder.master(f"local[{_cores}]")
+         .appName("driver-sim").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E

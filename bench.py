@@ -47,6 +47,9 @@ HEADLINE = [
     "q9_product_type_profit",
     "merge_scd2_dimension",
     "graph_pagerank_nations",
+    "ml_kmeans_lloyd_2iter",
+    "sim_ivf_det_topk",
+    "text_bigram_surprisal",
 ]
 
 

@@ -31,7 +31,7 @@ cent AS (SELECT label AS clabel, i, avg(x) AS c FROM tr GROUP BY label, i),
 te AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
               unnest(embedding)::DOUBLE AS x FROM test),
 d AS (SELECT te.vec_id, te.label, cent.clabel,
-             sum((te.x - cent.c) * (te.x - cent.c)) AS d2
+             round(sum((te.x - cent.c) * (te.x - cent.c)), 9) AS d2
       FROM te JOIN cent ON te.i = cent.i
       GROUP BY te.vec_id, te.label, cent.clabel),
 p AS (SELECT vec_id, label, clabel AS pred,
@@ -70,9 +70,9 @@ def ml_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     cands = F.array(*[
         F.struct(
-            F.aggregate(
+            F.round(F.aggregate(
                 F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0), lambda acc, y: acc + y).alias("d"),
+                F.lit(0.0), lambda acc, y: acc + y), 9).alias("d"),
             F.lit(lbl).alias("l"))
         for lbl, cvec in sorted(centroids.items())
     ])
@@ -135,7 +135,7 @@ _KMEANS_ORACLE = f"""
 WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                   unnest(embedding)::DOUBLE AS x FROM embeddings),
 seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {_KMEANS_K}),
-d1 AS (SELECT e.vec_id, s.cid, sum((e.x - s.x) * (e.x - s.x)) AS d2
+d1 AS (SELECT e.vec_id, s.cid, round(sum((e.x - s.x) * (e.x - s.x)), 9) AS d2
        FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
 a1 AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid,
@@ -143,7 +143,7 @@ a1 AS (SELECT vec_id, cid FROM (
          FROM d1) WHERE rn = 1),
 c1 AS (SELECT a1.cid, e.i, avg(e.x) AS x
        FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.i),
-d2_ AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d2
+d2_ AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d2
         FROM e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.cid),
 a2 AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid,
@@ -164,13 +164,20 @@ def _kmeans_assign(df, centroids: dict) -> "DataFrame":
     state, same budget rule as ml_centroid_classifier), so assignment is
     one narrow whole-stage-codegen pass: zip_with squared-diff +
     sequential aggregate per centroid, array_min over (distance, cid)
-    structs for the deterministic smallest-cid-tiebreak argmin."""
+    structs for the deterministic smallest-cid-tiebreak argmin.
+
+    The distance is ROUNDED to a 9-digit grid before the argmin: Spark's
+    sequential zip_with fold and the oracle's hash-agg sum add the same
+    terms in different orders, and a near-tie between two centroids must
+    not flip on a 1-ulp summation difference. Both engines snap to the
+    same grid, so the discrete assignment agrees even when the raw
+    doubles differ in the last bits."""
     v = F.col("embedding").cast("array<double>")
     cands = F.array(*[
         F.struct(
-            F.aggregate(
+            F.round(F.aggregate(
                 F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
-                F.lit(0.0), lambda acc, y: acc + y).alias("d"),
+                F.lit(0.0), lambda acc, y: acc + y), 9).alias("d"),
             F.lit(cid).cast("bigint").alias("cid"))
         for cid, cvec in sorted(centroids.items())
     ])
@@ -194,10 +201,6 @@ def ml_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state. More iterations = same plan repeated; 2 are enough to
     exercise assign->update->reassign against the oracle."""
     emb = load(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>"))
-        .alias("i", "x"))
 
     seeds = {r["vec_id"]: list(r["embedding"])
              for r in emb.filter(F.col("vec_id") < _KMEANS_K)
@@ -207,8 +210,14 @@ def ml_kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = seeds
     assigned = None
     for _ in range(2):
-        assigned = _kmeans_assign(emb, cents).select("vec_id", "cid")
-        cent_rows = (assigned.join(exploded, "vec_id")
+        # The assignment pass already holds the embedding, so the update
+        # posexplodes in the SAME narrow stage — no rows x dims shuffle
+        # join; the only exchange is the k x dims partial aggregate.
+        assigned = _kmeans_assign(emb, cents)
+        cent_rows = (assigned.select(
+                         "cid",
+                         F.posexplode(F.col("embedding").cast("array<double>"))
+                         .alias("i", "x"))
                      .groupBy("cid", "i").agg(F.avg("x").alias("x"))
                      .collect())
         new_cents: dict = {}

@@ -50,7 +50,7 @@ dupkeys AS (
   )
 )
 SELECT ck.check_name,
-       ck.violations,
+       ck.violations::BIGINT AS violations,
        s.n_rows,
        round(ck.violations / s.n_rows, 9) AS violation_rate
 FROM scan s CROSS JOIN (

@@ -267,7 +267,7 @@ _IVF_DET_ORACLE = f"""
 WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                   unnest(embedding)::DOUBLE AS x FROM embeddings),
 seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {K_CELLS}),
-d1 AS (SELECT e.vec_id, s.cid, sum((e.x - s.x) * (e.x - s.x)) AS d2
+d1 AS (SELECT e.vec_id, s.cid, round(sum((e.x - s.x) * (e.x - s.x)), 9) AS d2
        FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
 a1 AS (SELECT vec_id, cid FROM (
          SELECT vec_id, cid,
@@ -275,7 +275,7 @@ a1 AS (SELECT vec_id, cid FROM (
          FROM d1) WHERE rn = 1),
 c1 AS (SELECT a1.cid, e.i, avg(e.x) AS x
        FROM a1 JOIN e USING (vec_id) GROUP BY a1.cid, e.i),
-d2_ AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d2
+d2_ AS (SELECT e.vec_id, c.cid, round(sum((e.x - c.x) * (e.x - c.x)), 9) AS d2
         FROM e JOIN c1 c ON c.i = e.i GROUP BY e.vec_id, c.cid),
 rankcells AS (SELECT vec_id, cid,
                      row_number() OVER (PARTITION BY vec_id
@@ -327,12 +327,15 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", v.alias("e")).collect()}
 
     def ranked_cells(cents):
+        # d is snapped to the oracle's 9-digit grid before the sort so a
+        # near-tie between two cells can't flip on summation-order ulps
+        # (Spark folds sequentially, DuckDB hash-aggregates).
         return F.transform(
             F.array_sort(F.array(*[
                 F.struct(
-                    F.aggregate(F.zip_with(v, F.lit(cvec),
-                                           lambda x, c: (x - c) * (x - c)),
-                                F.lit(0.0), lambda a, y: a + y).alias("d"),
+                    F.round(F.aggregate(F.zip_with(v, F.lit(cvec),
+                                                   lambda x, c: (x - c) * (x - c)),
+                                        F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
                     F.lit(cid).cast("bigint").alias("c"))
                 for cid, cvec in sorted(cents.items())])),
             lambda s: s["c"])

@@ -224,7 +224,7 @@ win AS (
 )
 SELECT doc_id,
        count(*) AS n_windows,
-       min(wh) AS fingerprint
+       min(wh)::BIGINT AS fingerprint
 FROM win GROUP BY doc_id
 """)
 def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

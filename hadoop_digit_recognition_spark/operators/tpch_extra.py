@@ -422,10 +422,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12 = """
 SELECT CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
             THEN 'FAST' ELSE 'SLOW' END AS ship_mode,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE year(l.l_shipdate) = 1997

@@ -41,6 +41,29 @@ def norm(v):
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v
 
+def type_red_flags(name, sdf, ddf, rel_types):
+    """Predict the driver's TYPE-SENSITIVE value hash, which `norm()`'s
+    value compare is blind to (HUGEINT-as-float 2207.0 == 2207 here but
+    hash-mismatches there). Two detectors:
+    - any DuckDB HUGEINT/UHUGEINT output column (pandas materializes it
+      as object/float while Spark sends int64);
+    - Spark-vs-DuckDB pandas dtype *kind* divergence on a shared column
+      (int vs float vs object), ignoring width and datetime-unit noise
+      the hash tolerates.
+    """
+    flags = []
+    for c, t in zip(ddf.columns, rel_types):
+        if str(t).upper() in ("HUGEINT", "UHUGEINT"):
+            flags.append(f"oracle col {c} is {t}")
+    for c in set(sdf.columns) & set(ddf.columns):
+        sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if sk != dk and {sk, dk} - {"M"}:  # datetime units differ benignly
+            # object-vs-object strings are fine; int-vs-float / int-vs-object are the hazard
+            if {sk, dk} <= {"i", "u"}:
+                continue
+            flags.append(f"col {c} dtype kind {sk} (spark) vs {dk} (oracle)")
+    return flags
+
 qs, osql = E.queries(), E.oracle_sql()
 if "--only" in sys.argv:
     only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
@@ -57,14 +80,18 @@ for name, fn in qs.items():
         print(f"  {name}: rows-only, {len(sdf)} rows, {time.time()-t0:.1f}s")
         if len(sdf) == 0: fails.append((name, "0 rows"))
         continue
-    ddf = con.sql(osql[name]).df()
+    rel = con.sql(osql[name])
+    rel_types = list(rel.types)
+    ddf = rel.df()
     ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
     ok_n = len(sdf) == len(ddf)
     srt = lambda df_: sorted((tuple(norm(c) for c in r) for r in df_[sorted(df_.columns)].itertuples(index=False, name=None)), key=lambda t: tuple(str(x) for x in t))
     ok_vals = ok_cols and ok_n and srt(sdf) == srt(ddf)
-    status = "MATCH" if (ok_cols and ok_n and ok_vals) else "MISMATCH"
-    print(f"  {name}: {status} ({len(sdf)} vs {len(ddf)} rows; cols {ok_cols}) {time.time()-t0:.1f}s")
-    if status != "MATCH": fails.append((name, "mismatch"))
+    tflags = type_red_flags(name, sdf, ddf, rel_types)
+    status = "MATCH" if (ok_cols and ok_n and ok_vals and not tflags) else "MISMATCH"
+    extra = f" TYPE-HAZARD {tflags}" if tflags else ""
+    print(f"  {name}: {status} ({len(sdf)} vs {len(ddf)} rows; cols {ok_cols}){extra} {time.time()-t0:.1f}s")
+    if status != "MATCH": fails.append((name, "type-hazard" if (ok_vals and tflags) else "mismatch"))
 
 print("FAILURES:", fails if fails else "none")
 spark.stop()

@@ -58,6 +58,12 @@ def _force(df) -> None:
 
 
 def main() -> None:
+    headline = HEADLINE
+    if "--only" in sys.argv:
+        headline = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in headline if n not in SPARK_QUERIES]
+        assert not unknown, f"unknown queries: {unknown}"
+    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -98,15 +104,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     build: dict[str, float] = {}
     execs: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = SPARK_QUERIES[name](spark, sf_dir)
-        t1 = time.perf_counter()
-        _force(df)
-        t2 = time.perf_counter()
-        build[name] = round(t1 - t0, 3)
-        execs[name] = round(t2 - t1, 3)
-        timings[name] = round(t2 - t0, 3)
+    for name in headline:
+        bs, es, ts = [], [], []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            df = SPARK_QUERIES[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            _force(df)
+            t2 = time.perf_counter()
+            bs.append(t1 - t0); es.append(t2 - t1); ts.append(t2 - t0)
+        # repeat>1 (isolation runs) reports the min — the least-noise sample
+        build[name] = round(min(bs), 3)
+        execs[name] = round(min(es), 3)
+        timings[name] = round(min(ts), 3)
 
     # Full build/exec/total detail goes to stderr (and a sidecar file when
     # $SPARK_GRAFT_BENCH_DETAIL is set); stdout carries EXACTLY ONE compact

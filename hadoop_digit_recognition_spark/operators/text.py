@@ -505,11 +505,18 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     bi = (occ.filter(F.col("w2").isNotNull())
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")))
-    scored = (occ.filter(F.col("w2").isNotNull())
-              .join(uni, "w1").join(bi, ["w1", "w2"])
-              .select("doc_id",
+    # Pre-aggregate occurrences to (doc_id, w1, w2, k) BEFORE the scoring
+    # joins: repeated bigrams within a document collapse to one row, so
+    # the join input shrinks by the repeat factor and the per-doc average
+    # becomes a k-weighted mean (identical value, smaller shuffle).
+    docbi = (occ.filter(F.col("w2").isNotNull())
+             .groupBy("doc_id", "w1", "w2")
+             .agg(F.count(F.lit(1)).alias("k")))
+    scored = (docbi.join(uni, "w1").join(bi, ["w1", "w2"])
+              .select("doc_id", "k",
                       (-F.log(F.col("cb") / F.col("cu"))).alias("s")))
     out = (scored.groupBy("doc_id")
-           .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                F.round(F.avg("s"), 6).alias("surprisal")))
+           .agg(F.sum("k").alias("n_bigrams"),
+                F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), 6)
+                .alias("surprisal")))
     return out

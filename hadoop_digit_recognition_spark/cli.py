@@ -63,10 +63,23 @@ def _run_query(argv: list[str]) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
-    if argv and argv[0] == "run":
+    def _is_driver_form(a: list[str]) -> bool:
+        # reference-driver positional form: <inp> <outp> <max_epoch>
+        # <num_layer> <sizes...> — epoch/layer-count parse as ints
+        if len(a) < 5:
+            return False
+        try:
+            int(a[2]); int(a[3])
+        except ValueError:
+            return False
+        return True
+
+    if argv and argv[0] == "run" and not _is_driver_form(argv):
         # engine extension: generic query runner (`run --list`, `run
-        # <name> <sf_dir> [out]`); the bare positional form below keeps
-        # exact reference-driver parity
+        # <name> <sf_dir> [out]`). An input directory literally named
+        # 'run' still routes to the reference-driver positional form
+        # below, which wins whenever the argv parses as it — exact
+        # reference parity is never shadowed.
         return _run_query(argv[1:])
     if len(argv) < 5:
         print(__doc__)

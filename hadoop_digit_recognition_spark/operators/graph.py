@@ -98,7 +98,13 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalized transition weight — computed once, persisted node²-sized
     trans = (edges.join(outw, "src")
              .select("src", "dst", (F.col("w") / F.col("ow")).alias("p")))
+    # Materialize NOW: the returned DataFrame is lazy, so a persist alone
+    # is a no-op (nothing would populate the cache before the unrolled
+    # iterations re-derive the fact-sized edge aggregation 3x). The
+    # cached piece is node^2-sized (<= nations^2 rows) and lives for the
+    # session — the right trade for an iterative loop over a tiny graph.
     trans.persist()
+    trans.count()
     nodes = spark.table("nation").select(
         F.col("n_nationkey").alias("node"))
     n = nodes.count()
@@ -114,5 +120,4 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                          (F.lit((1 - _DAMP) / n)
                           + F.lit(_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
                           ).alias("pr")))
-    trans.unpersist()
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))

@@ -302,34 +302,42 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: a NARROW map — no shuffle; output rows carry (doc_id,
     frame_id, two ints), never the waveform."""
-    import numpy as np
-
     docs = load(spark, sf_dir, "documents")
     mm = attach_binary_payload(docs)
     from ..shipping import ensure_shipped
     ensure_shipped(spark)
 
-    schema = ("doc_id bigint, frame_id bigint, energy bigint, "
-              "zero_crossings bigint")
+    return mm.mapInPandas(audio_frames, AUDIO_SCHEMA)
 
-    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, fids, en, zc = [], [], [], []
-            for did, b in zip(pdf["doc_id"], pdf["payload"]):
-                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
-                nf = max(1, -(-raw.size // WIN))
-                pad = np.full(nf * WIN, 128, dtype=np.int64)
-                pad[:raw.size] = raw
-                d = (pad - 128).reshape(nf, WIN)
-                ids.extend([did] * nf)
-                fids.extend(range(nf))
-                en.extend((d * d).sum(axis=1).tolist())
-                zc.extend(((d[:, :-1] * d[:, 1:]) < 0).sum(axis=1).tolist())
-            yield pd.DataFrame({
-                "doc_id": np.asarray(ids, dtype=np.int64),
-                "frame_id": np.asarray(fids, dtype=np.int64),
-                "energy": np.asarray(en, dtype=np.int64),
-                "zero_crossings": np.asarray(zc, dtype=np.int64),
-            })
 
-    return mm.mapInPandas(frames, schema)
+AUDIO_SCHEMA = ("doc_id bigint, frame_id bigint, energy bigint, "
+                "zero_crossings bigint")
+
+
+def audio_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """PCM framing UDF body (module-level so tests can drive it on
+    synthetic payloads)."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, fids, en, zc = [], [], [], []
+        for did, b in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            # zero-byte payload -> zero frames, matching the oracle's
+            # WHERE (which emits no rows for an empty document)
+            nf = -(-raw.size // WIN)
+            if nf == 0:
+                continue
+            pad = np.full(nf * WIN, 128, dtype=np.int64)
+            pad[:raw.size] = raw
+            d = (pad - 128).reshape(nf, WIN)
+            ids.extend([did] * nf)
+            fids.extend(range(nf))
+            en.extend((d * d).sum(axis=1).tolist())
+            zc.extend(((d[:, :-1] * d[:, 1:]) < 0).sum(axis=1).tolist())
+        yield pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "frame_id": np.asarray(fids, dtype=np.int64),
+            "energy": np.asarray(en, dtype=np.int64),
+            "zero_crossings": np.asarray(zc, dtype=np.int64),
+        })

@@ -62,3 +62,20 @@ def test_cli_run_explain(capsys):
                  "/root/testdata/sf0.001", "--explain"]) == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_cli_input_dir_named_run_routes_to_driver(spark):
+    """An input directory literally named 'run' must hit the reference
+    driver's positional surface, not the query-runner subcommand."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    # argv parses as the positional driver form -> must NOT reach the
+    # query runner (which would print "unknown query" and return 2).
+    # Routing to the driver path surfaces as Spark failing to read the
+    # (nonexistent) input named 'run' — proof the dispatch chose parity.
+    with pytest.raises(AnalysisException):
+        main(["run", os.path.join(tempfile.gettempdir(), "hdr_out"),
+              "1", "2", "64", "8"])
+    # non-driver-form argv still reaches the query runner
+    assert main(["run", "definitely_not_a_query"]) == 2

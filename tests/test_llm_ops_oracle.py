@@ -233,3 +233,25 @@ def test_two_phase_star_equals_min_label(spark, duck):
     compare(SPARK_QUERIES["dedup_cc_two_phase_star"](spark, SF_ORACLE),
             duck, ORACLE_SQL["dedup_cc_two_phase_star"],
             "dedup_cc_two_phase_star")
+
+
+def test_multimodal_audio_energy_empty_payload_zero_frames(spark):
+    """A zero-byte payload emits ZERO frames — matching the audio
+    oracle's WHERE, which produces no rows for an empty document (the
+    old max(1, ...) emitted one silent frame the oracle never saw)."""
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        audio_frames,
+    )
+    from hadoop_digit_recognition_spark.shipping import ensure_shipped
+
+    ensure_shipped(spark)
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 70)), (2, bytearray(b""))],
+        "doc_id bigint, payload binary")
+    rows = df.mapInPandas(audio_frames, AUDIO_SCHEMA).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 2  # 70 bytes -> two 64-sample frames
+    assert 2 not in by_doc  # empty payload -> no frames at all

@@ -3,7 +3,7 @@ expose the populated registry. `__spark_entry__.py` re-exports these."""
 
 from __future__ import annotations
 
-from .registry import ORACLE_SQL, SPARK_QUERIES
+from .registry import ORACLE_SQL, ROWS_ONLY, SPARK_QUERIES
 
 from .rbm import queries as _rbm_queries  # noqa: F401,E402
 
@@ -79,4 +79,4 @@ def _rotate_for_driver_coverage() -> None:
 
 _rotate_for_driver_coverage()
 
-__all__ = ["SPARK_QUERIES", "ORACLE_SQL"]
+__all__ = ["SPARK_QUERIES", "ORACLE_SQL", "ROWS_ONLY"]

@@ -42,7 +42,10 @@ def _shingle_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf.transform(sh).select("doc_id", "features")
 
 
-@query("dedup_minhash_mllib")  # rows-only: MLlib hash family is JVM-seeded
+@query("dedup_minhash_mllib", rows_only=(
+    "MLlib MinHashLSH's hash family is JVM-seeded "
+    "(dedup_minhash_lsh is the oracle-exact twin)",
+    "test_mllib_minhash_agrees_with_handrolled"))
 def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash dedup via pyspark.ml.feature.MinHashLSH — the built-in
     twin of dedup_minhash_lsh. approxSimilarityJoin generates candidates
@@ -67,7 +70,10 @@ def dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - F.col("jdist"), 6).alias("jaccard")))
 
 
-@query("sim_ann_mllib_brp")  # rows-only: random hyperplanes are JVM-seeded
+@query("sim_ann_mllib_brp", rows_only=(
+    "BucketedRandomProjectionLSH draws JVM-seeded hyperplanes "
+    "(sim_ann_lsh / sim_ivf_det_topk are the deterministic twins)",
+    "test_mllib_brp_recall_vs_exact"))
 def sim_ann_mllib_brp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via BucketedRandomProjectionLSH — the built-in twin of
     sim_ann_lsh / sim_ivf_topk. Vectors are unit-normalized first so

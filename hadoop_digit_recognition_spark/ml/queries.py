@@ -80,7 +80,10 @@ def ml_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label_accuracy(scored)
 
 
-@query("ml_logreg_eval")
+@query("ml_logreg_eval", rows_only=(
+    "L-BFGS training is iterative float optimization — not "
+    "SQL-replayable (ml_logreg_gd_2iter is the oracle-exact GD twin)",
+    "test_mllib_eval_shape"))
 def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial logistic regression on raw embeddings (MLlib, L-BFGS).
     Deterministic id-mod split; returns per-label test accuracy.
@@ -91,7 +94,10 @@ def ml_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label_accuracy(model.transform(test))
 
 
-@query("ml_dbn_logreg_eval")
+@query("ml_dbn_logreg_eval", rows_only=(
+    "stacked RBM pre-training + LBFGS head — iterative, seeded, not "
+    "SQL-replayable (rbm_dbn_two_layer oracle-checks the DBN core)",
+    "test_mllib_eval_shape"))
 def ml_dbn_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full reference pipeline, completed: greedy layer-wise RBM
     pre-training (64->32, deterministic mean-field CD-1, seeded — SURVEY.md
@@ -117,7 +123,11 @@ def ml_dbn_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_label_accuracy(model.transform(test))
 
 
-@query("ml_mlp_eval")
+@query("ml_mlp_eval", rows_only=(
+    "backprop training (MLlib MLP) is iterative and seeded — not "
+    "SQL-replayable (ml_centroid_classifier is the relational "
+    "classification twin)",
+    "test_mllib_eval_shape"))
 def ml_mlp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feed-forward sigmoid network trained by backprop (MLlib
     MultilayerPerceptronClassifier, seeded) — the literal

@@ -168,7 +168,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= TOP_K))
 
 
-@query("sim_ivf_topk")  # rows-only: KMeans training is iterative, no SQL oracle
+@query("sim_ivf_topk", rows_only=(
+    "MLlib KMeans index training is iterative and JVM-seeded — its "
+    "centroids are not SQL-replayable (sim_ivf_det_topk is the "
+    "oracle-exact twin)",
+    "test_ivf_recall_vs_exact"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (FAISS layout, Spark-first).
 

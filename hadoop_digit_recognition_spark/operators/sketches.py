@@ -20,7 +20,11 @@ from ..registry import query
 from ..tables import load
 
 
-@query("sketch_hll_distinct")
+@query("sketch_hll_distinct", rows_only=(
+    "approx_count_distinct's HLL++ register layout and xxhash64 seed "
+    "are Spark-internal — no other engine reproduces the estimate "
+    "(sketch_hll_registers is the oracle-exact twin)",
+    "test_hll_within_rsd"))
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event_type (rsd=2%) next to the
     exact count. Shuffle carries one HLL register block per key instead
@@ -81,7 +85,10 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "x.p", "x.approx_v", "x.exact_v"))
 
 
-@query("sketch_cms_heavy_hitters")
+@query("sketch_cms_heavy_hitters", rows_only=(
+    "count_min_sketch's binary serialization and hash seeds are "
+    "Spark-internal (sketch_cms_registers is the oracle-exact twin)",
+    "test_cms_builtin_point_estimates_bounded"))
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch point estimates for the heavy-hitter users: build
     one CMS over user_id (eps=0.1%, conf=99%), query the top-10 exact
@@ -312,7 +319,10 @@ def sketch_cms_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("c").cast("bigint").alias("est_n")))
 
 
-@query("sketch_hll_datasketches")
+@query("sketch_hll_datasketches", rows_only=(
+    "DataSketches HLL estimates depend on the library's internal "
+    "hash/estimator; DuckDB cannot replay them",
+    "test_hll_datasketches_error_bound"))
 def sketch_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apache DataSketches HLL surface (Spark 4 built-ins): per-type
     sketches via hll_sketch_agg, MERGED with hll_union_agg into a global

@@ -22,10 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
+# name -> (why no oracle can exist, pytest that bounds the result anyway);
+# REQUIRED for every oracle=None registration (tests enforce it), so each
+# rows-only row in QUERIES.md carries its justification + bounding test.
+ROWS_ONLY: dict[str, tuple[str, str]] = {}
 
 
-def query(name: str, oracle: str | None = None):
-    """Register a query; `oracle=None` marks it rows-only (non-SQL-expressible)."""
+def query(name: str, oracle: str | None = None,
+          rows_only: tuple[str, str] | None = None):
+    """Register a query; `oracle=None` marks it rows-only (non-SQL-expressible)
+    and then requires `rows_only=(reason, bounding_test_name)`."""
     def deco(fn):
         from functools import wraps
 
@@ -39,5 +45,7 @@ def query(name: str, oracle: str | None = None):
         SPARK_QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
+        elif rows_only is not None:
+            ROWS_ONLY[name] = rows_only
         return wrapped
     return deco

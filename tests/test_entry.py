@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import importlib
+import os
 
 
 def test_entry_smoke(spark):
@@ -33,3 +34,33 @@ def test_bench_headline_names_registered():
     from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
     missing = [n for n in bench.HEADLINE if n not in SPARK_QUERIES]
     assert not missing, missing
+
+
+def test_every_rows_only_query_is_justified_and_bounded():
+    """Contract hygiene: a query registered without an oracle MUST carry
+    (reason, bounding_test) via rows_only=, and the named pytest must
+    actually exist — so no result ever goes ungraded."""
+    import glob
+    import re
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL,
+        ROWS_ONLY,
+        SPARK_QUERIES,
+    )
+
+    rows_only = {n for n in SPARK_QUERIES if n not in ORACLE_SQL}
+    missing = rows_only - set(ROWS_ONLY)
+    assert not missing, f"rows-only queries without justification: {missing}"
+    stale = set(ROWS_ONLY) - rows_only
+    assert not stale, f"justifications for non-rows-only queries: {stale}"
+
+    test_dir = os.path.dirname(os.path.abspath(__file__))
+    defined = set()
+    for path in glob.glob(os.path.join(test_dir, "test_*.py")):
+        defined |= set(re.findall(r"^def (test_\w+)", open(path).read(),
+                                  re.MULTILINE))
+    for name, (reason, test_name) in ROWS_ONLY.items():
+        assert reason.strip(), name
+        assert test_name in defined, (
+            f"{name} names bounding test {test_name!r} which does not exist")

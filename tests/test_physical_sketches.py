@@ -213,3 +213,51 @@ def test_hll_datasketches_error_bound(spark):
     for r in (ev.groupBy("event_type")
               .agg(F.countDistinct("user_id").alias("n")).collect()):
         assert abs(rows[r.event_type] - r.n) / r.n < 0.05, r.event_type
+
+
+def test_cms_builtin_point_estimates_bounded(spark):
+    """Deserialize the built-in count_min_sketch through the JVM and
+    probe it for the top-10 heavy hitters: the estimate must honor the
+    CMS guarantee (never undercounts; overcount <= eps * N at the
+    sketch's eps=0.001) — binding the opaque built-in to the same
+    bounds the oracle-exact twin (sketch_cms_registers) proves
+    relationally."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["sketch_cms_heavy_hitters"](spark, SF_ORACLE).collect()
+    ev = load(spark, SF_ORACLE, "events")
+    n_total = ev.count()
+    sk_hex = ev.selectExpr(
+        "hex(count_min_sketch(user_id, 0.001d, 0.99d, 42)) AS sk"
+    ).first()["sk"]
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes.fromhex(sk_hex))
+    for r in rows:
+        est = jcms.estimateCount(r["user_id"])
+        assert est >= r["exact_n"], (r, est)
+        assert est <= r["exact_n"] + 0.001 * n_total + 1, (r, est, n_total)
+
+
+def test_hll_builtin_agrees_with_register_twin(spark):
+    """The opaque built-in (approx_count_distinct, rsd=2%) and the
+    oracle-exact register twin (sketch_hll_registers -> fold) must agree
+    per event_type within their combined error budgets (4 sigma of 2%
+    and of 1.04/sqrt(256) respectively) around the same truth — the
+    agreement test that ties the rows-only query to the twin the driver
+    value-hashes."""
+    from hadoop_digit_recognition_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    builtin = {r["event_type"]: (r["approx_users"], r["exact_users"])
+               for r in SPARK_QUERIES["sketch_hll_distinct"](spark, SF_ORACLE)
+               .collect()}
+    twin = {r["event_type"]: r["hll_estimate"]
+            for r in hll_estimate_from_registers(
+                SPARK_QUERIES["sketch_hll_registers"](spark, SF_ORACLE))
+            .collect()}
+    assert set(builtin) == set(twin)
+    combined = 4 * (0.02 + 1.04 / (256 ** 0.5))
+    for k, (approx, exact) in builtin.items():
+        assert abs(approx - twin[k]) / exact <= combined, (
+            k, approx, twin[k], exact)

@@ -50,6 +50,9 @@ HEADLINE = [
     "ml_kmeans_lloyd_2iter",
     "sim_ivf_det_topk",
     "text_bigram_surprisal",
+    "corpus_decontamination",
+    "dedup_boilerplate_ngrams",
+    "events_anomaly_mad",
 ]
 
 

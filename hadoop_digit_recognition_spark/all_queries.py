@@ -20,6 +20,7 @@ _OPTIONAL_MODULES = [
     "hadoop_digit_recognition_spark.operators.physical",
     "hadoop_digit_recognition_spark.operators.sketches",
     "hadoop_digit_recognition_spark.operators.corpus",
+    "hadoop_digit_recognition_spark.operators.corpus_hygiene",
     "hadoop_digit_recognition_spark.operators.dataquality",
     "hadoop_digit_recognition_spark.operators.graph",
     "hadoop_digit_recognition_spark.operators.merge",

@@ -74,3 +74,55 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate set is pair-count-sized here, but the heap form costs
     # nothing and survives any pair-count growth
     return scored.orderBy(F.desc("lift"), "pa", "pb").limit(50)
+
+
+@query("events_anomaly_mad", oracle="""
+WITH med AS (SELECT event_type, median(value) AS m
+             FROM events GROUP BY event_type),
+j AS (SELECT e.event_type, e.value, med.m
+      FROM events e JOIN med USING (event_type)),
+stats AS (SELECT event_type, any_value(m) AS m,
+                 median(abs(value - m)) AS mad,
+                 count(*) AS n
+          FROM j GROUP BY event_type)
+SELECT j.event_type,
+       CAST(any_value(stats.n) AS BIGINT) AS n,
+       round(any_value(stats.m), 6) AS med,
+       round(any_value(stats.mad), 6) AS mad,
+       CAST(sum(CASE WHEN abs(j.value - stats.m) > 3 * 1.4826 * stats.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM j JOIN stats USING (event_type)
+GROUP BY j.event_type
+""")
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counting per event type via median absolute
+    deviation: a value is anomalous when |v - median| exceeds 3 robust
+    standard deviations (MAD x 1.4826 — the consistency constant that
+    makes MAD estimate sigma under normality). Median/MAD resist the
+    heavy tails that wreck mean/stddev z-scores on operational metrics.
+
+    Two passes by construction (a threshold derived from an aggregate
+    cannot be applied inside the same aggregate): pass 1 computes
+    median then MAD per type; pass 2 re-scans with the (5-row) stats
+    table broadcast and counts exceedances.
+
+    Scale shape: two type-keyed grouped EXACT medians plus one broadcast
+    join back onto the stream. At 100 TB swap median for
+    percentile_approx at the same plan — sketch_quantiles demonstrates
+    that form and its error bound."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    j = ev.join(F.broadcast(med), "event_type")
+    dev = F.abs(F.col("value") - F.col("m"))
+    stats = (j.groupBy("event_type")
+             .agg(F.first("m").alias("m"),
+                  F.median(dev).alias("mad"),
+                  F.count(F.lit(1)).cast("bigint").alias("n")))
+    j2 = ev.join(F.broadcast(stats), "event_type")
+    dev2 = F.abs(F.col("value") - F.col("m"))
+    return (j2.groupBy("event_type")
+            .agg(F.first("n").alias("n"),
+                 F.round(F.first("m"), 6).alias("med"),
+                 F.round(F.first("mad"), 6).alias("mad"),
+                 F.sum(F.when(dev2 > 3 * 1.4826 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_anomalies")))

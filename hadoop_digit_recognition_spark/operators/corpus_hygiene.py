@@ -1,0 +1,236 @@
+"""Corpus-hygiene operators for LLM training-data pipelines: benchmark
+decontamination, within-document repetition signals, cross-document
+boilerplate n-gram detection, and temperature-based source mixing.
+
+These are the standard pre-training hygiene passes published in the
+GPT-3 / Gopher / PaLM data-pipeline literature, expressed Spark-first:
+
+- decontamination = n-gram overlap against a (small) eval set — the eval
+  n-gram set is benchmark-sized, so it BROADCASTS and the corpus side is
+  one narrow explode + broadcast join + per-doc aggregate;
+- repetition / boilerplate = keyed aggregates over (doc, gram) and
+  (gram) — vocabulary-sized shuffles with map-side partial aggregation,
+  never all-pairs;
+- temperature mixing = one grouped aggregate + an unbounded window
+  normalize over the (tiny) per-source summary.
+
+The reference has no corpus operators (SURVEY.md §2.5 declared-absent);
+this module extends the engine the same way dedup.py / text.py do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_parallel
+
+# 3-grams: the synthetic corpus has a ~30-word vocabulary, so trigrams
+# are the smallest unit with real cross-document discrimination (judged
+# empirically: 151 of 16k trigrams are shared by >= 5 docs, 4/5-grams
+# almost never collide). Production corpora use 8-13-gram windows; the
+# plan shape is identical, only N changes.
+_NGRAM_N = 3
+_BENCH_MOD = 97          # doc_id % 97 == 0 -> stand-in benchmark/eval set
+_BOILER_MIN_DOCS = 5     # gram in >= 5 distinct docs -> boilerplate
+_MIX_BUDGET = 10_000     # sampled docs in the temperature mix
+
+
+def _grams_expr(n: int) -> str:
+    """SQL expression producing the array of word n-grams of `ws`.
+
+    Guarded so short docs yield an EMPTY array (bare sequence(1, k)
+    counts DOWN when k < 1 and would fabricate grams)."""
+    return (f"CASE WHEN size(ws) >= {n} THEN "
+            f"transform(sequence(1, size(ws) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(ws, i, {n}))) "
+            "ELSE array() END")
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str, n: int = _NGRAM_N) -> DataFrame:
+    """(doc_id, gram) — one row per n-gram occurrence, narrow explode."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    return (docs.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", F.explode(F.expr(_grams_expr(n))).alias("gram")))
+
+
+# DuckDB twin of _doc_grams: one row per n-gram occurrence.
+_G_SQL = f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gi AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_NGRAM_N - 1})) AS i
+       FROM t),
+g AS (SELECT doc_id, array_to_string(list_slice(w, i, i + {_NGRAM_N - 1}), ' ')
+             AS gram
+      FROM gi)
+"""
+
+
+@query("corpus_decontamination", oracle=f"""
+WITH {_G_SQL},
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+h AS (SELECT g.doc_id, count(b.gram) AS nh
+      FROM g LEFT JOIN b USING (gram)
+      WHERE g.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY g.doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+       coalesce(h.nh, 0) > 0 AS contaminated
+FROM t LEFT JOIN h USING (doc_id)
+WHERE t.doc_id % {_BENCH_MOD} <> 0
+""")
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word n-gram (N = _NGRAM_N) with the held-out eval set (docs with
+    doc_id % _BENCH_MOD == 0 stand in for the benchmark) — the overlap
+    filter every published pre-training pipeline runs so eval numbers
+    aren't inflated by memorized test data.
+
+    Scale shape: the benchmark n-gram set is EVAL-Sized (thousands of
+    docs, not the corpus), so it broadcasts; the corpus side is one
+    narrow explode + broadcast left join + per-doc count. No corpus-side
+    shuffle except the final doc-keyed aggregate. At 100 TB the only
+    change is hashing grams (sha2) before the join to keep the broadcast
+    compact."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    grams = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+             .select("doc_id",
+                     F.explode_outer(F.expr(_grams_expr(_NGRAM_N)))
+                     .alias("gram")))
+    bench = (grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+             .select("gram").distinct().withColumn("hit", F.lit(1)))
+    corp = grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (corp.join(F.broadcast(bench), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+                 .alias("n_hits"))
+            .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+@query("text_repetition_rates", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+       FROM g2i),
+c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+r2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+       FROM c2 GROUP BY doc_id),
+g3i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM t),
+g3 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+       FROM g3i),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+r3 AS (SELECT doc_id,
+              round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+                AS dup_trigram_frac
+       FROM c3 GROUP BY doc_id)
+SELECT r2.doc_id, r2.n_bigrams, r2.top_bigram_frac, r3.dup_trigram_frac
+FROM r2 JOIN r3 USING (doc_id)
+""")
+def text_repetition_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition rules):
+    the fraction of bigram occurrences taken by the single most frequent
+    bigram, and the fraction of trigram occurrences whose trigram repeats
+    within the document — the two cheapest detectors for looped
+    boilerplate and degenerate generations, run before any model-based
+    quality scorer.
+
+    Scale shape: two (doc_id, gram)-keyed counts with map-side partial
+    aggregation, re-aggregated per doc; keys are doc-local so the
+    shuffle is as wide as the corpus but never hot. The doc_id-keyed
+    join of the two per-doc summaries co-partitions."""
+    def per_doc(n: int, aggs) -> DataFrame:
+        return (_doc_grams(spark, sf_dir, n)
+                .groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("doc_id").agg(*aggs))
+
+    r2 = per_doc(2, [
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")])
+    r3 = per_doc(3, [
+        F.round(F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                / F.sum("c"), 6).alias("dup_trigram_frac")])
+    return r2.join(r3, "doc_id")
+
+
+@query("dedup_boilerplate_ngrams", oracle=f"""
+WITH {_G_SQL},
+df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+b AS (SELECT gram FROM df WHERE nd >= {_BOILER_MIN_DOCS}),
+per AS (SELECT g.doc_id,
+               count(*) AS n_grams,
+               count(b.gram) AS n_boiler
+        FROM g LEFT JOIN b USING (gram) GROUP BY g.doc_id)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_boiler AS BIGINT) AS n_boiler,
+       round(n_boiler * 1.0 / n_grams, 6) AS boiler_frac
+FROM per
+""")
+def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: an n-gram appearing in >=
+    _BOILER_MIN_DOCS distinct documents is boilerplate (headers,
+    footers, license blurbs at web scale); each document reports what
+    fraction of its n-gram occurrences are boilerplate — the per-doc
+    signal line-level dedup pipelines threshold on.
+
+    Scale shape: one gram-keyed count-distinct (the document-frequency
+    table — vocabulary-sized, shuffled once with partial aggregation),
+    filtered to the boilerplate set, then joined back to the occurrence
+    stream. The boilerplate set is far smaller than the corpus and
+    broadcasts; at 100 TB swap count(DISTINCT doc_id) for
+    approx_count_distinct at the same plan shape."""
+    occ = _doc_grams(spark, sf_dir, _NGRAM_N)
+    boiler = (occ.groupBy("gram")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= _BOILER_MIN_DOCS)
+              .select("gram").withColumn("b", F.lit(1)))
+    return (occ.join(F.broadcast(boiler), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.count("b").cast("bigint").alias("n_boiler"))
+            .withColumn("boiler_frac",
+                        F.round(F.col("n_boiler") / F.col("n_grams"), 6)))
+
+
+@query("corpus_temperature_mix", oracle=f"""
+WITH s AS (SELECT source,
+                  count(*) AS n_docs,
+                  sum(len(string_split(text, ' '))) AS n_tokens
+           FROM documents GROUP BY source),
+wgt AS (SELECT source, n_docs, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS pw
+        FROM s)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(pw / sum(pw) OVER (), 6) AS mix_weight,
+       CAST(floor(pw / sum(pw) OVER () * {_MIX_BUDGET}) AS BIGINT)
+         AS expected_docs
+FROM wgt
+""")
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: sampling weight per source
+    proportional to n_tokens^alpha with alpha = 0.5 — the sub-linear
+    reweighting that keeps huge web crawls from drowning small
+    high-quality sources in the pre-training mix (the multilingual /
+    multi-corpus sampling rule from the public LM literature).
+
+    alpha = 0.5 deliberately: sqrt is correctly rounded IEEE in every
+    engine, so the weights (and the floor() sample allocation) are
+    bit-identical between Spark and the oracle — pow(x, 0.7) would not
+    be. The normalizing sum runs as an unbounded window over the
+    per-source summary (sources-sized, a few rows), not a 1-row join,
+    which keeps the plan BNLJ-free.
+
+    Scale shape: one grouped aggregate over the corpus (source-keyed,
+    partial-aggregated), then window math over the tiny summary."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    s = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum(F.size(F.split("text", " "))).cast("bigint")
+              .alias("n_tokens")))
+    pw = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = F.sum(pw).over(W.partitionBy())
+    return (s.withColumn("mix_weight", F.round(pw / tot, 6))
+            .withColumn("expected_docs",
+                        F.floor(pw / tot * _MIX_BUDGET).cast("bigint")))

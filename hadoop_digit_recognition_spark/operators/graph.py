@@ -121,3 +121,87 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.lit(_DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
                           ).alias("pr")))
     return ranks.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+_BFS_K = 3       # keep each node's top-K strongest outgoing edges
+_BFS_MAXD = 6    # hop bound (both engines stop here -> deterministic)
+_BFS_SRC = 0     # BFS source nation
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE ew AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+),
+e AS (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM ew) WHERE rn <= {_BFS_K}),
+bfs(node, d) AS (
+  SELECT {_BFS_SRC}, 0
+  UNION
+  SELECT e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.d < {_BFS_MAXD}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+FROM bfs GROUP BY node
+"""
+
+
+@query("graph_bfs_hops", oracle=_BFS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest hops (BFS) over the sparsified
+    trade graph: each nation keeps only its top-_BFS_K strongest outgoing
+    edges (weight-relative, so the sparsification survives any scale
+    factor — an absolute weight threshold would not), then min-hop
+    distances from nation _BFS_SRC, bounded at _BFS_MAXD hops in BOTH
+    engines so results are deterministic even on a graph with longer
+    paths. The oracle is a recursive CTE; the engine runs the iterative
+    frontier-relaxation loop — the same Pregel-on-relational shape as
+    PageRank and connected components.
+
+    Scale shape: the edge derivation is the fact-sized part and runs
+    once; each of the _BFS_MAXD relaxation rounds is a node-keyed join +
+    min-aggregate over the (node-sized) distance vector, with the sparse
+    edge list on the broadcast side. At web scale the distance vector is
+    the big table and edges shuffle-join on src — same loop, swapped
+    build side."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    from pyspark.sql import Window as W
+    ew = spark.sql("""
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey""")
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
+         .select("src", "dst"))
+    e.persist()
+    e.count()  # materialize once; the loop re-reads it _BFS_MAXD times
+
+    dist = spark.createDataFrame([(_BFS_SRC, 0)], "node bigint, hops bigint")
+    for _ in range(_BFS_MAXD):
+        # alias-qualify: dist's lineage contains e after round 1, so bare
+        # column refs would be ambiguous self-join references
+        nxt = (dist.alias("d").join(e.alias("g"),
+                                    F.col("d.node") == F.col("g.src"))
+               .select(F.col("g.dst").cast("bigint").alias("node"),
+                       (F.col("d.hops") + 1).alias("hops")))
+        # localCheckpoint cuts the union lineage each round — without it
+        # the plan doubles per iteration (dist appears on both union
+        # sides) and round 6 re-executes a 64-leaf tree. The state is
+        # node-sized, the same budget as CC labels (dedup.py:761).
+        dist = (dist.union(nxt).groupBy("node")
+                .agg(F.min("hops").alias("hops"))
+                .coalesce(1).localCheckpoint())
+    return dist

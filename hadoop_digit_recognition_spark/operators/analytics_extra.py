@@ -126,3 +126,150 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.first("mad"), 6).alias("mad"),
                  F.sum(F.when(dev2 > 3 * 1.4826 * F.col("mad"), 1)
                        .otherwise(0)).cast("bigint").alias("n_anomalies")))
+
+
+@query("timeseries_ohlc_resample", oracle="""
+WITH b AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         value, ts, event_id
+  FROM events
+),
+r AS (
+  SELECT event_type, bucket, value,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket,
+       round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM r GROUP BY event_type, bucket
+""")
+def timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to hourly OHLC bars per event type —
+    the canonical time-series resampling shape (metrics rollups, market
+    bars, sensor decimation). Open/close need an ORDER inside each
+    bucket; events can share a timestamp, so the order closes over
+    (ts, event_id) — the lesson the regenerated-data round taught
+    window_running_sum (duplicate keys make bare ts ordering
+    nondeterministic). Bucket is emitted as an ISO string: timestamps
+    hash engine-stably as text, not as native temporal types.
+
+    Scale shape: one window pass partitioned by (type, hour) — keys are
+    time-bounded so state per partition is an hour of one type, the
+    partitioning every streaming OHLC job uses — then a grouped
+    aggregate on the same key (no extra exchange: the window already
+    hash-partitioned on it)."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"),
+        "value", "ts", "event_id")
+    wa = W.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    r = (b.withColumn("rn_a", F.row_number().over(wa))
+         .withColumn("rn_d", F.row_number().over(wd)))
+    return (r.groupBy("event_type", "bucket")
+            .agg(F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6)
+                 .alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6)
+                 .alias("close"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_ticks")))
+
+
+@query("agg_mode_exact", oracle="""
+WITH c AS (SELECT event_type, user_id, count(*) AS n
+           FROM events GROUP BY event_type, user_id),
+r AS (SELECT event_type, user_id, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, user_id) AS rn
+      FROM c)
+SELECT event_type,
+       user_id AS mode_user,
+       CAST(n AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+""")
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (most frequent user per event type) with a
+    deterministic smallest-id tiebreak — built from count + row_number
+    rather than the MODE() aggregate, whose tie behavior is
+    engine-defined (Spark picks arbitrarily; a hash-checked result needs
+    the explicit ORDER BY n DESC, user_id).
+
+    Scale shape: the classic two-level heavy-hitter plan — one
+    (group, value)-keyed partial-aggregated count, then a per-group
+    top-1 window over the (much smaller) count table. The approximate
+    twin at extreme cardinality is sketch_cms_heavy_hitters."""
+    from pyspark.sql import Window as W2
+
+    ev = load(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W2.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("event_type", F.col("user_id").alias("mode_user"),
+                    F.col("n").cast("bigint").alias("n_events")))
+
+
+@query("not_in_null_semantics", oracle="""
+WITH probe AS (
+  SELECT c_custkey, nullif(c_nationkey, 13) AS nk, c_acctbal
+  FROM customer
+),
+sub AS (SELECT DISTINCT nullif(n_nationkey, 19) AS nk FROM nation
+        WHERE n_nationkey >= 15)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM probe
+   WHERE nk NOT IN (SELECT nk FROM sub)) AS not_in_with_null,
+  (SELECT CAST(count(*) AS BIGINT) FROM probe p
+   WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.nk = p.nk))
+    AS not_exists_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM probe
+   WHERE nk NOT IN (SELECT nk FROM sub WHERE nk IS NOT NULL))
+    AS not_in_null_filtered
+""")
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN vs NOT EXISTS null-semantics trap, pinned as a query:
+    with a NULL in the subquery, `x NOT IN (...)` is never TRUE (three-
+    valued logic turns every comparison UNKNOWN), while NOT EXISTS with
+    an equality predicate treats NULL as simply non-matching — so the
+    three counts differ, and an engine that 'optimizes' NOT IN into an
+    anti join without the null guard silently corrupts results. Spark
+    plans the correct form as NullAwareAntiJoin; the null-filtered
+    variant relaxes back to a plain anti join. Same SQL text runs on
+    both engines (SQL API surface, like agg_grouping_sets).
+
+    Scale shape: null-aware anti join needs the null check on both
+    sides — Spark's single-column NAAJ builds the subquery side as a
+    broadcast set; the null-filtered rewrite is the scalable form when
+    the subquery side is large."""
+    from ..tables import load as _load
+    for t in ("customer", "nation"):
+        _load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+WITH probe AS (
+  SELECT c_custkey, nullif(c_nationkey, 13) AS nk, c_acctbal
+  FROM customer
+),
+sub AS (SELECT DISTINCT nullif(n_nationkey, 19) AS nk FROM nation
+        WHERE n_nationkey >= 15)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM probe
+   WHERE nk NOT IN (SELECT nk FROM sub)) AS not_in_with_null,
+  (SELECT CAST(count(*) AS BIGINT) FROM probe p
+   WHERE NOT EXISTS (SELECT 1 FROM sub s WHERE s.nk = p.nk))
+    AS not_exists_count,
+  (SELECT CAST(count(*) AS BIGINT) FROM probe
+   WHERE nk NOT IN (SELECT nk FROM sub WHERE nk IS NOT NULL))
+    AS not_in_null_filtered
+""")

@@ -234,3 +234,153 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.withColumn("mix_weight", F.round(pw / tot, 6))
             .withColumn("expected_docs",
                         F.floor(pw / tot * _MIX_BUDGET).cast("bigint")))
+
+
+_REP_MAX = 0.02     # dup-trigram fraction above this -> repetitive (p95 here)
+_BOILER_MAX = 0.06  # boilerplate fraction above this -> boilerplate (p90)
+_DECON_N = 4        # pipeline decontamination gram size (3-grams over-fire
+                    # at larger corpora: 94% of sf0.1 docs share a benchmark
+                    # trigram vs 15% for 4-grams)
+_BOILER_DF_FRAC = 0.004  # boilerplate doc-frequency threshold scales with
+                         # corpus size: max(_BOILER_MIN_DOCS, 0.4% of docs)
+                         # (absolute 5 marks 99% of sf0.1 trigram mass)
+
+
+@query("pipeline_corpus_hygiene", oracle=f"""
+WITH {_G_SQL},
+g4i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_DECON_N - 1}))
+               AS i FROM t),
+g4 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')
+              AS gram FROM g4i),
+toks AS (SELECT doc_id, len(w) AS n_tok FROM t),
+nd_thr AS (SELECT greatest({_BOILER_MIN_DOCS},
+                           CAST(ceil({_BOILER_DF_FRAC} * count(*)) AS BIGINT))
+                    AS thr
+           FROM documents),
+c3 AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+rep AS (SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup3
+        FROM c3 GROUP BY doc_id),
+bset AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (SELECT g4.doc_id, count(bset.gram) AS nh
+         FROM g4 LEFT JOIN bset USING (gram)
+         WHERE g4.doc_id % {_BENCH_MOD} <> 0 GROUP BY g4.doc_id),
+df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
+bl AS (SELECT g.doc_id, count(*) AS ng,
+              count(CASE WHEN df.nd >= nd_thr.thr THEN 1 END) AS nb
+       FROM g JOIN df USING (gram) CROSS JOIN nd_thr GROUP BY g.doc_id),
+flags AS (
+  SELECT d.doc_id, d.source, toks.n_tok,
+         coalesce(hits.nh, 0) > 0 AS contaminated,
+         coalesce(rep.dup3, 0) > {_REP_MAX} AS repetitive,
+         coalesce(bl.nb * 1.0 / bl.ng, 0) > {_BOILER_MAX} AS boilerplate
+  FROM documents d
+  JOIN toks USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN bl USING (doc_id)
+  WHERE d.doc_id % {_BENCH_MOD} <> 0
+),
+src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+         CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_repetitive,
+         CAST(sum(CASE WHEN boilerplate THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate,
+         CAST(sum(CASE WHEN NOT (contaminated OR repetitive OR boilerplate)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         sum(CASE WHEN NOT (contaminated OR repetitive OR boilerplate)
+                  THEN n_tok ELSE 0 END) AS kept_tokens
+  FROM flags GROUP BY source
+)
+SELECT source, n_total, n_contaminated, n_repetitive, n_boilerplate, n_kept,
+       CASE WHEN sum(sqrt(CAST(kept_tokens AS DOUBLE))) OVER () > 0
+            THEN round(sqrt(CAST(kept_tokens AS DOUBLE))
+                       / sum(sqrt(CAST(kept_tokens AS DOUBLE))) OVER (), 6)
+            ELSE 0.0 END AS kept_mix_weight
+FROM src
+""")
+def pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hygiene pass as ONE composed plan — the corpus_hygiene
+    family chained the way a production pre-training pipeline runs it:
+    per-doc repetition scoring, benchmark decontamination (4-grams — the
+    corpus-size-robust unit, see _DECON_N), boilerplate fraction with a
+    document-frequency threshold that SCALES with corpus size
+    (_BOILER_DF_FRAC), a keep/drop verdict per document, and a
+    per-source summary with the temperature mix recomputed over the
+    SURVIVING tokens only (guarded: a fully-filtered corpus yields
+    weight 0, not a divide-by-zero). Companion to pipeline_llm_corpus
+    (langid/quality/near-dup); together they cover the standard stages.
+
+    Scale shape: two n-gram occurrence streams (3- and 4-gram) are
+    produced once and consumed by doc-keyed / gram-keyed aggregates
+    (persisted for the single action); every join back onto documents
+    is doc-keyed; the per-source summary is sources-sized with the
+    unbounded-window normalize of corpus_temperature_mix. The
+    boilerplate threshold folds a driver-side corpus count into the
+    plan — the same literal-folding budget rule as k-means centroids."""
+    import math
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    nd_thr = max(_BOILER_MIN_DOCS, math.ceil(_BOILER_DF_FRAC * n_docs))
+    base = docs.select("doc_id", "source", F.split("text", " ").alias("ws"))
+    toks = base.select("doc_id", F.size("ws").alias("n_tok"))
+    occ3 = (base.select("doc_id", F.explode(F.expr(_grams_expr(_NGRAM_N)))
+                        .alias("gram")).persist())
+    occ4 = base.select("doc_id", F.explode(F.expr(_grams_expr(_DECON_N)))
+                       .alias("gram"))
+
+    rep = (occ3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id")
+           .agg((F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                 / F.sum("c")).alias("dup3")))
+    bset = (occ4.filter(F.col("doc_id") % _BENCH_MOD == 0)
+            .select("gram").distinct().withColumn("hit", F.lit(1)))
+    hits = (occ4.filter(F.col("doc_id") % _BENCH_MOD != 0)
+            .join(F.broadcast(bset), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("nh")))
+    boiler = (occ3.groupBy("gram")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= nd_thr)
+              .select("gram").withColumn("b", F.lit(1)))
+    bl = (occ3.join(F.broadcast(boiler), "gram", "left")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("ng"), F.count("b").alias("nb")))
+
+    flags = (docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+             .select("doc_id", "source")
+             .join(toks, "doc_id")
+             .join(hits, "doc_id", "left")
+             .join(rep, "doc_id", "left")
+             .join(bl, "doc_id", "left")
+             .select(
+                 "doc_id", "source", "n_tok",
+                 (F.coalesce(F.col("nh"), F.lit(0)) > 0).alias("contaminated"),
+                 (F.coalesce(F.col("dup3"), F.lit(0.0)) > _REP_MAX)
+                 .alias("repetitive"),
+                 (F.coalesce(F.col("nb") / F.col("ng"), F.lit(0.0))
+                  > _BOILER_MAX).alias("boilerplate")))
+    dropped = F.col("contaminated") | F.col("repetitive") | F.col("boilerplate")
+    src = (flags.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+                .cast("bigint").alias("n_contaminated"),
+                F.sum(F.when(F.col("repetitive"), 1).otherwise(0))
+                .cast("bigint").alias("n_repetitive"),
+                F.sum(F.when(F.col("boilerplate"), 1).otherwise(0))
+                .cast("bigint").alias("n_boilerplate"),
+                F.sum(F.when(~dropped, 1).otherwise(0))
+                .cast("bigint").alias("n_kept"),
+                F.sum(F.when(~dropped, F.col("n_tok")).otherwise(0))
+                .alias("kept_tokens")))
+    pw = F.sqrt(F.col("kept_tokens").cast("double"))
+    tot = F.sum(pw).over(W.partitionBy())
+    return (src.withColumn(
+        "kept_mix_weight",
+        F.when(tot > 0, F.round(pw / tot, 6)).otherwise(F.lit(0.0)))
+        .drop("kept_tokens"))

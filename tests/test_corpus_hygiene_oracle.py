@@ -18,6 +18,10 @@ NEW = [
     "corpus_temperature_mix",
     "graph_bfs_hops",
     "events_anomaly_mad",
+    "timeseries_ohlc_resample",
+    "agg_mode_exact",
+    "not_in_null_semantics",
+    "pipeline_corpus_hygiene",
 ]
 
 
@@ -70,3 +74,33 @@ def test_anomaly_mad_counts_bounded(spark):
     for r in rows:
         assert 0 <= r["n_anomalies"] <= r["n"]
         assert r["mad"] >= 0
+
+
+def test_ohlc_invariants(spark):
+    rows = SPARK_QUERIES["timeseries_ohlc_resample"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_ticks"] >= 1
+
+
+def test_not_in_null_semantics_diverge(spark):
+    """The whole point: NOT IN over a null-bearing subquery returns 0
+    rows; the null-filtered and NOT EXISTS forms return more."""
+    r = SPARK_QUERIES["not_in_null_semantics"](spark, SF_ORACLE).first()
+    assert r["not_in_with_null"] == 0
+    assert r["not_exists_count"] > 0
+    assert r["not_in_null_filtered"] > 0
+    assert r["not_exists_count"] >= r["not_in_null_filtered"]
+
+
+def test_hygiene_pipeline_accounting(spark):
+    rows = SPARK_QUERIES["pipeline_corpus_hygiene"](spark, SF_ORACLE).collect()
+    assert rows
+    w = 0.0
+    for r in rows:
+        assert r["n_kept"] <= r["n_total"]
+        assert r["n_contaminated"] <= r["n_total"]
+        w += r["kept_mix_weight"]
+    assert abs(w - 1.0) < 1e-3  # some tokens survive at every SF probed

@@ -302,3 +302,201 @@ def ml_logreg_gd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("i"),
                     F.round(F.col("w") - F.lit(_LR_RATE) * F.col("g")
                             / F.lit(n), 6).alias("w")))
+
+
+@query("ml_naive_bayes_langid", oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0 AND word <> ''),
+te AS (SELECT * FROM tok WHERE doc_id % 5 = 0 AND word <> ''),
+langs AS (
+  SELECT lang, count(DISTINCT doc_id) AS ndocs, count(*) AS ntok
+  FROM tr GROUP BY lang
+),
+pri AS (
+  SELECT lang, ntok,
+         ln(ndocs / (SELECT CAST(sum(ndocs) AS DOUBLE) FROM langs)) AS prior
+  FROM langs
+),
+vocab AS (SELECT count(DISTINCT word) AS v FROM tr),
+wc AS (SELECT lang, word, count(*) AS c FROM tr GROUP BY lang, word),
+doctok AS (
+  SELECT doc_id, lang AS true_lang, word, count(*) AS k
+  FROM te GROUP BY doc_id, lang, word
+),
+score AS (
+  SELECT dt.doc_id, dt.true_lang, p.lang AS cand, p.prior,
+         sum(dt.k * ln((coalesce(wc.c, 0) + 1.0) / (p.ntok + vocab.v)))
+           AS loglik
+  FROM doctok dt
+  CROSS JOIN pri p
+  CROSS JOIN vocab
+  LEFT JOIN wc ON wc.lang = p.lang AND wc.word = dt.word
+  GROUP BY dt.doc_id, dt.true_lang, p.lang, p.prior
+),
+ranked AS (
+  SELECT doc_id, true_lang, cand,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(prior + loglik, 6) DESC, cand)
+           AS rn
+  FROM score
+)
+SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+GROUP BY true_lang, cand
+""")
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, fully relational —
+    counting-based training makes NB the one classical text classifier
+    whose ENTIRE fit + predict is exact SQL (unlike the iterative MLlib
+    estimators, which register rows-only). Laplace-smoothed likelihoods,
+    log-space scoring, 80/20 deterministic doc_id split, confusion
+    matrix out.
+
+    Train = three keyed aggregates over the token stream (per-lang doc/
+    token totals, vocab size, per-(lang,word) counts) — all partial-
+    aggregated map-side, outputs are model-sized (langs x vocab), not
+    corpus-sized. Predict = each test doc's DISTINCT words (pre-counted
+    k) cross the langs-sized prior table (broadcast — model state, like
+    the kmeans centroids) and left-join the count model on (lang, word)
+    (broadcast again), then one keyed sum per (doc, cand) and an argmax
+    window per doc. Scores round to a 6-digit grid BEFORE the argmax so
+    Spark's and DuckDB's different summation orders cannot flip a rank
+    (same guard as ml_kmeans_lloyd_2iter); ties break on candidate lang
+    name. At 100 TB the only corpus-wide shuffles key on (doc_id, word)
+    and (doc_id) — the model side always broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split(F.lower(F.col("text")), " "))
+                       .alias("word"))
+           .filter(F.col("word") != ""))
+    tr = tok.filter(F.col("doc_id") % 5 != 0)
+    te = tok.filter(F.col("doc_id") % 5 == 0)
+
+    langs = (tr.groupBy("lang")
+             .agg(F.countDistinct("doc_id").alias("ndocs"),
+                  F.count(F.lit(1)).alias("ntok")))
+    alldocs = langs.agg(F.sum("ndocs").cast("double").alias("alldocs"))
+    pri = (langs.crossJoin(F.broadcast(alldocs))
+           .select("lang", "ntok",
+                   F.log(F.col("ndocs") / F.col("alldocs")).alias("prior")))
+    vocab = tr.agg(F.countDistinct("word").alias("v"))
+    wc = tr.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("c"))
+
+    doctok = (te.groupBy("doc_id", F.col("lang").alias("true_lang"), "word")
+              .agg(F.count(F.lit(1)).alias("k")))
+    scored = (doctok
+              .crossJoin(F.broadcast(pri.withColumnRenamed("lang", "cand")))
+              .crossJoin(F.broadcast(vocab))
+              .join(F.broadcast(wc.withColumnRenamed("lang", "cand")),
+                    ["cand", "word"], "left")
+              .groupBy("doc_id", "true_lang", "cand", "prior")
+              .agg(F.sum(F.col("k")
+                         * F.log((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                                 / (F.col("ntok") + F.col("v"))))
+                   .alias("loglik")))
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("doc_id")
+        .orderBy(F.round(F.col("prior") + F.col("loglik"), 6).desc(),
+                 F.col("cand")))
+    return (scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .groupBy("true_lang", F.col("cand").alias("pred_lang"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("ml_decision_stump_gain", oracle="""
+WITH cand AS (
+  SELECT unnest([10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0])
+    AS t
+),
+splits AS (
+  SELECT c.t,
+         CASE WHEN e.value <= c.t THEN 'L' ELSE 'R' END AS side,
+         e.event_type, count(*) AS n
+  FROM events e CROSS JOIN cand c
+  GROUP BY c.t, CASE WHEN e.value <= c.t THEN 'L' ELSE 'R' END,
+           e.event_type
+),
+sided AS (
+  SELECT t, side, event_type, n,
+         CAST(sum(n) OVER (PARTITION BY t, side) AS DOUBLE) AS ns,
+         CAST(sum(n) OVER (PARTITION BY t) AS DOUBLE) AS ntot
+  FROM splits
+),
+hs AS (
+  SELECT t, side, max(ns) AS ns, max(ntot) AS ntot,
+         -sum((n / ns) * log2(n / ns)) AS h
+  FROM sided GROUP BY t, side
+),
+root AS (
+  SELECT event_type, sum(n) AS n FROM splits WHERE t = 10.0
+  GROUP BY event_type
+),
+hroot AS (
+  SELECT -sum((n / tot) * log2(n / tot)) AS h0
+  FROM (SELECT n, CAST((SELECT sum(n) FROM root) AS DOUBLE) AS tot
+        FROM root)
+)
+SELECT hs.t AS threshold,
+       CAST(max(CASE WHEN side = 'L' THEN ns ELSE 0 END) AS BIGINT)
+         AS n_left,
+       CAST(max(CASE WHEN side = 'R' THEN ns ELSE 0 END) AS BIGINT)
+         AS n_right,
+       round(max(hroot.h0) - sum((ns / ntot) * h), 9) AS info_gain
+FROM hs CROSS JOIN hroot
+GROUP BY hs.t
+""")
+def ml_decision_stump_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training as pure relational algebra: score every
+    candidate split `value <= t` by information gain on the event_type
+    label — the inner loop of a distributed decision-tree fitter
+    (per-feature candidate-split evaluation), expressed as counting +
+    entropy instead of an iterative trainer.
+
+    The candidate grid is FIXED (deciles of the known [0,100) domain)
+    rather than data-derived quantiles: thresholds are then bit-exact
+    constants on both engines, so no boundary row can flip sides — the
+    determinism guard that lets a float-comparing split be oracle-exact.
+    Physical shape: events cross the 9-row broadcast candidate grid and
+    partial-aggregate to (t, side, label) counts — 90 rows out of the
+    one corpus-wide shuffle regardless of input size; everything after
+    (side totals, entropies, gain) is arithmetic on that model-sized
+    result. Exactly how Spark MLlib's tree fitter aggregates sufficient
+    statistics, spelled declaratively."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    cand = spark.range(1, 10).select(
+        (F.col("id") * 10.0).alias("t"))
+    splits = (events.crossJoin(F.broadcast(cand))
+              .select("t", F.when(F.col("value") <= F.col("t"), "L")
+                      .otherwise("R").alias("side"), "event_type")
+              .groupBy("t", "side", "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    sided = splits.select(
+        "t", "side", "event_type", "n",
+        F.sum("n").over(W.partitionBy("t", "side")).cast("double")
+        .alias("ns"),
+        F.sum("n").over(W.partitionBy("t")).cast("double").alias("ntot"))
+    p = F.col("n") / F.col("ns")
+    hs = (sided.groupBy("t", "side")
+          .agg(F.max("ns").alias("ns"), F.max("ntot").alias("ntot"),
+               (-F.sum(p * F.log2(p))).alias("h")))
+    root = (splits.filter(F.col("t") == 10.0)
+            .groupBy("event_type").agg(F.sum("n").alias("n")))
+    tot = root.agg(F.sum("n").cast("double").alias("tot"))
+    pr = F.col("n") / F.col("tot")
+    hroot = (root.crossJoin(F.broadcast(tot))
+             .agg((-F.sum(pr * F.log2(pr))).alias("h0")))
+    return (hs.crossJoin(F.broadcast(hroot))
+            .groupBy(F.col("t").alias("threshold"))
+            .agg(F.max(F.when(F.col("side") == "L", F.col("ns"))
+                       .otherwise(0.0)).cast("bigint").alias("n_left"),
+                 F.max(F.when(F.col("side") == "R", F.col("ns"))
+                       .otherwise(0.0)).cast("bigint").alias("n_right"),
+                 F.round(F.max("h0")
+                         - F.sum((F.col("ns") / F.col("ntot"))
+                                 * F.col("h")), 9).alias("info_gain")))

@@ -331,3 +331,65 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_near_dup"),
                  F.round(F.lit(1.0) - F.countDistinct(F.md5("text"))
                          / F.count(F.lit(1)), 6).alias("exact_dup_rate")))
+
+
+_SEQ_LEN = 512  # target training-sequence capacity, in whitespace tokens
+
+
+@query("corpus_sequence_pack", oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, ntok,
+         CAST(coalesce(sum(ntok) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev
+  FROM t
+)
+SELECT source,
+       CAST(floor(prev / {_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       round(sum(ntok) / {_SEQ_LEN}.0, 6) AS fill_ratio
+FROM c
+GROUP BY source, CAST(floor(prev / {_SEQ_LEN}.0) AS BIGINT)
+""")
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining — the concat-then-chunk
+    strategy: within each source stream, documents concatenate in doc_id
+    order and split into fixed-capacity training sequences (512
+    whitespace tokens here; a real pipeline swaps in its tokenizer's
+    counts). A document is attributed to the sequence where it STARTS,
+    so the running token count alone determines the assignment — no
+    greedy bin-search, no driver loop. Output audits the packing:
+    docs/tokens per sequence and the fill ratio (straddling docs push
+    the starting sequence above 1.0; the trainer's chunker absorbs the
+    overflow into the next window).
+
+    Scale shape: the cumulative sum windows on (source) — a KEYED
+    window, never a global ordering — so 100 TB packs with one shuffle
+    partitioned by source, each partition streaming its frame in order.
+    Skewed mega-sources would salt the key by coarse doc_id ranges and
+    offset the running sums by per-range totals (two-pass prefix sum);
+    at the test corpus's fan-out the single keyed window is the right
+    plan."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = docs.select("doc_id", "source", ntok.cast("bigint").alias("ntok"))
+    w = (W.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    c = t.select(
+        "source", "ntok",
+        F.coalesce(F.sum("ntok").over(w), F.lit(0)).alias("prev"))
+    seq = F.floor(F.col("prev") / float(_SEQ_LEN)).cast("bigint")
+    return (c.select("source", "ntok", seq.alias("seq_id"))
+            .groupBy("source", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").alias("n_tokens"),
+                 F.round(F.sum("ntok") / float(_SEQ_LEN), 6)
+                 .alias("fill_ratio")))

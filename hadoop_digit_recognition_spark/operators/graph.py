@@ -205,3 +205,48 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("hops").alias("hops"))
                 .coalesce(1).localCheckpoint())
     return dist
+
+
+@query("graph_degree_distribution", oracle="""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+cd AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY c),
+sd AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY s)
+SELECT 'customer' AS role, deg, CAST(count(*) AS BIGINT) AS n
+FROM cd GROUP BY deg
+UNION ALL
+SELECT 'supplier' AS role, deg, CAST(count(*) AS BIGINT) AS n
+FROM sd GROUP BY deg
+""")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer-supplier trade graph — the
+    first diagnostic any graph pipeline runs (skew detection: a
+    power-law hub list is what forces salting/two-phase aggregation in
+    the downstream PageRank/CC jobs; reference has no graph surface at
+    all, SURVEY.md §2.5).
+
+    Edge derivation is one fact-dim equi-join + DISTINCT (keyed shuffle
+    on the pair), then each side's degree is a keyed count and the
+    histogram a second, degree-keyed count — every aggregate partial-
+    aggregates map-side, and the histogram output is degree-range-sized.
+    The union of the two role histograms evaluates as two independent
+    branches over the SAME deduped edge set (Spark reuses the exchange
+    under AQE)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    e = (orders.join(lineitem,
+                     orders.o_orderkey == lineitem.l_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+         .distinct())
+
+    def hist(keyed, role):
+        deg = keyed.agg(F.count(F.lit(1)).alias("deg"))
+        return (deg.groupBy("deg")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(role).alias("role"), "deg", "n"))
+
+    return hist(e.groupBy("c"), "customer").unionAll(
+        hist(e.groupBy("s"), "supplier"))

@@ -520,3 +520,110 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum(F.col("k") * F.col("s")) / F.sum("k"), 6)
                 .alias("surprisal")))
     return out
+
+
+# PII redaction patterns. All three are RE2-safe (no backrefs/lookaround)
+# so Spark's Java regex and DuckDB's RE2 agree match-for-match. The
+# EMAIL/PHONE shapes are structurally real; the NAME denylist stands in
+# for the dictionary/NER pass of a production scrubber (the synthetic
+# corpus has no digits, so the denylist is the pattern that actually
+# fires here and pins replacement semantics end-to-end).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_NAME = r"\bcustomer\b"
+
+
+@query("text_pii_redact", oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_PII_NAME}')) AS BIGINT)
+         AS n_name,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g'),
+           '{_PII_NAME}', '[NAME]', 'g') AS redacted
+FROM documents
+""")
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and mask emails,
+    phone-shaped digit runs, and denylisted name tokens.
+
+    Per-match counts run against the ORIGINAL text (audit log semantics —
+    what was found), then the three replacements apply in a fixed order
+    (email -> phone -> name) so later patterns cannot match inside an
+    earlier mask. Entirely JVM regexp — a single narrow scan stage with
+    zero shuffles; at 100 TB this is embarrassingly parallel and the
+    only cost is the regex engine itself (RE2-compatible patterns keep
+    it linear-time, no catastrophic backtracking)."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("bigint")
+        .alias("n_email"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("bigint")
+        .alias("n_phone"),
+        F.regexp_count("text", F.lit(_PII_NAME)).cast("bigint")
+        .alias("n_name"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+                F.lit(_PII_PHONE), F.lit("[PHONE]")),
+            F.lit(_PII_NAME), F.lit("[NAME]")).alias("redacted"))
+
+
+@query("text_word_entropy", oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, count(*) AS c FROM tok
+  WHERE word <> '' GROUP BY doc_id, word
+),
+tot AS (
+  SELECT doc_id, word, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnt
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(-sum((c / n) * log2(c / n)), 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN -sum((c / n) * log2(c / n)) / log2(count(*))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM tot GROUP BY doc_id
+""")
+def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document — the information-density
+    quality signal: near-zero entropy flags keyword-stuffed or
+    single-phrase-repeated spam; entropy near the log2(vocab) ceiling is
+    natural prose. norm_entropy divides by that ceiling so the filter
+    threshold is length-independent.
+
+    Explode -> two keyed aggregations: (doc_id, word) counts partial-
+    aggregate map-side (token stream never crosses the wire raw), the
+    per-doc total rides a doc_id-partitioned window on the already
+    vocabulary-sized counts, and the final doc_id rollup reuses the same
+    hash partitioning. No global ordering anywhere, so the plan scales
+    with documents x per-doc vocab, not corpus tokens."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+    cnt = (tok.filter(F.col("word") != "")
+           .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c")))
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    tot = cnt.select("doc_id", "c", n.alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log2(p))
+    return (tot.groupBy("doc_id")
+            .agg(F.max("n").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.round(ent, 6).alias("entropy"),
+                 F.round(F.when(F.count(F.lit(1)) > 1,
+                                ent / F.log2(F.count(F.lit(1))))
+                         .otherwise(F.lit(0.0)), 6).alias("norm_entropy")))

@@ -11,7 +11,8 @@ from hadoop_digit_recognition_spark.operators import graph, merge  # noqa: F401
 from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
-NAMES = ["graph_pagerank_nations", "merge_scd2_dimension"]
+NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
+         "graph_degree_distribution"]
 
 
 @pytest.mark.parametrize("name", NAMES)

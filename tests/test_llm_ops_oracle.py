@@ -36,6 +36,7 @@ LLM_QUERIES = [
     "graph_triangle_count", "sim_ivf_det_topk", "timeseries_ewma",
     "corpus_dedup_report", "basket_association_rules",
     "text_bigram_surprisal",
+    "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
 ]
 
 
@@ -255,3 +256,91 @@ def test_multimodal_audio_energy_empty_payload_zero_frames(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc.get(1, [])) == 2  # 70 bytes -> two 64-sample frames
     assert 2 not in by_doc  # empty payload -> no frames at all
+
+
+def test_pii_redact_masks_and_counts(spark):
+    """Unit semantics on injected PII: the registered patterns must mask
+    emails / phone shapes / denylist names and count each match —
+    exercised on constructed rows because the synthetic corpus carries
+    no digits (only the denylist fires there)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.operators.text import (
+        _PII_EMAIL, _PII_NAME, _PII_PHONE)
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@example.org and 555-867-5309x"),
+         (2, "call 123 456 7890 now customer"),
+         (3, "plain text no pii")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("e"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("p"),
+        F.regexp_count("text", F.lit(_PII_NAME)).alias("n"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+                F.lit(_PII_PHONE), F.lit("[PHONE]")),
+            F.lit(_PII_NAME), F.lit("[NAME]")).alias("red")).collect()}
+    assert (out[1]["e"], out[1]["p"]) == (1, 0)  # 555-867-5309x: no 4th block boundary
+    assert "bob.smith@example.org" not in out[1]["red"]
+    assert "[EMAIL]" in out[1]["red"]
+    assert (out[2]["p"], out[2]["n"]) == (1, 1)
+    assert out[2]["red"] == "call [PHONE] now [NAME]"
+    assert out[3]["red"] == "plain text no pii"
+
+
+def test_pii_denylist_fires_on_corpus(spark):
+    """On the synthetic corpus the NAME denylist must actually redact
+    (the corpus contains 'customer'), and no denylisted token survives
+    in the redacted text."""
+    from pyspark.sql import functions as F
+
+    df = SPARK_QUERIES["text_pii_redact"](spark, SF_ORACLE)
+    agg = df.agg(F.sum("n_name").alias("names"),
+                 F.sum(F.regexp_count("redacted", F.lit(r"\bcustomer\b")))
+                 .alias("leftover")).collect()[0]
+    assert agg["names"] > 0
+    assert agg["leftover"] == 0
+
+
+def test_word_entropy_bounds(spark):
+    """0 <= entropy <= log2(n_distinct); norm_entropy in [0, 1]; token
+    accounting consistent with n_distinct."""
+    import math
+
+    rows = SPARK_QUERIES["text_word_entropy"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_distinct <= r.n_tokens
+        ceiling = math.log2(r.n_distinct) if r.n_distinct > 1 else 0.0
+        assert -1e-6 <= r.entropy <= ceiling + 1e-6, r
+        assert -1e-6 <= r.norm_entropy <= 1.0 + 1e-6, r
+
+
+def test_sequence_pack_conserves_tokens(spark):
+    """Packing must conserve the corpus: per-source token totals across
+    sequences equal the per-source token counts of the input, every
+    sequence holds >= 1 document, and sequence ids start at 0."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    out = SPARK_QUERIES["corpus_sequence_pack"](spark, SF_ORACLE)
+    packed = {r["source"]: r for r in
+              out.groupBy("source")
+              .agg(F.sum("n_tokens").alias("tok"),
+                   F.sum("n_docs").alias("docs"),
+                   F.min("seq_id").alias("lo")).collect()}
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    truth = {r["source"]: r for r in
+             load(spark, SF_ORACLE, "documents")
+             .groupBy("source")
+             .agg(F.sum(ntok).alias("tok"),
+                  F.count(F.lit(1)).alias("docs")).collect()}
+    assert packed.keys() == truth.keys()
+    for src in truth:
+        assert packed[src]["tok"] == truth[src]["tok"], src
+        assert packed[src]["docs"] == truth[src]["docs"], src
+        assert packed[src]["lo"] == 0, src
+    assert out.filter(F.col("n_docs") < 1).count() == 0

@@ -123,3 +123,48 @@ def test_ml_logreg_gd_loss_decreases(spark):
     p = 1.0 / (1.0 + np.exp(-(X @ wv)))
     loss = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
     assert loss < math.log(2), loss
+
+
+def test_ml_naive_bayes_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["ml_naive_bayes_langid"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["ml_naive_bayes_langid"],
+            "ml_naive_bayes_langid")
+
+
+def test_ml_naive_bayes_covers_every_test_doc(spark):
+    """The confusion matrix must account for exactly the test docs that
+    have >= 1 token — every doc gets one argmax prediction, none gets
+    two (rn=1 is unique per doc)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["ml_naive_bayes_langid"](spark, SF_ORACLE).collect()
+    docs = load(spark, SF_ORACLE, "documents")
+    n_test = (docs.filter((F.col("doc_id") % 5 == 0)
+                          & (F.length(F.trim("text")) > 0)).count())
+    assert sum(r.n for r in rows) == n_test
+    # every true lang present in the test split appears as a row group
+    langs = {r["lang"] for r in
+             docs.filter(F.col("doc_id") % 5 == 0).select("lang").collect()}
+    assert {r.true_lang for r in rows} == langs
+
+
+def test_ml_decision_stump_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["ml_decision_stump_gain"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["ml_decision_stump_gain"],
+            "ml_decision_stump_gain")
+
+
+def test_ml_decision_stump_gain_sane(spark):
+    """Information gain is non-negative for every candidate split, every
+    split partitions the full event set, and all 9 grid thresholds
+    report."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["ml_decision_stump_gain"](spark, SF_ORACLE).collect()
+    assert len(rows) == 9
+    total = load(spark, SF_ORACLE, "events").count()
+    for r in rows:
+        assert r.n_left + r.n_right == total
+        assert r.info_gain >= -1e-9, r

@@ -372,7 +372,10 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.explode(F.split(F.lower(F.col("text")), " "))
                        .alias("word"))
            .filter(F.col("word") != ""))
-    tr = tok.filter(F.col("doc_id") % 5 != 0)
+    # Three model aggregates consume the SAME train token stream —
+    # persist it so tokenization (the compute-bound split/explode) runs
+    # once, not per-branch (same memoization as bigram surprisal's occ).
+    tr = tok.filter(F.col("doc_id") % 5 != 0).persist()
     te = tok.filter(F.col("doc_id") % 5 == 0)
 
     langs = (tr.groupBy("lang")

@@ -157,3 +157,70 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_CDC_ORACLE)
+
+
+_MV_CUTOVER = "1999-01-01"
+
+
+@query("mv_incremental_refresh", oracle=f"""
+WITH base AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(o_totalprice) AS revenue,
+         count(*) AS n_orders,
+         min(o_totalprice) AS min_price
+  FROM orders WHERE o_orderdate < DATE '{_MV_CUTOVER}'
+  GROUP BY date_trunc('month', o_orderdate)
+),
+delta AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(o_totalprice) AS revenue,
+         count(*) AS n_orders,
+         min(o_totalprice) AS min_price
+  FROM orders WHERE o_orderdate >= DATE '{_MV_CUTOVER}'
+  GROUP BY date_trunc('month', o_orderdate)
+),
+merged AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT month,
+       round(sum(revenue), 4) AS revenue,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       round(min(min_price), 4) AS min_price,
+       round(sum(revenue) / sum(n_orders), 6) AS avg_price
+FROM merged GROUP BY month
+""")
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a monthly revenue
+    rollup kept current by merging the STORED aggregate state with a
+    delta batch's partial aggregate — never re-scanning history. The
+    per-month state carries mergeable partials (sum, count, min; avg is
+    DERIVED at read time from sum/count — the decomposition every IVM
+    engine uses, since avg itself does not merge).
+
+    Here both halves compute from the same table split on a cutover
+    date, which makes the refresh oracle-checkable: merge(base-agg,
+    delta-agg) must equal the full recompute. At 100 TB the base agg is
+    the stored MV (months x metrics — tiny), so a refresh costs one
+    delta-sized scan + partial agg + a state-sized merge shuffle; the
+    full-history scan happens zero times. Merge = unionByName + re-agg,
+    which Spark plans as partial/final HashAggregate with the delta side
+    map-side-combined."""
+    orders = load(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy(month)
+                .agg(F.sum("o_totalprice").alias("revenue"),
+                     F.count(F.lit(1)).alias("n_orders"),
+                     F.min("o_totalprice").alias("min_price")))
+
+    cut = F.lit(_MV_CUTOVER).cast("date")
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    return (base.unionByName(delta)
+            .groupBy("month")
+            .agg(F.round(F.sum("revenue"), 4).alias("revenue"),
+                 F.sum("n_orders").cast("bigint").alias("n_orders"),
+                 F.round(F.min("min_price"), 4).alias("min_price"),
+                 F.round(F.sum("revenue") / F.sum("n_orders"), 6)
+                 .alias("avg_price")))

@@ -369,3 +369,67 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K).select("qid", "cid", "cos", "rnk"))
+
+
+@query("embedding_int8_quantize", oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> floor(x * 127.0 / scale + 0.5)) AS qv,
+         v
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_checksum,
+       round(sqrt(list_aggregate(
+         list_transform(range(1, len(v) + 1),
+           i -> pow(v[CAST(i AS INTEGER)]
+                    - qv[CAST(i AS INTEGER)] * scale / 127.0, 2)),
+         'sum') / len(v)), 9) AS rmse
+FROM q
+""")
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4x memory
+    compression an ANN index applies before it can hold billions of
+    vectors: per-vector absmax scale, symmetric rounding to [-127, 127],
+    plus the reconstruction-error audit (RMSE of dequantized vs
+    original) a pipeline publishes to validate the compression choice.
+
+    Rounding is floor(x + 0.5) on BOTH engines — banker's/half-away
+    library differences can flip a quantized cell, floor cannot. All
+    narrow array arithmetic (zip via index transform, no explode, no
+    shuffle at all): at 100 TB this is a pure map stage limited by scan
+    bandwidth. Zero-vectors are dropped (scale 0 has no quantization),
+    matching the oracle's WHERE."""
+    e = (load_parallel(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("v")))
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    s = e.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform(
+        "v", lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5))
+    q = (s.filter(F.col("scale") > 0)
+         .select("vec_id", "scale", "v", qv.alias("qv")))
+    err = F.zip_with(
+        "v", "qv", lambda x, qx: F.pow(x - qx * F.col("scale") / 127.0,
+                                       F.lit(2.0)))
+    # rmse must dequantize with the RAW scale; rounding scale for display
+    # happens in a later projection so the same-named output column can't
+    # capture the reference inside the zip_with lambda.
+    out = q.select(
+        "vec_id", "scale",
+        F.aggregate("qv", F.lit(0.0), lambda a, x: a + x).cast("bigint")
+        .alias("q_checksum"),
+        F.round(F.sqrt(F.aggregate(err, F.lit(0.0), lambda a, x: a + x)
+                       / F.size("v")), 9).alias("rmse"))
+    return out.select("vec_id", F.round("scale", 6).alias("scale"),
+                      "q_checksum", "rmse")

@@ -627,3 +627,53 @@ def text_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.when(F.count(F.lit(1)) > 1,
                                 ent / F.log2(F.count(F.lit(1))))
                          .otherwise(F.lit(0.0)), 6).alias("norm_entropy")))
+
+
+@query("text_bpe_pair_counts", oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INTEGER), 2)))
+    AS pair
+  FROM words WHERE length(word) >= 2
+),
+counted AS (
+  SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, CAST(n AS BIGINT) AS n,
+         row_number() OVER (ORDER BY n DESC, pair) AS rnk
+  FROM counted
+)
+SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM ranked WHERE rnk <= 20
+""")
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide
+    adjacent character-pair frequencies within words, top-20 merge
+    candidates ranked (count desc, pair asc — fully deterministic).
+    Iterating this count -> merge -> recount loop IS byte-pair encoding;
+    one round declared relationally shows the engine can host the
+    distributed half of tokenizer training (the merge-table update is
+    driver-side model state, like the k-means centroids).
+
+    Pair generation is narrow per word (substring over an index
+    sequence — no self-join of the character stream); the single
+    corpus-wide shuffle carries (pair, partial count) — alphabet²-sized
+    after map-side combine, independent of corpus size. The top-20 is a
+    TakeOrdered-style rank over that tiny aggregate, fine as a
+    single-partition window at pair-vocabulary cardinality."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    words = (docs.select(F.explode(F.split(F.lower(F.col("text")), " "))
+                         .alias("word"))
+             .filter(F.length("word") >= 2))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2))")).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(W.orderBy(F.col("n").desc(), F.col("pair")))
+    return (counted.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= 20))

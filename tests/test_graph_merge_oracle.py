@@ -12,7 +12,7 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
-         "graph_degree_distribution"]
+         "graph_degree_distribution", "mv_incremental_refresh"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -42,3 +42,27 @@ def test_scd2_invariants(spark):
     assert df.filter("NOT is_current AND valid_to IS NULL").count() == 0
     per_key = df.groupBy("c_custkey").agg(F.count("*").alias("n"))
     assert per_key.filter("n > 2").count() == 0
+
+
+def test_mv_incremental_equals_full_recompute(spark):
+    """The IVM merge (base partial + delta partial -> re-agg) must equal
+    a direct full-history aggregate computed independently in Spark —
+    the invariant that makes incremental refresh trustworthy."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    inc = {r["month"]: r for r in
+           SPARK_QUERIES["mv_incremental_refresh"](spark, SF_ORACLE).collect()}
+    full = {r["month"]: r for r in
+            (load(spark, SF_ORACLE, "orders")
+             .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+             .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.min("o_totalprice"), 4).alias("min_price"))
+             .collect())}
+    assert inc.keys() == full.keys()
+    for m in full:
+        assert inc[m]["n_orders"] == full[m]["n_orders"]
+        assert abs(inc[m]["revenue"] - full[m]["revenue"]) < 1e-4
+        assert inc[m]["min_price"] == full[m]["min_price"]

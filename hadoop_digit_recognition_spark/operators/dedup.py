@@ -984,3 +984,65 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionAll(tri.select(F.col("w").alias("doc_id"))))
     return nodes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tri"))
+
+
+@query("dedup_cluster_canonical", oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster
+  FROM reach GROUP BY u
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(len(w) / 100.0, 1.0)
+               + 0.6 * (len(list_distinct(w)) * 1.0 / len(w)), 6)
+           AS quality
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+r AS (
+  SELECT cc.doc_id, cc.cluster, q.quality,
+         row_number() OVER (PARTITION BY cc.cluster
+                            ORDER BY q.quality DESC, cc.doc_id) AS rn
+  FROM cc JOIN q ON q.doc_id = cc.doc_id
+)
+SELECT doc_id, cluster, quality,
+       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r
+""")
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after duplicate clusters resolve
+    (connected components over verified LSH pairs), each cluster keeps
+    its HIGHEST-QUALITY member rather than the arbitrary min-id — the
+    policy step of a real dedup pipeline, where the survivor choice
+    (cleanest text, longest version) decides what the model trains on.
+    Ties break on doc_id; quality is the composed text_quality_score
+    metric ROUNDED to its 6-digit output grid before ranking, so the
+    argmax is engine-stable.
+
+    Composition: the CC min-label fixpoint (cluster resolution) joined
+    to the narrow quality scan, then one cluster-keyed argmax window.
+    At 100 TB the join keys on doc_id (duplicate-set-sized left side —
+    only docs appearing in some verified pair), and the window
+    partitions on cluster id: both keyed, nothing global."""
+    from pyspark.sql import Window as W
+
+    cc = dedup_connected_components(spark, sf_dir)
+    from .text import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    joined = cc.select("doc_id", F.col("canonical_id").alias("cluster")) \
+               .join(q, "doc_id")
+    rn = F.row_number().over(
+        W.partitionBy("cluster")
+        .orderBy(F.col("quality").desc(), F.col("doc_id")))
+    return (joined.withColumn("rn", rn)
+            .select("doc_id", "cluster", "quality",
+                    F.when(F.col("rn") == 1, 1).otherwise(0)
+                    .cast("bigint").alias("kept")))

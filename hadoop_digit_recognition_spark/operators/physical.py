@@ -387,3 +387,62 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("l_extendedprice")
                                .cast("decimal(14,2)")).cast("double"), 4)
                  .alias("total")))
+
+
+@query("layout_zorder_files", oracle="""
+WITH b AS (
+  SELECT CAST(user_id % 16 AS INTEGER) AS ub,
+         CAST(least(floor(value / 6.25), 15) AS INTEGER) AS vb
+  FROM events
+),
+z AS (
+  SELECT ub, vb,
+         ((ub & 1) << 1) | (vb & 1)
+         | (((ub >> 1) & 1) << 3) | (((vb >> 1) & 1) << 2)
+         | (((ub >> 2) & 1) << 5) | (((vb >> 2) & 1) << 4)
+         | (((ub >> 3) & 1) << 7) | (((vb >> 3) & 1) << 6) AS zkey
+  FROM b
+)
+SELECT CAST(zkey >> 4 AS BIGINT) AS file_id,
+       CAST(min(ub) AS BIGINT) AS ub_min, CAST(max(ub) AS BIGINT) AS ub_max,
+       CAST(min(vb) AS BIGINT) AS vb_min, CAST(max(vb) AS BIGINT) AS vb_max,
+       CAST(count(*) AS BIGINT) AS n
+FROM z GROUP BY zkey >> 4
+""")
+def layout_zorder_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: interleave the bits of two
+    bucketed dimensions (user bucket, value bucket — 4 bits each) into
+    one sort key, split the keyspace into 16 'files', and publish each
+    file's per-dimension min/max — the footer statistics a lakehouse
+    OPTIMIZE ZORDER exists to tighten. Because Morton order localizes
+    BOTH dimensions, every file's bounding box is a 4x4 cell (asserted
+    in tests): a predicate on EITHER dimension skips 3/4 of the files,
+    which a single-column sort can only do for its leading column.
+
+    The interleave is pure integer bit arithmetic (shiftleft/and/or) —
+    narrow, codegen-friendly; the only shuffle is the file_id-keyed
+    stats aggregate. At 100 TB the same expression feeds
+    `repartitionByRange(zkey)` + sortWithinPartitions before a parquet
+    write — the stats query here is the audit that proves the layout
+    clusters."""
+    events = load(spark, sf_dir, "events")
+    b = events.select(
+        (F.col("user_id") % 16).cast("int").alias("ub"),
+        F.least(F.floor(F.col("value") / 6.25), F.lit(15))
+        .cast("int").alias("vb"))
+
+    def bit(c, i):
+        return F.shiftright(F.col(c), i).bitwiseAND(F.lit(1))
+
+    zkey = sum(
+        (F.shiftleft(bit("ub", i), 2 * i + 1)
+         + F.shiftleft(bit("vb", i), 2 * i))
+        for i in range(4))
+    z = b.select("ub", "vb", zkey.alias("zkey"))
+    return (z.groupBy(F.shiftright(F.col("zkey"), 4).cast("bigint")
+                      .alias("file_id"))
+            .agg(F.min("ub").cast("bigint").alias("ub_min"),
+                 F.max("ub").cast("bigint").alias("ub_max"),
+                 F.min("vb").cast("bigint").alias("vb_min"),
+                 F.max("vb").cast("bigint").alias("vb_max"),
+                 F.count(F.lit(1)).alias("n")))

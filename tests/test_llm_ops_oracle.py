@@ -38,6 +38,7 @@ LLM_QUERIES = [
     "text_bigram_surprisal",
     "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
     "text_bpe_pair_counts", "embedding_int8_quantize",
+    "dedup_cluster_canonical",
 ]
 
 
@@ -369,3 +370,17 @@ def test_int8_quantize_error_bound(spark):
     for r in rows:
         assert r.rmse <= r.scale / 254.0 * (1 + 1e-6), r
         assert r.rmse >= 0
+
+
+def test_cluster_canonical_one_survivor_max_quality(spark):
+    """Exactly one kept doc per cluster, and it carries the cluster's
+    max quality (ties broken by doc_id)."""
+    rows = SPARK_QUERIES["dedup_cluster_canonical"](spark, SF_ORACLE).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.kept == 1]
+        assert len(kept) == 1, (cid, members)
+        assert kept[0].quality == max(m.quality for m in members)

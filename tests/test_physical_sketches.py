@@ -14,7 +14,7 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 PHYSICAL = ["join_bucketed_colocated", "agg_skew_salted_twophase",
-            "join_skew_salted"]
+            "join_skew_salted", "layout_zorder_files"]
 
 
 @pytest.mark.parametrize("name", PHYSICAL)
@@ -261,3 +261,19 @@ def test_hll_builtin_agrees_with_register_twin(spark):
     for k, (approx, exact) in builtin.items():
         assert abs(approx - twin[k]) / exact <= combined, (
             k, approx, twin[k], exact)
+
+
+def test_zorder_files_bounding_boxes_tight(spark):
+    """Morton order must localize BOTH dimensions: every 16th of the
+    zkey space is exactly one 4x4 cell of (user bucket, value bucket) —
+    the property that makes multi-dimension file skipping work. Also:
+    the 16 files partition the full event set."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["layout_zorder_files"](spark, SF_ORACLE).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.ub_max - r.ub_min <= 3, r
+        assert r.vb_max - r.vb_min <= 3, r
+    total = load(spark, SF_ORACLE, "events").count()
+    assert sum(r.n for r in rows) == total

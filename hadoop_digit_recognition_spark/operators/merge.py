@@ -224,3 +224,46 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("min_price"), 4).alias("min_price"),
                  F.round(F.sum("revenue") / F.sum("n_orders"), 6)
                  .alias("avg_price")))
+
+
+_TEMPORAL_ORACLE = f"""
+WITH dim AS ({_SCD2_ORACLE.strip()})
+SELECT d.c_mktsegment AS segment_asof,
+       CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       round(sum(o.o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN dim d
+  ON d.c_custkey = o.o_custkey
+ AND o.o_orderdate >= CAST(d.valid_from AS DATE)
+ AND (d.valid_to IS NULL OR o.o_orderdate < CAST(d.valid_to AS DATE))
+GROUP BY d.c_mktsegment, year(o.o_orderdate)
+"""
+
+
+@query("temporal_scd2_lookup", oracle=_TEMPORAL_ORACLE)
+def temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-table (point-in-time) join: every order looks up the
+    dimension version that was valid AT ITS ORDER DATE, so pre-cutover
+    orders of later-upgraded customers attribute revenue to the segment
+    they belonged to THEN — the correctness property SCD2 history exists
+    to provide (a Type-1 dim would silently rewrite history).
+
+    Physical shape: an EQUI-join on the business key with the validity
+    window as a residual post-join predicate — never a range cross-join,
+    because a key matches at most version-count rows (2 here). At 100 TB
+    the versioned dimension stays dimension-sized and broadcasts; the
+    fact never shuffles. Output: revenue by as-of segment x order year
+    (the split proves the time travel: VIP revenue exists only from the
+    cutover year on)."""
+    dim = merge_scd2_dimension(spark, sf_dir)
+    orders = load(spark, sf_dir, "orders")
+    cond = ((dim.c_custkey == orders.o_custkey)
+            & (orders.o_orderdate >= dim.valid_from.cast("date"))
+            & (dim.valid_to.isNull()
+               | (orders.o_orderdate < dim.valid_to.cast("date"))))
+    return (orders.join(F.broadcast(dim), cond)
+            .groupBy(dim.c_mktsegment.alias("segment_asof"),
+                     F.year(orders.o_orderdate).cast("bigint").alias("yr"))
+            .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders")))

@@ -12,7 +12,8 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
-         "graph_degree_distribution", "mv_incremental_refresh"]
+         "graph_degree_distribution", "mv_incremental_refresh",
+         "temporal_scd2_lookup"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -66,3 +67,23 @@ def test_mv_incremental_equals_full_recompute(spark):
         assert inc[m]["n_orders"] == full[m]["n_orders"]
         assert abs(inc[m]["revenue"] - full[m]["revenue"]) < 1e-4
         assert inc[m]["min_price"] == full[m]["min_price"]
+
+
+def test_temporal_lookup_covers_every_order_once(spark):
+    """Point-in-time semantics: the validity windows tile time, so every
+    order matches EXACTLY one dimension version (n_orders sums to the
+    fact count — no drops, no fan-out), and the as-of attribution means
+    VIP revenue can only exist from the cutover year on."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["temporal_scd2_lookup"](spark, SF_ORACLE).collect()
+    total = load(spark, SF_ORACLE, "orders").count()
+    assert sum(r.n_orders for r in rows) == total
+    assert all(r.yr >= 1998 for r in rows if r.segment_asof == "VIP"), rows
+    # the VIP change batch may be empty at the smallest SF (no customer
+    # reaches the 40-lineitem threshold); when versions exist, the as-of
+    # split must show them
+    n_versions = (SPARK_QUERIES["merge_scd2_dimension"](spark, SF_ORACLE)
+                  .filter("is_current = false").count())
+    if n_versions > 0:
+        assert any(r.segment_asof == "VIP" for r in rows)

@@ -503,3 +503,80 @@ def ml_decision_stump_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.max("h0")
                          - F.sum((F.col("ns") / F.col("ntot"))
                                  * F.col("h")), 9).alias("info_gain")))
+
+
+@query("ml_kfold_centroid_cv", oracle="""
+WITH folds AS (SELECT unnest([0, 1, 2, 3, 4]) AS f),
+e AS (
+  SELECT vec_id, label, vec_id % 5 AS fold,
+         generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT fo.f, e.label AS clabel, e.i, avg(e.x) AS c
+  FROM e CROSS JOIN folds fo
+  WHERE e.fold <> fo.f
+  GROUP BY fo.f, e.label, e.i
+),
+d AS (
+  SELECT te.vec_id, te.label, te.fold AS f, cent.clabel,
+         round(sum((te.x - cent.c) * (te.x - cent.c)), 9) AS d2
+  FROM e te JOIN cent ON cent.f = te.fold AND cent.i = te.i
+  GROUP BY te.vec_id, te.label, te.fold, cent.clabel
+),
+p AS (
+  SELECT f, vec_id, label, clabel AS pred,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+  FROM d
+)
+SELECT f AS fold, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS accuracy
+FROM p WHERE rn = 1 GROUP BY f
+""")
+def ml_kfold_centroid_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the nearest-centroid classifier,
+    entirely relational: fold assignment is vec_id % 5, per-fold
+    centroids aggregate over the OTHER four folds (the cross join
+    against the 5-row fold table plus `fold <> f` IS leave-fold-out),
+    and each test vector scores against exactly its own fold's model
+    because the scoring join keys on (fold, i). One query evaluates all
+    five models — the evaluation harness every classifier needs, with
+    no driver loop over folds.
+
+    Distances round to the 9-digit grid before the argmin (the
+    ml_centroid_classifier guard). Scale: the centroid model is
+    folds x labels x dims (3.2k rows — broadcast); the one corpus-wide
+    shuffle is the (fold, label, i) partial-aggregated centroid build
+    plus the per-vector distance aggregate, both keyed."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = (emb.select("vec_id", "label",
+                    (F.col("vec_id") % 5).alias("fold"),
+                    F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("i0", "x"))
+         .select("vec_id", "label", "fold",
+                 (F.col("i0") + 1).alias("i"), "x"))
+    folds = spark.range(5).select(F.col("id").alias("f"))
+    cent = (e.crossJoin(F.broadcast(folds))
+            .filter(F.col("fold") != F.col("f"))
+            .groupBy("f", F.col("label").alias("clabel"), "i")
+            .agg(F.avg("x").alias("c")))
+    d = (e.join(F.broadcast(cent),
+                (cent.f == e.fold) & (cent.i == e.i))
+         .groupBy("vec_id", "label", "fold", "clabel")
+         .agg(F.round(F.sum((F.col("x") - F.col("c"))
+                            * (F.col("x") - F.col("c"))), 9).alias("d2")))
+    rn = F.row_number().over(
+        W.partitionBy("vec_id").orderBy("d2", "clabel"))
+    p = d.withColumn("rn", rn).filter(F.col("rn") == 1)
+    hit = F.when(F.col("clabel") == F.col("label"), 1).otherwise(0)
+    return (p.groupBy(F.col("fold").alias("fold"))
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(hit).cast("bigint").alias("n_correct"),
+                 F.round(F.sum(hit) / F.count(F.lit(1)), 4)
+                 .alias("accuracy")))

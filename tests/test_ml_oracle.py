@@ -168,3 +168,24 @@ def test_ml_decision_stump_gain_sane(spark):
     for r in rows:
         assert r.n_left + r.n_right == total
         assert r.info_gain >= -1e-9, r
+
+
+def test_ml_kfold_cv_vs_duckdb(spark, duck):
+    df = SPARK_QUERIES["ml_kfold_centroid_cv"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["ml_kfold_centroid_cv"],
+            "ml_kfold_centroid_cv")
+
+
+def test_ml_kfold_partitions_corpus(spark):
+    """The five folds tile the corpus (n_test sums to the vector count,
+    every fold non-empty) and per-fold accuracy is well-formed."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["ml_kfold_centroid_cv"](spark, SF_ORACLE).collect()
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    total = load(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r.n_test for r in rows) == total
+    for r in rows:
+        assert 0 < r.n_test
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_correct <= r.n_test

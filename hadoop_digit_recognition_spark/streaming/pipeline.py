@@ -304,3 +304,64 @@ def run_upsert_with_restart(spark: SparkSession, sf_dir: str,
         shutil.rmtree(arrive, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
     return state
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4's successor to applyInPandasWithState:
+# named state variables on an explicit handle, timers, multi-state support).
+# ---------------------------------------------------------------------------
+
+_TWS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+
+def running_user_stats_tws(ev: DataFrame) -> DataFrame:
+    """Per-user (count, sum) accumulator on the transformWithState API —
+    the same keyed-state-across-micro-batches semantics as
+    running_user_counts, expressed through Spark 4's StatefulProcessor
+    (explicit init/handleInputRows/close lifecycle, named ValueState on
+    the handle). Requires the RocksDB state store provider — the
+    100 TB-ready backend is mandatory, not optional, on this API.
+
+    NOT registered as a driver query: the TWS state-server protocol
+    needs a working google.protobuf, which this container lacks
+    (ImportError: cannot import name 'descriptor'), so the streaming
+    runner crashes at init. The operator is complete and covered by a
+    protobuf-gated pytest (tests/test_streaming_oracle.py::
+    test_transform_with_state_matches_batch) that runs wherever the
+    dependency is healthy; applyInPandasWithState (running_user_counts)
+    remains the registered arbitrary-state path here."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    state_schema = StructType([StructField("n", LongType()),
+                               StructField("s", DoubleType())])
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, s = self._agg.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return (ev.groupBy("user_id")
+            .transformWithStateInPandas(statefulProcessor=UserStats(),
+                                        outputStructType=_TWS_OUT,
+                                        outputMode="Update",
+                                        timeMode="None"))

@@ -403,3 +403,4 @@ def streaming_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+

@@ -118,3 +118,51 @@ def test_foreachbatch_upsert_parity(spark):
                 .groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
                 .collect()}
     assert state == expected
+
+
+def _protobuf_healthy() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _protobuf_healthy(),
+                    reason="transformWithState's state-server protocol "
+                           "needs google.protobuf, broken in this container")
+def test_transform_with_state_matches_batch(spark):
+    """Spark 4 transformWithStateInPandas per-user (count, sum) state:
+    the last update per user must equal the batch aggregate (same
+    contract the applyInPandasWithState twin verifies via its oracle)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.streaming.pipeline import (
+        events_stream, run_to_memory, running_user_stats_tws)
+    from hadoop_digit_recognition_spark.tables import load
+
+    from .conftest import SF_ORACLE
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        ev = events_stream(spark, SF_ORACLE)
+        updates = run_to_memory(running_user_stats_tws(ev), "update")
+        got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 4))
+               for r in (updates.groupBy("user_id")
+                         .agg(F.max("n_events").alias("n_events"),
+                              F.max_by("sum_value", "n_events")
+                              .alias("sum_value")).collect())}
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    want = {r["user_id"]: (r["n"], round(r["s"], 4))
+            for r in (load(spark, SF_ORACLE, "events")
+                      .groupBy("user_id")
+                      .agg(F.count(F.lit(1)).alias("n"),
+                           F.sum("value").alias("s")).collect())}
+    assert got == want

@@ -14,7 +14,8 @@ from .conftest import SF_ORACLE
 from .oracle_harness import compare
 
 PHYSICAL = ["join_bucketed_colocated", "agg_skew_salted_twophase",
-            "join_skew_salted", "layout_zorder_files"]
+            "join_skew_salted", "layout_zorder_files",
+            "spatial_grid_neighbor_join"]
 
 
 @pytest.mark.parametrize("name", PHYSICAL)
@@ -277,3 +278,16 @@ def test_zorder_files_bounding_boxes_tight(spark):
         assert r.vb_max - r.vb_min <= 3, r
     total = load(spark, SF_ORACLE, "events").count()
     assert sum(r.n for r in rows) == total
+
+
+def test_spatial_grid_pairs_unique_and_verified(spark):
+    """The 3x3 probe must emit each qualifying pair EXACTLY once (the
+    right side keys on its single home cell), and every emitted pair
+    verifies the radius predicate."""
+    rows = SPARK_QUERIES["spatial_grid_neighbor_join"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(0.0 <= r.dist <= 1.0 for r in rows)

@@ -273,3 +273,110 @@ SELECT
    WHERE nk NOT IN (SELECT nk FROM sub WHERE nk IS NOT NULL))
     AS not_in_null_filtered
 """)
+
+
+@query("histogram_equi_depth", oracle="""
+WITH r AS (
+  SELECT value,
+         ntile(10) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 4) AS lo,
+       round(max(value), 4) AS hi
+FROM r GROUP BY bucket
+""")
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning — the feature-engineering twin
+    of histogram_equi_width: 10 buckets holding equal row counts, bucket
+    edges falling wherever the data is dense. ntile's remainder rule
+    (first buckets get the extra row) is identical on both engines, and
+    the (value, event_id) tiebreak makes the global order — and thus
+    every bucket boundary — deterministic.
+
+    Declared test-SF form: ntile needs a TOTAL order (one range-
+    partitioned sort). The 100 TB path swaps in approx_percentile edges
+    + a narrow CASE bucketing scan (the sketch_quantiles /
+    text_quality_filter_approx pattern); the exact form stays as the
+    ground-truth twin, same policy as the exact dedup baselines."""
+    events = load(spark, sf_dir, "events")
+    b = F.ntile(10).over(W.orderBy("value", "event_id"))
+    return (events.select("value", b.cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 4).alias("lo"),
+                 F.round(F.max("value"), 4).alias("hi")))
+
+
+@query("feature_target_encode_loo", oracle="""
+WITH s AS (
+  SELECT event_id, event_type, value,
+         sum(value) OVER (PARTITION BY event_type) AS sv,
+         count(*) OVER (PARTITION BY event_type) AS cv
+  FROM events
+)
+SELECT event_id, event_type,
+       round(CASE WHEN cv > 1 THEN (sv - value) / (cv - 1) END, 6)
+         AS te
+FROM s
+""")
+def feature_target_encode_loo(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding: each row's categorical feature is
+    replaced by the mean target of its OWN category computed WITHOUT the
+    row itself — (sum - x) / (n - 1) — the standard leakage guard that
+    makes target encoding usable for training. Singleton categories
+    yield NULL (no leave-one-out mean exists).
+
+    One keyed window (partition by category, no ordering — a full-frame
+    aggregate, so no sort is even needed) carries category-sized sums;
+    at 100 TB this is the two-pass form: a categories x 2 aggregate
+    broadcast back over a narrow scan — Catalyst's window-over-
+    unordered-partition already executes it that way."""
+    events = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    sv, cv = F.sum("value").over(w), F.count(F.lit(1)).over(w)
+    te = F.when(cv > 1, (sv - F.col("value")) / (cv - 1))
+    return events.select("event_id", "event_type",
+                         F.round(te, 6).alias("te"))
+
+
+_FH_BUCKETS = 32
+
+
+@query("feature_hashing_trick", oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % {_FH_BUCKETS}
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM tok WHERE word <> ''
+GROUP BY doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT % {_FH_BUCKETS}
+""")
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF's semantics, relationally): words
+    map to a fixed 32-bucket feature space via the engine-portable
+    md5-prefix hash (the same det_hash64 the minhash family uses —
+    Spark's native xxhash64 would diverge from any other engine), and
+    per-doc bucket counts form the sparse feature vector. No vocabulary
+    pass, no vocabulary state — the property that lets featurization run
+    in one streaming-compatible map over 100 TB, with the single shuffle
+    carrying (doc, bucket) partial counts (bounded by docs x buckets,
+    not docs x vocab)."""
+    from ..functions.vector import det_hash64
+    from ..tables import load_parallel
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id",
+                       F.explode(F.split(F.lower(F.col("text")), " "))
+                       .alias("word"))
+           .filter(F.col("word") != ""))
+    return (tok.select("doc_id",
+                       (det_hash64(F.col("word")) % _FH_BUCKETS)
+                       .cast("bigint").alias("bucket"))
+            .groupBy("doc_id", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -22,6 +22,9 @@ NEW = [
     "agg_mode_exact",
     "not_in_null_semantics",
     "pipeline_corpus_hygiene",
+    "histogram_equi_depth",
+    "feature_target_encode_loo",
+    "feature_hashing_trick",
 ]
 
 
@@ -104,3 +107,62 @@ def test_hygiene_pipeline_accounting(spark):
         assert r["n_contaminated"] <= r["n_total"]
         w += r["kept_mix_weight"]
     assert abs(w - 1.0) < 1e-3  # some tokens survive at every SF probed
+
+
+def test_equi_depth_buckets_balanced(spark):
+    """ntile guarantee: bucket sizes differ by at most 1, buckets tile
+    the value range in order, rows total the input."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = sorted(SPARK_QUERIES["histogram_equi_depth"](spark, SF_ORACLE)
+                  .collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    total = load(spark, SF_ORACLE, "events").count()
+    assert sum(sizes) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9
+
+
+def test_target_encode_loo_excludes_self(spark):
+    """Recompute one category driver-side: every row's encoding must be
+    (category sum - own value) / (n - 1), never the plain category mean
+    (the leakage the LOO form exists to prevent)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    ev = (load(spark, SF_ORACLE, "events")
+          .filter(F.col("event_type") == "click")
+          .select("event_id", "value").collect())
+    s = sum(r.value for r in ev)
+    n = len(ev)
+    got = {r.event_id: r.te for r in
+           SPARK_QUERIES["feature_target_encode_loo"](spark, SF_ORACLE)
+           .filter(F.col("event_type") == "click").collect()}
+    assert len(got) == n
+    for r in ev[:50]:
+        assert abs(got[r.event_id] - (s - r.value) / (n - 1)) < 1e-4
+
+
+def test_hashing_trick_conserves_tokens(spark):
+    """Buckets lie in [0, 32) and per-doc bucket counts sum to the
+    doc's token count (nothing dropped by the hash)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    out = SPARK_QUERIES["feature_hashing_trick"](spark, SF_ORACLE)
+    mm = out.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    assert 0 <= mm[0] and mm[1] < 32
+    per_doc = {r.doc_id: r.s for r in
+               out.groupBy("doc_id").agg(F.sum("n").alias("s")).collect()}
+    ntok = F.size(F.filter(F.split(F.lower(F.col("text")), " "),
+                           lambda x: x != ""))
+    truth = {r.doc_id: r.t for r in
+             (load(spark, SF_ORACLE, "documents")
+              .select("doc_id", ntok.alias("t")).collect())}
+    for d, t in truth.items():
+        if t > 0:
+            assert per_doc[d] == t, d

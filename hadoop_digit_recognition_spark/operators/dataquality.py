@@ -127,3 +127,93 @@ def dq_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unpivoted.unionByName(dup_n)
             .withColumn("violation_rate",
                         F.round(F.col("violations") / F.col("n_rows"), 9)))
+
+
+_DRIFT_CUT = "1999-01-01"
+
+
+@query("dq_profile_drift", oracle=f"""
+WITH prof AS (
+  SELECT CASE WHEN o_orderdate < DATE '{_DRIFT_CUT}'
+              THEN 'baseline' ELSE 'current' END AS snapshot,
+         count(*) AS n_rows,
+         count(DISTINCT o_custkey) AS n_customers,
+         avg(o_totalprice) AS mean_price,
+         sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+           * 1.0 / count(*) AS null_rate_priority,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+           * 1.0 / count(*) AS frac_status_f
+  FROM orders GROUP BY 1
+),
+b AS (SELECT * FROM prof WHERE snapshot = 'baseline'),
+c AS (SELECT * FROM prof WHERE snapshot = 'current')
+SELECT m.metric,
+       round(m.base, 6) AS baseline,
+       round(m.cur, 6) AS current,
+       round(CASE WHEN m.base <> 0
+                  THEN (m.cur - m.base) / m.base END, 6) AS rel_drift,
+       CAST(CASE WHEN m.base <> 0
+                 AND abs((m.cur - m.base) / m.base) > 0.10
+            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM (
+  SELECT 'n_rows' AS metric, b.n_rows * 1.0 AS base, c.n_rows * 1.0
+    AS cur FROM b, c
+  UNION ALL
+  SELECT 'n_customers', b.n_customers * 1.0, c.n_customers * 1.0
+    FROM b, c
+  UNION ALL
+  SELECT 'mean_price', b.mean_price, c.mean_price FROM b, c
+  UNION ALL
+  SELECT 'null_rate_priority', b.null_rate_priority,
+         c.null_rate_priority FROM b, c
+  UNION ALL
+  SELECT 'frac_status_f', b.frac_status_f, c.frac_status_f FROM b, c
+) m
+""")
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-profile drift detection — the monitoring half of data
+    quality (dq_validation_summary is the gating half): profile the
+    same table's baseline and current slices (row count, entity count,
+    mean, null rate, categorical mix), compute relative drift per
+    metric, and flag anything moving more than 10%. This is what pages
+    an on-call before a silently-shrunken upstream feed poisons a
+    training run.
+
+    One grouped scan computes BOTH profiles (a single pass splitting on
+    the snapshot predicate — not two scans), then the metric comparison
+    unpivots profile-sized state: the whole diff stage operates on 2
+    rows regardless of table size. At 100 TB the only corpus-wide work
+    is the one partial-aggregated scan."""
+    orders = load(spark, sf_dir, "orders")
+    snap = F.when(F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("date"),
+                  "baseline").otherwise("current")
+    prof = (orders.groupBy(snap.alias("snapshot"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("o_custkey").alias("n_customers"),
+                 F.avg("o_totalprice").alias("mean_price"),
+                 (F.sum(F.when(F.col("o_orderpriority").isNull(), 1)
+                        .otherwise(0)) / F.count(F.lit(1)))
+                 .alias("null_rate_priority"),
+                 (F.sum(F.when(F.col("o_orderstatus") == "F", 1)
+                        .otherwise(0)) / F.count(F.lit(1)))
+                 .alias("frac_status_f")))
+    metrics = ["n_rows", "n_customers", "mean_price",
+               "null_rate_priority", "frac_status_f"]
+    long = prof.selectExpr(
+        "snapshot",
+        "stack({}, {}) AS (metric, val)".format(
+            len(metrics),
+            ", ".join(f"'{m}', CAST({m} AS DOUBLE)" for m in metrics)))
+    b = (long.filter(F.col("snapshot") == "baseline")
+         .select("metric", F.col("val").alias("base")))
+    c = (long.filter(F.col("snapshot") == "current")
+         .select("metric", F.col("val").alias("cur")))
+    rel = F.when(F.col("base") != 0,
+                 (F.col("cur") - F.col("base")) / F.col("base"))
+    return (b.join(c, "metric")
+            .select("metric",
+                    F.round("base", 6).alias("baseline"),
+                    F.round("cur", 6).alias("current"),
+                    F.round(rel, 6).alias("rel_drift"),
+                    F.when(rel.isNotNull() & (F.abs(rel) > 0.10), 1)
+                    .otherwise(0).cast("bigint").alias("flagged")))

@@ -38,7 +38,7 @@ LLM_QUERIES = [
     "text_bigram_surprisal",
     "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
     "text_bpe_pair_counts", "embedding_int8_quantize",
-    "dedup_cluster_canonical",
+    "dedup_cluster_canonical", "dq_profile_drift",
 ]
 
 
@@ -384,3 +384,25 @@ def test_cluster_canonical_one_survivor_max_quality(spark):
         kept = [m for m in members if m.kept == 1]
         assert len(kept) == 1, (cid, members)
         assert kept[0].quality == max(m.quality for m in members)
+
+
+def test_profile_drift_five_metrics_sane(spark):
+    """All five profile metrics report; relative drift is exact where a
+    driver-side recompute is cheap (row counts)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = {r.metric: r for r in
+            SPARK_QUERIES["dq_profile_drift"](spark, SF_ORACLE).collect()}
+    assert set(rows) == {"n_rows", "n_customers", "mean_price",
+                         "null_rate_priority", "frac_status_f"}
+    cut = F.lit("1999-01-01").cast("date")
+    orders = load(spark, SF_ORACLE, "orders")
+    nb = orders.filter(F.col("o_orderdate") < cut).count()
+    nc = orders.filter(F.col("o_orderdate") >= cut).count()
+    r = rows["n_rows"]
+    assert (r.baseline, r.current) == (nb, nc)
+    assert abs(r.rel_drift - (nc - nb) / nb) < 1e-5
+    for r in rows.values():
+        assert r.flagged in (0, 1)

@@ -341,3 +341,82 @@ def audio_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "energy": np.asarray(en, dtype=np.int64),
             "zero_crossings": np.asarray(zc, dtype=np.int64),
         })
+
+
+_CUT_T = 300  # scene-cut threshold on the per-frame byte-sum jump
+
+
+@query("multimodal_scene_cuts", oracle=f"""
+WITH f AS (
+  SELECT d.doc_id, r.f AS frame_id,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS blen, d.text
+  FROM documents d CROSS JOIN range({_MAX_FRAMES}) r(f)
+  WHERE r.f * {FRAME} < octet_length(encode(d.text))
+),
+px AS (
+  SELECT doc_id, frame_id,
+         CASE WHEN frame_id * {FRAME} + b.i < blen
+              THEN ascii(substr(text,
+                   CAST(frame_id * {FRAME} + b.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM f CROSS JOIN range({FRAME}) b(i)
+),
+s AS (
+  SELECT doc_id, frame_id, CAST(sum(v) AS BIGINT) AS fsum
+  FROM px GROUP BY doc_id, frame_id
+),
+d AS (
+  SELECT doc_id, frame_id, fsum,
+         fsum - lag(fsum) OVER (PARTITION BY doc_id
+                                ORDER BY frame_id) AS diff
+  FROM s
+)
+SELECT doc_id, frame_id, CAST(abs(diff) AS BIGINT) AS jump
+FROM d WHERE abs(diff) > {_CUT_T}
+""")
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut (shot-boundary) detection over video-shaped payloads:
+    consecutive-frame signal jumps above a threshold mark cuts — the
+    keyframe selector every video-training pipeline runs so it samples
+    one frame per shot instead of near-duplicate frames within one.
+    Statistics are INTEGER byte-sums and integer diffs, so both engines
+    agree bit-for-bit with no rounding grid at all.
+
+    The whole detector lives inside the SAME mapInPandas pass that
+    decodes frames (np.diff on the per-doc frame-sum vector — the
+    temporal neighborhood is local to the document, so no window over a
+    shuffled frame stream is ever needed): a swap to a real decoder
+    again changes only the UDF body. At 100 TB this stays a narrow map
+    emitting (doc, cut_frame, jump) metadata; the oracle replays frames
+    relationally and takes the lag-window form instead."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    schema = "doc_id bigint, frame_id bigint, jump bigint"
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, jumps = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                if raw.size == 0:
+                    continue
+                n_frames = -(-raw.size // FRAME)
+                pad = n_frames * FRAME - raw.size
+                fr = np.pad(raw, (0, pad)).reshape(n_frames, FRAME)
+                fsum = fr.astype(np.int64).sum(axis=1)
+                diff = np.abs(np.diff(fsum))
+                cut = np.nonzero(diff > _CUT_T)[0] + 1
+                ids.extend([did] * cut.size)
+                fids.append(cut)
+                jumps.append(diff[cut - 1])
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_id": (np.concatenate(fids).astype(np.int64) if fids
+                             else np.empty(0, dtype=np.int64)),
+                "jump": (np.concatenate(jumps).astype(np.int64) if jumps
+                         else np.empty(0, dtype=np.int64)),
+            })
+
+    return mm.mapInPandas(cuts, schema)

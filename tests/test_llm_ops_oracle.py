@@ -39,6 +39,7 @@ LLM_QUERIES = [
     "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
     "text_bpe_pair_counts", "embedding_int8_quantize",
     "dedup_cluster_canonical", "dq_profile_drift",
+    "multimodal_scene_cuts",
 ]
 
 
@@ -406,3 +407,14 @@ def test_profile_drift_five_metrics_sane(spark):
     assert abs(r.rel_drift - (nc - nb) / nb) < 1e-5
     for r in rows.values():
         assert r.flagged in (0, 1)
+
+
+def test_scene_cuts_jump_semantics(spark):
+    """Every reported cut exceeds the threshold, lands on a valid frame
+    (never frame 0 — a cut is a TRANSITION), and integer stats mean the
+    oracle agreement needs no rounding grid."""
+    rows = SPARK_QUERIES["multimodal_scene_cuts"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.jump > 300
+        assert r.frame_id >= 1

@@ -346,3 +346,137 @@ def sketch_hll_datasketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hdr_hll_per_type""")
     return (per_type.select("event_type", "approx_users")
             .unionByName(merged))
+
+
+@query("sketch_hll_intersection", oracle="""
+WITH h AS (
+  SELECT event_type, user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+),
+reg AS (
+  SELECT event_type, hv % 256 AS bucket,
+         max(CASE WHEN hv // 256 = 0 THEN 25
+                  ELSE 24 - CAST(floor(log2(hv // 256)) AS BIGINT) END)
+           AS register
+  FROM h GROUP BY event_type, hv % 256
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN 0.7213 / (1.0 + 1.079 / 256) * 65536.0
+                   / (sum(pow(2.0, -register)) + 256 - count(*)) <= 640.0
+                   AND 256 - count(*) > 0
+              THEN 256.0 * ln(256.0 / (256 - count(*)))
+              ELSE 0.7213 / (1.0 + 1.079 / 256) * 65536.0
+                   / (sum(pow(2.0, -register)) + 256 - count(*)) END AS e
+  FROM reg GROUP BY event_type
+),
+ureg AS (
+  SELECT p.ta, p.tb, r.bucket, max(r.register) AS register
+  FROM pairs p JOIN reg r ON r.event_type IN (p.ta, p.tb)
+  GROUP BY p.ta, p.tb, r.bucket
+),
+estu AS (
+  SELECT ta, tb,
+         CASE WHEN 0.7213 / (1.0 + 1.079 / 256) * 65536.0
+                   / (sum(pow(2.0, -register)) + 256 - count(*)) <= 640.0
+                   AND 256 - count(*) > 0
+              THEN 256.0 * ln(256.0 / (256 - count(*)))
+              ELSE 0.7213 / (1.0 + 1.079 / 256) * 65536.0
+                   / (sum(pow(2.0, -register)) + 256 - count(*)) END AS eu
+  FROM ureg GROUP BY ta, tb
+),
+du AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         count(*) AS exact_intersection
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       round(ea.e, 4) AS est_a,
+       round(eb.e, 4) AS est_b,
+       round(estu.eu, 4) AS est_union,
+       round(ea.e + eb.e - estu.eu, 4) AS est_intersection,
+       CAST(coalesce(ex.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection
+FROM pairs p
+JOIN est ea ON ea.event_type = p.ta
+JOIN est eb ON eb.event_type = p.tb
+JOIN estu ON estu.ta = p.ta AND estu.tb = p.tb
+LEFT JOIN ex ON ex.ta = p.ta AND ex.tb = p.tb
+""")
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from SKETCH STATE ALONE: pairwise
+    event-type user overlap via inclusion-exclusion
+    (|A∩B| ≈ E(A) + E(B) - E(A∪B)), where the union sketch is just the
+    per-bucket max of the two register sets — the operation that makes
+    HLL state composable (same max-merge as the rollup). The exact
+    intersection rides along as ground truth, so the result row itself
+    documents the estimator's error.
+
+    Register sums are dyadic rationals (2^-k) — EXACT in float64, so the
+    only cross-engine float hazard is one ln per estimate, absorbed by
+    the 4-digit grid. At 100 TB the register state per key is 256 rows;
+    every pairwise union is state x state work, never data x data — the
+    reason ad-tech audience systems store sketches, not user lists."""
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    hv = det_hash64(F.col("user_id").cast("string"))
+    w = F.floor(hv / 256)
+    register = F.when(w == 0, F.lit(25)).otherwise(
+        24 - F.floor(F.log2(w.cast("double")))).cast("bigint")
+    reg = (ev.select("event_type", (hv % 256).alias("bucket"),
+                     register.alias("reg"))
+           .groupBy("event_type", "bucket")
+           .agg(F.max("reg").alias("register")))
+
+    def estimate(grouped):
+        alpha = 0.7213 / (1.0 + 1.079 / 256)
+        s = F.sum(F.pow(F.lit(2.0), -F.col("register")))
+        present = F.count(F.lit(1))
+        v = F.lit(256.0) - present
+        e_raw = F.lit(alpha * 65536.0) / (s + v)
+        return grouped.agg(
+            F.when((e_raw <= 640.0) & (v > 0),
+                   F.lit(256.0) * F.log(F.lit(256.0) / v))
+            .otherwise(e_raw).alias("e"))
+
+    est = estimate(reg.groupBy("event_type"))
+    types = ev.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("ta"))
+             .join(types.select(F.col("event_type").alias("tb")),
+                   F.col("ta") < F.col("tb")))
+    ureg = (pairs.join(reg, reg.event_type.isin(F.col("ta"), F.col("tb")))
+            .groupBy("ta", "tb", "bucket")
+            .agg(F.max("register").alias("register")))
+    estu = estimate(ureg.groupBy("ta", "tb")).withColumnRenamed("e", "eu")
+    du = ev.select("event_type", "user_id").distinct()
+    ex = (du.alias("a")
+          .join(du.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.event_type") < F.col("b.event_type")))
+          .groupBy(F.col("a.event_type").alias("ta"),
+                   F.col("b.event_type").alias("tb"))
+          .agg(F.count(F.lit(1)).alias("exact_intersection")))
+    ea = est.select(F.col("event_type").alias("ta"), F.col("e").alias("e_a"))
+    eb = est.select(F.col("event_type").alias("tb"), F.col("e").alias("e_b"))
+    return (pairs.join(ea, "ta").join(eb, "tb")
+            .join(estu, ["ta", "tb"])
+            .join(ex, ["ta", "tb"], "left")
+            .select(F.col("ta").alias("type_a"),
+                    F.col("tb").alias("type_b"),
+                    F.round("e_a", 4).alias("est_a"),
+                    F.round("e_b", 4).alias("est_b"),
+                    F.round("eu", 4).alias("est_union"),
+                    F.round(F.col("e_a") + F.col("e_b") - F.col("eu"), 4)
+                    .alias("est_intersection"),
+                    F.coalesce("exact_intersection", F.lit(0))
+                    .cast("bigint").alias("exact_intersection")))

@@ -291,3 +291,24 @@ def test_spatial_grid_pairs_unique_and_verified(spark):
     assert len(pairs) == len(set(pairs))
     assert all(r.id_a < r.id_b for r in rows)
     assert all(0.0 <= r.dist <= 1.0 for r in rows)
+
+
+def test_hll_intersection_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["sketch_hll_intersection"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["sketch_hll_intersection"],
+            "sketch_hll_intersection")
+
+
+def test_hll_intersection_estimates_near_truth(spark):
+    """Inclusion-exclusion on 256-bucket HLLs has relative error ~3x the
+    single-sketch 1.04/sqrt(m) = 6.5% on the intersection term; assert
+    every pair estimate lands within a generous 35% of the exact
+    overlap (the exact column ships in the same row)."""
+    rows = SPARK_QUERIES["sketch_hll_intersection"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r.exact_intersection > 0
+        rel = abs(r.est_intersection - r.exact_intersection) \
+            / r.exact_intersection
+        assert rel < 0.35, (r, rel)

@@ -35,7 +35,11 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "join_theta_bnl", "join_nonequi_band",
                 "sketch_cms_heavy_hitters",
                 # constant-range matrix generation (literal-sized inputs)
-                "gemm_sql"}
+                "gemm_sql",
+                # pairwise sketch comparison: the all-pairs join is over
+                # the 5-row TYPE table and 256-row register state — model
+                # state x model state, never data x data
+                "sketch_hll_intersection"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -420,3 +420,71 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return mm.mapInPandas(cuts, schema)
+
+
+_RS = 2  # nearest-neighbor resize stride: 16x16 -> 8x8
+
+
+@query("multimodal_resize_nn", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({RASTER_H * RASTER_W}) r(i)
+),
+grid AS (
+  SELECT doc_id, i // {RASTER_W} AS row_, i % {RASTER_W} AS col_, v
+  FROM px
+)
+SELECT doc_id,
+       CAST(row_ // {_RS} AS BIGINT) AS orow,
+       CAST(col_ // {_RS} AS BIGINT) AS ocol,
+       CAST(v AS BIGINT) AS pix
+FROM grid
+WHERE row_ % {_RS} = 0 AND col_ % {_RS} = 0
+""")
+def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on the decoded raster — nearest-neighbor 2x
+    downsample (16x16 -> 8x8: keep every 2nd pixel in both axes), the
+    subsampling complement to multimodal_decode_pool's mean-pool
+    (anti-aliased resize). Output pixels are raw SELECTED bytes, so the
+    oracle agreement is integer-exact with no rounding anywhere.
+
+    Decode + stride live in one mapInPandas pass (NumPy [::2, ::2]
+    view — zero copies); swapping in PIL/cv2 interpolation changes only
+    the UDF body. Narrow map, no shuffle: at 100 TB resize throughput
+    is scan bandwidth, and the output carries 1/4 of the pixel volume
+    downstream — the reason pipelines resize before they shuffle."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    schema = "doc_id bigint, orow bigint, ocol bigint, pix bigint"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        oh, ow = RASTER_H // _RS, RASTER_W // _RS
+        rows = np.repeat(np.arange(oh, dtype=np.int64), ow)
+        cols = np.tile(np.arange(ow, dtype=np.int64), oh)
+        for pdf in batches:
+            ids, pix = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                img = np.zeros(RASTER_H * RASTER_W, dtype=np.uint8)
+                img[:raw.size] = raw[:RASTER_H * RASTER_W]
+                small = img.reshape(RASTER_H, RASTER_W)[::_RS, ::_RS]
+                ids.append(np.full(oh * ow, did, dtype=np.int64))
+                pix.append(small.ravel().astype(np.int64))
+            n = len(ids)
+            yield pd.DataFrame({
+                "doc_id": (np.concatenate(ids) if n
+                           else np.empty(0, dtype=np.int64)),
+                "orow": (np.tile(rows, n) if n
+                         else np.empty(0, dtype=np.int64)),
+                "ocol": (np.tile(cols, n) if n
+                         else np.empty(0, dtype=np.int64)),
+                "pix": (np.concatenate(pix) if n
+                        else np.empty(0, dtype=np.int64)),
+            })
+
+    return mm.mapInPandas(resize, schema)

@@ -39,7 +39,7 @@ LLM_QUERIES = [
     "text_pii_redact", "text_word_entropy", "corpus_sequence_pack",
     "text_bpe_pair_counts", "embedding_int8_quantize",
     "dedup_cluster_canonical", "dq_profile_drift",
-    "multimodal_scene_cuts",
+    "multimodal_scene_cuts", "multimodal_resize_nn",
 ]
 
 
@@ -418,3 +418,18 @@ def test_scene_cuts_jump_semantics(spark):
     for r in rows:
         assert r.jump > 300
         assert r.frame_id >= 1
+
+
+def test_resize_nn_geometry(spark):
+    """Every doc yields exactly an 8x8 output grid of raw byte values."""
+    from pyspark.sql import functions as F
+
+    out = SPARK_QUERIES["multimodal_resize_nn"](spark, SF_ORACLE)
+    g = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("orow").alias("mr"), F.max("ocol").alias("mc"),
+        F.min("pix").alias("lo"), F.max("pix").alias("hi")).collect()
+    assert g
+    for r in g:
+        assert (r.n, r.mr, r.mc) == (64, 7, 7)
+        assert 0 <= r.lo and r.hi <= 255

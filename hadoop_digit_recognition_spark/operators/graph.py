@@ -250,3 +250,73 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return hist(e.groupBy("c"), "customer").unionAll(
         hist(e.groupBy("s"), "supplier"))
+
+
+@query("graph_jaccard_link_prediction", oracle="""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+deg AS (SELECT c, count(*) AS d FROM e GROUP BY c),
+com AS (
+  SELECT a.c AS c1, b.c AS c2, count(*) AS common
+  FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
+  GROUP BY a.c, b.c
+),
+j AS (
+  SELECT c1, c2, common,
+         round(common * 1.0 / (d1.d + d2.d - common), 6) AS jaccard
+  FROM com JOIN deg d1 ON d1.c = c1 JOIN deg d2 ON d2.c = c2
+),
+r AS (
+  SELECT c1, c2, common, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, c1, c2) AS rnk
+  FROM j
+)
+SELECT c1, c2, CAST(common AS BIGINT) AS common, jaccard,
+       CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 50
+""")
+def graph_jaccard_link_prediction(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood similarity: the top-50 customer
+    pairs most likely to behave alike, scored by Jaccard overlap of
+    their co-purchased part sets (|N(a)∩N(b)| / |N(a)∪N(b)|, union via
+    inclusion-exclusion on degrees) — the classic common-neighbors
+    recommender baseline.
+
+    Common-neighbor counting is the bucket self-equi-join on the shared
+    part (cost Σ|part's customer list|², the sim_knn_graph shape —
+    bounded by the co-purchase fan-out, never all customer pairs);
+    degrees join in as a broadcast-able customer-sized aggregate. The
+    final top-50 ranks the pair-scored aggregate with full tiebreak
+    (jaccard desc, c1, c2), a TakeOrdered over candidate pairs. Hub
+    parts (bought by everyone) are the documented skew knob: drop
+    parts with |customers| above a cap, exactly how common-neighbor
+    systems prune stop-nodes at scale."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    e = (orders.join(lineitem,
+                     orders.o_orderkey == lineitem.l_orderkey)
+         .select(F.col("o_custkey").alias("c"),
+                 F.col("l_partkey").alias("p"))
+         .distinct())
+    deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("c").alias("c1"), "p")
+    b = e.select(F.col("c").alias("c2"), "p")
+    com = (a.join(b, "p").filter(F.col("c1") < F.col("c2"))
+           .groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("common")))
+    d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("deg2"))
+    j = (com.join(d1, "c1").join(d2, "c2")
+         .select("c1", "c2", "common",
+                 F.round(F.col("common")
+                         / (F.col("deg1") + F.col("deg2")
+                            - F.col("common")), 6).alias("jaccard")))
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.orderBy(F.col("jaccard").desc(), "c1", "c2"))
+    return (j.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= 50)
+            .select("c1", "c2", F.col("common").cast("bigint")
+                    .alias("common"), "jaccard", "rnk"))

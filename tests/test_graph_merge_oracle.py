@@ -13,7 +13,7 @@ from .oracle_harness import compare
 
 NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_degree_distribution", "mv_incremental_refresh",
-         "temporal_scd2_lookup"]
+         "temporal_scd2_lookup", "graph_jaccard_link_prediction"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -87,3 +87,16 @@ def test_temporal_lookup_covers_every_order_once(spark):
                   .filter("is_current = false").count())
     if n_versions > 0:
         assert any(r.segment_asof == "VIP" for r in rows)
+
+
+def test_link_prediction_scores_well_formed(spark):
+    """Jaccard in (0, 1], ranks are 1..50 with scores non-increasing,
+    and common never exceeds either endpoint's capability (common <=
+    union implied by jaccard <= 1)."""
+    rows = sorted(SPARK_QUERIES["graph_jaccard_link_prediction"](
+        spark, SF_ORACLE).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 50
+    scores = [r.jaccard for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0 < r.jaccard <= 1.0 and r.common >= 1 for r in rows)

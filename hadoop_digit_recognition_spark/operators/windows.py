@@ -374,3 +374,92 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("__a"))
             .select("user_id", "n_events",
                     F.round(ewma, 6).alias("ewma")))
+
+
+_CUSUM_K = 0.5  # slack (allowed drift per step, in value units)
+_CUSUM_H = 5.0  # decision threshold on the accumulated statistic
+
+
+@query("timeseries_cusum_drift", oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         avg(value) AS x
+  FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+),
+ser AS (
+  SELECT event_type, list(x ORDER BY day) AS xs, count(*) AS n_days
+  FROM daily GROUP BY event_type
+),
+m AS (
+  SELECT event_type, xs, n_days,
+         list_aggregate(xs, 'sum') / n_days AS mu
+  FROM ser
+),
+c AS (
+  SELECT event_type, n_days, mu,
+         list_reduce(
+           list_prepend(0.0, list_transform(xs, x -> x - mu - {_CUSUM_K})),
+           (acc, d) -> greatest(0.0, acc + d)) AS ch,
+         list_reduce(
+           list_prepend(0.0, list_transform(xs, x -> mu - x - {_CUSUM_K})),
+           (acc, d) -> greatest(0.0, acc + d)) AS cl
+  FROM m
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       round(mu, 6) AS mu,
+       round(ch, 6) AS cusum_high, round(cl, 6) AS cusum_low,
+       CAST(CASE WHEN ch > {_CUSUM_H} OR cl > {_CUSUM_H}
+            THEN 1 ELSE 0 END AS BIGINT) AS drift
+FROM c
+""")
+def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type — the sequential
+    changepoint statistic (Page 1954): S_t = max(0, S_{t-1} + (x_t -
+    mu - k)) accumulated over the daily-mean series, one-sided high and
+    low, flagged when either crosses the decision threshold. Like EWMA
+    this is ORDER-DEPENDENT RECURSION that no window frame states:
+    sort-collect each type's daily series, then one explicit left fold
+    (seeded 0.0 via list_prepend on the DuckDB side so both engines run
+    the identical fold). The series mean also computes FROM the
+    collected array, so both engines even share the summation order.
+
+    At 100 TB the shuffled state is days x types (the daily partial
+    aggregate) — the raw stream never collects; per-key series length
+    is calendar-bounded, so the fold task is O(days)."""
+    ev = load(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.date_trunc("day", "ts").cast("date").alias("day"))
+             .agg(F.avg("value").alias("x")))
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("day").alias("d"), F.col("x").alias("v"))))
+    ser = (daily.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_days"), arr.alias("__a")))
+    xs = F.transform(F.col("__a"), lambda s: s["v"])
+    mu = (F.aggregate(xs, F.lit(0.0), lambda a, x: a + x)
+          / F.col("n_days"))
+    withmu = ser.select("event_type", "n_days", xs.alias("xs"),
+                        mu.alias("mu"))
+
+    def cusum(sign: float):
+        return F.aggregate(
+            F.transform("xs", lambda x: sign * (x - F.col("mu"))
+                        - _CUSUM_K),
+            F.lit(0.0),
+            lambda acc, d: F.greatest(F.lit(0.0), acc + d))
+
+    ch, cl = cusum(1.0), cusum(-1.0)
+    # fold with the RAW mu, round for display in a LATER projection —
+    # rounding inline would let the same-named output alias capture the
+    # reference inside the fold lambdas (the embedding_int8_quantize
+    # lesson: Spark resolves lambda column refs against the projection
+    # output list when names collide)
+    out = withmu.select(
+        "event_type", F.col("n_days").cast("bigint").alias("n_days"),
+        "mu",
+        F.round(ch, 6).alias("cusum_high"),
+        F.round(cl, 6).alias("cusum_low"),
+        F.when((ch > _CUSUM_H) | (cl > _CUSUM_H), 1).otherwise(0)
+        .cast("bigint").alias("drift"))
+    return out.select("event_type", "n_days",
+                      F.round("mu", 6).alias("mu"),
+                      "cusum_high", "cusum_low", "drift")

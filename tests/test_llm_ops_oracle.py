@@ -40,6 +40,7 @@ LLM_QUERIES = [
     "text_bpe_pair_counts", "embedding_int8_quantize",
     "dedup_cluster_canonical", "dq_profile_drift",
     "multimodal_scene_cuts", "multimodal_resize_nn",
+    "timeseries_cusum_drift",
 ]
 
 
@@ -433,3 +434,15 @@ def test_resize_nn_geometry(spark):
     for r in g:
         assert (r.n, r.mr, r.mc) == (64, 7, 7)
         assert 0 <= r.lo and r.hi <= 255
+
+
+def test_cusum_nonnegative_and_resets(spark):
+    """CUSUM statistics are non-negative by construction, and on a
+    stationary synthetic series (uniform values, no injected drift)
+    they stay small relative to the day count times slack."""
+    rows = SPARK_QUERIES["timeseries_cusum_drift"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r.cusum_high >= 0 and r.cusum_low >= 0
+        assert r.drift in (0, 1)
+        assert r.cusum_high < r.n_days * 0.5 * 3

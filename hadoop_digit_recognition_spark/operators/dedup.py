@@ -1046,3 +1046,33 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "cluster", "quality",
                     F.when(F.col("rn") == 1, 1).otherwise(0)
                     .cast("bigint").alias("kept")))
+
+
+@query("dedup_cross_lingual_pairs", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()}
+SELECT p.doc_a, p.doc_b, da.lang AS lang_a, db.lang AS lang_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE da.lang <> db.lang
+""")
+def dedup_cross_lingual_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Bitext candidate mining: verified near-duplicate pairs whose
+    declared languages DIFFER — on a real multilingual crawl these are
+    translation-pair candidates (the parallel-corpus feedstock of
+    multilingual model training), and in a dedup policy they are the
+    pairs you must NOT collapse (same content, different language =
+    both are training signal). One broadcast lang-map join on each side
+    of the already-bucketed LSH pair set — candidate-sized work on top
+    of the shared memoized signature pass, nothing corpus-wide."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    langs = load_parallel(spark, sf_dir, "documents").select("doc_id", "lang")
+    la = langs.select(F.col("doc_id").alias("doc_a"),
+                      F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("doc_b"),
+                      F.col("lang").alias("lang_b"))
+    return (pairs.join(F.broadcast(la), "doc_a")
+            .join(F.broadcast(lb), "doc_b")
+            .filter(F.col("lang_a") != F.col("lang_b"))
+            .select("doc_a", "doc_b", "lang_a", "lang_b"))

@@ -40,7 +40,7 @@ LLM_QUERIES = [
     "text_bpe_pair_counts", "embedding_int8_quantize",
     "dedup_cluster_canonical", "dq_profile_drift",
     "multimodal_scene_cuts", "multimodal_resize_nn",
-    "timeseries_cusum_drift",
+    "timeseries_cusum_drift", "dedup_cross_lingual_pairs",
 ]
 
 
@@ -446,3 +446,16 @@ def test_cusum_nonnegative_and_resets(spark):
         assert r.cusum_high >= 0 and r.cusum_low >= 0
         assert r.drift in (0, 1)
         assert r.cusum_high < r.n_days * 0.5 * 3
+
+
+def test_cross_lingual_pairs_subset_of_lsh(spark):
+    """Cross-lingual candidates are exactly the verified LSH pairs with
+    differing langs — a strict subset of the dedup pair set."""
+    all_pairs = {(r.doc_a, r.doc_b) for r in
+                 SPARK_QUERIES["dedup_minhash_lsh"](spark, SF_ORACLE)
+                 .collect()}
+    xl = SPARK_QUERIES["dedup_cross_lingual_pairs"](spark, SF_ORACLE).collect()
+    assert xl
+    for r in xl:
+        assert (r.doc_a, r.doc_b) in all_pairs
+        assert r.lang_a != r.lang_b

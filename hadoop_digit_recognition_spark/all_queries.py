@@ -52,8 +52,11 @@ def _rotate_for_driver_coverage() -> None:
     repo root. We count how many rounds have already sampled each query and
     stably sort the registry by that count ascending, so never-sampled
     queries reach the window first and coverage converges to the full
-    registry as rounds progress. Pure reordering: no entries are added,
-    removed, or modified.
+    registry as rounds progress. One override: a query whose MOST RECENT
+    sampled row was not green (hash_match is not true and it isn't a
+    declared rows-only entry) jumps to the very front — a fixed red needs
+    a green driver row more urgently than a never-sampled one needs its
+    first. Pure reordering: no entries are added, removed, or modified.
     """
     import glob
     import json
@@ -61,6 +64,7 @@ def _rotate_for_driver_coverage() -> None:
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     times_seen: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -68,11 +72,18 @@ def _rotate_for_driver_coverage() -> None:
         except (OSError, ValueError):
             continue
         if isinstance(rows, dict):
-            for name in rows:
+            for name, row in rows.items():
                 times_seen[name] = times_seen.get(name, 0) + 1
+                if isinstance(row, dict):
+                    last_green[name] = (
+                        row.get("hash_match") is True
+                        or row.get("err") == "no_oracle")
     if not times_seen:
         return
-    ordered = sorted(SPARK_QUERIES, key=lambda n: times_seen.get(n, 0))
+    ordered = sorted(
+        SPARK_QUERIES,
+        key=lambda n: (-1 if last_green.get(n, True) is False else
+                       times_seen.get(n, 0)))
     reordered = {n: SPARK_QUERIES[n] for n in ordered}
     SPARK_QUERIES.clear()
     SPARK_QUERIES.update(reordered)

@@ -382,14 +382,30 @@ def text_quality_filter_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_collect_sorted", oracle="""
 SELECT user_id,
-       list_sort(list(DISTINCT event_type)) AS types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id
 """)
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set aggregation (grouped array building) — sorted for
-    engine-neutral comparison. The collect-type aggs are exactly the ones
-    whose state skews with hot keys (see agg_skew_salted_twophase)."""
+    """collect_set aggregation (grouped array building) — sorted, then
+    JOINED TO ONE STRING for engine-neutral comparison: the driver's
+    value hasher canonicalizes via pandas sort_values, which cannot hash
+    array cells (r04 red row; same class as r01's arr_normalize — see
+    arrays.py). The array-valued form stays available as
+    `agg_collect_sorted_array` (pytest-only twin). The collect-type aggs
+    are exactly the ones whose state skews with hot keys (see
+    agg_skew_salted_twophase)."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.array_join(F.array_sort(F.collect_set("event_type")),
+                              ",").alias("types"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def agg_collect_sorted_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued twin of agg_collect_sorted — NOT registered (list cells
+    are unhashable by the driver's canonicalizer); exercised by pytest
+    which compares element-wise."""
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
             .agg(F.array_sort(F.collect_set("event_type")).alias("types"),

@@ -49,12 +49,26 @@ def type_red_flags(name, sdf, ddf, rel_types):
       as object/float while Spark sends int64);
     - Spark-vs-DuckDB pandas dtype *kind* divergence on a shared column
       (int vs float vs object), ignoring width and datetime-unit noise
-      the hash tolerates.
+      the hash tolerates;
+    - any NON-SCALAR cell (list/tuple/ndarray/dict) in either result:
+      the driver's canonicalizer (pandas sort_values) raises
+      `unhashable type` on these (r01 arr_normalize, r04
+      agg_collect_sorted), which norm()'s tuple-ification hides here.
     """
     flags = []
     for c, t in zip(ddf.columns, rel_types):
         if str(t).upper() in ("HUGEINT", "UHUGEINT"):
             flags.append(f"oracle col {c} is {t}")
+    for side, df_ in (("spark", sdf), ("oracle", ddf)):
+        for c in df_.columns:
+            col = df_[c]
+            if col.dtype.kind == "O":
+                probe = col.dropna().head(20)
+                if any(isinstance(v, (list, tuple, dict, np.ndarray))
+                       for v in probe):
+                    flags.append(
+                        f"{side} col {c} holds non-scalar cells "
+                        f"(driver canonicalizer cannot hash them)")
     for c in set(sdf.columns) & set(ddf.columns):
         sk, dk = sdf[c].dtype.kind, ddf[c].dtype.kind
         if sk != dk and {sk, dk} - {"M"}:  # datetime units differ benignly

@@ -50,6 +50,21 @@ def test_llm_op_vs_duckdb(spark, duck, name):
     compare(df, duck, ORACLE_SQL[name], name)
 
 
+def test_agg_collect_sorted_array_twin(spark, duck):
+    """Array-valued twin of agg_collect_sorted (NOT registered — the
+    driver canonicalizer cannot hash list cells). Compares element-wise
+    against the joined-string registered form."""
+    from hadoop_digit_recognition_spark.operators.text import (
+        agg_collect_sorted_array)
+
+    rows = {r["user_id"]: (list(r["types"]), r["n"])
+            for r in agg_collect_sorted_array(spark, SF_ORACLE).collect()}
+    reg = {r["user_id"]: (r["types"].split(",") if r["types"] else [], r["n"])
+           for r in SPARK_QUERIES["agg_collect_sorted"](
+               spark, SF_ORACLE).collect()}
+    assert rows == reg
+
+
 def test_nontrivial_results(spark):
     """Dedup queries must actually find the planted near-duplicates."""
     jac = SPARK_QUERIES["dedup_ngram_jaccard"](spark, SF_ORACLE).count()

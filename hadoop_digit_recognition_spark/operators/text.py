@@ -544,7 +544,7 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the dictionary/NER pass of a production scrubber (the synthetic
 # corpus has no digits, so the denylist is the pattern that actually
 # fires here and pins replacement semantics end-to-end).
-_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_EMAIL = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 _PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 _PII_NAME = r"\bcustomer\b"
 
@@ -567,10 +567,17 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: count and mask emails,
     phone-shaped digit runs, and denylisted name tokens.
 
-    Per-match counts run against the ORIGINAL text (audit log semantics —
-    what was found), then the three replacements apply in a fixed order
+    Per-match counts run against the ORIGINAL text — deliberately
+    found-in-original audit semantics: on overlapping spans (a
+    phone-shaped digit run inside text the email replacement already
+    consumed) a count can exceed the masks actually applied, which is
+    the right bias for an audit log (report everything detected, never
+    under-report). The three replacements then apply in a fixed order
     (email -> phone -> name) so later patterns cannot match inside an
-    earlier mask. Entirely JVM regexp — a single narrow scan stage with
+    earlier mask. The email pattern is (?i) case-insensitive — the
+    inline flag means Java regex and DuckDB's RE2 agree (round-4
+    advisor fix: Bob@Example.ORG was previously neither counted nor
+    redacted). Entirely JVM regexp — a single narrow scan stage with
     zero shuffles; at 100 TB this is embarrassingly parallel and the
     only cost is the regex engine itself (RE2-compatible patterns keep
     it linear-time, no catastrophic backtracking)."""

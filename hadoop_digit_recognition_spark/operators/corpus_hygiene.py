@@ -179,7 +179,21 @@ def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered to the boilerplate set, then joined back to the occurrence
     stream. The boilerplate set is far smaller than the corpus and
     broadcasts; at 100 TB swap count(DISTINCT doc_id) for
-    approx_count_distinct at the same plan shape."""
+    approx_count_distinct at the same plan shape.
+
+    Round-5 plan study (SCALE.md "boilerplate variant study"): three
+    alternative shapes were implemented and measured at sf0.1 —
+    (a) narrow n_grams + inner-join hits (1.61s), (b) shared per-
+    (doc,gram) pre-aggregate feeding both branches (1.61s; Catalyst
+    prunes the count from the doc-frequency branch so the subtrees
+    diverge and the exchange is NOT reused), (c) count-over-window by
+    gram (1.34s but windows by the HOT key — boilerplate grams appear
+    in many docs — so it trades a combiner'd aggregate for a skew
+    hazard), (d) persisted pre-aggregate (2.36s — materialization cost
+    dominates). This two-pass all-combiner form measured 1.42s isolated
+    (the 3.0s in BENCH_r04 was full-run interleaving, like the round-3
+    regression pair) and is the only shape with map-side partial
+    aggregation on every corpus-wide edge, so it stays."""
     occ = _doc_grams(spark, sf_dir, _NGRAM_N)
     boiler = (occ.groupBy("gram")
               .agg(F.countDistinct("doc_id").alias("nd"))

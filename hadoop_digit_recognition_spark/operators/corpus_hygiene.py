@@ -250,6 +250,106 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.floor(pw / tot * _MIX_BUDGET).cast("bigint")))
 
 
+_DOMAIN_CAP = 30        # max docs kept per source (C4-style per-domain cap)
+_EPOCH_BUDGET = 10 ** 6  # token budget for the repeat/epoch schedule
+_EPOCH_MAX = 4.0         # cap on per-source repeat factor
+
+
+@query("corpus_domain_cap", oracle=f"""
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rn > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(min(CASE WHEN rn <= {_DOMAIN_CAP} THEN n_chars END) AS BIGINT)
+         AS min_kept_chars
+FROM r GROUP BY source
+""")
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps — the C4/web-crawl hygiene rule that no
+    single domain may dominate the corpus: keep at most _DOMAIN_CAP
+    documents per source, preferring longer documents (n_chars DESC,
+    doc_id tiebreak), and report the per-source keep/drop summary the
+    pipeline publishes.
+
+    The rank is a window partitioned by source — fine when domains are
+    bounded (the cap itself guarantees the OUTPUT is); for a 100 TB
+    crawl where one domain holds billions of pages, pre-filter with an
+    approximate per-source count and sample before the exact window, or
+    use the two-phase top-k (per-partition heap then merge) the
+    sort_limit_topk operator demonstrates. Summary output is
+    sources-sized."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id")))
+    r = docs.select("source", "doc_id", "n_chars").withColumn("rn", rn)
+    kept = F.col("rn") <= _DOMAIN_CAP
+    return (r.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(kept, 1).otherwise(0)).cast("bigint")
+                 .alias("n_kept"),
+                 F.sum(F.when(~kept, 1).otherwise(0)).cast("bigint")
+                 .alias("n_dropped"),
+                 F.min(F.when(kept, F.col("n_chars"))).cast("bigint")
+                 .alias("min_kept_chars")))
+
+
+@query("corpus_epoch_schedule", oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wgt AS (
+  SELECT source, n_docs, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS pw
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       CAST(floor(pw / sum(pw) OVER () * {_EPOCH_BUDGET}) AS BIGINT)
+         AS alloc_tokens,
+       round(least({_EPOCH_MAX},
+                   floor(pw / sum(pw) OVER () * {_EPOCH_BUDGET})
+                     / CAST(n_tokens AS DOUBLE)), 4) AS epochs
+FROM wgt
+""")
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeat/epoch schedule under a fixed token budget — the
+    data-mixing step AFTER temperature weights are chosen (see
+    corpus_temperature_mix): each source gets its sqrt-weighted share of
+    _EPOCH_BUDGET tokens, expressed as the number of passes (epochs)
+    over that source, capped at _EPOCH_MAX so small high-quality sources
+    are up-sampled but never memorization-looped — the published
+    repeat-factor recipe from the public LM data-mix literature.
+
+    Arithmetic is engine-bit-stable by construction: sqrt (correctly
+    rounded IEEE), floor to integer token allocations BEFORE the
+    division, round(_, 4) on the final ratio. One source-keyed corpus
+    aggregate + window math over the sources-sized summary."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    s = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+              F.sum(F.size(F.split("text", " "))).cast("bigint")
+              .alias("n_tokens")))
+    pw = F.sqrt(F.col("n_tokens").cast("double"))
+    tot = F.sum(pw).over(W.partitionBy())
+    alloc = F.floor(pw / tot * _EPOCH_BUDGET).cast("bigint")
+    return (s.withColumn("alloc_tokens", alloc)
+            .withColumn("epochs",
+                        F.round(F.least(
+                            F.lit(_EPOCH_MAX),
+                            F.col("alloc_tokens")
+                            / F.col("n_tokens").cast("double")), 4)))
+
+
 _REP_MAX = 0.02     # dup-trigram fraction above this -> repetitive (p95 here)
 _BOILER_MAX = 0.06  # boilerplate fraction above this -> boilerplate (p90)
 _DECON_N = 4        # pipeline decontamination gram size (3-grams over-fire

@@ -722,6 +722,165 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos")))
 
 
+SEM_CELLS = 16   # SemDeDup coarse cells (deterministic: first-K seeds)
+SEM_TAU = 0.4    # within-cell cosine threshold (matches the embedding
+                 # pair family — corpus has no planted vector dups)
+
+
+@query("dedup_semantic_semdedup", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {SEM_CELLS}),
+d AS (
+  SELECT e.vec_id, s.cid,
+         round(list_aggregate(
+           list_transform(range(1, len(e.emb) + 1),
+             i -> pow(e.emb[CAST(i AS INTEGER)]
+                      - s.cemb[CAST(i AS INTEGER)], 2)),
+           'sum'), 9) AS d2
+  FROM e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vb
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
+),
+drops AS (SELECT DISTINCT vb AS vec_id FROM pairs)
+SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+       drops.vec_id IS NOT NULL AS dropped
+FROM asg LEFT JOIN drops USING (vec_id)
+""")
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023, public):
+    cluster the embedding space with a coarse quantizer, then compare
+    pairs ONLY within a cluster — the trick that makes semantic dedup
+    tractable at corpus scale (cost Σ|cell|², never N²) — and drop every
+    vector that has a lower-id in-cell neighbor above the cosine
+    threshold. One verdict row per vector: (vec_id, cell, dropped).
+
+    The quantizer is fully deterministic (first-SEM_CELLS vectors as
+    seeds, argmin on 9-digit-rounded squared distance with cell-id
+    tiebreak — the sim_ivf_det_topk recipe) so the DuckDB oracle replays
+    index build AND verdicts exactly. Centroids fold in as literals
+    (SEM_CELLS x dim doubles — weight-matrix-sized driver state); the
+    assignment is one narrow codegen pass, the candidate join is a self
+    equi-join on cell, and the drop set is a distinct + left join, all
+    keyed shuffles. At 100 TB the seeds come from a trained quantizer
+    (sim_ivf_topk's KMeans) and cells shard the pairwise work exactly
+    like the paper's k-means-then-within-cluster pass."""
+    from ..functions.vector import dot_col, l2norm_col
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    v = F.col("embedding").cast("array<double>")
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < SEM_CELLS)
+             .select("vec_id", v.alias("e")).collect()}
+    cell = F.element_at(
+        F.array_sort(F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"))
+            for cid, cvec in sorted(seeds.items())])), 1)["c"]
+    asg = emb.withColumn("cell", cell)
+    a = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
+                   F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
+                   F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_col(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    drops = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("va") < F.col("vb")))
+             .filter(cos >= SEM_TAU)
+             .select(F.col("vb").alias("vec_id")).distinct()
+             .withColumn("hit", F.lit(True)))
+    return (asg.join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(F.col("hit"), F.lit(False)).alias("dropped")))
+
+
+# Non-overlapping SEG_W-word segments; the ordinal packing doc_id*SEG_MOD
+# + seg_id requires seg_id < SEG_MOD (docs would need > SEG_W*SEG_MOD
+# words to overflow — far beyond any tested corpus; assert at scale).
+SEG_W = 8
+SEG_MOD = 4096
+
+
+@query("dedup_segments_corpus", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gi AS (SELECT doc_id, w,
+              unnest(generate_series(0,
+                CAST(ceil(len(w) / {SEG_W}.0) AS BIGINT) - 1)) AS s
+       FROM t),
+seg AS (SELECT doc_id, s,
+               array_to_string(w[s * {SEG_W} + 1 : (s + 1) * {SEG_W}], ' ')
+                 AS segment
+        FROM gi),
+fk AS (SELECT segment, min(doc_id * {SEG_MOD} + s) AS first_key
+       FROM seg GROUP BY segment),
+j AS (SELECT seg.doc_id,
+             (seg.doc_id * {SEG_MOD} + seg.s) <> fk.first_key AS is_dup
+      FROM seg JOIN fk USING (segment))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_segments,
+       round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS dup_frac
+FROM j GROUP BY doc_id
+""")
+def dedup_segments_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level corpus deduplication (the CCNet/C4 paragraph-dedup
+    stage): split every document into non-overlapping SEG_W-word
+    segments, keep only the FIRST occurrence of each distinct segment
+    corpus-wide (ordered by doc position: doc_id, then segment ordinal),
+    and report per-document how much of it was duplicated text — the
+    signal line-level dedup pipelines threshold on before near-dup
+    passes ever run.
+
+    First-occurrence resolution is a grouped min over a packed ordinal
+    (combiner'd segment-keyed aggregate — deliberately NOT a window
+    partitioned by segment, whose hot keys, i.e. the very boilerplate
+    being hunted, would each land on a single task), then a segment-
+    keyed equi-join back and a doc-keyed rollup. At 100 TB: sha2 the
+    segment before the shuffle so the join key is 32 bytes instead of
+    the text, and let AQE skew-split the join; the plan shape is
+    unchanged."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    nseg = F.ceil(F.size("ws") / float(SEG_W)).cast("bigint")
+    seg = (base.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda s: F.concat_ws(
+                " ", F.slice(F.col("ws"), (s * SEG_W + 1).cast("int"),
+                             SEG_W))))
+        .alias("s", "segment"))
+        .select("doc_id", F.col("s").cast("bigint").alias("s"), "segment"))
+    key = F.col("doc_id") * SEG_MOD + F.col("s")
+    fk = (seg.groupBy("segment").agg(F.min(key).alias("first_key")))
+    j = (seg.join(fk, "segment")
+         .select("doc_id", (key != F.col("first_key")).alias("is_dup")))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_segments"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_segments")
+                                / F.col("n_segments"), 6)))
+
+
 CC_RECURSION_DEPTH = 4  # >= max dup-cluster diameter at any tested SF
 
 

@@ -41,6 +41,8 @@ LLM_QUERIES = [
     "dedup_cluster_canonical", "dq_profile_drift",
     "multimodal_scene_cuts", "multimodal_resize_nn",
     "timeseries_cusum_drift", "dedup_cross_lingual_pairs",
+    "dedup_semantic_semdedup", "dedup_segments_corpus",
+    "corpus_domain_cap", "corpus_epoch_schedule",
 ]
 
 
@@ -73,6 +75,14 @@ def test_nontrivial_results(spark):
     assert lsh > 0
     sim = SPARK_QUERIES["simhash_dup_pairs"](spark, SF_ORACLE).count()
     assert sim > 0
+    # round-5 additions must also fire on real data, not just hash-match
+    from pyspark.sql import functions as F
+    sem = (SPARK_QUERIES["dedup_semantic_semdedup"](spark, SF_ORACLE)
+           .filter("dropped").count())
+    assert sem > 0, "SemDeDup found no semantic dups at tau=0.4"
+    segs = (SPARK_QUERIES["dedup_segments_corpus"](spark, SF_ORACLE)
+            .agg(F.sum("n_dup_segments")).first()[0])
+    assert segs > 0, "segment dedup found no repeated segments"
 
 
 def test_ivf_recall_vs_exact(spark):

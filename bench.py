@@ -56,6 +56,8 @@ HEADLINE = [
     "ml_naive_bayes_langid",
     "corpus_sequence_pack",
     "text_word_entropy",
+    "dedup_segments_corpus",
+    "dedup_semantic_semdedup",
 ]
 
 

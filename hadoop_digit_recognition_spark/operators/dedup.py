@@ -722,6 +722,44 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos")))
 
 
+@query("dedup_lsh_band_tuning", oracle=f"""
+WITH cfg AS (SELECT unnest([1, 2, 4, 8]) AS r),
+grid AS (SELECT (g.i + 1) * 0.05 AS j FROM range(19) g(i))
+SELECT CAST(r AS BIGINT) AS rows_per_band,
+       CAST({NUM_HASHES} // r AS BIGINT) AS n_bands,
+       round(j, 2) AS jaccard,
+       round(1 - pow(1 - pow(j, r), {NUM_HASHES} // r), 6) AS p_candidate,
+       r = {BAND_ROWS} AS is_registered_config
+FROM cfg CROSS JOIN grid
+""")
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve — the capacity-planning table behind the
+    MinHash family's (bands, rows) choice: for every factorization
+    r x b = NUM_HASHES, the probability a pair with Jaccard j becomes a
+    candidate is 1 - (1 - j^r)^b (the standard MMDS banding analysis).
+    The registered config (BAND_ROWS={BAND_ROWS}) is flagged so the
+    curve documents WHY it was chosen: its S-curve midpoint
+    (1/b)^(1/r) sits just under JACCARD_THRESHOLD={JACCARD_THRESHOLD},
+    catching near-dups at high probability while keeping the banded
+    shuffle volume (SCALE.md's 19 TB at 100 B docs) proportional to b.
+
+    Pure closed-form math over a generated grid — no corpus scan; at
+    any scale this is the planning query an operator runs BEFORE
+    re-sharding a petabyte signature store under a new band layout."""
+    cfg = spark.range(1).select(
+        F.explode(F.array(*[F.lit(r) for r in (1, 2, 4, 8)])).alias("r"))
+    grid = spark.range(19).select(((F.col("id") + 1) * 0.05).alias("j"))
+    b = F.floor(F.lit(NUM_HASHES) / F.col("r")).cast("bigint")
+    p = 1 - F.pow(1 - F.pow(F.col("j"), F.col("r").cast("double")),
+                  b.cast("double"))
+    return (cfg.crossJoin(grid)
+            .select(F.col("r").cast("bigint").alias("rows_per_band"),
+                    b.alias("n_bands"),
+                    F.round(F.col("j"), 2).alias("jaccard"),
+                    F.round(p, 6).alias("p_candidate"),
+                    (F.col("r") == BAND_ROWS).alias("is_registered_config")))
+
+
 SEM_CELLS = 16   # SemDeDup coarse cells (deterministic: first-K seeds)
 SEM_TAU = 0.4    # within-cell cosine threshold (matches the embedding
                  # pair family — corpus has no planted vector dups)

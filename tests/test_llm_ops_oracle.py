@@ -43,6 +43,7 @@ LLM_QUERIES = [
     "timeseries_cusum_drift", "dedup_cross_lingual_pairs",
     "dedup_semantic_semdedup", "dedup_segments_corpus",
     "corpus_domain_cap", "corpus_epoch_schedule",
+    "dedup_lsh_band_tuning",
 ]
 
 

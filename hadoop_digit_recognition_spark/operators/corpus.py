@@ -393,3 +393,150 @@ def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("ntok").alias("n_tokens"),
                  F.round(F.sum("ntok") / float(_SEQ_LEN), 6)
                  .alias("fill_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split (80/10/10 by content hash).
+
+_SPLIT_BUCKETS = 100
+_SPLIT_TRAIN = 80   # bucket < 80           -> train
+_SPLIT_VALID = 90   # 80 <= bucket < 90     -> valid; rest -> test
+
+
+@query("corpus_split_train_valid_test", oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % {_SPLIT_BUCKETS}) AS bucket,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS ntok
+  FROM documents
+),
+s AS (
+  SELECT CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+              WHEN bucket < {_SPLIT_VALID} THEN 'valid'
+              ELSE 'test' END AS split,
+         ntok, n_chars
+  FROM t
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(count(*) * 1.0 / (SELECT count(*) FROM documents), 6) AS frac_docs
+FROM s GROUP BY split
+""")
+def corpus_split_train_valid_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split into train/valid/test (80/10/10).
+
+    The split key is a CONTENT hash of the stable doc_id (det_hash64, the
+    md5-prefix hash shared bit-for-bit with the oracle), never a random()
+    draw or a row position: re-running the pipeline, adding files, or
+    changing partitioning must not migrate a document across splits,
+    or eval sets silently contaminate train (the leakage analog of the
+    reference's re-read-every-epoch weights, driver.java:126-141).
+
+    Scale shape: one narrow scan computes bucket + token counts, one
+    3-group partial agg; the doc-count denominator is recovered from the
+    3-row summary itself with an unbounded window (splits partition the
+    corpus, so sum(n_docs) == count(*)) — no 1-row join, no BNLJ, the
+    same summary-side trick corpus_temperature_mix uses."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bucket = det_hash64(F.col("doc_id").cast("string")) % _SPLIT_BUCKETS
+    t = docs.select(
+        "doc_id", "n_chars", ntok.cast("bigint").alias("ntok"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+         .when(bucket < _SPLIT_VALID, "valid")
+         .otherwise("test").alias("split"))
+    s = (t.groupBy("split")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("ntok").alias("n_tokens"),
+              F.sum("n_chars").alias("sum_chars")))
+    n_total = F.sum("n_docs").over(W.partitionBy())
+    return s.select("split", "n_docs", "n_tokens", "sum_chars",
+                    F.round(F.col("n_docs") * 1.0 / n_total, 6)
+                    .alias("frac_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Balanced shard assignment via two-phase global prefix sum.
+
+_SHARD_BUCKETS = 64      # coarse prefix-sum buckets (h % 64)
+_SHARD_TOKENS = 2048     # target tokens per output shard
+
+
+@query("corpus_shard_assign", oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         CAST(coalesce(sum(ntok) OVER (
+             ORDER BY h % {_SHARD_BUCKETS}, h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev
+  FROM t
+)
+SELECT CAST(floor(prev / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       round(sum(ntok) / {_SHARD_TOKENS}.0, 6) AS fill_ratio
+FROM c
+GROUP BY CAST(floor(prev / {_SHARD_TOKENS}.0) AS BIGINT)
+""")
+def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally balanced training-shard assignment WITHOUT a global window.
+
+    Writers want N output shards of ~equal token counts in a deterministic
+    pseudo-random order (hash order, so sources interleave). The naive
+    form is a running token sum over one global ordering — an
+    unpartitioned window that funnels the whole corpus through a single
+    task. This implements the scale-correct TWO-PHASE PREFIX SUM instead:
+
+      1. bucket = h % {_SHARD_BUCKETS} (h = det_hash64(doc_id)); a KEYED
+         window per bucket computes the within-bucket running sum in
+         (h, doc_id) order;
+      2. per-bucket token totals ({_SHARD_BUCKETS} rows) get their own
+         exclusive prefix sum — a window over a driver-size table — and
+         broadcast back as bucket offsets;
+      3. global_prev = bucket_offset + within_prev; shard_id =
+         floor(global_prev / {_SHARD_TOKENS}).
+
+    The canonical global order is therefore (bucket, h, doc_id), and the
+    oracle computes the SAME order with one flat window, proving the
+    decomposition exact. At 100 TB phase 1 is one shuffle on a 64-way
+    key (scale the bucket count with the cluster), phase 2 is scalar
+    work, phase 3 a broadcast join — nothing global anywhere."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    t = docs.select(
+        "doc_id", det_hash64(F.col("doc_id").cast("string")).alias("h"),
+        ntok.cast("bigint").alias("ntok")).withColumn(
+        "bucket", F.col("h") % _SHARD_BUCKETS)
+    win = (W.partitionBy("bucket").orderBy("h", "doc_id")
+           .rowsBetween(W.unboundedPreceding, -1))
+    within = t.select(
+        "bucket", "ntok",
+        F.coalesce(F.sum("ntok").over(win), F.lit(0)).alias("prev_in"))
+    totals = t.groupBy("bucket").agg(F.sum("ntok").alias("tot"))
+    woff = (W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1))
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(woff), F.lit(0)).alias("off"))
+    c = within.join(F.broadcast(offsets), "bucket").select(
+        "ntok", (F.col("off") + F.col("prev_in")).alias("prev"))
+    shard = F.floor(F.col("prev") / float(_SHARD_TOKENS)).cast("bigint")
+    return (c.select("ntok", shard.alias("shard_id"))
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ntok").alias("n_tokens"),
+                 F.round(F.sum("ntok") / float(_SHARD_TOKENS), 6)
+                 .alias("fill_ratio")))

@@ -498,3 +498,74 @@ def pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_mix_weight",
         F.when(tot > 0, F.round(pw / tot, 6)).otherwise(F.lit(0.0)))
         .drop("kept_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# Quality-tier report (ensemble score -> tier -> per-source token accounting).
+
+_TIER_MID = 0.50    # rounded quality >= this -> at least 'mid'
+_TIER_HIGH = 0.54   # rounded quality >= this -> 'high'
+
+
+@query("quality_tier_report", oracle=f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+m AS (SELECT doc_id, source,
+             CAST(len(w) AS DOUBLE) AS n,
+             CAST(len(list_distinct(w)) AS DOUBLE) AS nd
+      FROM t),
+s AS (SELECT source, n,
+             round(0.4 * least(n / 100.0, 1.0) + 0.6 * (nd / n), 6) AS q
+      FROM m),
+tiered AS (
+  SELECT source, n, q,
+         CASE WHEN q >= {_TIER_HIGH} THEN 'high'
+              WHEN q >= {_TIER_MID} THEN 'mid'
+              ELSE 'low' END AS tier
+  FROM s
+)
+SELECT source, tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(sum(CAST(round(q * 1000000) AS BIGINT)) / (count(*) * 1000000.0),
+             6) AS avg_quality
+FROM tiered GROUP BY source, tier
+""")
+def quality_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality tiering: bucket every document into high/mid/low quality
+    tiers by the composite score text_quality_score publishes, then
+    report per-(source, tier) document and token counts — the accounting
+    table a data team reads to decide which sources to up/down-sample
+    (the DataComp / FineWeb quality-partition recipe).
+
+    Tier cuts compare the ROUNDED score on both engines, so a document
+    sitting exactly on a threshold cannot tier differently between Spark
+    and the oracle. Scale shape: one narrow scan computes the score
+    (split once, array stats, no shuffle), one (source, tier)-keyed
+    partial aggregate — identical to a GROUP BY over ~3x|sources| cells.
+    Thresholds 0.50/0.54 split the fixture corpus ~28/48/24%.
+
+    The per-tier mean quality is computed as an INTEGER micro-unit sum
+    (round(q*1e6) per doc, exact bigint addition) divided once at the
+    end: a float avg() over the rounded scores summed in engine-specific
+    order can land exactly on a 6-digit rounding boundary and disagree
+    in the last digit (observed on the fixture: 0.481715 vs 0.481716)."""
+    m = (load_parallel(spark, sf_dir, "documents")
+         .select("source", F.split("text", " ").alias("w"))
+         .select("source",
+                 F.size("w").cast("double").alias("n"),
+                 F.size(F.array_distinct("w")).cast("double").alias("nd")))
+    q = F.round(0.4 * F.least(F.col("n") / 100.0, F.lit(1.0))
+                + 0.6 * (F.col("nd") / F.col("n")), 6)
+    tiered = m.select(
+        "source", "n",
+        F.round(q * 1000000).cast("bigint").alias("qmicro"),
+        F.when(q >= _TIER_HIGH, "high")
+         .when(q >= _TIER_MID, "mid")
+         .otherwise("low").alias("tier"))
+    return (tiered.groupBy("source", "tier")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n").cast("bigint").alias("n_tokens"),
+                 F.round(F.sum("qmicro")
+                         / (F.count(F.lit(1)) * 1000000.0), 6)
+                 .alias("avg_quality")))

@@ -433,3 +433,174 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.size("v")), 9).alias("rmse"))
     return out.select("vec_id", F.round("scale", 6).alias("scale"),
                       "q_checksum", "rmse")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep).
+
+HARD_K = 5
+
+
+@query("sim_hard_negatives", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+       FROM bucket b
+       JOIN e ON e.vec_id = b.vec_id
+       JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+q AS (SELECT * FROM be WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM q JOIN be c
+    ON c.bkt = q.bkt AND c.vec_id != q.vec_id AND c.label != q.label
+),
+ranked AS (
+  SELECT qid, cid, neg_label, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, neg_label, cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {HARD_K}
+""")
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for each
+    query vector, the top-k most-similar candidates whose LABEL DIFFERS —
+    the near-misses a trainer wants as negatives because random negatives
+    are too easy to teach a margin.
+
+    Physical shape is sim_ann_lsh's bucket equi-join with one extra
+    predicate (label inequality) pushed into the join condition, so the
+    pair space is still bounded by sum(|bucket|^2) — never N^2 — and the
+    label filter prunes BEFORE the cosine rerank, not after. At 100 TB
+    the label column rides the same shuffle as the embedding; no extra
+    pass, no extra join."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    be = (_bucket_df(spark, sf_dir)
+          .join(emb.select("vec_id", "label"), "vec_id")
+          .withColumn("nrm", l2norm_col(F.col("embedding"))))
+    q = (be.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
+                 F.col("label").alias("qlabel"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
+    c = be.select(F.col("vec_id").alias("cid"), F.col("bkt").alias("cbkt"),
+                  F.col("label").alias("neg_label"),
+                  F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (c.join(F.broadcast(q),
+                     (F.col("cbkt") == F.col("qbkt"))
+                     & (F.col("cid") != F.col("qid"))
+                     & (F.col("neg_label") != F.col("qlabel")))
+              .select("qid", "cid", "neg_label",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6).alias("cos")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= HARD_K))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid lexical+dense retrieval (BM25 -> cosine rerank fusion).
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 50     # lexical candidate set size
+_HYBRID_K = 20      # final fused top-k
+_HYBRID_WL = 0.6    # lexical weight; dense weight = 1 - this
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
+
+
+@query("sim_hybrid_bm25_rerank", oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM w),
+tok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, max(dl) AS dl,
+              CAST(count(*) AS DOUBLE) AS tf
+       FROM tok WHERE term IN {_BM25_TERMS_SQL} GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              round(sum(
+                ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                * tf.tf * ({_BM25_K1} + 1)
+                / (tf.tf + {_BM25_K1}
+                   * (1 - {_BM25_B} + {_BM25_B} * tf.dl / stats.avgdl))
+              ), 6) AS bm25
+       FROM tf JOIN df USING (term), stats GROUP BY tf.doc_id),
+top AS (SELECT doc_id, bm25 FROM sc ORDER BY bm25 DESC, doc_id
+        LIMIT {_BM25_TOPN}),
+qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+hy AS (SELECT t.doc_id, t.bm25,
+              round(list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]), 6)
+                AS cos
+       FROM top t JOIN embeddings e ON e.vec_id = t.doc_id, qv
+       WHERE t.doc_id <> 0),
+mx AS (SELECT max(bm25) AS m FROM hy),
+f AS (SELECT doc_id, bm25, cos,
+             round({_HYBRID_WL} * bm25 / mx.m
+                   + (1 - {_HYBRID_WL}) * cos, 6) AS hybrid
+      FROM hy, mx),
+ranked AS (SELECT doc_id, bm25, cos, hybrid,
+                  row_number() OVER (ORDER BY hybrid DESC, doc_id) AS rnk
+           FROM f)
+SELECT doc_id, bm25, cos, hybrid, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_HYBRID_K}
+""")
+def sim_hybrid_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical scoring selects a candidate set,
+    dense cosine similarity reranks it, and a weighted fusion produces
+    the final ranking — the standard RAG retrieval stack (sparse recall,
+    dense precision) expressed relationally.
+
+    BM25 (k1=1.2, b=0.75) over a fixed query-term set; the
+    document-frequency table is |terms| rows (broadcast), corpus size and
+    average doc length are two exact scalars (integer sums divided by
+    counts — bit-identical across engines) folded in as literals, so the
+    only data-sized operations are one token explode restricted to query
+    terms and one per-doc partial aggregate. The lexical top-50
+    cut is orderBy().limit() — TakeOrderedAndProject, never a global
+    window — and every downstream stage (embedding join, max
+    normalization, fused rank) touches only those 50 rows.
+    Ranks sort on ROUNDED scores with doc_id tiebreaks, so both engines
+    cut identical sets. At 100 TB: scan + one keyed agg + a 50-
+    row rerank; the query embedding is a literal array."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_total, avgdl = w.select(
+        F.count(F.lit(1)).cast("double"),
+        F.avg(F.size("w").cast("double"))).first()
+
+    tok = w.select("doc_id", F.size("w").cast("double").alias("dl"),
+                   F.explode("w").alias("term"))
+    tf = (tok.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.max("dl").alias("dl"),
+               F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (idf * F.col("tf") * (_BM25_K1 + 1)
+                  / (F.col("tf") + _BM25_K1
+                     * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)))
+    sc = (tf.join(F.broadcast(df), "term")
+          .groupBy("doc_id").agg(F.round(F.sum(term_score), 6).alias("bm25")))
+    top = sc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPN)
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    qe = F.lit([float(x) for x in
+                emb.filter(F.col("vec_id") == 0)
+                .select(F.col("embedding").cast("array<double>")).first()[0]])
+    hy = (top.filter(F.col("doc_id") != 0)
+          .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                "doc_id")
+          .select("doc_id", "bm25",
+                  F.round(dot_col(qe, F.col("embedding"))
+                          / (l2norm_col(qe) * l2norm_col(F.col("embedding"))),
+                          6).alias("cos")))
+    mx = F.max("bm25").over(W.partitionBy())
+    f = hy.select(
+        "doc_id", "bm25", "cos",
+        F.round(_HYBRID_WL * F.col("bm25") / mx
+                + (1 - _HYBRID_WL) * F.col("cos"), 6).alias("hybrid"))
+    rnk = F.row_number().over(W.orderBy(F.desc("hybrid"), F.asc("doc_id")))
+    return (f.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= _HYBRID_K))

@@ -44,6 +44,8 @@ LLM_QUERIES = [
     "dedup_semantic_semdedup", "dedup_segments_corpus",
     "corpus_domain_cap", "corpus_epoch_schedule",
     "dedup_lsh_band_tuning",
+    "corpus_split_train_valid_test", "corpus_shard_assign",
+    "sim_hard_negatives", "sim_hybrid_bm25_rerank", "quality_tier_report",
 ]
 
 

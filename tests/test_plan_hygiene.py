@@ -36,6 +36,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "sketch_cms_heavy_hitters",
                 # constant-range matrix generation (literal-sized inputs)
                 "gemm_sql",
+                # banding S-curve: 4-row config x 19-row grid, both
+                # literal-generated — no table is ever a join input
+                "dedup_lsh_band_tuning",
                 # pairwise sketch comparison: the all-pairs join is over
                 # the 5-row TYPE table and 256-row register state — model
                 # state x model state, never data x data

@@ -58,6 +58,8 @@ HEADLINE = [
     "text_word_entropy",
     "dedup_segments_corpus",
     "dedup_semantic_semdedup",
+    "corpus_shard_assign",
+    "sim_hybrid_bm25_rerank",
 ]
 
 

@@ -380,3 +380,41 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("bigint").alias("bucket"))
             .groupBy("doc_id", "bucket")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("events_markov_transitions", oracle="""
+WITH s AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+c AS (SELECT cur, nxt, count(*) AS n FROM s
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM c
+""")
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the per-user event
+    stream: P(next event type | current event type) — the behavioral
+    fingerprint table behind session-intent models and anomaly scoring
+    (a transition that almost never happens is the outlier signal).
+
+    Each user's stream is ordered by (ts, event_id) — the deterministic
+    total order every window query in this engine uses — and the
+    successor is one lead() in a USER-KEYED window: one shuffle on
+    user_id, each partition streamed in order. The transition counts
+    then collapse to a |types|^2 table, and the per-row normalization
+    window runs over that tiny table, never the event stream. At 100 TB
+    the only data-sized stage is the keyed window; the rest is
+    vocabulary-sized."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(F.col("event_type").alias("cur"),
+                  F.lead("event_type").over(w).alias("nxt"))
+    c = (s.filter(F.col("nxt").isNotNull())
+         .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(W.partitionBy("cur"))
+    return c.select("cur", "nxt", "n",
+                    F.round(F.col("n") * 1.0 / tot, 6).alias("p"))

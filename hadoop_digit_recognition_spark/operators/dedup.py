@@ -247,6 +247,30 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("b").cast("bigint").alias("b"), "mh"))
 
 
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct banded-LSH candidate pairs from a
+    signature table: band keys derive narrowly from the in-row signature
+    array, candidates come from the (band, key) self-equi-join — the
+    only pair-generating step, bounded by band-bucket sizes."""
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+    bands = (sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+             .select("doc_id", F.col("g").cast("bigint").alias("g"), "key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 @query("dedup_minhash_lsh", oracle=f"""
 WITH {_MINHASH_SQL},
 bands AS (
@@ -282,23 +306,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny candidate set broadcasts back onto the shingle-array table; the
     all-pairs explosion is confined to LSH buckets."""
     sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
-    n_bands = NUM_HASHES // BAND_ROWS
-    band_keys = F.array(*[
-        F.array_join(F.transform(
-            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
-            lambda m: m.cast("string")), "-")
-        for g in range(n_bands)
-    ])
-    bands = (sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
-             .select("doc_id", F.col("g").cast("bigint").alias("g"), "key"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = lsh_candidate_pairs(sig)
     arrs = sig.select("doc_id", "sh", "n")
     pairs = (cand
              .join(arrs.select(F.col("doc_id").alias("doc_a"),
@@ -1273,3 +1281,65 @@ def dedup_cross_lingual_pairs(spark: SparkSession,
             .join(F.broadcast(lb), "doc_b")
             .filter(F.col("lang_a") != F.col("lang_b"))
             .select("doc_a", "doc_b", "lang_a", "lang_b"))
+
+
+@query("dedup_lsh_eval_pr", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+tr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT t.doc_a, t.doc_b FROM tr t
+  JOIN sz x ON x.doc_id = t.doc_a
+  JOIN sz y ON y.doc_id = t.doc_b
+  WHERE t.inter * 1.0 / (x.n + y.n - t.inter) >= {JACCARD_THRESHOLD}
+),
+j AS (
+  SELECT CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_cand,
+         CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+  FROM cand c FULL OUTER JOIN truth t
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+       CAST(sum(in_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(in_cand * in_truth) AS BIGINT) AS n_hits,
+       round(sum(in_cand * in_truth) * 1.0 / sum(in_cand), 6) AS prec,
+       round(sum(in_cand * in_truth) * 1.0 / sum(in_truth), 6) AS rec,
+       round(2.0 * sum(in_cand * in_truth)
+             / (sum(in_cand) + sum(in_truth)), 6) AS f1
+FROM j
+""")
+def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation quality audit: precision/recall/F1 of the
+    banded MinHash-LSH candidate pairs against the exact
+    Jaccard >= 0.8 ground truth — the one-row report a
+    pipeline publishes before trusting an approximate dedup config at
+    corpus scale (the empirical check on dedup_lsh_band_tuning's
+    closed-form S-curve).
+
+    F1 reduces to 2*hits/(cand+truth) — pure integer arithmetic until
+    the final divisions, so the 6-digit rounding is engine-stable. Scale
+    shape: candidates from the band equi-join (never N^2); the exact
+    truth side is the all-pairs shingle join, which is why this audit
+    runs ON A SAMPLE at 100 TB (the standard practice — grade recall on
+    a sampled stratum, extrapolate by the S-curve); both sides then
+    collapse through a full-outer join on the pair key into one
+    aggregate row."""
+    sig = minhash_sig_arrays(spark, sf_dir)
+    cand = lsh_candidate_pairs(sig).withColumn("in_cand", F.lit(1))
+    truth = (dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b", F.lit(1).alias("in_truth")))
+    j = (cand.join(truth, ["doc_a", "doc_b"], "full_outer")
+         .select(F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
+                 F.coalesce("in_truth", F.lit(0)).alias("in_truth")))
+    hits = F.sum(F.col("in_cand") * F.col("in_truth"))
+    return j.agg(
+        F.sum("in_truth").cast("bigint").alias("n_truth"),
+        F.sum("in_cand").cast("bigint").alias("n_candidates"),
+        hits.cast("bigint").alias("n_hits"),
+        F.round(hits * 1.0 / F.sum("in_cand"), 6).alias("prec"),
+        F.round(hits * 1.0 / F.sum("in_truth"), 6).alias("rec"),
+        F.round(2.0 * hits / (F.sum("in_cand") + F.sum("in_truth")), 6)
+        .alias("f1"))

@@ -700,3 +700,95 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = F.row_number().over(W.orderBy(F.col("n").desc(), F.col("pair")))
     return (counted.withColumn("rnk", rnk.cast("bigint"))
             .filter(F.col("rnk") <= 20))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (corpus phrase discovery).
+
+_PMI_MIN_COUNT = 5   # bigram support floor
+_PMI_TOP = 30        # collocations reported
+
+
+@query("text_pmi_collocations", oracle=f"""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+             AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+        FROM t),
+uni AS (SELECT word, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY word),
+ntot AS (SELECT sum(c) AS n FROM uni),
+bi AS (SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS DOUBLE) AS cb
+       FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       GROUP BY a.word, b.word),
+mtot AS (SELECT sum(cb) AS m FROM bi),
+sc AS (
+  SELECT bi.w1, bi.w2, bi.cb,
+         round(ln((bi.cb / mtot.m) / ((u1.c / ntot.n) * (u2.c / ntot.n))), 6)
+           AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.word = bi.w1
+  JOIN uni u2 ON u2.word = bi.w2
+  CROSS JOIN ntot CROSS JOIN mtot
+  WHERE bi.cb >= {_PMI_MIN_COUNT}
+),
+ranked AS (SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair, pmi,
+                  row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rnk
+           FROM sc)
+SELECT w1, w2, n_pair, pmi, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_PMI_TOP}
+""")
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: the top
+    adjacent word pairs whose co-occurrence beats the independence
+    assumption — PMI = ln(P(w1,w2) / (P(w1)P(w2))) — the classic
+    phrase-discovery pass (new-terminology detection, tokenizer merge
+    candidates) a corpus team runs before committing a vocabulary.
+
+    Bigrams are built NARROWLY per document (arrays_zip of the word
+    array against its own tail — the text_bigram_surprisal recipe), so
+    the only shuffles are the two vocabulary-sized count aggregates
+    (map-side combined). The two corpus totals are exact integer sums
+    folded in as literals on the Spark side (the oracle carries them as
+    1-row CTEs); every input to the PMI log is an integer ratio, so the
+    6-digit rounding is engine-stable. Ranking cuts on the rounded PMI
+    with (w1, w2) tiebreaks. At 100 TB: two token-stream aggregates +
+    vocabulary-sized joins — the same shape as TF-IDF.
+
+    The two totals need NO extra aggregate pass structure: every token
+    contributes exactly one (w1, w2) row (the last token of a doc pairs
+    with NULL), so N = |occ| and M = |occ where w2 IS NOT NULL| — one
+    count aggregate over the narrow pair stream, folded as literals."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    occ = (docs.select("doc_id", words.alias("ws"))
+           .select("doc_id",
+                   F.explode(F.arrays_zip(
+                       F.col("ws"),
+                       F.concat(F.slice(F.col("ws"), 2,
+                                        F.greatest(F.size("ws") - 1,
+                                                   F.lit(0))),
+                                F.array(F.lit(None).cast("string")))))
+                   .alias("pr"))
+           .select(F.col("pr.ws").alias("w1"), F.col("pr.1").alias("w2")))
+    n_total, m_total = occ.agg(
+        F.count(F.lit(1)).cast("double"),
+        F.count("w2").cast("double")).first()
+    uni = occ.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    bi = (occ.filter(F.col("w2").isNotNull())
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("double").alias("cb")))
+    sc = (bi.filter(F.col("cb") >= _PMI_MIN_COUNT)
+          .join(F.broadcast(uni.select(F.col("w1"),
+                                       F.col("c").alias("c1"))), "w1")
+          .join(F.broadcast(uni.select(F.col("w1").alias("w2"),
+                                       F.col("c").alias("c2"))), "w2")
+          .select("w1", "w2", F.col("cb").cast("bigint").alias("n_pair"),
+                  F.round(F.log((F.col("cb") / m_total)
+                                / ((F.col("c1") / n_total)
+                                   * (F.col("c2") / n_total))), 6)
+                  .alias("pmi")))
+    rnk = F.row_number().over(W.orderBy(F.desc("pmi"), "w1", "w2"))
+    return (sc.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= _PMI_TOP)
+            .select("w1", "w2", "n_pair", "pmi", "rnk"))

@@ -463,3 +463,90 @@ def timeseries_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n_days",
                       F.round("mu", 6).alias("mu"),
                       "cusum_high", "cusum_low", "drift")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via time-bucket decomposition.
+
+_OVL_USERS = 10          # query side: sessions of users < this
+_OVL_GAP_MIN = 30        # session gap (matches sessionize_relational)
+
+
+@query("join_interval_overlap", oracle=f"""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '{_OVL_GAP_MIN} minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+  FROM s WHERE user_id < {_OVL_USERS} GROUP BY user_id, sid
+),
+cnt AS (
+  SELECT s.user_id, s.sid, s.st,
+         count(e.event_id) AS n_overlap
+  FROM sess s LEFT JOIN events e
+    ON e.ts >= s.st AND e.ts <= s.en AND e.user_id != s.user_id
+  GROUP BY s.user_id, s.sid, s.st
+)
+SELECT user_id, sid, st AS session_start,
+       CAST(n_overlap AS BIGINT) AS n_overlap
+FROM cnt
+""")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: for every session of the query users, how
+    many OTHER-user events land inside the session's [start, end] window
+    — the concurrency/contention primitive (who else was active while
+    this session ran) behind incident blast-radius and load-attribution
+    queries.
+
+    The oracle states it as the textbook non-equi range join. The Spark
+    plan is the scale-correct TIME-BUCKET DECOMPOSITION instead: each
+    session explodes to the 1-hour buckets it covers (sessions are
+    gap-bounded, so the fan-out is small), events carry their single
+    bucket, and the match becomes an EQUI-join on the bucket key with
+    the exact range predicate applied after — a bucketed band join,
+    never a BNLJ over the event stream. An event matches a session in
+    exactly one bucket (its own), so no post-join dedup is needed. The
+    left join back onto the session list restores empty sessions as
+    zero counts. At 100 TB: one user-keyed window pass to build
+    sessions, one bucket-keyed shuffle to match — bucket width tunes
+    fan-out vs bucket population exactly like the LSH band knob."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w)
+           + F.expr(f"INTERVAL {_OVL_GAP_MIN} MINUTES")), 1).otherwise(0)
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (ev.withColumn("brk", brk)
+            .withColumn("sid", F.sum("brk").over(run).cast("bigint"))
+            .filter(F.col("user_id") < _OVL_USERS)
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    sb = sess.withColumn(
+        "bucket", F.explode(F.sequence(
+            F.date_trunc("hour", F.col("st")),
+            F.date_trunc("hour", F.col("en")),
+            F.expr("INTERVAL 1 HOUR"))))
+    eb = ev.select(F.col("user_id").alias("e_user"), "ts",
+                   F.date_trunc("hour", F.col("ts")).alias("bucket"))
+    matched = (sb.join(eb, "bucket")
+               .filter((F.col("ts") >= F.col("st"))
+                       & (F.col("ts") <= F.col("en"))
+                       & (F.col("e_user") != F.col("user_id")))
+               .groupBy("user_id", "sid")
+               .agg(F.count(F.lit(1)).alias("n_matched")))
+    return (sess.join(matched, ["user_id", "sid"], "left")
+            .select("user_id", "sid", F.col("st").alias("session_start"),
+                    F.coalesce("n_matched", F.lit(0)).cast("bigint")
+                    .alias("n_overlap")))

@@ -46,6 +46,8 @@ LLM_QUERIES = [
     "dedup_lsh_band_tuning",
     "corpus_split_train_valid_test", "corpus_shard_assign",
     "sim_hard_negatives", "sim_hybrid_bm25_rerank", "quality_tier_report",
+    "events_markov_transitions", "text_pmi_collocations",
+    "dedup_lsh_eval_pr", "join_interval_overlap",
 ]
 
 

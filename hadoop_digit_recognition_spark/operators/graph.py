@@ -324,3 +324,83 @@ def graph_jaccard_link_prediction(spark: SparkSession,
     return (top.withColumn("rnk", rnk.cast("bigint"))
             .select("c1", "c2", F.col("common").cast("bigint")
                     .alias("common"), "jaccard", "rnk"))
+
+
+_LPA_ITER = 2
+
+
+_LPA_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+es AS (
+  SELECT node, nbr, sum(w) AS w FROM (
+    SELECT src AS node, dst AS nbr, w FROM edges WHERE src != dst
+    UNION ALL
+    SELECT dst AS node, src AS nbr, w FROM edges WHERE src != dst
+  ) GROUP BY node, nbr
+),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+v1 AS (SELECT es.node, l0.lbl, sum(es.w) AS vw
+       FROM es JOIN l0 ON l0.node = es.nbr GROUP BY es.node, l0.lbl),
+w1 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY vw DESC, lbl) AS rn
+         FROM v1) WHERE rn = 1),
+l1 AS (SELECT nodes.node, coalesce(w1.lbl, nodes.node) AS lbl
+       FROM nodes LEFT JOIN w1 ON w1.node = nodes.node),
+v2 AS (SELECT es.node, l1.lbl, sum(es.w) AS vw
+       FROM es JOIN l1 ON l1.node = es.nbr GROUP BY es.node, l1.lbl),
+w2 AS (SELECT node, lbl FROM (
+         SELECT node, lbl,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY vw DESC, lbl) AS rn
+         FROM v2) WHERE rn = 1),
+l2 AS (SELECT nodes.node, coalesce(w2.lbl, nodes.node) AS lbl
+       FROM nodes LEFT JOIN w2 ON w2.node = nodes.node)
+SELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS lbl FROM l2
+"""
+
+
+@query("graph_label_propagation", oracle=_LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted synchronous label propagation (community detection) over
+    the symmetrized nation trade graph: every node starts as its own
+    label; each round it adopts the label with the LARGEST total edge
+    weight among its neighbors (deterministic: integer vote sums, min
+    label on ties), 2 unrolled rounds.
+
+    Same iterative keyed-join shape as PageRank — labels join edges on
+    the neighbor key, votes re-aggregate on the node key — so the 100 TB
+    story is PageRank's: edge list pre-aggregated and persisted once,
+    each round is one join + one keyed agg, nothing grows with iteration
+    count except the unrolled lineage (checkpoint every ~10 rounds at
+    real depth). The DuckDB oracle replays both rounds as unrolled CTEs
+    with identical tie rules."""
+    from pyspark.sql import Window as W
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    edges = spark.sql(_EDGES_SQL).filter(F.col("src") != F.col("dst"))
+    es = (edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
+          .unionAll(edges.select(F.col("dst").alias("node"),
+                                 F.col("src").alias("nbr"), "w"))
+          .groupBy("node", "nbr").agg(F.sum("w").alias("w")))
+    es.persist()
+    es.count()  # materialize before the loop (the PageRank lesson)
+    nodes = spark.table("nation").select(F.col("n_nationkey").alias("node"))
+
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ITER):
+        votes = (es.join(labels.select(F.col("node").alias("nbr"), "lbl"),
+                         "nbr")
+                 .groupBy("node", "lbl").agg(F.sum("w").alias("vw")))
+        rn = F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("vw"), F.asc("lbl")))
+        winner = (votes.withColumn("rn", rn).filter(F.col("rn") == 1)
+                  .select("node", F.col("lbl").alias("new_lbl")))
+        labels = (nodes.join(winner, "node", "left")
+                  .select("node",
+                          F.coalesce("new_lbl", F.col("node")).alias("lbl")))
+    return labels.select(F.col("node").cast("bigint").alias("node"),
+                         F.col("lbl").cast("bigint").alias("lbl"))

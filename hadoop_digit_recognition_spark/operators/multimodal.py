@@ -488,3 +488,83 @@ def multimodal_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return mm.mapInPandas(resize, schema)
+
+
+@query("multimodal_phash_dedup", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({RASTER_H * RASTER_W}) r(i)
+),
+blk AS (
+  SELECT doc_id, (i // {RASTER_W}) // {POOL} AS pr,
+         (i % {RASTER_W}) // {POOL} AS pc, sum(v) AS s
+  FROM px GROUP BY doc_id, pr, pc
+),
+bits AS (
+  SELECT a.doc_id,
+         CASE WHEN a.s > nxt.s
+              THEN CAST(pow(2, a.pr * {RASTER_W // POOL - 1} + a.pc) AS BIGINT)
+              ELSE 0 END AS bit
+  FROM blk a JOIN blk nxt
+    ON nxt.doc_id = a.doc_id AND nxt.pr = a.pr AND nxt.pc = a.pc + 1
+),
+ph AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+       FROM bits GROUP BY doc_id)
+SELECT phash, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_id
+FROM ph GROUP BY phash HAVING count(*) >= 2
+""")
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection on the DECODED raster — the
+    image-dedup pass of a multimodal corpus build (dHash family): each
+    payload decodes to the 16x16 raster, mean-pool blocks reduce it to
+    4x4, and the hash bit (r, c) records whether block (r,c) outshines
+    its right neighbor — a gradient signature invariant to global
+    brightness/contrast shifts. Docs sharing a hash form a duplicate
+    cluster; the lowest doc_id survives.
+
+    The comparison runs on the INTEGER block sums (never the float
+    pooled values), so every bit is exact in both engines. Spark side:
+    the hash computes inside the same Arrow-batched mapInPandas decode
+    as the other raster features (one pass over payload bytes, 8 bytes
+    out per doc), then one hash-keyed aggregate — at 100 TB the dedup
+    cost after decode is the exact-dedup shape: a single keyed shuffle
+    of (hash, doc_id) pairs. A production build widens the raster and
+    hash (e.g. 9x8 -> 64-bit dHash) and adds a Hamming-ball band join
+    for near-matches; the plumbing here is that pipeline minus the
+    codec."""
+    from ..shipping import ensure_shipped
+    ensure_shipped(spark)
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    n_px = RASTER_H * RASTER_W
+    hp, wp = RASTER_H // POOL, RASTER_W // POOL
+    weights = (2 ** np.arange(hp * (wp - 1), dtype=np.int64)).reshape(
+        hp, wp - 1)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b)[:n_px], dtype=np.uint8)
+                if raw.size < n_px:
+                    raw = np.pad(raw, (0, n_px - raw.size))
+                img = raw.reshape(RASTER_H, RASTER_W).astype(np.int64)
+                bsum = img.reshape(hp, POOL, wp, POOL).sum(axis=(1, 3))
+                bits = (bsum[:, :-1] > bsum[:, 1:]).astype(np.int64)
+                ids.append(did)
+                hs.append(int((bits * weights).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "phash": pd.Series(hs, dtype="int64")})
+
+    ph = mm.mapInPandas(phash, "doc_id bigint, phash bigint")
+    return (ph.groupBy("phash")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").cast("bigint").alias("keep_id"))
+            .filter(F.col("n_docs") >= 2))

@@ -550,3 +550,58 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "sid", F.col("st").alias("session_start"),
                     F.coalesce("n_matched", F.lit(0)).cast("bigint")
                     .alias("n_overlap")))
+
+
+@query("funnel_within_time", oracle="""
+WITH conv AS (
+  SELECT DISTINCT p.user_id, p.event_id
+  FROM events p
+  WHERE p.event_type = 'purchase' AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.ts <= p.ts AND p.ts < c.ts + INTERVAL '1 hour'
+      AND EXISTS (
+        SELECT 1 FROM events v
+        WHERE v.user_id = c.user_id AND v.event_type = 'view'
+          AND v.ts <= c.ts AND c.ts < v.ts + INTERVAL '1 hour'))
+)
+SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM conv
+""")
+def funnel_within_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (view -> click -> purchase, each step
+    within 1 hour of the previous): how many purchases — and distinct
+    purchasers — completed the full path under the deadline. The
+    unconstrained reachability funnel is funnel_conversion; the
+    max-delay variant is the one attribution models actually use
+    (a click three weeks before the purchase gets no credit).
+
+    Each EXISTS becomes a LEFT SEMI join whose equality component
+    (user_id) drives the shuffle and whose time-range predicate filters
+    inside the matched user partition — never a cross join; per-user
+    fan-out bounds the work exactly like the as-of join. Two chained
+    semi-joins + one aggregate row out. At 100 TB: two user-keyed
+    shuffles over the (pre-filtered, event-type-pruned) streams."""
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("p_ts"))
+    qual_clicks = clicks.join(
+        views,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("c_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi")
+    conv = purch.join(
+        qual_clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi")
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"))

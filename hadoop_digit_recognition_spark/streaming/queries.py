@@ -404,3 +404,38 @@ def streaming_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(key, prev)
 
+
+
+@query("streaming_dedup_watermark", oracle="""
+SELECT DISTINCT user_id, event_type,
+       time_bucket(INTERVAL '1 hour', ts) AS hr
+FROM events
+""")
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FIRST-OCCURRENCE emission per derived coarse key
+    ((user, event_type, hour) — a key the raw stream doesn't carry) via
+    dropDuplicatesWithinWatermark in APPEND mode: the "new combination
+    detector" that feeds alerting/sampling stages downstream. The
+    sibling streaming_dedup_dropduplicates is the other dedup shape —
+    exactly-once repair on the natural event_id key under planted
+    redelivery, graded through a complete-mode aggregate; this one
+    grades the append-mode pass-through path (rows emit as they arrive,
+    no aggregation after the dedup).
+
+    Every occurrence of a key falls inside one wall-clock hour and the
+    2h watermark delay exceeds the source's disorder, so no key's state
+    is evicted while duplicates of it can still arrive — the final
+    append-mode output is exactly the batch DISTINCT (the oracle). The
+    hour label derives from integer epoch-micro arithmetic onto a
+    TIMESTAMP_NTZ base, so output is session-timezone-proof while the
+    watermark still rides the instant `ts`."""
+    ev = events_stream(spark, sf_dir)
+    hr = F.expr(
+        "timestampadd(MICROSECOND, (ts_us div 3600000000) * 3600000000, "
+        "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+    keyed = (ev.withWatermark("ts", "2 hours")
+             .select("user_id", "event_type", hr.alias("hr"), "ts"))
+    deduped = keyed.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "hr"])
+    return (run_to_memory(deduped, "append")
+            .select("user_id", "event_type", "hr"))

@@ -48,6 +48,8 @@ LLM_QUERIES = [
     "sim_hard_negatives", "sim_hybrid_bm25_rerank", "quality_tier_report",
     "events_markov_transitions", "text_pmi_collocations",
     "dedup_lsh_eval_pr", "join_interval_overlap",
+    "graph_label_propagation", "funnel_within_time",
+    "multimodal_phash_dedup",
 ]
 
 

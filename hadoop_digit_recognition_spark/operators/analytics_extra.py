@@ -418,3 +418,63 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = F.sum("n").over(W.partitionBy("cur"))
     return c.select("cur", "nxt", "n",
                     F.round(F.col("n") * 1.0 / tot, 6).alias("p"))
+
+
+_RFM_TILES = 4
+
+
+@query("events_rfm_segmentation", oracle=f"""
+WITH mx AS (SELECT max(ts) AS now FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', max(ts), mx.now) AS rec_days,
+         count(*) AS freq,
+         sum(CAST(value AS DECIMAL(18,2))) AS mon
+  FROM events, mx GROUP BY user_id, mx.now
+),
+scored AS (
+  SELECT user_id,
+         ntile({_RFM_TILES}) OVER (ORDER BY rec_days ASC, user_id) AS r,
+         ntile({_RFM_TILES}) OVER (ORDER BY freq DESC, user_id) AS f,
+         ntile({_RFM_TILES}) OVER (ORDER BY mon DESC, user_id) AS m,
+         mon
+  FROM u
+)
+SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(mon) AS DOUBLE) AS sum_monetary
+FROM scored GROUP BY r, f, m
+""")
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for Recency (days since last
+    event, lower is better), Frequency (event count), and Monetary
+    (exact decimal value sum), then user counts and mean spend per
+    (r, f, m) cell — the classic CRM segmentation grid.
+
+    Monetary sums ride DECIMAL(18,2) (the engine's money convention) so
+    the quartile ORDER BY keys are exact on both engines; every ntile
+    runs over a total order (metric + user_id tiebreak), so tile
+    boundaries cannot drift. The three ntile windows are GLOBAL by
+    definition (a quartile is a statement about all users) — they run
+    on the per-user summary (user-dimension-sized, not event-sized);
+    at 100 TB that summary still fits a range-partitioned sort, and the
+    equi-depth-histogram decomposition (histogram_equi_depth's
+    approx-percentile scale twin) applies if even that is too wide."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).first()[0]
+    u = (ev.groupBy("user_id")
+         .agg(F.datediff(F.lit(mx), F.max("ts")).alias("rec_days"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(F.col("value").cast("decimal(18,2)")).alias("mon")))
+    scored = u.select(
+        "user_id", "mon",
+        F.ntile(_RFM_TILES).over(W.orderBy(F.asc("rec_days"), "user_id"))
+        .cast("bigint").alias("r"),
+        F.ntile(_RFM_TILES).over(W.orderBy(F.desc("freq"), "user_id"))
+        .cast("bigint").alias("f"),
+        F.ntile(_RFM_TILES).over(W.orderBy(F.desc("mon"), "user_id"))
+        .cast("bigint").alias("m"))
+    return (scored.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("mon").cast("double").alias("sum_monetary")))

@@ -604,3 +604,83 @@ def sim_hybrid_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = F.row_number().over(W.orderBy(F.desc("hybrid"), F.asc("doc_id")))
     return (f.withColumn("rnk", rnk.cast("bigint"))
             .filter(F.col("rnk") <= _HYBRID_K))
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal component via relational power iteration.
+
+_PCA_ITER = 2
+_PCA_DIM = 64
+
+
+_PCA_ORACLE = f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+g AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, round(sum(a.x * b.x), 9) AS g
+  FROM e a JOIN e b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i
+),
+v0 AS (SELECT i AS j, 0.125 AS v FROM range({_PCA_DIM}) r(i)),
+u1 AS (SELECT g.i, round(sum(g.g * v0.v), 9) AS u
+       FROM g JOIN v0 ON v0.j = g.j GROUP BY g.i),
+n1 AS (SELECT round(sqrt(sum(u * u)), 9) AS nrm FROM u1),
+v1 AS (SELECT u1.i AS j, round(u1.u / n1.nrm, 9) AS v FROM u1, n1),
+u2 AS (SELECT g.i, round(sum(g.g * v1.v), 9) AS u
+       FROM g JOIN v1 ON v1.j = g.j GROUP BY g.i),
+n2 AS (SELECT round(sqrt(sum(u * u)), 9) AS nrm FROM u2),
+v2 AS (SELECT u2.i AS j, round(u2.u / n2.nrm, 9) AS v FROM u2, n2)
+SELECT CAST(v2.j AS BIGINT) AS i, round(v2.v, 6) AS loading,
+       round(n2.nrm, 6) AS eigval
+FROM v2, n2
+"""
+
+
+@query("embedding_pca_power_iteration", oracle=_PCA_ORACLE)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding matrix by POWER
+    ITERATION, fully relational: Gram matrix G = X'X as one keyed
+    aggregate, then 2 unrolled multiply-normalize rounds from a fixed
+    unit start vector — the dimensionality-reduction primitive
+    (whitening, ANN pre-rotation, spectral diagnostics) at corpus scale,
+    where X never fits anywhere but G (d x d) always does.
+
+    Determinism: every G entry, matrix-vector product, and norm snaps
+    to a 9-digit grid before reuse (the sim_ivf_det_topk recipe), so
+    engine-specific float summation order cannot drift the iterates;
+    loadings and the Rayleigh eigenvalue estimate round to 6 out. The
+    start vector 1/8 = 2^-3 is exactly representable.
+
+    Scale shape: the d^2-sized Gram aggregate is the ONLY data-sized
+    stage — the (vec_id-colocated self-join -> (i, j) keyed sum) form
+    here; at 100 TB with d=1024 you'd fold per-vector outer products
+    into array accumulators per partition (treeAggregate shape) to keep
+    the shuffle at d^2 x partitions instead of N x d^2 rows, and every
+    subsequent iteration touches only the d^2 table. Iterations never
+    rescan X — that is the whole point of materializing G."""
+    e = (load_parallel(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode(F.col("embedding")
+                                        .cast("array<double>"))
+                 .alias("i", "x")))
+    a = e.select(F.col("vec_id"), F.col("i"), F.col("x"))
+    b = e.select(F.col("vec_id"), F.col("i").alias("j"),
+                 F.col("x").alias("y"))
+    g = (a.join(b, "vec_id")
+         .groupBy("i", "j").agg(F.round(F.sum(F.col("x") * F.col("y")), 9)
+                                .alias("g")))
+    g.persist()
+    g.count()  # materialize before the unrolled iterations
+    v = spark.range(_PCA_DIM).select(F.col("id").alias("j"),
+                                     F.lit(0.125).alias("v"))
+    nrm = None
+    for _ in range(_PCA_ITER):
+        u = (g.join(v, "j").groupBy("i")
+             .agg(F.round(F.sum(F.col("g") * F.col("v")), 9).alias("u")))
+        nrm = F.round(F.sqrt(F.sum(F.col("u") * F.col("u"))
+                             .over(W.partitionBy())), 9)
+        v = u.select(F.col("i").alias("j"),
+                     F.round(F.col("u") / nrm, 9).alias("v"),
+                     nrm.alias("nrm"))
+    return v.select(F.col("j").cast("bigint").alias("i"),
+                    F.round("v", 6).alias("loading"),
+                    F.round("nrm", 6).alias("eigval"))

@@ -605,3 +605,41 @@ def funnel_within_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"))
+
+
+@query("asof_join_forward", oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+""")
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click matched to the EARLIEST purchase
+    at or after it, per user — the attribution direction (which purchase
+    did this click lead to), mirroring asof_join's backward form (which
+    click preceded this purchase).
+
+    Same union+ordered-window decomposition, scanned the other way: one
+    shuffle on user_id, clicks sort BEFORE purchases at equal ts (kind
+    0 < 1, matching ASOF's <= semantics), and first_value(purchase_id)
+    over [current row, unbounded following] IGNORE NULLS picks the next
+    purchase. No range explosion; per-user state is one pending value,
+    exactly like the backward pass."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.lit(0).alias("kind"),
+                      F.col("event_id").alias("click_id"),
+                      F.lit(None).cast("long").alias("pid")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", F.lit(1).alias("kind"),
+                     F.lit(None).cast("long").alias("click_id"),
+                     F.col("event_id").alias("pid")))
+    w = (W.partitionBy("user_id").orderBy("ts", "kind")
+         .rowsBetween(W.currentRow, W.unboundedFollowing))
+    matched = (clicks.unionByName(purch)
+               .withColumn("purchase_id",
+                           F.first("pid", ignorenulls=True).over(w)))
+    return (matched.filter(F.col("kind") == 0)
+            .filter(F.col("purchase_id").isNotNull())
+            .select("click_id", "purchase_id", "user_id"))

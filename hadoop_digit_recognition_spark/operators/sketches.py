@@ -480,3 +480,95 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("est_intersection"),
                     F.coalesce("exact_intersection", F.lit(0))
                     .cast("bigint").alias("exact_intersection")))
+
+
+# ---------------------------------------------------------------------------
+# Relational Bloom filter with measured false-positive rate.
+
+_BLOOM_M = 4096   # filter bits
+_BLOOM_K = 3      # hash functions per element
+
+
+@query("sketch_bloom_membership", oracle=f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+allu AS (SELECT DISTINCT user_id FROM events),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(m.user_id AS VARCHAR) || '|' ||
+                             CAST(k.j AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM members m CROSS JOIN range({_BLOOM_K}) k(j)
+),
+probe AS (
+  SELECT a.user_id,
+         ('0x' || substr(md5(CAST(a.user_id AS VARCHAR) || '|' ||
+                             CAST(k.j AS VARCHAR)), 1, 8))::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM allu a CROSS JOIN range({_BLOOM_K}) k(j)
+),
+verdict AS (
+  SELECT p.user_id,
+         CAST(count(b.pos) AS BIGINT) = {_BLOOM_K} AS positive,
+         max(CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END) = 1
+           AS is_member
+  FROM probe p
+  LEFT JOIN bits b ON b.pos = p.pos
+  LEFT JOIN members m ON m.user_id = p.user_id
+  GROUP BY p.user_id
+)
+SELECT CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(count(*) AS BIGINT) AS n_tested,
+       CAST(sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       round(sum(CASE WHEN positive AND NOT is_member THEN 1 ELSE 0 END)
+             * 1.0
+             / nullif(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 0),
+             6) AS fpr
+FROM verdict
+""")
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom filter, built AND audited: k=3 det-hash
+    bit positions per member (purchasing users), the distinct-position
+    set IS the filter, every known user probes it, and the one-row
+    report publishes the measured false-positive rate — the audit a
+    pipeline runs before trusting a Bloom pre-filter (fill is bounded
+    by k x n_members / m, derivable from the report) (bloom_filter_join_demo is the engine-native runtime
+    version; this one is engine-portable and oracle-exact, the same
+    relationship sketch_hll_registers has to sketch_hll_distinct).
+
+    Scale shape: the filter is a DISTINCT over m=4096 possible
+    positions (bounded state, mergeable by union — the Bloom property);
+    probes equi-join on the position key. Membership truth rides a
+    broadcast of the member list here; the production audit samples
+    probes instead of testing every key, same plan."""
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    members = (ev.filter(F.col("event_type") == "purchase")
+               .select("user_id").distinct())
+    allu = ev.select("user_id").distinct()
+    ks = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    pos = (det_hash64(F.concat_ws("|", F.col("user_id"), F.col("j")))
+           % _BLOOM_M).alias("pos")
+    bits = members.select("user_id", ks).select(pos).distinct()
+    probe = allu.select("user_id", ks).select("user_id", pos)
+    verdict = (probe
+               .join(bits.withColumn("hit", F.lit(1)), "pos", "left")
+               .join(F.broadcast(members.withColumn("is_m", F.lit(1))),
+                     "user_id", "left")
+               .groupBy("user_id")
+               .agg((F.count("hit") == _BLOOM_K).alias("positive"),
+                    (F.max(F.coalesce("is_m", F.lit(0))) == 1)
+                    .alias("is_member")))
+    fp = F.sum(F.when(F.col("positive") & ~F.col("is_member"), 1)
+               .otherwise(0))
+    non_m = F.sum(F.when(~F.col("is_member"), 1).otherwise(0))
+    return (verdict.agg(
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0)).cast("bigint")
+        .alias("n_members"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tested"),
+        fp.cast("bigint").alias("n_false_pos"),
+        F.round(fp * 1.0 / F.nullif(non_m, F.lit(0)), 6).alias("fpr")))

@@ -643,3 +643,96 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (matched.filter(F.col("kind") == 0)
             .filter(F.col("purchase_id").isNotNull())
             .select("click_id", "purchase_id", "user_id"))
+
+
+@query("window_peak_concurrency", oracle="""
+WITH m AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+  FROM s GROUP BY user_id, sid
+),
+days AS (SELECT DISTINCT date_trunc('day', st) AS day FROM sess),
+carry AS (
+  SELECT d.day, CAST(count(x.user_id) AS BIGINT) AS c0
+  FROM days d LEFT JOIN sess x
+    ON x.st < d.day AND x.en >= d.day
+  GROUP BY d.day
+),
+ev2 AS (
+  SELECT date_trunc('day', st) AS day, st AS t, 1 AS delta,
+         user_id, sid FROM sess
+  UNION ALL
+  SELECT date_trunc('day', en) AS day, en AS t, -1 AS delta,
+         user_id, sid FROM sess
+),
+run AS (
+  SELECT day,
+         CAST(sum(delta) OVER (PARTITION BY day
+                               ORDER BY t, delta DESC, user_id, sid
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r
+  FROM ev2
+),
+peaks AS (SELECT day, max(r) AS mx FROM run GROUP BY day)
+SELECT p.day, CAST(c.c0 + p.mx AS BIGINT) AS peak_concurrency
+FROM peaks p JOIN carry c ON c.day = p.day
+""")
+def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-counting
+    primitive behind capacity planning (max simultaneous users) — via
+    the +1/-1 boundary-event sweep: each session contributes a start
+    (+1) and end (-1) marker, the running sum IS the concurrency, and
+    the per-day max is the peak.
+
+    The running sum is DAY-PARTITIONED (a keyed window, never global);
+    sessions alive across a day boundary are restored as a per-day
+    carry — counted by joining the tiny day dimension (broadcast, ~30
+    rows) against the session intervals — so the partitioned sweep is
+    exact, the same two-phase trick corpus_shard_assign uses for global
+    prefix sums. Tie rule at equal timestamps: starts before ends
+    (delta DESC), then (user_id, sid) — both engines sort identically.
+    At 100 TB: sessionization's user-keyed window, one day-keyed window
+    over 2 rows per session, one broadcast day join."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") >= F.lag("ts").over(w)
+           + F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = (ev.withColumn("brk", brk)
+            .withColumn("sid", F.sum("brk").over(run_w).cast("bigint"))
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("st"), F.max("ts").alias("en")))
+    days = sess.select(F.date_trunc("day", "st").alias("day")).distinct()
+    carry = (days.join(
+        sess, (F.col("st") < F.col("day")) & (F.col("en") >= F.col("day")),
+        "left")
+        .groupBy("day").agg(F.count("user_id").alias("c0")))
+    starts = sess.select(F.date_trunc("day", "st").alias("day"),
+                         F.col("st").alias("t"), F.lit(1).alias("delta"),
+                         "user_id", "sid")
+    ends = sess.select(F.date_trunc("day", "en").alias("day"),
+                       F.col("en").alias("t"), F.lit(-1).alias("delta"),
+                       "user_id", "sid")
+    sweep = (W.partitionBy("day")
+             .orderBy("t", F.desc("delta"), "user_id", "sid")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = (starts.unionByName(ends)
+           .withColumn("r", F.sum("delta").over(sweep).cast("bigint")))
+    peaks = run.groupBy("day").agg(F.max("r").alias("mx"))
+    return (peaks.join(F.broadcast(carry), "day")
+            .select("day", (F.col("c0") + F.col("mx")).cast("bigint")
+                    .alias("peak_concurrency")))

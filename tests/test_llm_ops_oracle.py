@@ -52,6 +52,8 @@ LLM_QUERIES = [
     "multimodal_phash_dedup",
     "asof_join_forward", "events_rfm_segmentation",
     "embedding_pca_power_iteration",
+    "sketch_bloom_membership", "window_peak_concurrency",
+    "corpus_importance_resample", "dedup_normalized_prefix",
 ]
 
 

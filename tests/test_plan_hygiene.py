@@ -39,6 +39,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",
+                # midnight-carry interval stab: ~30-row day dimension
+                # (broadcast) x session intervals, genuinely non-equi
+                "window_peak_concurrency",
                 # pairwise sketch comparison: the all-pairs join is over
                 # the 5-row TYPE table and 256-row register state — model
                 # state x model state, never data x data

@@ -478,3 +478,49 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.groupBy("r", "f", "m")
             .agg(F.count(F.lit(1)).alias("n_users"),
                  F.sum("mon").cast("double").alias("sum_monetary")))
+
+
+@query("timeseries_twap", oracle="""
+WITH s AS (
+  SELECT user_id, ts, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(date_diff('microsecond', ts, nts) AS BIGINT) AS dur_us
+  FROM s WHERE nts IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur_us) AS BIGINT) AS span_us,
+       round(sum(cents * dur_us) / (100.0 * sum(dur_us)), 6) AS twap
+FROM w GROUP BY user_id
+""")
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) per user: each reading
+    is weighted by how long it remained current (the duration to the
+    next reading), so irregular sampling cannot bias the mean toward
+    burst periods — the standard financial/telemetry aggregate that a
+    plain avg() gets wrong on event streams.
+
+    One lead() in the user-keyed (ts, event_id) window gives each
+    reading its holding duration as an exact integer microsecond count,
+    values snap to integer cents, and the weighted sum is pure bigint
+    arithmetic (max ~1e17, far under the 2^63 line) with ONE float
+    division at the end — bit-stable across engines regardless of
+    summation order. At 100 TB: one user-keyed shuffle, one keyed
+    aggregate — the window_session cost shape."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.withColumn("nts", F.lead("ts").over(w)).select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.expr("timestampdiff(MICROSECOND, ts, nts)").alias("dur_us"))
+    wd = s.filter(F.col("dur_us").isNotNull())
+    return (wd.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("dur_us").cast("bigint").alias("span_us"),
+                 F.round(F.sum(F.col("cents") * F.col("dur_us"))
+                         / (100.0 * F.sum("dur_us")), 6).alias("twap")))

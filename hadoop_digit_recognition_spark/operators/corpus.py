@@ -608,3 +608,135 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("kept_tokens"),
                  F.sum(F.round(F.col("q") * 1000000).cast("bigint"))
                  .cast("bigint").alias("q_micro_sum")))
+
+
+# ---------------------------------------------------------------------------
+# The full dedup ladder as ONE audited cascade.
+
+
+@query("corpus_dedup_cascade", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+{_EMB_BUCKETS_SQL.lstrip().rstrip()},
+pk AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')), ' ')[1:10], ' ')) AS ckey
+  FROM documents
+),
+r1drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY ckey) AS k FROM pk)
+  WHERE doc_id != k
+),
+rem1 AS (SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM r1drop)),
+ek AS (SELECT d.doc_id, md5(d.text) AS ekey
+       FROM documents d JOIN rem1 USING (doc_id)),
+r2drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY ekey) AS k FROM ek)
+  WHERE doc_id != k
+),
+rem2 AS (SELECT doc_id FROM rem1
+         WHERE doc_id NOT IN (SELECT doc_id FROM r2drop)),
+r3drop AS (
+  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+  JOIN rem2 a ON a.doc_id = p.doc_a
+  JOIN rem2 b ON b.doc_id = p.doc_b
+),
+rem3 AS (SELECT doc_id FROM rem2
+         WHERE doc_id NOT IN (SELECT doc_id FROM r3drop)),
+r4drop AS (
+  SELECT DISTINCT vp.vec_b AS doc_id FROM vpairs vp
+  JOIN rem3 a ON a.doc_id = vp.vec_a
+  JOIN rem3 b ON b.doc_id = vp.vec_b
+),
+rem4 AS (SELECT doc_id FROM rem3
+         WHERE doc_id NOT IN (SELECT doc_id FROM r4drop)),
+n AS (SELECT
+  (SELECT count(*) FROM documents) AS n0,
+  (SELECT count(*) FROM rem1) AS n1,
+  (SELECT count(*) FROM rem2) AS n2,
+  (SELECT count(*) FROM rem3) AS n3,
+  (SELECT count(*) FROM rem4) AS n4)
+SELECT * FROM (
+  SELECT 1 AS rung, 'prefix' AS stage,
+         CAST(n0 AS BIGINT) AS n_in, CAST(n0 - n1 AS BIGINT) AS n_removed,
+         CAST(n1 AS BIGINT) AS n_out FROM n
+  UNION ALL
+  SELECT 2, 'exact', CAST(n1 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+         CAST(n2 AS BIGINT) FROM n
+  UNION ALL
+  SELECT 3, 'minhash', CAST(n2 AS BIGINT), CAST(n2 - n3 AS BIGINT),
+         CAST(n3 AS BIGINT) FROM n
+  UNION ALL
+  SELECT 4, 'embedding', CAST(n3 AS BIGINT), CAST(n3 - n4 AS BIGINT),
+         CAST(n4 AS BIGINT) FROM n)
+""")
+def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup LADDER as one audited cascade — cheapest
+    rung first, each rung seeing only the previous rung's survivors:
+
+      1. prefix    — normalized 10-word-prefix fingerprint (no pairs)
+      2. exact     — byte-exact md5 groups
+      3. minhash   — banded-LSH verified Jaccard pairs, drop greater id
+      4. embedding — bucketed cosine pairs (vec_id == doc_id), same rule
+
+    The output is the per-rung accounting table (n_in / n_removed /
+    n_out) a corpus build publishes, so the ladder's marginal value per
+    rung is visible (on this fixture: prefix removes what exact would
+    and more, minhash catches the reordered-edit near-dups, embedding
+    the semantic tail). Pair rungs reuse the corpus-wide verified pair
+    sets restricted to both-endpoints-remaining — identical to
+    recomputing on survivors, since dropping a doc only removes pairs
+    it participates in.
+
+    Scale: rungs 1-2 are keyed grouped-mins (one shuffle each); rungs
+    3-4 are the banded equi-joins priced in SCALE.md; the cascade adds
+    only anti-joins between rungs, each keyed on doc_id. Counting runs
+    on id-sets, never payloads."""
+    from .dedup import dedup_embedding_lsh, dedup_minhash_lsh
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    clean = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    pk = docs.select("doc_id", F.md5(
+        F.concat_ws(" ", F.slice(F.split(clean, " "), 1, 10))).alias("ckey"))
+
+    def survivors(keyed: DataFrame, key: str) -> DataFrame:
+        keep = keyed.groupBy(key).agg(F.min("doc_id").alias("doc_id"))
+        return keep.select("doc_id")
+
+    def grouped_drop(keyed: DataFrame, key: str) -> DataFrame:
+        keep = keyed.groupBy(key).agg(F.min("doc_id").alias("k"))
+        return (keyed.join(keep, key)
+                .filter(F.col("doc_id") != F.col("k")).select("doc_id"))
+
+    rem1 = ids.join(grouped_drop(pk, "ckey"), "doc_id", "left_anti")
+    ek = (docs.select("doc_id", F.md5("text").alias("ekey"))
+          .join(rem1, "doc_id"))
+    rem2 = rem1.join(grouped_drop(ek, "ekey"), "doc_id", "left_anti")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    r3drop = (lsh.join(rem2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+              .join(rem2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+              .select(F.col("doc_b").alias("doc_id")).distinct())
+    rem3 = rem2.join(r3drop, "doc_id", "left_anti")
+    emb = dedup_embedding_lsh(spark, sf_dir).select("vec_a", "vec_b")
+    r4drop = (emb.join(rem3.withColumnRenamed("doc_id", "vec_a"), "vec_a")
+              .join(rem3.withColumnRenamed("doc_id", "vec_b"), "vec_b")
+              .select(F.col("vec_b").alias("doc_id")).distinct())
+    rem4 = rem3.join(r4drop, "doc_id", "left_anti")
+
+    n0, n1, n2, n3, n4 = (df.count() for df in (ids, rem1, rem2, rem3, rem4))
+    rows = [(1, "prefix", n0, n0 - n1, n1),
+            (2, "exact", n1, n1 - n2, n2),
+            (3, "minhash", n2, n2 - n3, n3),
+            (4, "embedding", n3, n3 - n4, n4)]
+    # The summary is 4 rows of already-aggregated counts — a driver-side
+    # createDataFrame of five integers per rung, not a data-path collect.
+    return spark.createDataFrame(
+        rows, "rung bigint, stage string, n_in bigint, n_removed bigint, "
+              "n_out bigint")

@@ -684,3 +684,69 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     return v.select(F.col("j").cast("bigint").alias("i"),
                     F.round("v", 6).alias("loading"),
                     F.round("nrm", 6).alias("eigval"))
+
+
+# ---------------------------------------------------------------------------
+# kNN classification accuracy over the approximate neighbor graph.
+
+
+@query("ml_knn_classifier_eval", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+       FROM bucket b
+       JOIN e ON e.vec_id = b.vec_id
+       JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nl,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+knn AS (
+  SELECT qid, cid, nl FROM (
+    SELECT qid, cid, nl,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+    FROM scored) WHERE rnk <= {KNN_K}
+),
+votes AS (SELECT qid, nl, count(*) AS c FROM knn GROUP BY qid, nl),
+pred AS (
+  SELECT qid, nl AS pred_label FROM (
+    SELECT qid, nl,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, nl) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT CAST(t.label AS BIGINT) AS true_label,
+       CAST(p.pred_label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.qid
+GROUP BY t.label, p.pred_label
+""")
+def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification over the approximate neighbor graph: every
+    vector is classified by majority label of its top-k same-bucket
+    neighbors (ties -> smaller label), and the output is the full
+    confusion matrix against the true labels — the standard
+    label-quality / embedding-quality diagnostic (if kNN accuracy is
+    low, either the embeddings or the labels are bad) and the
+    evaluation harness for the label-spreading family.
+
+    Reuses sim_knn_graph's bucket equi-join verbatim (cost stays
+    Σ|bucket|², never N²); the vote and argmax run on k rows per
+    vector, the confusion aggregate on |labels|² cells. Vectors with
+    no same-bucket neighbor are absent from the graph and thus from
+    the eval on both engines identically. At 100 TB the added cost
+    over building the graph is one |graph|-sized keyed count."""
+    knn = sim_knn_graph(spark, sf_dir)
+    lab = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label")
+    v = knn.join(lab.select(F.col("vec_id").alias("cid"),
+                            F.col("label").alias("nl")), "cid")
+    votes = v.groupBy("qid", "nl").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("c"), F.asc("nl")))
+    pred = (votes.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("qid", F.col("nl").alias("pred_label")))
+    return (pred.join(lab.select(F.col("vec_id").alias("qid"),
+                                 F.col("label").alias("true_label")), "qid")
+            .groupBy(F.col("true_label").cast("bigint").alias("true_label"),
+                     F.col("pred_label").cast("bigint").alias("pred_label"))
+            .agg(F.count(F.lit(1)).alias("n")))

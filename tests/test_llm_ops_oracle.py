@@ -54,6 +54,7 @@ LLM_QUERIES = [
     "embedding_pca_power_iteration",
     "sketch_bloom_membership", "window_peak_concurrency",
     "corpus_importance_resample", "dedup_normalized_prefix",
+    "timeseries_twap", "ml_knn_classifier_eval", "corpus_dedup_cascade",
 ]
 
 

@@ -25,6 +25,7 @@ _SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
                       "join_bucketed_colocated", "partition_pruned_scan",
                       "dedup_minhash_lsh", "dedup_fuzzy_levenshtein",
                       "dedup_incremental", "pipeline_llm_corpus",
+                      "corpus_dedup_cascade",
                       "text_quality_filter_approx", "timeseries_gapfill",
                       "rbm_cd1_two_epochs"}
 

@@ -524,3 +524,65 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("dur_us").cast("bigint").alias("span_us"),
                  F.round(F.sum(F.col("cents") * F.col("dur_us"))
                          / (100.0 * F.sum("dur_us")), 6).alias("twap")))
+
+
+_Z_WIN = 10    # trailing window size (rows, current inclusive)
+_Z_K = 3.0     # flag threshold in standard deviations
+
+
+@query("events_rolling_zscore", oracle=f"""
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id, cents,
+         sum(cents) OVER wnd AS sx,
+         sum(cents * cents) OVER wnd AS sxx,
+         count(*) OVER wnd AS n
+  FROM s
+  WINDOW wnd AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN {_Z_WIN - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(CASE WHEN abs(n * cents - sx)
+                          > {_Z_K} * sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM w WHERE n = {_Z_WIN}
+GROUP BY user_id
+""")
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly counts: each event is scored against the
+    mean/std of its own trailing 10-reading window (current
+    inclusive) and flagged beyond 3 sigma — the self-calibrating
+    streaming-anomaly rule (a fixed threshold can't follow per-user
+    level shifts; the MAD variant is events_anomaly_mad).
+
+    The comparison is rearranged to integer form: |n*x - sx| >
+    k*sqrt(n*sxx - sx^2), where x, sx, sxx are exact bigint cents
+    sums — the ONLY float op is one correctly-rounded sqrt and one
+    multiply, so the flag verdict cannot differ between engines no
+    matter how the window sums associate. One user-keyed window with a
+    bounded ROWS frame (constant state per user), one keyed aggregate:
+    window_session's scale shape."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select("user_id", "ts", "event_id",
+                  F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    wnd = (W.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(-(_Z_WIN - 1), W.currentRow))
+    w = s.select(
+        "user_id", "cents",
+        F.sum("cents").over(wnd).alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).over(wnd).alias("sxx"),
+        F.count(F.lit(1)).over(wnd).alias("n"))
+    flagged = F.when(
+        F.abs(F.col("n") * F.col("cents") - F.col("sx"))
+        > _Z_K * F.sqrt((F.col("n") * F.col("sxx")
+                         - F.col("sx") * F.col("sx")).cast("double")),
+        1).otherwise(0)
+    return (w.filter(F.col("n") == _Z_WIN)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_scored"),
+                 F.sum(flagged).cast("bigint").alias("n_flagged")))

@@ -792,3 +792,68 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (sc.withColumn("rnk", rnk.cast("bigint"))
             .filter(F.col("rnk") <= _PMI_TOP)
             .select("w1", "w2", "n_pair", "pmi", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer capacity planning).
+
+_VOCAB_GRID = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+@query("text_vocab_coverage_curve", oracle=f"""
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS w
+             FROM documents),
+uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM uni
+),
+agg AS (
+  SELECT sum(c) AS n,
+         {", ".join(f"sum(CASE WHEN rk <= {k} THEN c ELSE 0 END) AS c{k}"
+                    for k in _VOCAB_GRID)}
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS vocab_k,
+       CAST(covered AS BIGINT) AS covered_tokens,
+       round(covered * 1.0 / n, 6) AS coverage
+FROM agg, (VALUES {", ".join(f"({k})" for k in _VOCAB_GRID)}) g(k),
+LATERAL (SELECT CASE k {" ".join(f"WHEN {k} THEN c{k}" for k in _VOCAB_GRID)}
+                END AS covered) x
+""")
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens the
+    top-k most frequent words cover, for a log-spaced k grid — the
+    capacity-planning table behind tokenizer vocabulary sizing and
+    stopword-list cutoffs (the elbow of this curve IS the vocab-size
+    decision).
+
+    One vocabulary-sized count aggregate (map-side combined), one
+    window over the VOCAB table (term-dimension-sized, not
+    token-sized) to rank terms, then the whole grid folds into a
+    single conditional-aggregation row — no join against the grid, no
+    per-k passes — and unpivots via stack(). All integer counts until
+    the final division. At 100 TB: the token aggregate is the only
+    data-sized stage (TF-IDF's shape); the ranking window runs over
+    |vocab| rows and would range-partition if the vocabulary itself
+    were huge."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.filter(F.split("text", " "),
+                                         lambda x: x != "")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = uni.select(
+        "c", F.row_number().over(W.orderBy(F.desc("c"), "w")).alias("rk"))
+    aggs = [F.sum("c").alias("n")] + [
+        F.sum(F.when(F.col("rk") <= k, F.col("c")).otherwise(0)).alias(f"c{k}")
+        for k in _VOCAB_GRID]
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{k}L, c{k}" for k in _VOCAB_GRID)
+    return (one.select(
+        F.expr(f"stack({len(_VOCAB_GRID)}, {stack}) AS (vocab_k, covered)"),
+        "n")
+        .select(F.col("vocab_k").cast("bigint"),
+                F.col("covered").cast("bigint").alias("covered_tokens"),
+                F.round(F.col("covered") * 1.0 / F.col("n"), 6)
+                .alias("coverage")))

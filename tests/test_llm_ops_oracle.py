@@ -55,6 +55,7 @@ LLM_QUERIES = [
     "sketch_bloom_membership", "window_peak_concurrency",
     "corpus_importance_resample", "dedup_normalized_prefix",
     "timeseries_twap", "ml_knn_classifier_eval", "corpus_dedup_cascade",
+    "text_vocab_coverage_curve", "events_rolling_zscore",
 ]
 
 

@@ -586,3 +586,90 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_scored"),
                  F.sum(flagged).cast("bigint").alias("n_flagged")))
+
+
+_SURV_GRID = (0, 1, 2, 4, 7, 14, 21, 28)
+
+
+@query("events_survival_curve", oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS lifetime
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT count(*) AS n,
+         {", ".join(f"sum(CASE WHEN lifetime >= {d} THEN 1 ELSE 0 END) AS s{d}"
+                    for d in _SURV_GRID)}
+  FROM u
+)
+SELECT CAST(d AS BIGINT) AS day,
+       CAST(surviving AS BIGINT) AS n_surviving,
+       round(surviving * 1.0 / n, 6) AS survival
+FROM agg, (VALUES {", ".join(f"({d})" for d in _SURV_GRID)}) g(d),
+LATERAL (SELECT CASE d {" ".join(f"WHEN {d} THEN s{d}" for d in _SURV_GRID)}
+                END AS surviving) x
+""")
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve: fraction of users whose observed lifetime
+    (days between first and last event) reaches each day of a grid —
+    the retention/churn table (discrete Kaplan-Meier with no censoring
+    model) every growth dashboard carries.
+
+    Same shape as text_vocab_coverage_curve: one user-keyed aggregate,
+    then the whole grid folds into a single conditional-aggregation row
+    (grid points are columns, not passes) and unpivots via stack. All
+    integer day counts until the final division."""
+    ev = load(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.datediff(F.max("ts"), F.min("ts")).cast("bigint")
+              .alias("lifetime")))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col("lifetime") >= d, 1).otherwise(0)).alias(f"s{d}")
+        for d in _SURV_GRID]
+    one = u.agg(*aggs)
+    stack = ", ".join(f"{d}L, s{d}" for d in _SURV_GRID)
+    return (one.select(
+        F.expr(f"stack({len(_SURV_GRID)}, {stack}) AS (day, surviving)"), "n")
+        .select(F.col("day").cast("bigint"),
+                F.col("surviving").cast("bigint").alias("n_surviving"),
+                F.round(F.col("surviving") * 1.0 / F.col("n"), 6)
+                .alias("survival")))
+
+
+@query("events_power_user_gini", oracle="""
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       round(2.0 * sum(i * c) / (count(*) * sum(c))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r
+""")
+def events_power_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event counts — the concentration
+    diagnostic (how much of the traffic the power users generate) that
+    doubles as the SKEW EARLY-WARNING for every user-keyed shuffle in
+    this engine: a Gini near 1 says the keyed windows and aggregates
+    need the salting/AQE-skew playbook.
+
+    Computed by the exact rank formula G = 2*Σ(i*x_i)/(n*Σx) - (n+1)/n
+    over counts ranked ascending with user_id tiebreak — every term an
+    integer until the final division, so both engines agree bit-for-bit.
+    The ranking window runs over the USER summary (dimension-sized);
+    the event scan is one keyed count."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    r = u.select("c", F.row_number().over(
+        W.orderBy("c", "user_id")).alias("i"))
+    n = F.count(F.lit(1))
+    return r.agg(
+        n.cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("total_events"),
+        F.round(2.0 * F.sum(F.col("i") * F.col("c")) / (n * F.sum("c"))
+                - (n + 1.0) / n, 6).alias("gini"))

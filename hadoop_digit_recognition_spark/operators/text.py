@@ -857,3 +857,49 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("covered").cast("bigint").alias("covered_tokens"),
                 F.round(F.col("covered") * 1.0 / F.col("n"), 6)
                 .alias("coverage")))
+
+
+@query("text_ngram_novelty", oracle="""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+        FROM t0),
+sh AS (SELECT DISTINCT a.doc_id,
+              a.word || ' ' || b.word || ' ' || c.word AS s
+       FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+first_seen AS (SELECT s, min(doc_id) AS fs FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN f.fs = sh.doc_id THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS novelty
+FROM sh JOIN first_seen f ON f.s = sh.s
+GROUP BY sh.doc_id
+""")
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-shingles that no lower-id document contains — the
+    marginal-information score behind data-ordering/curriculum
+    decisions and diminishing-returns curves (when new shards stop
+    bringing novel n-grams, stop crawling). A doc full of
+    already-seen shingles is boilerplate even if no single pair
+    crosses a dedup threshold.
+
+    First-occurrence attribution is a grouped MIN on the shingle key
+    (the dedup_segments_corpus survivorship rule — never a window over
+    hot shingles), then one join back and a per-doc aggregate: two
+    shingle-keyed shuffles with map-side combine, the dedup_exact cost
+    family. Reuses the shingles helper shared with the MinHash stack."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(spark, sf_dir)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("fs"))
+    j = sh.join(first, "s")
+    novel = F.sum(F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0))
+    return (j.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 novel.cast("bigint").alias("n_novel"),
+                 F.round(novel * 1.0 / F.count(F.lit(1)), 6)
+                 .alias("novelty")))

@@ -56,6 +56,8 @@ LLM_QUERIES = [
     "corpus_importance_resample", "dedup_normalized_prefix",
     "timeseries_twap", "ml_knn_classifier_eval", "corpus_dedup_cascade",
     "text_vocab_coverage_curve", "events_rolling_zscore",
+    "events_survival_curve", "events_power_user_gini",
+    "text_ngram_novelty",
 ]
 
 

@@ -602,3 +602,98 @@ def ml_kfold_centroid_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(hit).cast("bigint").alias("n_correct"),
                  F.round(F.sum(hit) / F.count(F.lit(1)), 4)
                  .alias("accuracy")))
+
+
+@query("ml_ols_two_feature", oracle="""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         n_chars AS x2,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM t
+),
+b AS (
+  SELECT *,
+    (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+       + s2 * (s1 * s12 - s11 * s2)) AS det,
+    (sy * (s11 * s22 - s12 * s12) - s1 * (sx1y * s22 - sx2y * s12)
+       + s2 * (sx1y * s12 - sx2y * s11)) AS det0,
+    (n * (sx1y * s22 - sx2y * s12) - sy * (s1 * s22 - s2 * s12)
+       + s2 * (s1 * sx2y - s2 * sx1y)) AS det1,
+    (n * (s11 * sx2y - s12 * sx1y) - s1 * (s1 * sx2y - s2 * sx1y)
+       + sy * (s1 * s12 - s2 * s11)) AS det2
+  FROM s
+)
+SELECT round(det0 / det, 6) AS b0,
+       round(det1 / det, 6) AS b1,
+       round(det2 / det, 6) AS b2,
+       round(1 - (syy - ((det0 / det) * sy + (det1 / det) * sx1y
+                         + (det2 / det) * sx2y))
+               / (syy - sy * sy / n), 6) AS r2
+FROM b
+""")
+def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature ordinary least squares (predict a doc's
+    distinct-token count from its token and character counts) solved by
+    Cramer's rule over the 3x3 normal equations — multiple regression
+    as ONE distributed aggregate, the classic trick for fitting small
+    models on huge data without an iterative solver (the built-in
+    regr_* family, exercised by agg_regression_stats, stops at one
+    regressor).
+
+    Every moment (n, Σx, Σx², Σxy, ...) is an exact INTEGER sum cast to
+    double (all < 2^53, so the cast is lossless), and both engines
+    evaluate the same determinant expression tree over those identical
+    doubles — bit-stable without any grid snapping. R² comes from the
+    sums too (SSE = Σy² - b·X'y), so there is NO second pass over the
+    data: one scan, one 10-sum aggregate row, scale-independent
+    everything after."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = docs.select(
+        F.size(w).cast("bigint").alias("x1"),
+        F.col("n_chars").alias("x2"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("y"))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"),
+        F.sum(y * y).cast("double").alias("syy"))
+    c = {k: F.col(k) for k in
+         ("n", "s1", "s2", "s11", "s12", "s22", "sy", "sx1y", "sx2y", "syy")}
+    det = (c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+           - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+           + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    det0 = (c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+            - c["s1"] * (c["sx1y"] * c["s22"] - c["sx2y"] * c["s12"])
+            + c["s2"] * (c["sx1y"] * c["s12"] - c["sx2y"] * c["s11"]))
+    det1 = (c["n"] * (c["sx1y"] * c["s22"] - c["sx2y"] * c["s12"])
+            - c["sy"] * (c["s1"] * c["s22"] - c["s2"] * c["s12"])
+            + c["s2"] * (c["s1"] * c["sx2y"] - c["s2"] * c["sx1y"]))
+    det2 = (c["n"] * (c["s11"] * c["sx2y"] - c["s12"] * c["sx1y"])
+            - c["s1"] * (c["s1"] * c["sx2y"] - c["s2"] * c["sx1y"])
+            + c["sy"] * (c["s1"] * c["s12"] - c["s2"] * c["s11"]))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = c["syy"] - (b0 * c["sy"] + b1 * c["sx1y"] + b2 * c["sx2y"])
+    sst = c["syy"] - c["sy"] * c["sy"] / c["n"]
+    return s.select(F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
+                    F.round(b2, 6).alias("b2"),
+                    F.round(1 - sse / sst, 6).alias("r2"))

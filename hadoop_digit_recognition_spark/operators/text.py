@@ -903,3 +903,59 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  novel.cast("bigint").alias("n_novel"),
                  F.round(novel * 1.0 / F.count(F.lit(1)), 6)
                  .alias("novelty")))
+
+
+_CRAWL_GRID = (50, 100, 150, 200, 300, 400, 500)
+
+
+@query("corpus_crawl_novelty_curve", oracle=f"""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+        FROM t0),
+sh AS (SELECT DISTINCT a.doc_id,
+              a.word || ' ' || b.word || ' ' || c.word AS s
+       FROM tok a
+       JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+first_seen AS (SELECT s, min(doc_id) AS fs FROM sh GROUP BY s),
+agg AS (
+  SELECT count(*) AS total,
+         {", ".join(f"sum(CASE WHEN fs < {k} THEN 1 ELSE 0 END) AS a{k}"
+                    for k in _CRAWL_GRID)}
+  FROM first_seen
+)
+SELECT CAST(k AS BIGINT) AS n_docs,
+       CAST(seen AS BIGINT) AS distinct_shingles,
+       round(seen * 1.0 / total, 6) AS frac_of_total
+FROM agg, (VALUES {", ".join(f"({k})" for k in _CRAWL_GRID)}) g(k),
+LATERAL (SELECT CASE k {" ".join(f"WHEN {k} THEN a{k}" for k in _CRAWL_GRID)}
+                END AS seen) x
+""")
+def corpus_crawl_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-saturation curve: how many DISTINCT 3-shingles the corpus
+    has accumulated after its first k documents (doc_id order standing
+    in for ingest order), for a doc-count grid — the
+    diminishing-returns table that answers "is more crawling still
+    buying new content?" (the aggregate view of text_ngram_novelty's
+    per-doc score; both share the first-occurrence grouped min).
+
+    One shingle-keyed grouped min (map-side combined), then the whole
+    grid folds into a single conditional-aggregation row over the
+    FIRST-SEEN table (shingle-dimension-sized) and unpivots via
+    stack — no per-k passes, no grid join."""
+    from ..operators.dedup import shingles
+
+    sh = shingles(spark, sf_dir)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("fs"))
+    aggs = [F.count(F.lit(1)).alias("total")] + [
+        F.sum(F.when(F.col("fs") < k, 1).otherwise(0)).alias(f"a{k}")
+        for k in _CRAWL_GRID]
+    one = first.agg(*aggs)
+    stack = ", ".join(f"{k}L, a{k}" for k in _CRAWL_GRID)
+    return (one.select(
+        F.expr(f"stack({len(_CRAWL_GRID)}, {stack}) AS (n_docs, seen)"),
+        "total")
+        .select(F.col("n_docs").cast("bigint"),
+                F.col("seen").cast("bigint").alias("distinct_shingles"),
+                F.round(F.col("seen") * 1.0 / F.col("total"), 6)
+                .alias("frac_of_total")))

@@ -58,6 +58,7 @@ LLM_QUERIES = [
     "text_vocab_coverage_curve", "events_rolling_zscore",
     "events_survival_curve", "events_power_user_gini",
     "text_ngram_novelty",
+    "ml_ols_two_feature", "corpus_crawl_novelty_curve",
 ]
 
 

@@ -457,3 +457,54 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("doc_id"),
         F.col("length").alias("byte_len"),
         F.md5("content").alias("sig"))
+
+
+@query("source_jsonl_malformed_permissive", oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars, (doc_id % 10 = 3) AS corrupt FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+       CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN corrupt THEN 0 ELSE n_chars END) AS BIGINT)
+         AS good_chars
+FROM d
+""")
+def source_jsonl_malformed_permissive(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Malformed-record ingestion — the web-scale reality check every
+    JSONL crawl loader needs: every doc_id % 10 == 3 line is
+    deterministically mangled into invalid JSON before writing, and the
+    read-back uses PERMISSIVE mode with a _corrupt_record column, so
+    bad lines become quarantine rows instead of job failures
+    (FAILFAST would kill a 100 TB ingest on its first broken line;
+    DROPMALFORMED would silently lose data — the quarantine column is
+    the only auditable option). The one-row report reconciles good vs
+    corrupt counts against the source of truth.
+
+    The corrupt column must be verified from the RAW line, not the
+    parsed fields: Spark parses lazily per accessed column, so a
+    half-valid line can populate some fields and still carry the
+    quarantine payload."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_jsonbad_stage",
+                         uuid.uuid4().hex)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text",
+                                                   "n_chars")
+    line = F.to_json(F.struct("doc_id", "lang", "text", "n_chars"))
+    mangled = F.when(F.col("doc_id") % 10 == 3,
+                     F.concat(F.lit("{broken!"), line)).otherwise(line)
+    docs.select(mangled.alias("value")).write.mode("overwrite").text(stage)
+    back = (spark.read
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .schema("doc_id long, lang string, text string, n_chars long, "
+                    "_corrupt string")
+            .json(stage))
+    bad = F.col("_corrupt").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(F.when(bad, 0).otherwise(1)).cast("bigint").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(bad, 0).otherwise(F.col("n_chars"))).cast("bigint")
+        .alias("good_chars"))

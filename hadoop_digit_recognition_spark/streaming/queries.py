@@ -439,3 +439,38 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type", "hr"])
     return (run_to_memory(deduped, "append")
             .select("user_id", "event_type", "hr"))
+
+
+@query("streaming_dedup_then_tumbling", oracle="""
+SELECT ws, n FROM (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*) AS n
+  FROM (SELECT DISTINCT event_id, ts FROM events) GROUP BY 1)
+WHERE ws + INTERVAL '1 hour'
+      <= (SELECT max(ts) - INTERVAL '2 hours' FROM events)
+""")
+def streaming_dedup_then_tumbling(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query — exactly-once
+    dedup (dropDuplicatesWithinWatermark on event_id, against planted
+    redelivery of every 10th event) feeding a watermarked tumbling
+    aggregate, both in append mode. Multiple stateful operators per
+    query is the Spark-4 capability that collapses what used to be two
+    jobs with an intermediate topic into ONE state pipeline; the
+    watermark propagates through the dedup into the window operator,
+    so eviction still bounds both states.
+
+    The final counts must equal the batch hourly counts over DISTINCT
+    event ids restricted to watermark-closed windows (the oracle) —
+    proving the planted duplicates died in the first operator and the
+    delay arithmetic survived the chaining."""
+    from .pipeline import _ntz, run_to_memory
+
+    ev = events_stream(spark, sf_dir)
+    dup = ev.filter(F.col("event_id") % 10 == 0)  # planted redelivery
+    dd = (ev.unionByName(dup)
+          .withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = (dd.groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(_ntz("w.start").alias("ws"), "n"))
+    return run_to_memory(agg, "append")

@@ -92,7 +92,12 @@ def main() -> None:
         headline = sys.argv[sys.argv.index("--only") + 1].split(",")
         unknown = [n for n in headline if n not in SPARK_QUERIES]
         assert not unknown, f"unknown queries: {unknown}"
-    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 1
+    # Default min-of-2: rounds 3 AND 4 both flagged full-run "regressions"
+    # (+19-32%) that vanished in isolation (SCALE.md bench-variance notes) —
+    # pure interleaving noise from neighbors sharing the executor pool. The
+    # min over two passes is the standard cure; the `repeat` field in the
+    # JSON line keeps cross-round comparison honest.
+    repeat = int(sys.argv[sys.argv.index("--repeat") + 1]) if "--repeat" in sys.argv else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
@@ -172,6 +177,7 @@ def main() -> None:
         "exec_total_sec": round(sum(execs.values()), 3),
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
+        "repeat": repeat,
         "sf": sf,
     }
     print(json.dumps(detail), file=sys.stderr)
@@ -188,6 +194,7 @@ def main() -> None:
         "total_sec": round(sum(timings.values()), 3),
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
+        "repeat": repeat,
         "sf": sf,
     }
     line = json.dumps(summary, separators=(",", ":"))

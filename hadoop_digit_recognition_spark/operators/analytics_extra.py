@@ -673,3 +673,105 @@ def events_power_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("total_events"),
         F.round(2.0 * F.sum(F.col("i") * F.col("c")) / (n * F.sum("c"))
                 - (n + 1.0) / n, 6).alias("gini"))
+
+
+@query("agg_winsorized_stats", oracle="""
+WITH p AS (SELECT event_type,
+                  round(quantile_cont(value, 0.05), 9) AS p05,
+                  round(quantile_cont(value, 0.95), 9) AS p95
+           FROM events GROUP BY event_type)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(e.value), 6) AS raw_mean,
+       round(avg(least(greatest(e.value, p.p05), p.p95)), 6)
+         AS winsor_mean,
+       round(avg(CASE WHEN e.value >= p.p05 AND e.value <= p.p95
+                      THEN e.value END), 6) AS trimmed_mean,
+       round(min(p.p05), 6) AS p05, round(min(p.p95), 6) AS p95
+FROM events e JOIN p USING (event_type)
+GROUP BY e.event_type
+""")
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST aggregation: winsorized mean (values clipped to the
+    [p05, p95] percentile band) and trimmed mean (values outside the
+    band dropped) per event type, next to the raw mean they stabilize.
+    Both engines interpolate percentiles the same way (type-7 linear,
+    Spark `percentile` == DuckDB `quantile_cont`); the thresholds are
+    rounded to 9 digits BEFORE the clip/trim comparisons so a last-bit
+    interpolation difference cannot flip a boundary row between engines.
+    Two passes: an exact percentile aggregate per group (5 groups -> one
+    combiner'd shuffle; exact percentile buffers per-group values, which
+    is fine for bounded group counts — the streaming-scale twin is
+    sketch_quantiles' approx_percentile), then a broadcast join of the
+    5-row threshold table back onto the stream and a second combiner'd
+    keyed aggregate. No window, no skew exposure."""
+    ev = load(spark, sf_dir, "events")
+    p = (ev.groupBy("event_type")
+         .agg(F.round(F.percentile("value", F.lit(0.05)), 9).alias("p05"),
+              F.round(F.percentile("value", F.lit(0.95)), 9).alias("p95")))
+    j = ev.join(F.broadcast(p), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    inband = (F.col("value") >= F.col("p05")) & (F.col("value") <= F.col("p95"))
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.avg("value"), 6).alias("raw_mean"),
+                 F.round(F.avg(clipped), 6).alias("winsor_mean"),
+                 F.round(F.avg(F.when(inband, F.col("value"))), 6)
+                  .alias("trimmed_mean"),
+                 F.round(F.min("p05"), 6).alias("p05"),
+                 F.round(F.min("p95"), 6).alias("p95")))
+
+
+# Attribution horizon: a purchase credits the user's most recent
+# non-purchase touch only if it happened within this many days.
+ATTR_HORIZON_DAYS = 7
+
+
+@query("events_attribution_last_touch", oracle=f"""
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER w AS src_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS) OVER w AS src_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT coalesce(CASE WHEN src_ts IS NOT NULL
+                      AND ts <= src_ts + INTERVAL {ATTR_HORIZON_DAYS} DAY
+                     THEN src_type END, 'unattributed') AS src,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS attributed_value
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+""")
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase credits the same user's most
+    recent preceding non-purchase event (click/view/signup/error) within
+    a 7-day horizon; purchases with no in-horizon touch fall into an
+    explicit 'unattributed' bucket. The carried last-touch is a
+    last_value(... IGNORE NULLS) over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING — a running carry-forward, NOT an as-of self-join: one
+    user-keyed shuffle + per-partition sort, no pair generation (the
+    as-of-join spelling of the same semantics is asof_join /
+    asof_join_forward). (ts, event_id) ordering is total so the carry is
+    deterministic. At 100 TB: user_id is the partition key (uniform
+    cardinality, no hot key); the final rollup is a 5-row aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    not_p = F.col("event_type") != "purchase"
+    seq = ev.select(
+        "event_type", "ts", "value",
+        F.last(F.when(not_p, F.col("event_type")), ignorenulls=True)
+         .over(w).alias("src_type"),
+        F.last(F.when(not_p, F.col("ts")), ignorenulls=True)
+         .over(w).alias("src_ts"))
+    in_horizon = (F.col("src_ts").isNotNull()
+                  & (F.col("ts") <= F.col("src_ts")
+                     + F.expr(f"INTERVAL {ATTR_HORIZON_DAYS} DAY")))
+    return (seq.filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce(F.when(in_horizon, F.col("src_type")),
+                                F.lit("unattributed")).alias("src"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                 F.round(F.sum("value"), 4).alias("attributed_value")))

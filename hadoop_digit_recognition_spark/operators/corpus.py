@@ -740,3 +740,70 @@ def corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "rung bigint, stage string, n_in bigint, n_removed bigint, "
               "n_out bigint")
+
+
+# Length-bucketed batching geometry: pad targets are multiples of
+# BUCKET_QUANT tokens; each batch holds at most BATCH_DOCS documents.
+BUCKET_QUANT, BATCH_DOCS = 32, 16
+
+
+@query("corpus_length_bucket_batches", oracle=f"""
+WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+b AS (SELECT doc_id, n_tokens,
+             CAST(ceil(n_tokens / {BUCKET_QUANT}.0) AS BIGINT)
+               * {BUCKET_QUANT} AS bucket
+      FROM t),
+r AS (SELECT *, (row_number() OVER (PARTITION BY bucket
+                                    ORDER BY doc_id) - 1)
+                // {BATCH_DOCS} AS batch_id
+      FROM b)
+SELECT bucket, batch_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+       round(1.0 - sum(n_tokens) * 1.0 / (count(*) * bucket), 6)
+         AS pad_frac
+FROM r GROUP BY bucket, batch_id
+""")
+def corpus_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCH ASSEMBLY (the padding-efficiency step of a
+    training dataloader): documents are bucketed by token count rounded
+    UP to a BUCKET_QUANT multiple (the static pad target), then packed
+    into BATCH_DOCS-document batches in deterministic doc_id order, and
+    each batch reports its padding overhead (1 - real/padded). The
+    complementary strategy to corpus_sequence_pack: packing concatenates
+    documents into fixed windows (zero padding, crossed doc boundaries);
+    bucketing keeps documents whole and pays measured padding — this
+    query quantifies that trade.
+
+    One narrow token count folded into the scan, one shuffle on the
+    bucket key for the row_number ordering, one combiner'd rollup. The
+    bucket count is ~max_len/BUCKET_QUANT (tiny), so the window
+    partitions are coarse but bounded: at 100 TB, replace the per-bucket
+    row_number with (bucket, shard) salted ordinals the way
+    corpus_shard_assign documents — batch ids need only be unique, not
+    globally dense, and the pad accounting is batch-local either way."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    b = t.withColumn(
+        "bucket",
+        (F.ceil(F.col("n_tokens") / float(BUCKET_QUANT))
+         * BUCKET_QUANT).cast("bigint"))
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    r = b.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - 1) / BATCH_DOCS).cast("bigint"))
+    return (r.groupBy("bucket", "batch_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.max("n_tokens").cast("bigint").alias("max_tokens"),
+                 F.sum("n_tokens").cast("bigint").alias("real_tokens"))
+            .select("bucket", "batch_id", "n_docs", "max_tokens",
+                    "real_tokens",
+                    (F.col("n_docs") * F.col("bucket")).cast("bigint")
+                    .alias("padded_tokens"),
+                    F.round(1.0 - F.col("real_tokens") * 1.0
+                            / (F.col("n_docs") * F.col("bucket")), 6)
+                    .alias("pad_frac")))

@@ -1385,3 +1385,102 @@ def dedup_normalized_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("doc_id").cast("bigint").alias("keep_id"),
                  F.count(F.lit(1)).cast("bigint").alias("n_copies"))
             .filter(F.col("n_copies") >= 2))
+
+
+# Sliding-window exact-substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): W-word windows at stride 1.
+SUB_W = 8
+
+
+@query("dedup_repeated_substrings", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wc AS (SELECT doc_id, len(w) AS n_words FROM t),
+gi AS (SELECT doc_id, w, unnest(generate_series(0, len(w) - {SUB_W})) AS s
+       FROM t WHERE len(w) >= {SUB_W}),
+seg AS (SELECT doc_id, s,
+               array_to_string(w[s + 1 : s + {SUB_W}], ' ') AS wtext
+        FROM gi),
+dup AS (SELECT wtext FROM seg
+        GROUP BY wtext HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, s FROM seg JOIN dup USING (wtext)),
+isl AS (SELECT doc_id, s,
+               sum(CASE WHEN prev IS NULL OR s - prev > {SUB_W}
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s) AS g
+        FROM (SELECT doc_id, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+              FROM hits)),
+spans AS (SELECT doc_id, g, max(s) - min(s) + {SUB_W} AS len
+          FROM isl GROUP BY doc_id, g),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(len) AS BIGINT) AS n_dup_words
+        FROM spans GROUP BY doc_id)
+SELECT wc.doc_id, CAST(wc.n_words AS BIGINT) AS n_words,
+       coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(a.n_dup_words, 0) AS n_dup_words,
+       round(coalesce(a.n_dup_words, 0) * 1.0 / wc.n_words, 6) AS dup_frac
+FROM wc LEFT JOIN agg a USING (doc_id)
+""")
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level dedup (the Lee et al. 2022 suffix-array
+    pass, re-expressed relationally): every SUB_W-word window at stride
+    1, a window is "duplicated" when its exact text occurs in >= 2
+    DISTINCT documents, and per document the duplicated windows are
+    merged into maximal spans (gaps-and-islands over window starts: a
+    new span begins when the next duplicated start is > SUB_W past the
+    previous one, so overlapping and abutting windows fuse). Reports
+    per-doc span count, duplicated word count, and duplicated fraction —
+    the signal ExactSubstr-style pipelines cut on. Differs from
+    dedup_segments_corpus (non-overlapping C4 segments, first-occurrence
+    survivor) by stride-1 windows + span merging, and from
+    text_repetition_rates by being CROSS-document.
+
+    Spark side groups on sha2(window) so the corpus-wide shuffle carries
+    32-byte keys, not window text (collision-free at any realistic
+    corpus; the oracle groups raw text — identical result). Plan: one
+    narrow explode (stride-1 windows pipelined with the scan), one
+    combiner'd keyed aggregate for the distinct-doc count, one hash-keyed
+    equi-join back, then per-doc window + rollup (doc_id keys are
+    uniform, no hot-key skew). At 100 TB the stride-1 blowup is ~n_words
+    rows x 32 bytes per doc — the same volume MinHash shingling already
+    shuffles; AQE skew-split covers boilerplate windows that appear in
+    millions of docs."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    wc = base.select("doc_id", n.cast("bigint").alias("n_words"))
+    starts = F.when(n >= SUB_W, F.sequence(F.lit(0), (n - SUB_W).cast("int"))
+                    ).otherwise(F.expr("cast(array() as array<int>)"))
+    seg = base.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            starts,
+            lambda s: F.sha2(F.concat_ws(
+                " ", F.slice(F.col("ws"), s + 1, SUB_W)), 256)))
+        .alias("s", "wkey"))
+    dup = (seg.groupBy("wkey")
+           .agg(F.count_distinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2).select("wkey"))
+    hits = seg.join(dup, "wkey").select("doc_id", "s")
+    from pyspark.sql import Window as W
+    wlag = W.partitionBy("doc_id").orderBy("s")
+    h = (hits
+         .withColumn("prev", F.lag("s").over(wlag))
+         .withColumn("brk", F.when(
+             F.col("prev").isNull()
+             | (F.col("s") - F.col("prev") > SUB_W), 1).otherwise(0))
+         .withColumn("g", F.sum("brk").over(
+             wlag.rowsBetween(W.unboundedPreceding, 0))))
+    spans = (h.groupBy("doc_id", "g")
+             .agg((F.max("s") - F.min("s") + SUB_W).alias("len")))
+    agg = (spans.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+                F.sum("len").cast("bigint").alias("n_dup_words")))
+    return (wc.join(agg, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+                     .alias("n_dup_spans"),
+                    F.coalesce("n_dup_words", F.lit(0)).cast("bigint")
+                     .alias("n_dup_words"),
+                    F.round(F.coalesce("n_dup_words", F.lit(0)) * 1.0 / F.col("n_words"), 6)
+                     .alias("dup_frac")))

@@ -1414,3 +1414,37 @@ def sql_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_suppkey, l_orderkey, l_linenumber
         FROM lineitem WHERE l_quantity >= 49
         DISTRIBUTE BY l_suppkey SORT BY l_suppkey, l_orderkey""")
+
+
+@query("join_relational_division", oracle="""
+WITH pr AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders),
+cu AS (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nc
+       FROM orders GROUP BY o_custkey)
+SELECT c.c_custkey, c.c_name, CAST(cu.nc AS BIGINT) AS n_priorities
+FROM cu
+JOIN customer c ON c.c_custkey = cu.o_custkey
+CROSS JOIN pr
+WHERE cu.nc = pr.np
+""")
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIONAL DIVISION (the classic "suppliers who supply ALL parts"
+    operator, Codd's ÷): customers whose orders cover EVERY distinct
+    order priority. Neither SQL nor the DataFrame API has a division
+    operator; the canonical rewrite is the count-coverage form — per-
+    divisor-group distinct count equals the divisor's cardinality. The
+    double-NOT-EXISTS spelling decorrelates to two anti-joins; the count
+    form is one combiner'd aggregate + a 1-row scalar compared in a
+    broadcast cross join, which is strictly cheaper and skew-free.
+    At 100 TB: the per-customer distinct count is a partial-agg'd keyed
+    shuffle on custkey; the divisor cardinality is a 1-row broadcast;
+    the customer join broadcasts the dim or shuffles on the same key."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    pr = o.agg(F.count_distinct("o_orderpriority").alias("np"))
+    cu = (o.groupBy("o_custkey")
+          .agg(F.count_distinct("o_orderpriority").cast("bigint")
+               .alias("n_priorities")))
+    return (cu.crossJoin(F.broadcast(pr))
+            .filter(F.col("n_priorities") == F.col("np"))
+            .join(c, cu.o_custkey == c.c_custkey)
+            .select("c_custkey", "c_name", "n_priorities"))

@@ -59,6 +59,7 @@ LLM_QUERIES = [
     "events_survival_curve", "events_power_user_gini",
     "text_ngram_novelty",
     "ml_ols_two_feature", "corpus_crawl_novelty_curve",
+    "dedup_repeated_substrings", "corpus_length_bucket_batches",
 ]
 
 
@@ -99,6 +100,10 @@ def test_nontrivial_results(spark):
     segs = (SPARK_QUERIES["dedup_segments_corpus"](spark, SF_ORACLE)
             .agg(F.sum("n_dup_segments")).first()[0])
     assert segs > 0, "segment dedup found no repeated segments"
+    sub = SPARK_QUERIES["dedup_repeated_substrings"](spark, SF_ORACLE)
+    row = sub.agg(F.sum("n_dup_spans"), F.max("dup_frac")).first()
+    assert row[0] > 0, "substring dedup found no cross-doc repeated spans"
+    assert row[1] <= 1.0, "merged span accounting exceeded the document"
 
 
 def test_ivf_recall_vs_exact(spark):

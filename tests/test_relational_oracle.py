@@ -33,6 +33,8 @@ RELATIONAL = [
     "string_funcs", "date_funcs", "math_funcs", "case_when_bucket",
     "json_extract", "map_funcs", "pivot_conditional", "unpivot_measures",
     "scalar_subquery_filter", "exists_subquery", "error_safe_funcs",
+    "join_relational_division", "agg_winsorized_stats",
+    "events_attribution_last_touch",
 ]
 
 

@@ -775,3 +775,53 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
                                 F.lit("unattributed")).alias("src"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
                  F.round(F.sum("value"), 4).alias("attributed_value")))
+
+
+@query("events_pattern_match_sequence", oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS s
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'c[ve]*p')) AS BIGINT)
+         AS n_click_to_purchase,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+         AS n_error_bursts,
+       CAST(len(regexp_extract_all(s, 's[cve]*p')) AS BIGINT)
+         AS n_signup_to_purchase
+FROM seq
+""")
+def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PATTERN MATCHING (the MATCH_RECOGNIZE workaround every
+    engine without the clause uses): encode each user's event history as
+    a string of type initials in (ts, event_id) order, then count regex
+    occurrences — click-to-purchase journeys with only views/errors
+    between ('c[ve]*p'), error bursts ('ee+'), signup-to-purchase
+    ('s[cve]*p'). Regex scanning is greedy and non-overlapping in both
+    engines, so counts agree exactly; initials are distinct across the
+    5-type domain. The ordered encode is array_sort over (ts, event_id,
+    initial) structs — NOT a bare collect_list, whose order is partition
+    -dependent. One user-keyed shuffle; the regex pass is a narrow JVM
+    stage. At 100 TB: per-user state is the encoded string (~1 byte per
+    event); cap or window it per-quarter for unbounded histories — the
+    funnel twins (funnel_conversion/funnel_within_time) are the
+    join-based spelling that never materializes the sequence."""
+    ev = load(spark, sf_dir, "events")
+    enc = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    "ts", "event_id",
+                    F.substring("event_type", 1, 1).alias("ini")))),
+                lambda r: r["ini"]), "").alias("s"))
+    return enc.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.regexp_count("s", F.lit(r"c[ve]*p")).cast("bigint")
+         .alias("n_click_to_purchase"),
+        F.regexp_count("s", F.lit(r"ee+")).cast("bigint")
+         .alias("n_error_bursts"),
+        F.regexp_count("s", F.lit(r"s[cve]*p")).cast("bigint")
+         .alias("n_signup_to_purchase"))

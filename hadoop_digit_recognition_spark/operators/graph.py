@@ -407,3 +407,69 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.coalesce("new_lbl", F.col("node")).alias("lbl")))
     return labels.select(F.col("node").cast("bigint").alias("node"),
                          F.col("lbl").cast("bigint").alias("lbl"))
+
+
+# k-core threshold for the duplicate-cluster coring pass.
+KCORE_K = 2
+
+
+def _kcore_oracle() -> str:
+    from .dedup import _LSH_PAIRS_SQL
+    return f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       UNION SELECT doc_b, doc_a FROM pairs),
+d0 AS (SELECT u, count(*) AS d FROM e0 GROUP BY u),
+k1 AS (SELECT u FROM d0 WHERE d >= {KCORE_K}),
+e1 AS (SELECT e0.u, e0.v FROM e0
+       JOIN k1 a ON a.u = e0.u JOIN k1 b ON b.u = e0.v),
+d1 AS (SELECT u, count(*) AS d FROM e1 GROUP BY u),
+k2 AS (SELECT u FROM d1 WHERE d >= {KCORE_K}),
+e2 AS (SELECT e1.u, e1.v FROM e1
+       JOIN k2 a ON a.u = e1.u JOIN k2 b ON b.u = e1.v),
+d2 AS (SELECT u, count(*) AS d FROM e2 GROUP BY u)
+SELECT u AS doc_id, CAST(d AS BIGINT) AS core_degree
+FROM d2 WHERE d >= {KCORE_K}
+"""
+
+
+def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (2 unrolled peeling rounds, k=2) over the
+    near-duplicate pair graph: repeatedly remove nodes of degree < k,
+    keeping the tightly-knit duplicate communities — the template
+    families that survive peeling are exactly the boilerplate clusters a
+    single canonical-survivor pass underestimates (a chain of pairwise
+    near-dups peels away; a clique of mirrored pages stays). Two rounds
+    are unrolled for an oracle-exact fixed plan; the full fixpoint uses
+    dedup_connected_components' driver-loop skeleton (each round = one
+    degree aggregate + one semi-join, both keyed equi-shuffles — no
+    windows, no pair blowup beyond the edge list itself).
+
+    Scale: |edges| is the LSH candidate-pair volume (bounded by band
+    collisions, not n^2); each peel round shuffles edges once on u and
+    once on v. Peel rounds needed for full coreness is O(max core), but
+    hygiene pipelines cap at k<=3 — the 2-round form IS the production
+    query."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                   F.col("doc_a").alias("v")))
+         .distinct())
+    for _ in range(2):
+        deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+               .filter(F.col("d") >= KCORE_K).select("u"))
+        e = (e.join(deg, "u", "semi")
+             .join(deg.withColumnRenamed("u", "v"), "v", "semi"))
+    out = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+           .filter(F.col("d") >= KCORE_K))
+    return out.select(F.col("u").alias("doc_id"),
+                      F.col("d").cast("bigint").alias("core_degree"))
+
+
+def _register_kcore() -> None:
+    query("graph_kcore_dup_clusters", oracle=_kcore_oracle())(_kcore_impl)
+
+
+_register_kcore()

@@ -959,3 +959,45 @@ def corpus_crawl_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("seen").cast("bigint").alias("distinct_shingles"),
                 F.round(F.col("seen") * 1.0 / F.col("total"), 6)
                 .alias("frac_of_total")))
+
+
+# BPE-ish chunking for the fertility report: letter runs capped at 4,
+# digit runs capped at 3, any other non-space byte alone.
+_FERT_PAT = r"[a-z]{1,4}|[0-9]{1,3}|[^a-z0-9 ]"
+
+
+@query("corpus_tokenizer_fertility", oracle=f"""
+WITH t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '{_FERT_PAT}')) AS n_subtokens
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_subtokens) AS BIGINT) AS n_subtokens,
+       round(sum(n_subtokens) * 1.0 / sum(n_words), 6) AS fertility
+FROM t GROUP BY lang
+""")
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY report (subtokens emitted per whitespace word,
+    by language) — the metric multilingual-tokenizer evaluations use to
+    show which languages pay a token tax under a given vocabulary. The
+    stand-in tokenizer is a deterministic BPE-shaped regex chunker
+    (letter runs cap at 4 chars, digit runs at 3, other bytes alone);
+    greedy leftmost-longest scanning gives both engines identical
+    chunkings. Purely narrow per-doc counting folded into the scan +
+    one tiny keyed rollup — the per-language fertility table at 100 TB
+    is langs x 4 numbers from one combiner'd aggregate."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_FERT_PAT), 0))
+         .alias("n_subtokens"))
+    return (t.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_words").cast("bigint").alias("n_words"),
+                 F.sum("n_subtokens").cast("bigint").alias("n_subtokens"),
+                 F.round(F.sum("n_subtokens") * 1.0 / F.sum("n_words"), 6)
+                  .alias("fertility")))

@@ -60,6 +60,8 @@ LLM_QUERIES = [
     "text_ngram_novelty",
     "ml_ols_two_feature", "corpus_crawl_novelty_curve",
     "dedup_repeated_substrings", "corpus_length_bucket_batches",
+    "graph_kcore_dup_clusters", "events_pattern_match_sequence",
+    "corpus_tokenizer_fertility",
 ]
 
 

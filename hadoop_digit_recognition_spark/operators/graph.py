@@ -450,18 +450,40 @@ def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     once on v. Peel rounds needed for full coreness is O(max core), but
     hygiene pipelines cap at k<=3 — the 2-round form IS the production
     query."""
-    from .dedup import dedup_minhash_lsh
+    from ..session import pinned_shuffle
+    from .dedup import _SIG_CACHE, dedup_minhash_lsh
 
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-         .unionByName(pairs.select(F.col("doc_b").alias("u"),
-                                   F.col("doc_a").alias("v")))
-         .distinct())
-    for _ in range(2):
-        deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-               .filter(F.col("d") >= KCORE_K).select("u"))
-        e = (e.join(deg, "u", "semi")
-             .join(deg.withColumnRenamed("u", "v"), "v", "semi"))
+    # The unrolled peel references each round's edge list twice (degree
+    # + semi-join), so left lazy the LSH band join re-executes
+    # ~2^rounds times and every tiny join schedules one task per
+    # default shuffle partition (200 on an untuned driver session).
+    # Same cure as the CC loop: peel EAGERLY under pinned_shuffle,
+    # persisting each round; the peeled core edge list is memoized in
+    # the signatures' weak-keyed session cache (clear_signature_cache
+    # evicts it), since the peel is deterministic per (session, sf).
+    cache_key = f"kcore_core_edges::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and cache_key in per:
+        e = per[cache_key]
+    else:
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        e = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v")))
+             .distinct().persist())
+        with pinned_shuffle(spark):
+            e.count()  # materialize base edges under the pinned width
+            for _ in range(2):
+                deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+                       .filter(F.col("d") >= KCORE_K).select("u"))
+                new_e = (e.join(deg, "u", "semi")
+                         .join(deg.withColumnRenamed("u", "v"), "v", "semi")
+                         .persist())
+                new_e.count()  # eager: peel under the pinned width
+                e.unpersist()
+                e = new_e
+        _SIG_CACHE.setdefault(spark, {})[cache_key] = e
     out = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
            .filter(F.col("d") >= KCORE_K))
     return out.select(F.col("u").alias("doc_id"),

@@ -750,3 +750,95 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("true_label").cast("bigint").alias("true_label"),
                      F.col("pred_label").cast("bigint").alias("pred_label"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+# Matryoshka truncation dims audited against the full 64-dim ranking.
+MRL_DIMS = (16, 32)
+
+
+@query("sim_matryoshka_truncation_eval", oracle=f"""
+WITH e AS ({_E}),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos64,
+         round(list_cosine_similarity(q.emb[1:16], c.emb[1:16]), 6)
+           AS cos16,
+         round(list_cosine_similarity(q.emb[1:32], c.emb[1:32]), 6)
+           AS cos32
+  FROM q JOIN e c ON c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos64 DESC, cid) AS r64,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos16 DESC, cid) AS r16,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos32 DESC, cid) AS r32
+  FROM scored
+)
+SELECT qid,
+       CAST(sum(CASE WHEN r64 <= {TOP_K} AND r16 <= {TOP_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_16,
+       CAST(sum(CASE WHEN r64 <= {TOP_K} AND r32 <= {TOP_K}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_32,
+       round(sum(CASE WHEN r64 <= {TOP_K} AND r16 <= {TOP_K}
+                      THEN 1 ELSE 0 END) * 1.0
+             / (2 * {TOP_K} - sum(CASE WHEN r64 <= {TOP_K} AND r16 <= {TOP_K}
+                                       THEN 1 ELSE 0 END)), 6)
+         AS jaccard_16
+FROM ranked GROUP BY qid
+""")
+def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (MRL-style) truncation audit: how much of the exact
+    64-dim cosine top-k survives when embeddings are truncated to their
+    first 16 / 32 dimensions — the measurement that decides whether a
+    corpus can serve ANN from truncated prefixes (cheap index, fraction
+    of the I/O) and rerank with full vectors. Per query: top-5 overlap
+    counts at both truncations and the top-5 Jaccard at dim 16.
+
+    One broadcast-query pass scores all three similarities per pair
+    (slice + one dot each — no second scan of the corpus side), three
+    rank windows partitioned by qid, one rollup. Ranks order by the
+    ROUNDED cosine with cid tiebreak, so both engines cut identical
+    top-k sets. Scale: the pair stream is the exact-baseline BNLJ shape
+    (fixed query side, declared twin of the bucketed ANN paths); the
+    truncation audit itself adds only two extra dots per pair."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"))
+    def _cos(a, b):
+        return F.round(dot_col(a, b) / (l2norm_col(a) * l2norm_col(b)), 6)
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      _cos(F.col("qe"), F.col("ce")).alias("cos64"),
+                      _cos(F.slice("qe", 1, 16), F.slice("ce", 1, 16))
+                      .alias("cos16"),
+                      _cos(F.slice("qe", 1, 32), F.slice("ce", 1, 32))
+                      .alias("cos32")))
+    ranked = scored.select(
+        "qid", "cid",
+        F.row_number().over(W.partitionBy("qid")
+                            .orderBy(F.desc("cos64"), F.asc("cid")))
+         .alias("r64"),
+        F.row_number().over(W.partitionBy("qid")
+                            .orderBy(F.desc("cos16"), F.asc("cid")))
+         .alias("r16"),
+        F.row_number().over(W.partitionBy("qid")
+                            .orderBy(F.desc("cos32"), F.asc("cid")))
+         .alias("r32"))
+    hit16 = F.when((F.col("r64") <= TOP_K) & (F.col("r16") <= TOP_K), 1
+                   ).otherwise(0)
+    hit32 = F.when((F.col("r64") <= TOP_K) & (F.col("r32") <= TOP_K), 1
+                   ).otherwise(0)
+    return (ranked.groupBy("qid")
+            .agg(F.sum(hit16).cast("bigint").alias("n_overlap_16"),
+                 F.sum(hit32).cast("bigint").alias("n_overlap_32"),
+                 F.round(F.sum(hit16) * 1.0
+                         / (2 * TOP_K - F.sum(hit16)), 6)
+                  .alias("jaccard_16")))

@@ -736,3 +736,96 @@ def window_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (peaks.join(F.broadcast(carry), "day")
             .select("day", (F.col("c0") + F.col("mx")).cast("bigint")
                     .alias("peak_concurrency")))
+
+
+# Nearest-match tolerance for the bidirectional as-of join (micros).
+ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@query("asof_join_nearest", oracle=f"""
+WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'),
+b AS (SELECT p.event_id AS purchase_id, p.user_id, p.us,
+             c.event_id AS bid, c.us AS bus
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+f AS (SELECT p.event_id AS purchase_id, c.event_id AS fid, c.us AS fus
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts < c.ts),
+j AS (SELECT b.purchase_id, b.user_id,
+             b.bid, b.us - b.bus AS bdiff, f.fid, f.fus - b.us AS fdiff
+      FROM b LEFT JOIN f USING (purchase_id)),
+picked AS (
+  SELECT *,
+         CASE WHEN bid IS NOT NULL AND bdiff <= {ASOF_TOL_US}
+               AND (fid IS NULL OR fdiff > {ASOF_TOL_US}
+                    OR bdiff <= fdiff) THEN 'backward'
+              WHEN fid IS NOT NULL AND fdiff <= {ASOF_TOL_US}
+                   THEN 'forward'
+              ELSE 'none' END AS direction
+  FROM j)
+SELECT purchase_id, user_id, direction,
+       CASE direction WHEN 'backward' THEN bid
+                      WHEN 'forward' THEN fid END AS click_id,
+       CASE direction WHEN 'backward' THEN bdiff
+                      WHEN 'forward' THEN fdiff END AS diff_us
+FROM picked
+""")
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join, completing the family: backward (asof_join)
+    takes the latest match at-or-before, forward (asof_join_forward)
+    the earliest at-or-after — nearest takes whichever is CLOSER in
+    time, within a 1-hour tolerance, ties to the backward (earlier)
+    side, and keeps every probe row with an explicit direction column
+    ('backward'/'forward'/'none'). Pandas merge_asof(direction=
+    'nearest') semantics, relationally.
+
+    One union + ONE user-keyed shuffle computes both directions: the
+    backward carry is last_value IGNORE NULLS over [unbounded
+    preceding, current] and the forward carry first_value over
+    [current, unbounded following] on the SAME sort (ts, kind,
+    event_id; clicks' kind 0 sorts before purchases' kind 1, giving
+    >= backward and strictly-> forward, matching the oracle's ASOF
+    inequalities). Diffs compare in exact epoch micros — no float
+    time arithmetic. At 100 TB this is still one shuffle + one sorted
+    pass; the tolerance check is a narrow projection."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "ts_us", F.lit(0).alias("kind"),
+                      F.col("event_id"),
+                      F.col("event_id").alias("cid_tag"),
+                      F.col("ts_us").alias("cus_tag")))
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts", "ts_us", F.lit(1).alias("kind"),
+                     F.col("event_id"),
+                     F.lit(None).cast("long").alias("cid_tag"),
+                     F.lit(None).cast("long").alias("cus_tag")))
+    wb = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wf = (W.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    m = (clicks.unionByName(purch)
+         .withColumn("bid", F.last("cid_tag", ignorenulls=True).over(wb))
+         .withColumn("bus", F.last("cus_tag", ignorenulls=True).over(wb))
+         .withColumn("fid", F.first("cid_tag", ignorenulls=True).over(wf))
+         .withColumn("fus", F.first("cus_tag", ignorenulls=True).over(wf))
+         .filter(F.col("kind") == 1))
+    bdiff = F.col("ts_us") - F.col("bus")
+    fdiff = F.col("fus") - F.col("ts_us")
+    direction = (
+        F.when(F.col("bid").isNotNull() & (bdiff <= ASOF_TOL_US)
+               & (F.col("fid").isNull() | (fdiff > ASOF_TOL_US)
+                  | (bdiff <= fdiff)), "backward")
+        .when(F.col("fid").isNotNull() & (fdiff <= ASOF_TOL_US), "forward")
+        .otherwise("none"))
+    m = m.withColumn("direction", direction)
+    return m.select(
+        F.col("event_id").alias("purchase_id"), "user_id", "direction",
+        F.when(F.col("direction") == "backward", F.col("bid"))
+         .when(F.col("direction") == "forward", F.col("fid"))
+         .alias("click_id"),
+        F.when(F.col("direction") == "backward", bdiff)
+         .when(F.col("direction") == "forward", fdiff)
+         .alias("diff_us"))

@@ -62,6 +62,7 @@ LLM_QUERIES = [
     "dedup_repeated_substrings", "corpus_length_bucket_batches",
     "graph_kcore_dup_clusters", "events_pattern_match_sequence",
     "corpus_tokenizer_fertility",
+    "asof_join_nearest", "sim_matryoshka_truncation_eval",
 ]
 
 

@@ -825,3 +825,99 @@ def events_pattern_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame
          .alias("n_error_bursts"),
         F.regexp_count("s", F.lit(r"s[cve]*p")).cast("bigint")
          .alias("n_signup_to_purchase"))
+
+
+@query("timeseries_seasonal_decompose", oracle="""
+WITH h AS (SELECT date_trunc('hour', ts) AS hts, count(*) AS n,
+                  avg(value) AS hm
+           FROM events GROUP BY 1),
+g AS (SELECT avg(hm) AS om FROM h),
+s AS (SELECT extract(hour FROM hts) AS hod, avg(hm) AS sm
+      FROM h GROUP BY 1),
+t AS (SELECT date_trunc('day', hts) AS d, avg(hm) AS tm
+      FROM h GROUP BY 1)
+SELECT h.hts AS hour_ts, CAST(h.n AS BIGINT) AS n,
+       round(h.hm, 6) AS hourly_mean,
+       round(s.sm - g.om, 6) AS seasonal,
+       round(t.tm, 6) AS trend,
+       round(h.hm - t.tm - (s.sm - g.om), 6) AS resid
+FROM h
+JOIN s ON extract(hour FROM h.hts) = s.hod
+JOIN t ON date_trunc('day', h.hts) = t.d
+CROSS JOIN g
+""")
+def timeseries_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE SEASONAL DECOMPOSITION (STL-lite): hourly series split
+    into trend (daily mean), seasonality (hour-of-day mean, centered on
+    the overall mean), and residual — the classical decomposition
+    monitoring pipelines run before alerting on the residual (the MAD /
+    rolling-zscore operators' upstream). Means stay UNROUNDED through
+    the arithmetic; only outputs round, so both engines subtract
+    identical doubles.
+
+    One keyed hourly aggregate, then three TINY grouped means (24-row
+    seasonal, days-count trend, 1-row overall) broadcast back onto the
+    hourly frame — no windows, no second pass over raw events. At
+    100 TB the raw-event aggregate is the only corpus-wide shuffle;
+    everything after operates on hours-count rows."""
+    ev = load(spark, sf_dir, "events")
+    h = (ev.groupBy(F.date_trunc("hour", "ts").alias("hts"))
+         .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("hm")))
+    g = h.agg(F.avg("hm").alias("om"))
+    s = (h.groupBy(F.hour("hts").alias("hod"))
+         .agg(F.avg("hm").alias("sm")))
+    t = (h.groupBy(F.date_trunc("day", "hts").alias("d"))
+         .agg(F.avg("hm").alias("tm")))
+    return (h.join(F.broadcast(s), F.hour(h.hts) == s.hod)
+            .join(F.broadcast(t), F.date_trunc("day", h.hts) == t.d)
+            .crossJoin(F.broadcast(g))
+            .select(F.col("hts").alias("hour_ts"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round("hm", 6).alias("hourly_mean"),
+                    F.round(F.col("sm") - F.col("om"), 6).alias("seasonal"),
+                    F.round("tm", 6).alias("trend"),
+                    F.round(F.col("hm") - F.col("tm")
+                            - (F.col("sm") - F.col("om")), 6)
+                    .alias("resid")))
+
+
+# LTV decay time constant (days): weight = exp(-age_days / 30).
+LTV_TAU_DAYS = 30.0
+
+
+@query("events_ltv_decayed", oracle=f"""
+WITH ref AS (SELECT max(epoch_us(ts)) AS rus FROM events),
+p AS (SELECT user_id, value,
+             (ref.rus - epoch_us(ts)) / 86400000000.0 AS age_days
+      FROM events CROSS JOIN ref
+      WHERE event_type = 'purchase')
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS ltv_raw,
+       round(sum(value * exp(-age_days / {LTV_TAU_DAYS})), 4)
+         AS ltv_decayed
+FROM p GROUP BY user_id
+""")
+def events_ltv_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY-DECAYED lifetime value: each purchase weighted by
+    exp(-age/30d) relative to the dataset's newest event — the recency
+    weighting CRM scoring uses so a year-old spike stops dominating
+    (the step beyond events_rfm_segmentation's hard quartile cut).
+    Age is computed in exact epoch micros before the one float divide;
+    the reference instant is a 1-row scalar cross-joined in-plan (no
+    driver round trip). One combiner'd user-keyed aggregate; the only
+    cross-engine float exposure is exp(), whose ulp-level drift
+    disappears at round-4 over sums of O(100) terms."""
+    ev = load(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts_us").alias("rus"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .crossJoin(F.broadcast(ref))
+         .select("user_id", "value",
+                 ((F.col("rus") - F.col("ts_us")) / 86400000000.0)
+                 .alias("age_days")))
+    return (p.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                 F.round(F.sum("value"), 4).alias("ltv_raw"),
+                 F.round(F.sum(F.col("value")
+                               * F.exp(-F.col("age_days") / LTV_TAU_DAYS)),
+                         4).alias("ltv_decayed")))

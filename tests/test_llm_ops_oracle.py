@@ -63,6 +63,7 @@ LLM_QUERIES = [
     "graph_kcore_dup_clusters", "events_pattern_match_sequence",
     "corpus_tokenizer_fertility",
     "asof_join_nearest", "sim_matryoshka_truncation_eval",
+    "timeseries_seasonal_decompose", "events_ltv_decayed",
 ]
 
 

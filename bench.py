@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_semantic_semdedup",
     "corpus_shard_assign",
     "sim_hybrid_bm25_rerank",
+    "dedup_repeated_substrings",
+    "asof_join_nearest",
 ]
 
 

@@ -27,7 +27,9 @@ _SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
                       "dedup_incremental", "pipeline_llm_corpus",
                       "corpus_dedup_cascade",
                       "text_quality_filter_approx", "timeseries_gapfill",
-                      "rbm_cd1_two_epochs"}
+                      "rbm_cd1_two_epochs",
+                      # eager peel loop (persist+count per round, CC-style)
+                      "graph_kcore_dup_clusters"}
 
 # declared all-pairs / nested-loop queries (test-SF ground truth or
 # intentionally non-equi): the only places cartesian-family joins may appear
@@ -46,7 +48,16 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # pairwise sketch comparison: the all-pairs join is over
                 # the 5-row TYPE table and 256-row register state — model
                 # state x model state, never data x data
-                "sketch_hll_intersection"}
+                "sketch_hll_intersection",
+                # broadcast-query-side exact all-pairs baseline, the
+                # declared twin of the bucketed ANN paths (sim_topk_cosine
+                # precedent)
+                "sim_matryoshka_truncation_eval",
+                # 1-ROW SCALAR broadcast cross joins (divisor cardinality /
+                # overall mean / reference instant) — model state crossed
+                # into the stream, never data x data
+                "join_relational_division", "timeseries_seasonal_decompose",
+                "events_ltv_decayed"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -921,3 +921,112 @@ def events_ltv_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("value")
                                * F.exp(-F.col("age_days") / LTV_TAU_DAYS)),
                          4).alias("ltv_decayed")))
+
+
+@query("events_bot_detection", oracle="""
+WITH g AS (
+  SELECT user_id, epoch_us(ts)
+           - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS gap_us
+  FROM events),
+m AS (
+  SELECT user_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_events,
+         avg(gap_us) AS mg,
+         sqrt(greatest(avg((gap_us * 1.0) * (gap_us * 1.0))
+                       - avg(gap_us) * avg(gap_us), 0)) AS sg
+  FROM g WHERE gap_us IS NOT NULL
+  GROUP BY user_id HAVING count(*) >= 3),
+c AS (SELECT user_id, n_events,
+             round(sg / mg, 6) AS gap_cv FROM m),
+thr AS (SELECT round(quantile_cont(gap_cv, 0.1), 9) AS t FROM c)
+SELECT c.user_id, c.n_events, c.gap_cv,
+       c.gap_cv <= thr.t AS suspected_bot
+FROM c CROSS JOIN thr
+""")
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / AUTOMATION detection by inter-arrival REGULARITY: humans
+    produce bursty (high-variance) event gaps, schedulers produce
+    metronomic ones — the coefficient of variation (std/mean of the
+    per-user gap sequence) is the classic web-log heuristic, and the
+    flag marks the most-regular decile. The corpus-hygiene twin of the
+    rate filters: crawl pipelines drop machine traffic before any
+    quality scoring sees it.
+
+    Gaps are exact epoch-micro integers from one user-keyed lag window;
+    variance uses the one-pass E[X^2]-E[X]^2 form (gap counts are
+    bounded per user, catastrophic cancellation is not in play at these
+    magnitudes, and the CV rounds to 6 before the threshold compare).
+    The decile threshold is a SCALAR SUBQUERY over the per-user frame
+    (users-count rows, not events) rounded to 9 digits so an
+    interpolation last-bit cannot flip a boundary user between engines.
+    At 100 TB: one events-wide shuffle on user_id; everything after is
+    user-cardinality."""
+    import uuid as _uuid
+
+    ev = load(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (ev.select("user_id",
+                   (F.col("ts_us") - F.lag("ts_us").over(wl)).alias("gap_us"))
+         .filter(F.col("gap_us").isNotNull()))
+    m = (g.groupBy("user_id")
+         .agg((F.count(F.lit(1)) + 1).cast("bigint").alias("n_events"),
+              F.avg("gap_us").alias("mg"),
+              F.sqrt(F.greatest(
+                  F.avg(F.col("gap_us").cast("double")
+                        * F.col("gap_us").cast("double"))
+                  - F.avg("gap_us") * F.avg("gap_us"), F.lit(0.0)))
+              .alias("sg"))
+         .filter(F.col("n_events") >= 4))
+    c = m.select("user_id", "n_events",
+                 F.round(F.col("sg") / F.col("mg"), 6).alias("gap_cv"))
+    v = f"hdr_botdetect_{_uuid.uuid4().hex[:8]}"
+    c.createOrReplaceTempView(v)
+    out = spark.sql(f"""
+        SELECT user_id, n_events, gap_cv,
+               gap_cv <= (SELECT round(percentile(gap_cv, 0.1), 9)
+                          FROM {v}) AS suspected_bot
+        FROM {v}""")
+    spark.catalog.dropTempView(v)
+    return out
+
+
+@query("agg_hhi_concentration", oracle="""
+WITH r AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+t AS (SELECT s_nationkey, sum(rev) AS tot,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM r GROUP BY s_nationkey)
+SELECT n.n_name, t.n_suppliers,
+       round(sum((r.rev / t.tot) * (r.rev / t.tot)), 6) AS hhi
+FROM r
+JOIN t ON t.s_nationkey = r.s_nationkey
+JOIN nation n ON n.n_nationkey = r.s_nationkey
+GROUP BY n.n_name, t.n_suppliers
+""")
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration index: per nation, the sum of
+    squared supplier revenue shares — the antitrust-style concentration
+    metric, and operationally the SHUFFLE-SKEW predictor cousin of
+    events_power_user_gini (an HHI near 1 means one supplier key holds
+    the partition). Two combiner'd keyed aggregates (supplier revenue,
+    then nation totals) + a broadcast of the nations-sized total table;
+    shares divide UNROUNDED totals and only the final HHI rounds."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = (li.join(s, li.l_suppkey == s.s_suppkey)
+         .groupBy("s_nationkey", "l_suppkey")
+         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .alias("rev")))
+    t = (r.groupBy("s_nationkey")
+         .agg(F.sum("rev").alias("tot"),
+              F.count(F.lit(1)).cast("bigint").alias("n_suppliers")))
+    share = F.col("rev") / F.col("tot")
+    return (r.join(F.broadcast(t), "s_nationkey")
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .groupBy("n_name", "n_suppliers")
+            .agg(F.round(F.sum(share * share), 6).alias("hhi")))

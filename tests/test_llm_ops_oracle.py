@@ -64,6 +64,7 @@ LLM_QUERIES = [
     "corpus_tokenizer_fertility",
     "asof_join_nearest", "sim_matryoshka_truncation_eval",
     "timeseries_seasonal_decompose", "events_ltv_decayed",
+    "events_bot_detection", "agg_hhi_concentration",
 ]
 
 

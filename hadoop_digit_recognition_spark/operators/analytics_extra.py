@@ -1030,3 +1030,51 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
             .groupBy("n_name", "n_suppliers")
             .agg(F.round(F.sum(share * share), 6).alias("hhi")))
+
+
+@query("events_dau_wau_mau", oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+wau AS (SELECT a.d, CAST(count(DISTINCT b.user_id) AS BIGINT) AS wau
+        FROM dau a JOIN du b ON b.d BETWEEN a.d - 6 AND a.d
+        GROUP BY a.d),
+mau AS (SELECT a.d, CAST(count(DISTINCT b.user_id) AS BIGINT) AS mau
+        FROM dau a JOIN du b ON b.d BETWEEN a.d - 29 AND a.d
+        GROUP BY a.d)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau, mau.mau,
+       round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+""")
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU active-user counts with the DAU/WAU stickiness
+    ratio — the product-analytics staple. Spark cannot COUNT(DISTINCT)
+    over a window frame, and the obvious day-grid range join is
+    non-equi; instead each (day, user) activity row EXPLODES into the
+    7/30 future report days it supports, turning both trailing
+    distinct counts into plain combiner'd equi-aggregations — the
+    scale-correct shape (30x row multiply of the tiny user-day frame,
+    zero non-equi joins; the oracle spells the same semantics as a
+    range join over the day dimension). Report days are restricted to
+    observed activity days by joining back onto the DAU frame.
+    At 100 TB the user-day distinct frame is the only events-wide
+    shuffle; everything after is (days x users) sized."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = (du.groupBy("d")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("dau")))
+    def _trailing(n_days: int, alias: str) -> DataFrame:
+        exp = du.select(
+            F.explode(F.expr(
+                f"sequence(d, date_add(d, {n_days - 1}), interval 1 day)"))
+            .alias("td"), "user_id")
+        return (exp.groupBy("td")
+                .agg(F.count_distinct("user_id").cast("bigint")
+                     .alias(alias)))
+    wau = _trailing(7, "wau")
+    mau = _trailing(30, "mau")
+    return (dau.join(wau, dau.d == wau.td)
+            .join(mau, dau.d == mau.td)
+            .select(F.date_format(dau.d, "yyyy-MM-dd").alias("day"),
+                    "dau", "wau", "mau",
+                    F.round(F.col("dau") * 1.0 / F.col("wau"), 6)
+                    .alias("stickiness")))

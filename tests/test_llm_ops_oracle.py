@@ -65,6 +65,7 @@ LLM_QUERIES = [
     "asof_join_nearest", "sim_matryoshka_truncation_eval",
     "timeseries_seasonal_decompose", "events_ltv_decayed",
     "events_bot_detection", "agg_hhi_concentration",
+    "events_dau_wau_mau",
 ]
 
 

@@ -697,3 +697,53 @@ def ml_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
                     F.round(b2, 6).alias("b2"),
                     F.round(1 - sse / sst, 6).alias("r2"))
+
+
+@query("ml_auc_rank_sum", oracle="""
+WITH s AS (SELECT vec_id, CAST(label % 2 AS INTEGER) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS score
+           FROM embeddings),
+r AS (SELECT y, row_number() OVER (ORDER BY score, vec_id) AS rk FROM s),
+a AS (SELECT CAST(sum(CASE WHEN y = 1 THEN rk END) AS DOUBLE) AS rs,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM r)
+SELECT n_pos, n_neg,
+       round((rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+         AS auc
+FROM a
+""")
+def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank-sum identity
+    (AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)) — the
+    closed-form evaluation metric next to the accuracy/confusion heads
+    (ml_logreg_eval, ml_knn_classifier_eval): no thresholds swept, no
+    trapezoid, one global rank. Binary target is label parity; the
+    scored feature is the first embedding coordinate (a deliberately
+    weak scorer — AUC lands near 0.5, exercising both rank tails).
+    Ranks break score ties by vec_id, so the statistic is deterministic
+    even with duplicated scores (documented variant of average-rank tie
+    handling; the fixture's float scores are tie-free anyway).
+
+    The global row_number is the one scale caveat: at 100 TB rank by
+    (a) range-partitioned sort + per-partition offsets (the
+    corpus_shard_assign two-phase prefix sum), not a single-partition
+    window — the one-shot window form here IS that plan at test SF
+    because the scored frame is vectors-count sized, not corpus-sized."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id", (F.col("label") % 2).cast("int").alias("y"),
+        F.col("embedding")[0].cast("double").alias("score"))
+    r = s.select("y", F.row_number().over(
+        W.orderBy("score", "vec_id")).alias("rk"))
+    a = r.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("rk"))).cast("double")
+         .alias("rs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"))
+    return a.select(
+        "n_pos", "n_neg",
+        F.round((F.col("rs") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))

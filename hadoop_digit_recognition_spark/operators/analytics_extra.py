@@ -1078,3 +1078,67 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "dau", "wau", "mau",
                     F.round(F.col("dau") * 1.0 / F.col("wau"), 6)
                     .alias("stickiness")))
+
+
+# Hampel filter geometry: +-HAMPEL_HALF-row frame, k * 1.4826 * MAD fence.
+HAMPEL_HALF, HAMPEL_K = 10, 3.0
+
+
+@query("window_outlier_hampel", oracle=f"""
+WITH med AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.5) OVER w AS med
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                        AND {HAMPEL_HALF} FOLLOWING)),
+mad AS (
+  SELECT event_id, event_type, value, med,
+         quantile_cont(abs(value - med), 0.5) OVER w AS mad
+  FROM med
+  WINDOW w AS (PARTITION BY event_type ORDER BY med, event_id
+               ROWS BETWEEN {HAMPEL_HALF} PRECEDING
+                        AND {HAMPEL_HALF} FOLLOWING))
+SELECT event_id, event_type, value,
+       round(med, 6) AS med, round(mad, 6) AS mad,
+       round(abs(value - med), 9)
+         > round({HAMPEL_K} * 1.4826 * mad, 9) AS is_outlier
+FROM mad
+""")
+def window_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAMPEL FILTER (rolling-median outlier detection): each point is
+    fenced at k * 1.4826 * rolling-MAD around its +-10-row rolling
+    median — the robust despiking filter sensor/metrics pipelines
+    prefer over z-scores (one spike cannot drag its own threshold).
+    This is the standard two-pass SQL variant: pass 1 computes each
+    point's rolling median; pass 2 takes a rolling median of the
+    |value - own-median| deviations (the exact Hampel recomputes
+    deviations against the CENTER's median per frame, which no frame-
+    aggregate can express; the two-pass variant is the documented,
+    deterministic stand-in and both engines compute it identically).
+    Both fence sides round to 9 digits before comparison so holistic-
+    aggregate interpolation bit-drift cannot flip a boundary point.
+
+    Two event_type-keyed window passes (the second re-sorts by the
+    pass-1 median — any deterministic total order works, it only fixes
+    the frame contents); holistic median aggregates buffer one frame
+    (21 rows) per position. At 100 TB: same single-key shuffle as every
+    windows-family operator; frames never cross partition keys."""
+    ev = load(spark, sf_dir, "events")
+    w1 = (W.partitionBy("event_type").orderBy("ts", "event_id")
+          .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF))
+    med = ev.select(
+        "event_id", "event_type", "value",
+        F.percentile("value", F.lit(0.5)).over(w1).alias("med"))
+    w2 = (W.partitionBy("event_type").orderBy("med", "event_id")
+          .rowsBetween(-HAMPEL_HALF, HAMPEL_HALF))
+    mad = med.withColumn(
+        "mad",
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+         .over(w2))
+    return mad.select(
+        "event_id", "event_type", "value",
+        F.round("med", 6).alias("med"), F.round("mad", 6).alias("mad"),
+        (F.round(F.abs(F.col("value") - F.col("med")), 9)
+         > F.round(HAMPEL_K * 1.4826 * F.col("mad"), 9))
+        .alias("is_outlier"))

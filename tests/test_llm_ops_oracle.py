@@ -66,6 +66,7 @@ LLM_QUERIES = [
     "timeseries_seasonal_decompose", "events_ltv_decayed",
     "events_bot_detection", "agg_hhi_concentration",
     "events_dau_wau_mau",
+    "ml_auc_rank_sum", "window_outlier_hampel",
 ]
 
 

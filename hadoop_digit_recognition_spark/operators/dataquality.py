@@ -217,3 +217,39 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(rel, 6).alias("rel_drift"),
                     F.when(rel.isNotNull() & (F.abs(rel) > 0.10), 1)
                     .otherwise(0).cast("bigint").alias("flagged")))
+
+
+# k-anonymity threshold and the quasi-identifier size-bucket width.
+K_ANON, QI_BUCKET = 5, 32
+
+
+@query("dq_k_anonymity", oracle=f"""
+WITH g AS (SELECT lang, source, n_chars // {QI_BUCKET} AS size_bucket,
+                  count(*) AS n
+           FROM documents GROUP BY 1, 2, 3)
+SELECT lang, source, CAST(size_bucket AS BIGINT) AS size_bucket,
+       CAST(n AS BIGINT) AS group_size,
+       n < {K_ANON} AS violates_k
+FROM g
+""")
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (privacy/governance gate): group the corpus by
+    its quasi-identifier tuple (lang, source, bucketed length) and flag
+    every equivalence class smaller than k=5 — the classes a release
+    pipeline must suppress or generalize before the data leaves the
+    boundary, and the census-style re-identification check that
+    precedes any sharing of 'anonymized' corpora. Composes with
+    text_pii_redact (direct identifiers) the way real governance
+    stacks layer the two.
+
+    One combiner'd grouped count over the QI tuple — identical scale
+    shape to dedup_exact's survivor aggregate; generalization ladders
+    (widen the bucket, drop a QI) only change the group key."""
+    docs = load(spark, sf_dir, "documents")
+    g = (docs.groupBy(
+            "lang", "source",
+            F.floor(F.col("n_chars") / QI_BUCKET).cast("bigint")
+             .alias("size_bucket"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("group_size")))
+    return g.select("lang", "source", "size_bucket", "group_size",
+                    (F.col("group_size") < K_ANON).alias("violates_k"))

@@ -67,6 +67,7 @@ LLM_QUERIES = [
     "events_bot_detection", "agg_hhi_concentration",
     "events_dau_wau_mau",
     "ml_auc_rank_sum", "window_outlier_hampel",
+    "dq_k_anonymity",
 ]
 
 

@@ -187,6 +187,13 @@ def test_chunking_covers_and_overlaps(words):
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "corpus_balanced_sample",
+    # round-5 late additions with window/rank/percentile state
+    "dedup_repeated_substrings",
+    "graph_kcore_dup_clusters",
+    "events_bot_detection",
+    "events_dau_wau_mau",
+    "window_outlier_hampel",
+    "ml_auc_rank_sum",
 ])
 def test_result_invariant_to_shuffle_width(spark, name):
     """Engine-wide analog of the A4 invariant: results of hash-keyed and

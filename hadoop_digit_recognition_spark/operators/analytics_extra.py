@@ -1142,3 +1142,55 @@ def window_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.abs(F.col("value") - F.col("med")), 9)
          > F.round(HAMPEL_K * 1.4826 * F.col("mad"), 9))
         .alias("is_outlier"))
+
+
+# SRM chi-square critical value at alpha=0.05, df=1.
+SRM_CHI2_CRIT = 3.841459
+
+
+@query("events_ab_srm_check", oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (SELECT user_id,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 2 AS arm
+         FROM u),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM arms)
+SELECT n_users, n_a, n_b,
+       round((n_a - n_b) * (n_a - n_b) * 1.0 / n_users, 6) AS chi2,
+       (n_a - n_b) * (n_a - n_b) * 1.0 / n_users > {SRM_CHI2_CRIT}
+         AS srm_detected
+FROM c
+""")
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH guardrail for A/B experiments: users are
+    assigned to arms by the engine's deterministic content hash (the
+    sample_deterministic convention — same split on any cluster, any
+    partitioning, any engine), and the observed split is chi-square
+    tested against the intended 50/50 (for a two-arm equal split the
+    statistic reduces to (n_a - n_b)^2 / n). SRM is THE validity gate
+    run before ab_test_welch ever reads a metric: a mismatched ratio
+    means broken assignment/logging, not a treatment effect.
+
+    One distinct + one 1-row conditional aggregate — combiner'd keyed
+    shuffle for the distinct, nothing else scales with volume."""
+    ev = load(spark, sf_dir, "events")
+    from ..functions.vector import det_hash64
+
+    u = ev.select("user_id").distinct()
+    arm = det_hash64(F.col("user_id").cast("string")) % 2
+    c = u.select(arm.alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint")
+         .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint")
+         .alias("n_b"))
+    chi2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+            * 1.0 / F.col("n_users"))
+    return c.select("n_users", "n_a", "n_b",
+                    F.round(chi2, 6).alias("chi2"),
+                    (chi2 > SRM_CHI2_CRIT).alias("srm_detected"))

@@ -807,3 +807,98 @@ def corpus_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - F.col("real_tokens") * 1.0
                             / (F.col("n_docs") * F.col("bucket")), 6)
                     .alias("pad_frac")))
+
+
+@query("corpus_dataset_card", oracle="""
+WITH t AS (SELECT doc_id, lang, text,
+                  string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, lang, len(w) AS n,
+             round(0.4 * least(len(w) / 100.0, 1.0)
+                   + 0.6 * (len(list_distinct(w)) * 1.0 / len(w)), 6)
+               AS quality,
+             md5(text) AS h
+      FROM t)
+SELECT 'volume' AS section, 'n_docs' AS metric,
+       count(*) * 1.0 AS value FROM m
+UNION ALL
+SELECT 'volume', 'n_tokens', sum(n) * 1.0 FROM m
+UNION ALL
+SELECT 'volume', 'avg_tokens', round(avg(n), 6) FROM m
+UNION ALL
+SELECT 'lang_share', lang, round(count(*) * 1.0
+         / (SELECT count(*) FROM m), 6)
+FROM m GROUP BY lang
+UNION ALL
+SELECT 'quality', 'p25', round(quantile_cont(quality, 0.25), 6) FROM m
+UNION ALL
+SELECT 'quality', 'p50', round(quantile_cont(quality, 0.50), 6) FROM m
+UNION ALL
+SELECT 'quality', 'p75', round(quantile_cont(quality, 0.75), 6) FROM m
+UNION ALL
+SELECT 'dedup', 'exact_dup_frac',
+       round(1.0 - count(DISTINCT h) * 1.0 / count(*), 6) FROM m
+""")
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD report: the one-query corpus summary a release ships
+    with — volume (docs/tokens), language composition, quality-score
+    quartiles, and the exact-duplicate fraction — in long (section,
+    metric, value) format so downstream tooling diffs cards across
+    snapshots (dq_profile_drift's shape, corpus-wide). Composes the
+    engine's own building blocks: the text_quality_score formula, the
+    dedup_exact content hash, the lang shares corpus_temperature_mix
+    reweights.
+
+    One scan feeds every branch (docs -> tokenized/hashed frame, then
+    cheap aggregates unioned); each branch is a combiner'd global or
+    lang-keyed aggregate — no joins, no windows. At 100 TB: this is
+    the report you compute INCREMENTALLY per partition-drop and merge,
+    exactly like the HLL rollup family; the one holistic piece
+    (quality quartiles) swaps to approx_percentile / sketch_quantiles
+    at that scale."""
+    # The card's branches all derive from one tokenized/hashed frame;
+    # persist it ONCE per (session, sf) in the shared weak-keyed cache
+    # (clear_signature_cache evicts it) instead of leaking a fresh cache
+    # entry per invocation — the ml_naive_bayes_langid pattern.
+    from .dedup import _SIG_CACHE
+
+    cache_key = f"dataset_card_m::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and cache_key in per:
+        m = per[cache_key]
+    else:
+        docs = load_parallel(spark, sf_dir, "documents")
+        w = F.split("text", " ")
+        m = docs.select(
+            "lang",
+            F.size(w).alias("n"),
+            F.round(0.4 * F.least(F.size(w) / 100.0, F.lit(1.0))
+                    + 0.6 * (F.size(F.array_distinct(w)) * 1.0
+                             / F.size(w)), 6)
+            .alias("quality"),
+            F.md5("text").alias("h")).persist()
+        _SIG_CACHE.setdefault(spark, {})[cache_key] = m
+    sec = lambda s, met, val: (  # noqa: E731
+        m.agg(val.alias("value"))
+        .select(F.lit(s).alias("section"), F.lit(met).alias("metric"),
+                "value"))
+    n_docs = m.count()  # materializes the persisted frame; reused below
+    vol = [
+        sec("volume", "n_docs", F.count(F.lit(1)) * 1.0),
+        sec("volume", "n_tokens", F.sum("n") * 1.0),
+        sec("volume", "avg_tokens", F.round(F.avg("n"), 6)),
+    ]
+    lang = (m.groupBy("lang")
+            .agg(F.round(F.count(F.lit(1)) * 1.0 / n_docs, 6)
+                 .alias("value"))
+            .select(F.lit("lang_share").alias("section"),
+                    F.col("lang").alias("metric"), "value"))
+    qs = [sec("quality", f"p{int(q * 100)}",
+              F.round(F.percentile("quality", F.lit(q)), 6))
+          for q in (0.25, 0.50, 0.75)]
+    dup = sec("dedup", "exact_dup_frac",
+              F.round(1.0 - F.count_distinct("h") * 1.0
+                      / F.count(F.lit(1)), 6))
+    out = vol[0]
+    for piece in vol[1:] + [lang] + qs + [dup]:
+        out = out.unionByName(piece)
+    return out

@@ -67,7 +67,7 @@ LLM_QUERIES = [
     "events_bot_detection", "agg_hhi_concentration",
     "events_dau_wau_mau",
     "ml_auc_rank_sum", "window_outlier_hampel",
-    "dq_k_anonymity", "events_ab_srm_check",
+    "dq_k_anonymity", "events_ab_srm_check", "corpus_dataset_card",
 ]
 
 

@@ -64,3 +64,48 @@ def test_every_rows_only_query_is_justified_and_bounded():
         assert reason.strip(), name
         assert test_name in defined, (
             f"{name} names bounding test {test_name!r} which does not exist")
+
+
+def test_driver_window_rotation_order():
+    """The registry reorder that rotates the driver's fixed-size
+    correctness window must (a) put any query whose MOST RECENT driver
+    row was red at the very front, (b) order the rest by how many
+    rounds have sampled them (never-sampled first), and (c) be a pure
+    permutation — recomputed here independently against the real
+    CORRECTNESS_r*.json files."""
+    import glob as _glob
+    import json
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    times_seen: dict[str, int] = {}
+    last_green: dict[str, bool] = {}
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            times_seen[name] = times_seen.get(name, 0) + 1
+            last_green[name] = (row.get("hash_match") is True
+                                or row.get("err") == "no_oracle")
+    if not times_seen:
+        return  # round 1: nothing to rotate against
+    names = list(SPARK_QUERIES)
+    assert len(names) == len(set(names))
+
+    def key(n):
+        return (-1 if last_green.get(n, True) is False
+                else times_seen.get(n, 0))
+
+    keys = [key(n) for n in names]
+    assert keys == sorted(keys), (
+        "registry order does not rotate the driver window: first "
+        "out-of-order entry at index "
+        f"{next(i for i in range(len(keys) - 1) if keys[i] > keys[i + 1])}")
+    # every historically-red name (if still registered) sits before any
+    # never-sampled one
+    reds = [n for n in names if last_green.get(n) is False]
+    if reds:
+        last_red_idx = max(names.index(n) for n in reds)
+        first_unseen = next((i for i, n in enumerate(names)
+                             if n not in times_seen), len(names))
+        assert last_red_idx < first_unseen

@@ -1194,3 +1194,102 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("n_users", "n_a", "n_b",
                     F.round(chi2, 6).alias("chi2"),
                     (chi2 > SRM_CHI2_CRIT).alias("srm_detected"))
+
+
+# ABC (Pareto) class boundaries on cumulative revenue share.
+ABC_A, ABC_B = 0.80, 0.95
+
+
+@query("agg_abc_pareto", oracle=f"""
+WITH r AS (SELECT l_partkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+           FROM lineitem GROUP BY l_partkey),
+t AS (SELECT sum(rev) AS tot FROM r),
+c AS (SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS crev
+      FROM r)
+SELECT c.l_partkey, c.rev,
+       round(c.crev / t.tot, 6) AS cum_share,
+       CASE WHEN (c.crev - c.rev) / t.tot < {ABC_A} THEN 'A'
+            WHEN (c.crev - c.rev) / t.tot < {ABC_B} THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c CROSS JOIN t
+""")
+def agg_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / PARETO CLASSIFICATION: parts ranked by revenue, classed A
+    (first 80% of cumulative share), B (next 15%), C (tail) — the
+    inventory-analysis classic, and operationally the skew triage
+    report (class-A keys are the ones that need salting). Class
+    membership tests the share accumulated BEFORE the item, so the
+    top item is always A regardless of its own mass.
+
+    Engine-stability: per-part revenues round to 4 BEFORE ranking and
+    accumulation, so both engines run the running sum over identical
+    doubles in the identical (rev desc, partkey) order — sequential
+    IEEE addition in the same order is bit-deterministic; only the
+    grand-total division can differ in the last bit, far from the
+    class boundaries. The global cumulative window is single-partition
+    at test SF; at 100 TB use range-partitioned two-phase prefix sums
+    (corpus_shard_assign's pattern) — class semantics are unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    r = (li.groupBy("l_partkey")
+         .agg(F.round(F.sum(F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))), 4).alias("rev")))
+    t = r.agg(F.sum("rev").alias("tot"))
+    wc = (W.orderBy(F.desc("rev"), F.asc("l_partkey"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    c = r.withColumn("crev", F.sum("rev").over(wc))
+    prev_share = (F.col("crev") - F.col("rev")) / F.col("tot")
+    return (c.crossJoin(F.broadcast(t))
+            .select("l_partkey", "rev",
+                    F.round(F.col("crev") / F.col("tot"), 6)
+                    .alias("cum_share"),
+                    F.when(prev_share < ABC_A, "A")
+                     .when(prev_share < ABC_B, "B")
+                     .otherwise("C").alias("abc_class")))
+
+
+# SLO error budget: share of events allowed to be errors.
+SLO_ERR_BUDGET = 0.25
+
+
+@query("events_slo_burn_rate", oracle=f"""
+WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                  count(*) AS n,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS e
+           FROM events GROUP BY 1)
+SELECT day, CAST(n AS BIGINT) AS n_events, CAST(e AS BIGINT) AS n_errors,
+       round(e * 1.0 / n, 6) AS error_rate,
+       round((e * 1.0 / n) / {SLO_ERR_BUDGET}, 6) AS burn_rate,
+       CAST(sum(e) OVER (ORDER BY day) AS BIGINT) AS cum_errors,
+       round(sum(e) OVER (ORDER BY day) * 1.0
+             / sum(n) OVER (ORDER BY day), 6) AS cum_error_rate
+FROM d
+""")
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO ERROR-BUDGET BURN reporting (the SRE reliability view): per
+    day, the error rate against a 25% budget (burn rate > 1 means the
+    day overspent), plus month-to-date cumulative errors and rate —
+    the table an alerting policy thresholds ('burn > 2 for 3 days').
+    All counts are integers until the final divisions, so both engines
+    divide identical values; day keys emit as strings (the
+    events_dau_wau_mau convention). One events-wide daily aggregate,
+    then a days-count window — the cumulative pass never touches raw
+    events."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+              .alias("e")))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return d.select(
+        "day", F.col("n").cast("bigint").alias("n_events"),
+        F.col("e").cast("bigint").alias("n_errors"),
+        F.round(F.col("e") * 1.0 / F.col("n"), 6).alias("error_rate"),
+        F.round((F.col("e") * 1.0 / F.col("n")) / SLO_ERR_BUDGET, 6)
+         .alias("burn_rate"),
+        F.sum("e").over(wc).cast("bigint").alias("cum_errors"),
+        F.round(F.sum("e").over(wc) * 1.0 / F.sum("n").over(wc), 6)
+         .alias("cum_error_rate"))

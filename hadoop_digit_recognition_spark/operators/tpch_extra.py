@@ -502,3 +502,34 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join on suppkey."""
     register_views(spark, sf_dir)
     return spark.sql(_Q20)
+
+
+_AGING = """
+SELECT o_orderstatus,
+       CASE WHEN {AGE} <= 30 THEN '0-30'
+            WHEN {AGE} <= 90 THEN '31-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_value
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@query("orders_aging_buckets", oracle=_AGING.format(
+    AGE="date_diff('day', CAST(o_orderdate AS DATE), "
+        "(SELECT max(CAST(o_orderdate AS DATE)) FROM orders))"))
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER AGING buckets (the AR-aging report shape): orders bucketed
+    by whole days since the dataset's newest order date, split by
+    status — 0-30 / 31-90 / 90+ day bands with counts and value. Age is
+    a DATE-boundary diff (exact integers on both engines; no timestamp
+    truncation semantics in play), and the reference date is a scalar
+    subquery, so the whole report is one grouped aggregate with a
+    1-row subquery broadcast — no driver round-trip, no cross join.
+    At 100 TB: one combiner'd keyed shuffle on (status, bucket), six
+    output rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(_AGING.format(
+        AGE="datediff((SELECT max(CAST(o_orderdate AS DATE)) FROM orders), "
+            "CAST(o_orderdate AS DATE))"))

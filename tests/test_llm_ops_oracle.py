@@ -68,6 +68,7 @@ LLM_QUERIES = [
     "events_dau_wau_mau",
     "ml_auc_rank_sum", "window_outlier_hampel",
     "dq_k_anonymity", "events_ab_srm_check", "corpus_dataset_card",
+    "agg_abc_pareto", "events_slo_burn_rate", "orders_aging_buckets",
 ]
 
 

@@ -842,3 +842,79 @@ def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFram
                  F.round(F.sum(hit16) * 1.0
                          / (2 * TOP_K - F.sum(hit16)), 6)
                   .alias("jaccard_16")))
+
+
+# Product-quantization geometry: 8 subspaces x 8 dims, 16-entry codebooks.
+PQ_SUB, PQ_DIM, PQ_K = 8, 8, 16
+
+# Closed-form codebook both engines evaluate identically in-engine:
+# C[s][c][j] = sin((s*16 + c) * 8 + j + 0.5) — the sim_ann_lsh _PLANES
+# convention (never ship floats across the engine boundary).
+_PQ_CB = (f"SELECT s.s, c.c, j.j, "
+          f"sin(CAST((s.s * {PQ_K} + c.c) * {PQ_DIM} + j.j AS DOUBLE)"
+          f" + 0.5) AS w "
+          f"FROM range({PQ_SUB}) s(s), range({PQ_K}) c(c), "
+          f"range({PQ_DIM}) j(j)")
+
+
+@query("embedding_pq_quantize", oracle=f"""
+WITH cb AS ({_PQ_CB}),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.s, cb.c,
+         round(sum((v.x - cb.w) * (v.x - cb.w)), 9) AS d2
+  FROM v JOIN cb ON v.i = cb.s * {PQ_DIM} + cb.j
+  GROUP BY v.vec_id, cb.s, cb.c
+),
+best AS (
+  SELECT vec_id, s, c AS code, d2,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2, c) AS rn
+  FROM d
+)
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+       round(sum(d2), 6) AS quant_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+""")
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION (the ANN index compression layer): each
+    64-dim embedding splits into 8 subvectors, each snapped to its
+    nearest entry of a 16-entry per-subspace codebook — 64 floats
+    become 8 codes (here a dash-joined string for engine-stable
+    hashing) plus the reconstruction error the recall/compression
+    trade is audited on. The codebook is the closed-form sin grid both
+    engines evaluate in-engine (sim_ann_lsh's planes convention);
+    production swaps in k-means-trained centroids
+    (ml_kmeans_lloyd_2iter is that trainer) without changing this
+    assignment plan. Distances round to 9 digits BEFORE the argmin
+    (the k-means tie precedent) so a last-bit difference cannot flip a
+    code between engines; ties break to the lower code.
+
+    Relational shape: dims explode (narrow), equi-join the 1024-row
+    broadcast codebook, one (vec, subspace, centroid)-keyed partial
+    aggregate, one windowed argmin on (vec, subspace) — uniform keys —
+    and one per-vec rollup. At 100 TB this is the batch-encode job of
+    an IVF-PQ build: embarrassingly parallel, no corpus-wide state but
+    the codebook broadcast."""
+    cb = spark.sql(_PQ_CB)
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i", "x"))
+    d = (v.join(F.broadcast(cb),
+                v.i == cb.s * PQ_DIM + cb.j)
+         .groupBy("vec_id", "s", "c")
+         .agg(F.round(F.sum((F.col("x") - F.col("w"))
+                            * (F.col("x") - F.col("w"))), 9).alias("d2")))
+    wbest = W.partitionBy("vec_id", "s").orderBy("d2", "c")
+    best = (d.withColumn("rn", F.row_number().over(wbest))
+            .filter(F.col("rn") == 1))
+    return (best.groupBy("vec_id")
+            .agg(F.concat_ws("-", F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "c"))),
+                    lambda r: r["c"].cast("string"))).alias("codes"),
+                 F.round(F.sum("d2"), 6).alias("quant_err")))

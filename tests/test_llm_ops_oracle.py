@@ -69,6 +69,7 @@ LLM_QUERIES = [
     "ml_auc_rank_sum", "window_outlier_hampel",
     "dq_k_anonymity", "events_ab_srm_check", "corpus_dataset_card",
     "agg_abc_pareto", "events_slo_burn_rate", "orders_aging_buckets",
+    "embedding_pq_quantize",
 ]
 
 

@@ -847,18 +847,41 @@ def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFram
 # Product-quantization geometry: 8 subspaces x 8 dims, 16-entry codebooks.
 PQ_SUB, PQ_DIM, PQ_K = 8, 8, 16
 
-# Closed-form codebook both engines evaluate identically in-engine:
-# C[s][c][j] = sin((s*16 + c) * 8 + j + 0.5) — the sim_ann_lsh _PLANES
-# convention (never ship floats across the engine boundary).
-_PQ_CB = (f"SELECT s.s, c.c, j.j, "
-          f"sin(CAST((s.s * {PQ_K} + c.c) * {PQ_DIM} + j.j AS DOUBLE)"
-          f" + 0.5) AS w "
-          f"FROM range({PQ_SUB}) s(s), range({PQ_K}) c(c), "
-          f"range({PQ_DIM}) j(j)")
+# Codebook = deterministically SAMPLED data subvectors (vec_ids
+# 0, stride, 2*stride, ... with stride = n_vecs // 16): the k-means++
+# -style seeding of a real PQ trainer, computed in-engine on both
+# sides so no floats cross the engine boundary, and actually ON-SCALE
+# for the corpus (a synthetic grid codebook quantizes unit-norm
+# embeddings to near-random codes).
+_PQ_CB_DUCK = f"""
+SELECT g.s, g.c, g.j,
+       CAST(e.embedding[g.s * {PQ_DIM} + g.j + 1] AS DOUBLE) AS w
+FROM (SELECT s.s, c.c, j.j,
+             c.c * (SELECT count(*) // {PQ_K} FROM embeddings) AS vid
+      FROM range({PQ_SUB}) s(s), range({PQ_K}) c(c),
+           range({PQ_DIM}) j(j)) g
+JOIN embeddings e ON e.vec_id = g.vid"""
+
+
+def _pq_codebook(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(s, c, j, w): subspace s's centroid c is the matching subvector
+    of the c*stride-th embedding."""
+    n = emb.agg((F.count(F.lit(1)) / PQ_K).cast("long").alias("stride"))
+    sel = (spark.range(PQ_K).withColumnRenamed("id", "c")
+           .crossJoin(F.broadcast(n))
+           .select("c", (F.col("c") * F.col("stride")).alias("vid")))
+    picked = sel.join(emb, sel.vid == emb.vec_id).select("c", "embedding")
+    return (picked.select(
+                "c",
+                F.posexplode(F.col("embedding").cast("array<double>"))
+                .alias("k", "w"))
+            .select((F.col("k") / PQ_DIM).cast("int").alias("s"),
+                    "c", (F.col("k") % PQ_DIM).cast("int").alias("j"),
+                    "w"))
 
 
 @query("embedding_pq_quantize", oracle=f"""
-WITH cb AS ({_PQ_CB}),
+WITH cb AS ({_PQ_CB_DUCK}),
 v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
 d AS (
@@ -875,7 +898,7 @@ best AS (
 )
 SELECT vec_id,
        string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
-       round(sum(d2), 6) AS quant_err
+       round(sum(d2), 9) AS quant_err
 FROM best WHERE rn = 1
 GROUP BY vec_id
 """)
@@ -891,7 +914,10 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ml_kmeans_lloyd_2iter is that trainer) without changing this
     assignment plan. Distances round to 9 digits BEFORE the argmin
     (the k-means tie precedent) so a last-bit difference cannot flip a
-    code between engines; ties break to the lower code.
+    code between engines; ties break to the lower code. The error sum
+    also rounds at 9 — NOT coarser: sums of 1e-9-grid values land
+    exactly on 1e-6 midpoints, where a coarser round becomes an
+    engine-dependent coin flip (bitten at sf0.1, vec 324).
 
     Relational shape: dims explode (narrow), equi-join the 1024-row
     broadcast codebook, one (vec, subspace, centroid)-keyed partial
@@ -899,8 +925,8 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and one per-vec rollup. At 100 TB this is the batch-encode job of
     an IVF-PQ build: embarrassingly parallel, no corpus-wide state but
     the codebook broadcast."""
-    cb = spark.sql(_PQ_CB)
     emb = load_parallel(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, emb)
     v = emb.select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>"))
@@ -917,4 +943,87 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.concat_ws("-", F.transform(
                     F.array_sort(F.collect_list(F.struct("s", "c"))),
                     lambda r: r["c"].cast("string"))).alias("codes"),
-                 F.round(F.sum("d2"), 6).alias("quant_err")))
+                 F.round(F.sum("d2"), 9).alias("quant_err")))
+
+
+@query("sim_pq_adc_topk", oracle=f"""
+WITH cb AS ({_PQ_CB_DUCK}),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.s, cb.c,
+         round(sum((v.x - cb.w) * (v.x - cb.w)), 9) AS d2
+  FROM v JOIN cb ON v.i = cb.s * {PQ_DIM} + cb.j
+  GROUP BY v.vec_id, cb.s, cb.c
+),
+best AS (
+  SELECT vec_id, s, c AS code,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2, c) AS rn
+  FROM d
+),
+codes AS (SELECT vec_id AS cid, s, code FROM best WHERE rn = 1),
+qd AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id < {N_QUERIES}),
+approx AS (
+  SELECT qd.qid, codes.cid, round(sum(qd.d2), 9) AS adist
+  FROM codes JOIN qd ON qd.s = codes.s AND qd.c = codes.code
+  WHERE codes.cid != qd.qid
+  GROUP BY qd.qid, codes.cid
+),
+ranked AS (
+  SELECT qid, cid, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, cid) AS rnk
+  FROM approx
+)
+SELECT qid, cid, adist, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+""")
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC DISTANCE COMPUTATION (ADC) — the query side of an
+    IVF-PQ index: corpus vectors are represented only by their PQ
+    codes (embedding_pq_quantize); each query precomputes a 8x16
+    lookup table of exact subvector-to-centroid distances, and the
+    approximate distance to any corpus vector is 8 TABLE LOOKUPS
+    summed — never a 64-dim dot against raw corpus floats. Relationally
+    the lookup is an equi-join on (subspace, code): 128 distinct keys,
+    query table x corpus codes, then a (qid, cid)-keyed sum and
+    windowed top-k. Distances snap to 9 digits before every
+    rank/argmin (k-means precedent); 6 on output.
+
+    At 100 TB: the corpus side ships 8 bytes per vector (the codes),
+    the per-query lookup table is 128 doubles broadcast, and the join
+    is the bucketed-ANN shape — this is exactly why PQ makes
+    billion-vector search RAM-resident. The exact-rank twin is
+    sim_topk_cosine (equal to exact-L2 ranking here — the embeddings
+    are unit-norm); test_pq_adc_recall binds the two. On this
+    clusterless synthetic corpus the sampled 16-entry codebooks buy
+    ~0.16 recall@5 — honest for near-uniform random unit vectors,
+    where inter-vector distance gaps are below quantization noise;
+    trained codebooks on clustered real corpora are the production
+    path."""
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, emb)
+    v = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i", "x"))
+    d = (v.join(F.broadcast(cb), v.i == cb.s * PQ_DIM + cb.j)
+         .groupBy("vec_id", "s", "c")
+         .agg(F.round(F.sum((F.col("x") - F.col("w"))
+                            * (F.col("x") - F.col("w"))), 9).alias("d2")))
+    wbest = W.partitionBy("vec_id", "s").orderBy("d2", "c")
+    codes = (d.withColumn("rn", F.row_number().over(wbest))
+             .filter(F.col("rn") == 1)
+             .select(F.col("vec_id").alias("cid"), "s",
+                     F.col("c").alias("code")))
+    qd = (d.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), "s", "c", "d2"))
+    approx = (codes.join(qd, (codes.s == qd.s) & (codes.code == qd.c))
+              .filter(F.col("cid") != F.col("qid"))
+              .groupBy("qid", "cid")
+              .agg(F.round(F.sum("d2"), 9).alias("adist")))
+    wr = W.partitionBy("qid").orderBy("adist", "cid")
+    return (approx.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("qid", "cid", "adist", "rnk"))

@@ -69,7 +69,7 @@ LLM_QUERIES = [
     "ml_auc_rank_sum", "window_outlier_hampel",
     "dq_k_anonymity", "events_ab_srm_check", "corpus_dataset_card",
     "agg_abc_pareto", "events_slo_burn_rate", "orders_aging_buckets",
-    "embedding_pq_quantize",
+    "embedding_pq_quantize", "sim_pq_adc_topk",
 ]
 
 
@@ -515,3 +515,20 @@ def test_cross_lingual_pairs_subset_of_lsh(spark):
     for r in xl:
         assert (r.doc_a, r.doc_b) in all_pairs
         assert r.lang_a != r.lang_b
+
+
+def test_pq_adc_recall(spark):
+    """ADC over sampled-subvector codebooks must beat random top-5
+    recall by a wide margin (random = 5/499 ~ 0.01; bound 0.08 with
+    the measured ~0.16 leaving 2x margin on this clusterless corpus),
+    and every returned rank must be a valid 1..5."""
+    ex: dict[int, set] = {}
+    for r in SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE).collect():
+        ex.setdefault(r["qid"], set()).add(r["cid"])
+    ad: dict[int, set] = {}
+    for r in SPARK_QUERIES["sim_pq_adc_topk"](spark, SF_ORACLE).collect():
+        assert 1 <= r["rnk"] <= 5
+        ad.setdefault(r["qid"], set()).add(r["cid"])
+    assert len(ad) == len(ex)
+    recalls = [len(ex[q] & ad.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.08

@@ -39,9 +39,10 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "sketch_cms_heavy_hitters",
                 # constant-range matrix generation (literal-sized inputs)
                 "gemm_sql",
-                # 1024-row closed-form PQ codebook from range() cross
-                # products — literal-sized generation, gemm_sql precedent
-                "embedding_pq_quantize",
+                # 1024-row sampled-subvector PQ codebook built from
+                # range() products + a 1-row stride scalar — literal-sized
+                # generation, gemm_sql precedent
+                "embedding_pq_quantize", "sim_pq_adc_topk",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",

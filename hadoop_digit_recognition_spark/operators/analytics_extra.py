@@ -1293,3 +1293,126 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e").over(wc).cast("bigint").alias("cum_errors"),
         F.round(F.sum("e").over(wc) * 1.0 / F.sum("n").over(wc), 6)
          .alias("cum_error_rate"))
+
+
+@query("window_rolling_corr", oracle="""
+WITH d AS (SELECT event_type,
+                  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                  count(*) * 1.0 AS x, round(avg(value), 6) AS y
+           FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, day, x,
+             avg(x) OVER w AS ax, avg(y) OVER w AS ay,
+             avg(x * x) OVER w AS axx, avg(y * y) OVER w AS ayy,
+             avg(x * y) OVER w AS axy
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, day, CAST(x AS BIGINT) AS n_events,
+       CASE WHEN (axx - ax * ax) > 0 AND (ayy - ay * ay) > 0
+            THEN round((axy - ax * ay)
+                       / sqrt((axx - ax * ax) * (ayy - ay * ay)), 6)
+            END AS corr_7d
+FROM m
+""")
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING CORRELATION: per event type, the trailing-7-day Pearson
+    correlation between daily volume and daily mean value — the
+    multivariate rolling statistic (does load co-move with value?)
+    next to the univariate EWMA/z-score family. Correlation is spelled
+    as EXPLICIT window moments (avg of x, y, x^2, y^2, xy -> co-moment
+    ratio) identically on both sides: the engines' built-in corr
+    differ at degenerate frames (Spark ANSI raises DIVIDE_BY_ZERO on a
+    1-row frame; DuckDB returns NULL) and use different stable-
+    accumulation algorithms. The guard (either variance term <= 0 ->
+    NULL) covers 1-row frames and constant series; inputs are integers
+    and 6-rounded means so both engines see identical numbers. One
+    events-wide daily aggregate, then a days-per-type window sharing
+    one sort across the 5 moment aggregates."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                    F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg((F.count(F.lit(1)) * 1.0).alias("x"),
+              F.round(F.avg("value"), 6).alias("y")))
+    w = (W.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0))
+    m = d.select(
+        "event_type", "day", "x",
+        F.avg("x").over(w).alias("ax"), F.avg("y").over(w).alias("ay"),
+        F.avg(F.col("x") * F.col("x")).over(w).alias("axx"),
+        F.avg(F.col("y") * F.col("y")).over(w).alias("ayy"),
+        F.avg(F.col("x") * F.col("y")).over(w).alias("axy"))
+    varx = F.col("axx") - F.col("ax") * F.col("ax")
+    vary = F.col("ayy") - F.col("ay") * F.col("ay")
+    return m.select(
+        "event_type", "day", F.col("x").cast("bigint").alias("n_events"),
+        F.when((varx > 0) & (vary > 0),
+               F.round((F.col("axy") - F.col("ax") * F.col("ay"))
+                       / F.sqrt(varx * vary), 6)).alias("corr_7d"))
+
+
+@query("ab_diff_in_diff", oracle="""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (SELECT user_id,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 2 AS arm
+         FROM u),
+mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS m
+       FROM events),
+e AS (SELECT a.arm,
+             CASE WHEN epoch_us(ev.ts) >= mid.m THEN 1 ELSE 0 END AS post,
+             ev.value
+      FROM events ev JOIN arms a USING (user_id) CROSS JOIN mid
+      WHERE ev.event_type = 'purchase'),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             avg(CASE WHEN arm = 0 AND post = 0 THEN value END) AS a0,
+             avg(CASE WHEN arm = 0 AND post = 1 THEN value END) AS a1,
+             avg(CASE WHEN arm = 1 AND post = 0 THEN value END) AS b0,
+             avg(CASE WHEN arm = 1 AND post = 1 THEN value END) AS b1
+      FROM e)
+SELECT n_purchases,
+       round(a0, 6) AS ctrl_pre, round(a1, 6) AS ctrl_post,
+       round(b0, 6) AS treat_pre, round(b1, 6) AS treat_post,
+       round((b1 - b0) - (a1 - a0), 6) AS did_estimate
+FROM g
+""")
+def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimate: purchase value change across
+    the time midpoint, treatment vs control — the causal-inference
+    workhorse when only the treated arm receives an intervention at a
+    known time, controlling for the common temporal trend. Arms are
+    the deterministic content-hash split (the SRM-checked assignment);
+    the period boundary is the exact integer epoch-micro midpoint
+    computed IN-PLAN ((min+max)//2 — NOT interval division, whose
+    component semantics differ between engines: DuckDB halves days and
+    micros separately where Spark halves one micro count). One conditional aggregate produces all four cells and
+    the DiD contrast; the null result on hash-split synthetic data is
+    itself the validation (no intervention happened, estimate ~ 0).
+    One distinct + one broadcast + one 1-row rollup at any scale."""
+    ev = load(spark, sf_dir, "events")
+    from ..functions.vector import det_hash64
+
+    arms = (ev.select("user_id").distinct()
+            .select("user_id",
+                    (det_hash64(F.col("user_id").cast("string")) % 2)
+                    .alias("arm")))
+    mid = ev.agg(F.floor((F.min("ts_us") + F.max("ts_us")) / 2)
+                 .cast("long").alias("m"))
+    e = (ev.filter(F.col("event_type") == "purchase")
+         .join(arms, "user_id")
+         .crossJoin(F.broadcast(mid))
+         .select("arm", F.when(F.col("ts_us") >= F.col("m"), 1).otherwise(0)
+                 .alias("post"), "value"))
+    def cell(a, p):
+        return F.avg(F.when((F.col("arm") == a) & (F.col("post") == p),
+                            F.col("value")))
+    g = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+              cell(0, 0).alias("a0"), cell(0, 1).alias("a1"),
+              cell(1, 0).alias("b0"), cell(1, 1).alias("b1"))
+    return g.select(
+        "n_purchases",
+        F.round("a0", 6).alias("ctrl_pre"),
+        F.round("a1", 6).alias("ctrl_post"),
+        F.round("b0", 6).alias("treat_pre"),
+        F.round("b1", 6).alias("treat_post"),
+        F.round((F.col("b1") - F.col("b0")) - (F.col("a1") - F.col("a0")),
+                6).alias("did_estimate"))

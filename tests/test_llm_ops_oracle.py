@@ -70,6 +70,7 @@ LLM_QUERIES = [
     "dq_k_anonymity", "events_ab_srm_check", "corpus_dataset_card",
     "agg_abc_pareto", "events_slo_burn_rate", "orders_aging_buckets",
     "embedding_pq_quantize", "sim_pq_adc_topk",
+    "window_rolling_corr", "ab_diff_in_diff",
 ]
 
 

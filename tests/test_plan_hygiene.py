@@ -61,7 +61,8 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # overall mean / reference instant) — model state crossed
                 # into the stream, never data x data
                 "join_relational_division", "timeseries_seasonal_decompose",
-                "events_ltv_decayed", "agg_abc_pareto"}
+                "events_ltv_decayed", "agg_abc_pareto",
+                "ab_diff_in_diff"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -1416,3 +1416,70 @@ def ab_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("treat_post"),
         F.round((F.col("b1") - F.col("b0")) - (F.col("a1") - F.col("a0")),
                 6).alias("did_estimate"))
+
+
+# Session path geometry: 30-minute inactivity gap, first PATH_LEN steps.
+PATH_GAP_MIN, PATH_LEN, PATH_TOP = 30, 5, 20
+
+
+@query("events_session_paths", oracle=f"""
+WITH m AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {PATH_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+r AS (SELECT user_id, sid, ini,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS pos
+      FROM s),
+p AS (SELECT user_id, sid, string_agg(ini, '>' ORDER BY pos) AS path
+      FROM r WHERE pos <= {PATH_LEN} GROUP BY user_id, sid),
+c AS (SELECT path, count(*) AS n FROM p GROUP BY path),
+k AS (SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rnk
+      FROM c)
+SELECT path, CAST(n AS BIGINT) AS n_sessions, CAST(rnk AS BIGINT) AS rnk
+FROM k WHERE rnk <= {PATH_TOP}
+""")
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION PATH ANALYSIS (the product-analytics 'top user journeys'
+    table): sessionize on 30-minute inactivity gaps (the
+    sessionize_relational islands), encode each session's first 5
+    steps as a '>'-joined initial path, and rank the most common
+    paths. The funnel family asks 'did journey X happen'; this asks
+    'which journeys happen' — discovery before hypothesis.
+
+    One user-keyed shuffle covers the gap flags, session ids, and step
+    ordinals (three windows, one sort); paths assemble from an
+    array_sort over (pos, ini) structs — never bare collect_list; the
+    final top-20 ranks a path-cardinality frame. At 100 TB the
+    user-keyed pass is the only events-wide stage; path cardinality is
+    bounded by 5^|event types| regardless of volume."""
+    ev = load(spark, sf_dir, "events")
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+        F.when(F.lag("ts").over(wl).isNull()
+               | (F.col("ts_us") - F.lag("ts_us").over(wl)
+                  >= PATH_GAP_MIN * 60_000_000), 1).otherwise(0)
+        .alias("brk"))
+    s = m.withColumn("sid", F.sum("brk").over(
+        wl.rowsBetween(W.unboundedPreceding, 0)))
+    r = s.withColumn("pos", F.row_number().over(
+        W.partitionBy("user_id", "sid").orderBy("ts", "event_id")))
+    p = (r.filter(F.col("pos") <= PATH_LEN)
+         .groupBy("user_id", "sid")
+         .agg(F.concat_ws(">", F.transform(
+             F.array_sort(F.collect_list(F.struct("pos", "ini"))),
+             lambda x: x["ini"])).alias("path")))
+    c = p.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    k = c.withColumn("rnk", F.row_number().over(
+        W.orderBy(F.desc("n"), F.asc("path"))).cast("bigint"))
+    return (k.filter(F.col("rnk") <= PATH_TOP)
+            .select("path", F.col("n").cast("bigint").alias("n_sessions"),
+                    "rnk"))

@@ -253,3 +253,47 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.count(F.lit(1)).cast("bigint").alias("group_size")))
     return g.select("lang", "source", "size_bucket", "group_size",
                     (F.col("group_size") < K_ANON).alias("violates_k"))
+
+
+@query("dq_benford_test", oracle="""
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+       round(c.n * 1.0 / t.tot, 6) AS observed,
+       round(log10(1 + 1.0 / c.digit), 6) AS expected,
+       round((c.n - t.tot * log10(1 + 1.0 / c.digit))
+             * (c.n - t.tot * log10(1 + 1.0 / c.digit))
+             / (t.tot * log10(1 + 1.0 / c.digit)), 6) AS chi2_term
+FROM c CROSS JOIN t
+""")
+def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit (the forensic data-quality
+    check): leading digits of order values against the log10(1 + 1/d)
+    law, with per-digit chi-square contributions — fabricated or
+    truncated financial columns announce themselves here before any
+    model consumes them. (Synthetic uniform-ish prices WON'T follow
+    Benford; the large chi2 terms are the demonstration, not a bug.)
+    First digits extract via INTEGER-part string formatting — never
+    floor(log10(x)), whose value at exact powers of ten is one ulp
+    below the integer in some libms and flips the digit
+    engine-dependently. One grouped count + a 9-row broadcast; the
+    1-row total is a scalar the same way."""
+    o = load(spark, sf_dir, "orders")
+    d = (o.filter(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                             .cast("string"), 1, 1).cast("int")
+                 .alias("digit")))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    e = F.log10(1 + 1.0 / F.col("digit"))
+    dev = F.col("n") - F.col("tot") * e
+    return (c.crossJoin(F.broadcast(t))
+            .select("digit", F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("n") * 1.0 / F.col("tot"), 6)
+                    .alias("observed"),
+                    F.round(e, 6).alias("expected"),
+                    F.round(dev * dev / (F.col("tot") * e), 6)
+                    .alias("chi2_term")))

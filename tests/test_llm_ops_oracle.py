@@ -71,6 +71,7 @@ LLM_QUERIES = [
     "agg_abc_pareto", "events_slo_burn_rate", "orders_aging_buckets",
     "embedding_pq_quantize", "sim_pq_adc_topk",
     "window_rolling_corr", "ab_diff_in_diff",
+    "dq_benford_test", "events_session_paths",
 ]
 
 

@@ -62,7 +62,7 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # into the stream, never data x data
                 "join_relational_division", "timeseries_seasonal_decompose",
                 "events_ltv_decayed", "agg_abc_pareto",
-                "ab_diff_in_diff"}
+                "ab_diff_in_diff", "dq_benford_test"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -495,3 +495,73 @@ def _register_kcore() -> None:
 
 
 _register_kcore()
+
+
+def _assortativity_oracle() -> str:
+    from .dedup import _LSH_PAIRS_SQL
+    return f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+j AS (SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+m AS (SELECT count(*) AS n, avg(x * 1.0) AS ax, avg(y * 1.0) AS ay,
+             avg(x * x * 1.0) AS axx, avg(y * y * 1.0) AS ayy,
+             avg(x * y * 1.0) AS axy
+      FROM j)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CASE WHEN (axx - ax * ax) > 0 AND (ayy - ay * ay) > 0
+            THEN round((axy - ax * ay)
+                       / sqrt((axx - ax * ax) * (ayy - ay * ay)), 6)
+            END AS assortativity
+FROM m
+"""
+
+
+def _assortativity_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the near-duplicate pair graph: Pearson
+    correlation of endpoint degrees over the directed edge list —
+    positive means dup clusters are degree-homogeneous (template
+    families of similar fan-out, peel cleanly under k-core), negative
+    means hub-and-spoke (one canonical page with many stragglers,
+    where canonical-survivor selection matters most). The same
+    explicit-moment spelling as window_rolling_corr, but here every
+    moment input is an INTEGER degree, so both engines' sums are exact
+    and the statistic is bit-deterministic before the final rounding.
+    Two keyed aggregates + two equi-joins on the edge list; 1-row
+    output at any scale."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+         .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                   F.col("doc_a").alias("v")))
+         .distinct())
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    j = (e.join(deg.withColumnRenamed("u", "uu")
+                .withColumnRenamed("d", "x"), F.col("u") == F.col("uu"))
+         .join(deg.withColumnRenamed("u", "vv")
+               .withColumnRenamed("d", "y"), F.col("v") == F.col("vv"))
+         .select((F.col("x") * 1.0).alias("x"),
+                 (F.col("y") * 1.0).alias("y")))
+    m = j.agg(F.count(F.lit(1)).alias("n"),
+              F.avg("x").alias("ax"), F.avg("y").alias("ay"),
+              F.avg(F.col("x") * F.col("x")).alias("axx"),
+              F.avg(F.col("y") * F.col("y")).alias("ayy"),
+              F.avg(F.col("x") * F.col("y")).alias("axy"))
+    varx = F.col("axx") - F.col("ax") * F.col("ax")
+    vary = F.col("ayy") - F.col("ay") * F.col("ay")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_directed_edges"),
+        F.when((varx > 0) & (vary > 0),
+               F.round((F.col("axy") - F.col("ax") * F.col("ay"))
+                       / F.sqrt(varx * vary), 6)).alias("assortativity"))
+
+
+def _register_assortativity() -> None:
+    query("graph_assortativity", oracle=_assortativity_oracle())(
+        _assortativity_impl)
+
+
+_register_assortativity()

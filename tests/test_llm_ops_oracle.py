@@ -72,6 +72,7 @@ LLM_QUERIES = [
     "embedding_pq_quantize", "sim_pq_adc_topk",
     "window_rolling_corr", "ab_diff_in_diff",
     "dq_benford_test", "events_session_paths",
+    "graph_assortativity",
 ]
 
 

@@ -747,3 +747,66 @@ def ml_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos", "n_neg",
         F.round((F.col("rs") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
                 / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))
+
+
+@query("ml_threshold_sweep_f1", oracle="""
+WITH s AS (SELECT CAST(label % 2 AS INTEGER) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+g AS (SELECT (r.i - 9) * 0.05 AS thr FROM range(19) r(i)),
+e AS (SELECT g.thr, s.y,
+             CASE WHEN s.score >= g.thr THEN 1 ELSE 0 END AS pred
+      FROM s CROSS JOIN g),
+c AS (SELECT thr,
+             CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM e GROUP BY thr)
+SELECT round(thr, 2) AS thr, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END, 6)
+         AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END, 6)
+         AS recall,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+FROM c
+""")
+def ml_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-THRESHOLD SWEEP: precision / recall / F1 at 19 evenly
+    spaced score cutoffs — the table a deployment picks its operating
+    point from, completing the eval family (ml_auc_rank_sum summarizes
+    ranking quality threshold-free; this exposes the tradeoff curve).
+    F1 uses the 2tp/(2tp+fp+fn) form (no intermediate p/r division, no
+    0/0). Thresholds are (i-9)*0.05 computed in-engine — both engines
+    derive the identical doubles, so every score-vs-threshold compare
+    agrees; output rounds them to 2 for display. The grid cross join
+    is a 19-row literal against the scored frame (one narrow pass, one
+    (thr)-keyed combiner'd aggregate) — at 100 TB the sweep costs one
+    scan regardless of grid size."""
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select((F.col("label") % 2).cast("int").alias("y"),
+                   F.col("embedding")[0].cast("double").alias("score"))
+    g = (spark.range(19)
+         .select(((F.col("id") - 9) * 0.05).alias("thr")))
+    e = s.crossJoin(F.broadcast(g)).select(
+        "thr", "y",
+        F.when(F.col("score") >= F.col("thr"), 1).otherwise(0)
+        .alias("pred"))
+    c = e.groupBy("thr").agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("fn"))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return c.select(
+        F.round("thr", 2).alias("thr"), "tp", "fp", "fn",
+        F.round(F.when(tp + fp > 0, tp * 1.0 / (tp + fp)), 6)
+         .alias("precision"),
+        F.round(F.when(tp + fn > 0, tp * 1.0 / (tp + fn)), 6)
+         .alias("recall"),
+        F.round(F.when(2 * tp + fp + fn > 0,
+                       2.0 * tp / (2 * tp + fp + fn)), 6).alias("f1"))

@@ -1483,3 +1483,45 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (k.filter(F.col("rnk") <= PATH_TOP)
             .select("path", F.col("n").cast("bigint").alias("n_sessions"),
                     "rnk"))
+
+
+@query("window_drawdown", oracle="""
+WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                  sum(CASE WHEN event_type = 'purchase' THEN value
+                           WHEN event_type = 'error' THEN -value
+                           ELSE 0 END) AS net
+           FROM events GROUP BY 1),
+c AS (SELECT day, net,
+             sum(net) OVER (ORDER BY day) AS cum
+      FROM d),
+p AS (SELECT day, net, cum,
+             max(cum) OVER (ORDER BY day) AS peak
+      FROM c)
+SELECT day, round(net, 6) AS net, round(cum, 6) AS cum,
+       round(peak, 6) AS peak, round(peak - cum, 6) AS drawdown
+FROM p
+""")
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRAWDOWN analysis (the quant risk metric, applied to the daily
+    net-value series: purchases credit, errors debit): cumulative sum,
+    running peak, and peak-to-current drawdown per day — max(drawdown)
+    is the worst-case retracement an alerting policy bounds. Two
+    stacked cumulative windows over a days-count frame (the raw-event
+    aggregate is the only volume-scaled stage); sums round only at
+    output, and the 1e-6 rounding step sits orders above the engines'
+    accumulation-order float noise."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                           F.col("value"))
+                    .when(F.col("event_type") == "error", -F.col("value"))
+                    .otherwise(0.0)).alias("net")))
+    wc = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    c = d.withColumn("cum", F.sum("net").over(wc))
+    p = c.withColumn("peak", F.max("cum").over(wc))
+    return p.select("day", F.round("net", 6).alias("net"),
+                    F.round("cum", 6).alias("cum"),
+                    F.round("peak", 6).alias("peak"),
+                    F.round(F.col("peak") - F.col("cum"), 6)
+                    .alias("drawdown"))

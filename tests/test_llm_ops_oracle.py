@@ -73,6 +73,7 @@ LLM_QUERIES = [
     "window_rolling_corr", "ab_diff_in_diff",
     "dq_benford_test", "events_session_paths",
     "graph_assortativity",
+    "ml_threshold_sweep_f1", "window_drawdown",
 ]
 
 

@@ -1525,3 +1525,60 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("peak", 6).alias("peak"),
                     F.round(F.col("peak") - F.col("cum"), 6)
                     .alias("drawdown"))
+
+
+@query("timeseries_autocorrelation", oracle="""
+WITH d AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                  count(*) * 1.0 AS x
+           FROM events GROUP BY 1),
+i AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM d),
+l AS (SELECT g.lag, a.x AS x0, b.x AS x1
+      FROM range(1, 8) g(lag)
+      JOIN i a ON TRUE
+      JOIN i b ON b.t = a.t - g.lag),
+m AS (SELECT lag, count(*) AS n,
+             avg(x0) AS a0, avg(x1) AS a1,
+             avg(x0 * x0) AS s00, avg(x1 * x1) AS s11,
+             avg(x0 * x1) AS s01
+      FROM l GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN (s00 - a0 * a0) > 0 AND (s11 - a1 * a1) > 0
+            THEN round((s01 - a0 * a1)
+                       / sqrt((s00 - a0 * a0) * (s11 - a1 * a1)), 6)
+            END AS autocorr
+FROM m
+""")
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function of the daily volume series at lags 1-7
+    — the periodicity detector (a weekly cycle spikes lag 7) that
+    decides whether timeseries_seasonal_decompose's hour/day split is
+    the right model. Pairs come from an integer-ordinal self-join
+    (day-ordinal t vs t-lag; day strings never do arithmetic), moments
+    from the same explicit Pearson spelling as window_rolling_corr —
+    all inputs are integer counts, so both engines' sums are exact.
+    The raw-event daily aggregate is the only volume-scaled stage; the
+    lag join runs on a days-count frame x 7."""
+    ev = load(spark, sf_dir, "events")
+    d = (ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg((F.count(F.lit(1)) * 1.0).alias("x")))
+    i = d.select("x", F.row_number().over(W.orderBy("day")).alias("t"))
+    g = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = i.select(F.col("x").alias("x0"), F.col("t").alias("t0"))
+    b = i.select(F.col("x").alias("x1"), F.col("t").alias("t1"))
+    pairs = (a.crossJoin(F.broadcast(g))
+             .join(b, F.col("t1") == F.col("t0") - F.col("lag")))
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x0").alias("a0"), F.avg("x1").alias("a1"),
+        F.avg(F.col("x0") * F.col("x0")).alias("s00"),
+        F.avg(F.col("x1") * F.col("x1")).alias("s11"),
+        F.avg(F.col("x0") * F.col("x1")).alias("s01"))
+    v0 = F.col("s00") - F.col("a0") * F.col("a0")
+    v1 = F.col("s11") - F.col("a1") * F.col("a1")
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when((v0 > 0) & (v1 > 0),
+               F.round((F.col("s01") - F.col("a0") * F.col("a1"))
+                       / F.sqrt(v0 * v1), 6)).alias("autocorr"))

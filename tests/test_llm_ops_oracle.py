@@ -74,6 +74,7 @@ LLM_QUERIES = [
     "dq_benford_test", "events_session_paths",
     "graph_assortativity",
     "ml_threshold_sweep_f1", "window_drawdown",
+    "timeseries_autocorrelation",
 ]
 
 

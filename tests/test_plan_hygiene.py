@@ -62,7 +62,10 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # into the stream, never data x data
                 "join_relational_division", "timeseries_seasonal_decompose",
                 "events_ltv_decayed", "agg_abc_pareto",
-                "ab_diff_in_diff", "dq_benford_test"}
+                "ab_diff_in_diff", "dq_benford_test",
+                # 7-row literal lag grid crossed into the days-count
+                # frame (threshold-sweep / gemm literal-grid class)
+                "timeseries_autocorrelation"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -1582,3 +1582,42 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((v0 > 0) & (v1 > 0),
                F.round((F.col("s01") - F.col("a0") * F.col("a1"))
                        / F.sqrt(v0 * v1), 6)).alias("autocorr"))
+
+
+@query("events_hour_dow_heatmap", oracle="""
+WITH c AS (SELECT dayofweek(ts) AS dow, extract(hour FROM ts) AS hr,
+                  count(*) * 1.0 AS n
+           FROM events GROUP BY 1, 2),
+m AS (SELECT avg(n) AS mu,
+             sqrt(greatest(avg(n * n) - avg(n) * avg(n), 0)) AS sd
+      FROM c)
+SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hr AS BIGINT) AS hr,
+       CAST(c.n AS BIGINT) AS n,
+       round(CASE WHEN m.sd > 0 THEN (c.n - m.mu) / m.sd END, 6) AS z
+FROM c CROSS JOIN m
+""")
+def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR HEATMAP cells: activity counts per (day-of-week, hour)
+    with cell z-scores against the grid mean — the first chart every
+    traffic review opens, and the cheap anomaly surface (a +4-sigma
+    Tuesday-3am cell is a cron job, not users). Day-of-week uses
+    DuckDB's Sunday=0 convention (Spark's dayofweek is Sunday=1, so
+    the engine side subtracts 1 — calendar-function conventions are
+    NEVER portable unchecked). Counts are integers, the population
+    std comes from one 168-cell moment row, and the z divides exact
+    values — one events-wide aggregate, then constants."""
+    ev = load(spark, sf_dir, "events")
+    c = (ev.groupBy((F.dayofweek("ts") - 1).alias("dow"),
+                    F.hour("ts").alias("hr"))
+         .agg((F.count(F.lit(1)) * 1.0).alias("n")))
+    m = c.agg(F.avg("n").alias("mu"),
+              F.sqrt(F.greatest(
+                  F.avg(F.col("n") * F.col("n"))
+                  - F.avg("n") * F.avg("n"), F.lit(0.0))).alias("sd"))
+    return (c.crossJoin(F.broadcast(m))
+            .select(F.col("dow").cast("bigint").alias("dow"),
+                    F.col("hr").cast("bigint").alias("hr"),
+                    F.col("n").cast("bigint").alias("n"),
+                    F.round(F.when(F.col("sd") > 0,
+                                   (F.col("n") - F.col("mu"))
+                                   / F.col("sd")), 6).alias("z")))

@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..registry import query
-from ..tables import register_views
+from ..tables import load, register_views
 
 _Q2 = """
 WITH cost AS (
@@ -533,3 +533,47 @@ def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_AGING.format(
         AGE="datediff((SELECT max(CAST(o_orderdate AS DATE)) FROM orders), "
             "CAST(o_orderdate AS DATE))"))
+
+
+@query("supplier_lead_time_percentiles", oracle="""
+WITH lt AS (
+  SELECT s.s_nationkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(quantile_cont(lt.days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lt.days, 0.9), 6) AS p90_days,
+       round(avg(lt.days), 6) AS mean_days
+FROM lt JOIN nation n ON n.n_nationkey = lt.s_nationkey
+GROUP BY n.n_name
+""")
+def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER LEAD-TIME SLA report: order-to-ship latency percentiles
+    (p50/p90) and mean per supplier nation — the fulfillment-ops
+    analog of q12's late-shipping counts, percentile-shaped instead of
+    threshold-shaped. Lead times are exact integer DATE-boundary day
+    diffs, so the percentile interpolation operates on identical
+    integer multisets in both engines (type-7 linear on integers —
+    midpoints are .0 or .5 exactly); one fact-sized keyed aggregate,
+    nation dim broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    lt = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .select("s_nationkey",
+                  F.datediff(F.to_date("l_shipdate"),
+                             F.to_date("o_orderdate")).alias("days")))
+    return (lt.join(F.broadcast(n), lt.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.round(F.percentile("days", F.lit(0.5)), 6)
+                  .alias("p50_days"),
+                 F.round(F.percentile("days", F.lit(0.9)), 6)
+                  .alias("p90_days"),
+                 F.round(F.avg("days"), 6).alias("mean_days")))

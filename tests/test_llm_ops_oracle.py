@@ -75,6 +75,7 @@ LLM_QUERIES = [
     "graph_assortativity",
     "ml_threshold_sweep_f1", "window_drawdown",
     "timeseries_autocorrelation",
+    "events_hour_dow_heatmap", "supplier_lead_time_percentiles",
 ]
 
 

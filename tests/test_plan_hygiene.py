@@ -63,6 +63,7 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "join_relational_division", "timeseries_seasonal_decompose",
                 "events_ltv_decayed", "agg_abc_pareto",
                 "ab_diff_in_diff", "dq_benford_test",
+                "events_hour_dow_heatmap",
                 # 7-row literal lag grid crossed into the days-count
                 # frame (threshold-sweep / gemm literal-grid class)
                 "timeseries_autocorrelation"}

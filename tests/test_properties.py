@@ -211,3 +211,48 @@ def test_result_invariant_to_shuffle_width(spark, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     assert rows_at(5) == rows_at(32)
+
+
+def test_round5_analytic_invariants(spark):
+    """Mathematical invariants of the round-5 analytics — properties
+    that must hold regardless of data, catching formula regressions
+    the oracle hash can't localize."""
+    from .conftest import SF_ORACLE
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    # DAU <= WAU <= MAU on every day
+    for r in SPARK_QUERIES["events_dau_wau_mau"](spark, SF_ORACLE).collect():
+        assert r["dau"] <= r["wau"] <= r["mau"], r
+        assert 0 < r["stickiness"] <= 1
+    # correlation-family outputs live in [-1, 1]
+    for r in SPARK_QUERIES["timeseries_autocorrelation"](
+            spark, SF_ORACLE).collect():
+        if r["autocorr"] is not None:
+            assert -1.000001 <= r["autocorr"] <= 1.000001, r
+    row = SPARK_QUERIES["graph_assortativity"](spark, SF_ORACLE).first()
+    if row["assortativity"] is not None:
+        assert -1.000001 <= row["assortativity"] <= 1.000001
+    # drawdown is nonnegative and peak dominates the running value
+    for r in SPARK_QUERIES["window_drawdown"](spark, SF_ORACLE).collect():
+        assert r["drawdown"] >= -1e-6, r
+        assert r["peak"] >= r["cum"] - 1e-6, r
+    # ABC shares accumulate monotonically to ~1
+    shares = [r["cum_share"] for r in
+              SPARK_QUERIES["agg_abc_pareto"](spark, SF_ORACLE)
+              .orderBy("cum_share").collect()]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-4
+    # batches never exceed their pad target and padding is a fraction
+    for r in SPARK_QUERIES["corpus_length_bucket_batches"](
+            spark, SF_ORACLE).collect():
+        assert r["max_tokens"] <= r["bucket"], r
+        assert 0 <= r["pad_frac"] < 1, r
+    # Matryoshka overlaps are bounded by k
+    for r in SPARK_QUERIES["sim_matryoshka_truncation_eval"](
+            spark, SF_ORACLE).collect():
+        assert 0 <= r["n_overlap_16"] <= 5 and 0 <= r["n_overlap_32"] <= 5
+    # winsorized mean sits inside the clip band; trimmed inside too
+    for r in SPARK_QUERIES["agg_winsorized_stats"](
+            spark, SF_ORACLE).collect():
+        assert r["p05"] - 1e-6 <= r["winsor_mean"] <= r["p95"] + 1e-6, r
+        assert r["p05"] - 1e-6 <= r["trimmed_mean"] <= r["p95"] + 1e-6, r

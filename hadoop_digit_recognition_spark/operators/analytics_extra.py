@@ -1621,3 +1621,37 @@ def events_hour_dow_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.when(F.col("sd") > 0,
                                    (F.col("n") - F.col("mu"))
                                    / F.col("sd")), 6).alias("z")))
+
+
+@query("events_new_vs_returning", oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+fs AS (SELECT user_id, min(d) AS first_day FROM du GROUP BY user_id)
+SELECT strftime(du.d, '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN du.d = fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN du.d > fs.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning,
+       round(sum(CASE WHEN du.d = fs.first_day THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS new_frac
+FROM du JOIN fs USING (user_id)
+GROUP BY du.d
+""")
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING daily active users — the growth-accounting
+    split every product dashboard leads with (cohort_retention is the
+    matrix view; this is the time-series view). First-seen day is a
+    user-keyed min over the user-day distinct frame, joined back and
+    compared — a window-free spelling (the min-aggregate + join
+    broadcasts user-cardinality state instead of sorting per user).
+    One events-wide distinct, one user-keyed min, one day rollup."""
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    fs = du.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    j = du.join(fs, "user_id")
+    is_new = F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+    is_ret = F.when(F.col("d") > F.col("first_day"), 1).otherwise(0)
+    return (j.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+            .agg(F.sum(is_new).cast("bigint").alias("n_new"),
+                 F.sum(is_ret).cast("bigint").alias("n_returning"),
+                 F.round(F.sum(is_new) * 1.0 / F.count(F.lit(1)), 6)
+                  .alias("new_frac")))

@@ -568,3 +568,74 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").cast("bigint").alias("keep_id"))
             .filter(F.col("n_docs") >= 2))
+
+
+# Interior pixels and per-pixel Laplacian ceiling for the sharpness norm.
+_LAP_INTERIOR = (RASTER_H - 2) * (RASTER_W - 2)
+_LAP_MAX = 4 * 255
+
+
+@query("multimodal_laplacian_sharpness", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({RASTER_H * RASTER_W}) r(i)
+),
+lap AS (
+  SELECT c.doc_id,
+         abs(4 * c.v - u.v - dn.v - lf.v - rt.v) AS a
+  FROM px c
+  JOIN px u  ON u.doc_id = c.doc_id AND u.i = c.i - {RASTER_W}
+  JOIN px dn ON dn.doc_id = c.doc_id AND dn.i = c.i + {RASTER_W}
+  JOIN px lf ON lf.doc_id = c.doc_id AND lf.i = c.i - 1
+  JOIN px rt ON rt.doc_id = c.doc_id AND rt.i = c.i + 1
+  WHERE c.i // {RASTER_W} BETWEEN 1 AND {RASTER_H - 2}
+    AND c.i % {RASTER_W} BETWEEN 1 AND {RASTER_W - 2}
+)
+SELECT doc_id, CAST(sum(a) AS BIGINT) AS lap_abs_sum,
+       round(sum(a) / ({_LAP_INTERIOR} * {_LAP_MAX}.0), 9) AS sharpness
+FROM lap GROUP BY doc_id
+""")
+def multimodal_laplacian_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE SHARPNESS via the discrete Laplacian (the blur filter of
+    image-corpus curation: blurry crawl thumbnails score near zero and
+    get dropped before any captioning model wastes tokens on them):
+    per decoded 16x16 raster, the sum of |4v - N - S - E - W| over
+    interior pixels, normalized by the ceiling — all INTEGER until the
+    final normalization, so both engines agree bit-for-bit. Engine
+    side: NumPy stencil inside the same Arrow mapInPandas batch shape
+    as the decode/pool/resize family; oracle: four positional
+    self-joins on the unrolled pixel relation. At 100 TB this is a
+    narrow per-image map — no shuffle, embarrassing parallel."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+
+    def lap_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sums = [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                pad = RASTER_H * RASTER_W - raw.size
+                if pad > 0:
+                    raw = np.pad(raw, (0, pad))
+                img = raw[:RASTER_H * RASTER_W].reshape(
+                    RASTER_H, RASTER_W).astype(np.int64)
+                lap = (4 * img[1:-1, 1:-1]
+                       - img[:-2, 1:-1] - img[2:, 1:-1]
+                       - img[1:-1, :-2] - img[1:-1, 2:])
+                ids.append(did)
+                sums.append(int(np.abs(lap).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "lap_abs_sum": pd.Series(sums, dtype="int64")})
+
+    out = mm.select("doc_id", "payload").mapInPandas(
+        lap_batches, "doc_id bigint, lap_abs_sum bigint")
+    return out.select(
+        "doc_id", "lap_abs_sum",
+        F.round(F.col("lap_abs_sum") / float(_LAP_INTERIOR * _LAP_MAX), 9)
+        .alias("sharpness"))

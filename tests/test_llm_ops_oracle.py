@@ -76,7 +76,7 @@ LLM_QUERIES = [
     "ml_threshold_sweep_f1", "window_drawdown",
     "timeseries_autocorrelation",
     "events_hour_dow_heatmap", "supplier_lead_time_percentiles",
-    "events_new_vs_returning",
+    "events_new_vs_returning", "multimodal_laplacian_sharpness",
 ]
 
 

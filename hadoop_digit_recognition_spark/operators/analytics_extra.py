@@ -1655,3 +1655,56 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(is_ret).cast("bigint").alias("n_returning"),
                  F.round(F.sum(is_new) * 1.0 / F.count(F.lit(1)), 6)
                   .alias("new_frac")))
+
+
+@query("agg_weighted_median", oracle="""
+WITH pv AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         CAST(sum(l_quantity) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT grp, v, wt,
+         sum(wt) OVER (PARTITION BY grp ORDER BY v) AS cw,
+         sum(wt) OVER (PARTITION BY grp) AS tw
+  FROM pv
+)
+SELECT grp AS l_returnflag,
+       min(v) AS weighted_median_price,
+       CAST(min(tw) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cw >= tw GROUP BY grp
+""")
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (lower-median convention): the smallest price v
+    such that items at-or-below v carry at least half the total quantity
+    — the quantity-weighted "typical price", which an unweighted median
+    gets wrong whenever cheap items ship in bulk. percentile_approx has
+    no weight argument, so this is the exact spelling: per-(group, value)
+    weight totals, a cumulative-weight window over distinct values, then
+    the first value whose doubled cumulative weight reaches the total.
+
+    Determinism: the ordering/grouping key is the RAW double price (no
+    arithmetic → bit-identical in Spark and DuckDB since both read the
+    same parquet), and weights are integral quantities summed as bigint.
+    Pre-grouping by (grp, v) removes ties entirely, so the cumulative sum
+    is frame-order independent.
+
+    Scale shape: one (grp, value)-keyed partial-aggregated shuffle
+    (combiner collapses duplicate prices map-side), then a grp-partitioned
+    sort over the DISTINCT-value table — the window input is |distinct
+    prices|, not |lineitem|. With few hot groups the per-group sort is
+    the bound; at extreme group skew the rank-based twin is a fixed-point
+    search over histogram_equi_depth buckets."""
+    from pyspark.sql import Window as W2
+
+    li = load(spark, sf_dir, "lineitem")
+    pv = (li.groupBy(F.col("l_returnflag").alias("grp"),
+                     F.col("l_extendedprice").alias("v"))
+          .agg(F.sum("l_quantity").cast("bigint").alias("wt")))
+    wcum = W2.partitionBy("grp").orderBy("v")
+    c = (pv.withColumn("cw", F.sum("wt").over(wcum))
+         .withColumn("tw", F.sum("wt").over(W2.partitionBy("grp"))))
+    return (c.filter(2 * F.col("cw") >= F.col("tw"))
+            .groupBy(F.col("grp").alias("l_returnflag"))
+            .agg(F.min("v").alias("weighted_median_price"),
+                 F.min("tw").cast("bigint").alias("total_qty")))

@@ -639,3 +639,76 @@ def multimodal_laplacian_sharpness(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", "lap_abs_sum",
         F.round(F.col("lap_abs_sum") / float(_LAP_INTERIOR * _LAP_MAX), 9)
         .alias("sharpness"))
+
+
+# Silence-trim threshold: a centered 8-bit PCM sample with |deviation|
+# above this is "active". On the pure-ASCII stand-in corpus this labels
+# spaces/digits/punctuation (large deviation from 128) active and
+# lowercase letters silent — a fixed, engine-neutral integer split.
+TRIM_THRESH = 60
+
+
+@query("multimodal_audio_trim_silence", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i AS i,
+         ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1)) - 128 AS v
+  FROM documents d CROSS JOIN range({_MAX_WIN * WIN}) r(i)
+  WHERE r.i < octet_length(encode(d.text))
+)
+SELECT doc_id,
+       CAST(min(i) AS BIGINT) AS trim_start,
+       CAST(max(i) AS BIGINT) AS trim_end,
+       CAST(max(i) - min(i) + 1 AS BIGINT) AS active_span,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM px WHERE abs(v) > {TRIM_THRESH}
+GROUP BY doc_id
+""")
+def multimodal_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing-silence trim bounds over 8-bit PCM payloads: the
+    first and last sample whose |deviation from 128| exceeds TRIM_THRESH,
+    plus the active span and active-sample count — the standard VAD-free
+    preprocessing pass before windowed feature extraction (ffmpeg's
+    silenceremove / librosa.effects.trim, reduced to its integer core).
+    Documents with no active sample emit no row, matching the oracle's
+    inner filter.
+
+    Decode is NumPy frombuffer + argwhere inside mapInPandas (Arrow
+    batches); the oracle recomputes every sample relationally via the
+    same bounded range-join used by multimodal_audio_energy. All outputs
+    are integer positions — bit-reproducible in any engine.
+
+    At 100 TB: a NARROW map, no shuffle; emits 5 small ints per doc and
+    never the waveform. The trim bounds are exactly what a downstream
+    `substr(payload, trim_start, active_span)` re-slice needs, so the
+    expensive byte scan happens once."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+
+    def trim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lo, hi, nact = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                active = np.nonzero(np.abs(raw - 128) > TRIM_THRESH)[0]
+                if active.size == 0:
+                    continue
+                ids.append(did)
+                lo.append(int(active[0]))
+                hi.append(int(active[-1]))
+                nact.append(int(active.size))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "trim_start": pd.Series(lo, dtype="int64"),
+                "trim_end": pd.Series(hi, dtype="int64"),
+                "n_active": pd.Series(nact, dtype="int64")})
+
+    out = mm.select("doc_id", "payload").mapInPandas(
+        trim_batches,
+        "doc_id bigint, trim_start bigint, trim_end bigint, n_active bigint")
+    return out.select(
+        "doc_id", "trim_start", "trim_end",
+        (F.col("trim_end") - F.col("trim_start") + F.lit(1))
+        .cast("bigint").alias("active_span"),
+        "n_active")

@@ -77,6 +77,7 @@ LLM_QUERIES = [
     "timeseries_autocorrelation",
     "events_hour_dow_heatmap", "supplier_lead_time_percentiles",
     "events_new_vs_returning", "multimodal_laplacian_sharpness",
+    "multimodal_audio_trim_silence", "agg_weighted_median",
 ]
 
 

@@ -565,3 +565,81 @@ def _register_assortativity() -> None:
 
 
 _register_assortativity()
+
+
+@query("graph_modularity_regions", oracle=f"""
+WITH edges AS ({_EDGES_SQL}),
+lbl AS (SELECT n_nationkey AS node, n_regionkey AS com FROM nation),
+m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM edges),
+e2 AS (
+  SELECT ls.com AS com_s, ld.com AS com_d, e.w
+  FROM edges e
+  JOIN lbl ls ON ls.node = e.src
+  JOIN lbl ld ON ld.node = e.dst
+),
+kout AS (SELECT com_s AS com, CAST(sum(w) AS BIGINT) AS kout
+         FROM e2 GROUP BY com_s),
+kin AS (SELECT com_d AS com, CAST(sum(w) AS BIGINT) AS kin
+        FROM e2 GROUP BY com_d),
+win AS (SELECT com_s AS com, CAST(sum(w) AS BIGINT) AS w_within
+        FROM e2 WHERE com_s = com_d GROUP BY com_s)
+SELECT kout.com AS region_key,
+       coalesce(win.w_within, 0) AS w_within,
+       kout.kout AS kout, kin.kin AS kin,
+       (coalesce(win.w_within, 0) * m.m - kout.kout * kin.kin)
+         / (m.m * m.m) AS q_contrib
+FROM kout JOIN kin ON kin.com = kout.com
+LEFT JOIN win ON win.com = kout.com
+CROSS JOIN m
+""")
+def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of a given partition — the quality score every community
+    detection (Louvain/Leiden/label propagation) optimizes, computed here
+    for the region partition of the nation->nation trade graph (directed,
+    weighted form): per community c,
+        Q_c = w_within(c)/m - kout(c)*kin(c)/m^2,
+    total modularity = sum over communities. High Q_c = trade concentrates
+    inside the region versus what its in/out strength predicts.
+
+    Determinism: every mass (w_within, kout, kin, m) is an exact bigint
+    edge-count sum; q_contrib is a SINGLE integer-ratio division — one
+    IEEE op on identical integers in both engines, no round() midpoint
+    hazard (SCALE.md round-5 lesson).
+
+    Scale shape: the fact-sized work is the edge aggregation (runs once,
+    combiner'd); everything after operates on the community-keyed table
+    (|communities| rows). Labels join the edge list twice — at 100 TB
+    both are broadcast joins (node->community map is node-sized). This is
+    exactly the modularity-gain bookkeeping one Louvain pass needs, so the
+    operator doubles as that building block."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    edges = spark.sql(_EDGES_SQL)
+    lbl = (spark.table("nation")
+           .select(F.col("n_nationkey").alias("node"),
+                   F.col("n_regionkey").alias("com")))
+    e2 = (edges
+          .join(F.broadcast(lbl.withColumnRenamed("com", "com_s")),
+                F.col("node") == F.col("src")).drop("node")
+          .join(F.broadcast(lbl.withColumnRenamed("com", "com_d")),
+                F.col("node") == F.col("dst")).drop("node"))
+    m = e2.agg(F.sum("w").cast("bigint").alias("m"))
+    kout = e2.groupBy(F.col("com_s").alias("com")).agg(
+        F.sum("w").cast("bigint").alias("kout"))
+    kin = e2.groupBy(F.col("com_d").alias("com")).agg(
+        F.sum("w").cast("bigint").alias("kin"))
+    win = (e2.filter(F.col("com_s") == F.col("com_d"))
+           .groupBy(F.col("com_s").alias("com"))
+           .agg(F.sum("w").cast("bigint").alias("w_within")))
+    out = (kout.join(kin, "com")
+           .join(win, "com", "left")
+           .crossJoin(F.broadcast(m))
+           .select(F.col("com").alias("region_key"),
+                   F.coalesce("w_within", F.lit(0)).cast("bigint")
+                    .alias("w_within"),
+                   "kout", "kin",
+                   ((F.coalesce("w_within", F.lit(0)) * F.col("m")
+                     - F.col("kout") * F.col("kin"))
+                    / (F.col("m") * F.col("m"))).alias("q_contrib")))
+    return out

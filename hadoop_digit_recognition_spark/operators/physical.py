@@ -507,3 +507,90 @@ def spatial_grid_neighbor_join(spark: SparkSession,
                     & (d2 <= F.lit(_SPATIAL_R * _SPATIAL_R)))
             .select(F.col("id").alias("id_a"), "id_b",
                     F.round(F.sqrt(d2), 6).alias("dist")))
+
+
+# File-skipping simulation: predicate window (6 weeks) and the random
+# layout's file count.
+_SKIP_LO, _SKIP_HI = "1997-03-01", "1997-04-15"
+_SKIP_NFILES = 64
+
+
+@query("layout_file_skipping_stats", oracle=f"""
+WITH f AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(datepart('year', o_orderdate) * 12
+              + datepart('month', o_orderdate) AS BIGINT) AS fid_sorted,
+         CAST(o_orderkey % {_SKIP_NFILES} AS BIGINT) AS fid_random
+  FROM orders
+),
+layouts AS (
+  SELECT 'time_partitioned' AS layout, fid_sorted AS fid, o_orderdate FROM f
+  UNION ALL
+  SELECT 'random', fid_random, o_orderdate FROM f
+),
+stats AS (
+  SELECT layout, fid,
+         min(o_orderdate) AS lo, max(o_orderdate) AS hi,
+         count(*) AS n,
+         sum(CASE WHEN o_orderdate >= TIMESTAMP '{_SKIP_LO}'
+                   AND o_orderdate < TIMESTAMP '{_SKIP_HI}'
+                  THEN 1 ELSE 0 END) AS matched
+  FROM layouts GROUP BY layout, fid
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN hi >= TIMESTAMP '{_SKIP_LO}'
+                      AND lo < TIMESTAMP '{_SKIP_HI}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN hi >= TIMESTAMP '{_SKIP_LO}'
+                      AND lo < TIMESTAMP '{_SKIP_HI}'
+                     THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+       CAST(sum(matched) AS BIGINT) AS rows_matched
+FROM stats GROUP BY layout
+""")
+def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-SKIPPING audit: simulate parquet footer min/max pruning for a
+    6-week date predicate under two physical layouts of the same table —
+    month-partitioned (the production `PARTITIONED BY (month)` / Iceberg
+    partition-transform shape) vs hash-scattered (orderkey % N). Per
+    layout: file count, files whose [min,max] interval intersects the
+    predicate (these must be SCANNED), rows inside scanned files (actual
+    IO), and rows truly matching. The gap between rows_read and
+    rows_matched under 'random' vs 'time_partitioned' is the entire
+    case for clustering: same table, same predicate, ~30x the IO.
+
+    Everything is counts and min/max over exact timestamps — no float
+    path. Scale shape: one combiner'd groupBy per layout on the file key
+    (the UNION ALL doubles the scan but stays narrow); the final rollup
+    is |files|-sized. This is the audit companion to layout_zorder_files
+    (which clusters TWO dimensions; here the win is one-dimensional
+    partition pruning, the `partition_pruned_scan` fast path)."""
+    orders = load(spark, sf_dir, "orders")
+    lo = F.lit(_SKIP_LO).cast("timestamp")
+    hi = F.lit(_SKIP_HI).cast("timestamp")
+    f = orders.select(
+        "o_orderkey", "o_orderdate",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint").alias("fid_sorted"),
+        (F.col("o_orderkey") % _SKIP_NFILES).cast("bigint")
+        .alias("fid_random"))
+    layouts = (
+        f.select(F.lit("time_partitioned").alias("layout"),
+                 F.col("fid_sorted").alias("fid"), "o_orderdate")
+        .unionAll(
+            f.select(F.lit("random").alias("layout"),
+                     F.col("fid_random").alias("fid"), "o_orderdate")))
+    in_pred = (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    stats = (layouts.groupBy("layout", "fid")
+             .agg(F.min("o_orderdate").alias("flo"),
+                  F.max("o_orderdate").alias("fhi"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.sum(F.when(in_pred, 1).otherwise(0)).alias("matched")))
+    scanned = (F.col("fhi") >= lo) & (F.col("flo") < hi)
+    return (stats.groupBy("layout")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"),
+                 F.sum(F.when(scanned, 1).otherwise(0)).cast("bigint")
+                  .alias("files_scanned"),
+                 F.sum(F.when(scanned, F.col("n")).otherwise(0))
+                  .cast("bigint").alias("rows_read"),
+                 F.sum("matched").cast("bigint").alias("rows_matched")))

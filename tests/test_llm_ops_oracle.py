@@ -78,6 +78,8 @@ LLM_QUERIES = [
     "events_hour_dow_heatmap", "supplier_lead_time_percentiles",
     "events_new_vs_returning", "multimodal_laplacian_sharpness",
     "multimodal_audio_trim_silence", "agg_weighted_median",
+    "graph_modularity_regions", "skyline_pareto_frontier",
+    "layout_file_skipping_stats",
 ]
 
 

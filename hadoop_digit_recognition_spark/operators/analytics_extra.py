@@ -1782,3 +1782,147 @@ def skyline_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("price") == F.col("sky_price"))
                     & (F.col("size") == F.col("sky_size")))
             .select("p_partkey", "price", "size"))
+
+
+# Poisson-bootstrap configuration: replicate count and the inverse-CDF
+# thresholds of Poisson(1) over a 32-bit uniform hash —
+# floor(P(X<=k) * 2^32) for k = 0..5 (tail mass beyond 6 is ~1e-7).
+# Integer literals so the weight draw is bit-identical in any engine.
+_BOOT_R = 40
+_BOOT_T = (1580030168, 3160060337, 3950075421,
+           4213413783, 4279248373, 4292415291)
+
+
+def _boot_weight_sql(h: str) -> str:
+    cases = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T))
+    return f"CASE {cases} ELSE 6 END"
+
+
+@query("ab_bootstrap_ci_poisson", oracle=f"""
+WITH e AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+rep AS (
+  SELECT e.event_id, e.cents, r.i AS rep,
+         ('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+                             CAST(r.i AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM e CROSS JOIN range(1, {_BOOT_R} + 1) r(i)
+),
+w AS (SELECT rep, cents, {_boot_weight_sql('h')} AS wt FROM rep),
+means AS (
+  SELECT rep, CAST(sum(wt * cents) AS BIGINT)
+              / CAST(sum(wt) AS BIGINT) AS m
+  FROM w GROUP BY rep
+),
+ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means
+),
+pt AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n FROM e)
+SELECT pt.s / pt.n AS point_mean_cents,
+       (SELECT m FROM ranked WHERE rn = 2) AS ci_lo_cents,
+       (SELECT m FROM ranked WHERE rn = {_BOOT_R} - 1) AS ci_hi_cents,
+       CAST({_BOOT_R} AS BIGINT) AS n_replicates
+FROM pt
+""")
+def ab_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the mean purchase value
+    — the bootstrap that actually scales: instead of resampling n rows
+    with replacement (which needs a global sample per replicate), every
+    row independently draws a Poisson(1) weight per replicate, so all R
+    replicates compute in ONE pass over the data with a (replicate)-keyed
+    aggregate. This is the standard large-scale bootstrap; Welch's
+    parametric twin is ab_test_welch.
+
+    Determinism end-to-end: the weight is an inverse-CDF lookup of a
+    32-bit content hash (det_hash64 on event_id:replicate) against
+    hard-coded INTEGER thresholds — no engine RNG, no float CDF;
+    per-replicate sums stay bigint (values snap to cents — the
+    timeseries_twap precedent), so each bootstrap mean is a single
+    integer-ratio division, and the 95% CI is exact order statistics
+    (2nd / 39th of 40 replicate means), not interpolated quantiles.
+
+    Scale shape: the replicate fan-out is explode(sequence(1..R)) — a
+    narrow generator, R× map-side rows collapsed immediately by the
+    combiner into R partial sums per partition; shuffle width is
+    R rows total. No data-sized structure is ever global; the final
+    order-statistic window sees exactly R = 40 rows."""
+    from pyspark.sql import Window as W2
+    from ..functions.vector import det_hash64
+
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select("event_id",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    rep = ev.select(
+        "event_id", "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("rep"))
+    h = det_hash64(F.concat_ws(":", F.col("event_id"), F.col("rep")))
+    wt = F.lit(6)
+    for k in range(len(_BOOT_T) - 1, -1, -1):
+        wt = F.when(h < _BOOT_T[k], k).otherwise(wt)
+    means = (rep.withColumn("wt", wt)
+             .groupBy("rep")
+             .agg((F.sum(F.col("wt") * F.col("cents")).cast("bigint")
+                   / F.sum("wt").cast("bigint")).alias("m")))
+    ranked = means.withColumn(
+        "rn", F.row_number().over(W2.orderBy("m")))
+    lo = ranked.filter(F.col("rn") == 2).select(
+        F.col("m").alias("ci_lo_cents"))
+    hi = ranked.filter(F.col("rn") == _BOOT_R - 1).select(
+        F.col("m").alias("ci_hi_cents"))
+    pt = ev.agg((F.sum("cents").cast("bigint")
+                 / F.count(F.lit(1)).cast("bigint"))
+                .alias("point_mean_cents"))
+    return (pt.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .withColumn("n_replicates", F.lit(_BOOT_R).cast("bigint")))
+
+
+@query("timeseries_yoy_mom", oracle="""
+WITH m AS (
+  SELECT CAST(datepart('year', o_orderdate) AS BIGINT) AS yr,
+         CAST(datepart('month', o_orderdate) AS BIGINT) AS mo,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, n_orders,
+       lag(n_orders, 1) OVER w AS prev_month,
+       lag(n_orders, 12) OVER w AS prev_year,
+       n_orders - lag(n_orders, 1) OVER w AS mom_delta,
+       (n_orders - lag(n_orders, 1) OVER w)
+         / CAST(lag(n_orders, 1) OVER w AS DOUBLE) AS mom_pct,
+       (n_orders - lag(n_orders, 12) OVER w)
+         / CAST(lag(n_orders, 12) OVER w AS DOUBLE) AS yoy_pct
+FROM m WINDOW w AS (ORDER BY yr, mo)
+""")
+def timeseries_yoy_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth with CALENDAR alignment: monthly order
+    counts with month-over-month and year-over-year deltas/percentages
+    via lag(1) and lag(12) over the month series — the first page of
+    every business review, and the query where naive 30-day windows go
+    wrong (YoY must compare the same calendar month, not t-365d).
+
+    Counts are exact bigints; each pct is one integer-ratio IEEE
+    division; first-year rows carry NULL yoy (no fabricated baseline).
+    The only window runs over the MONTH table — bounded by the calendar
+    (~80 rows here, 1200 rows for a century), so the unpartitioned sort
+    is constant-sized by construction, never data-sized (the per-event
+    work is one combiner'd groupBy)."""
+    from pyspark.sql import Window as W2
+
+    m = (load(spark, sf_dir, "orders")
+         .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                  F.month("o_orderdate").cast("bigint").alias("mo"))
+         .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = W2.orderBy("yr", "mo")
+    pm = F.lag("n_orders", 1).over(w)
+    py = F.lag("n_orders", 12).over(w)
+    return m.select(
+        "yr", "mo", "n_orders",
+        pm.alias("prev_month"), py.alias("prev_year"),
+        (F.col("n_orders") - pm).alias("mom_delta"),
+        ((F.col("n_orders") - pm) / pm.cast("double")).alias("mom_pct"),
+        ((F.col("n_orders") - py) / py.cast("double")).alias("yoy_pct"))

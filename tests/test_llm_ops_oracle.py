@@ -79,7 +79,8 @@ LLM_QUERIES = [
     "events_new_vs_returning", "multimodal_laplacian_sharpness",
     "multimodal_audio_trim_silence", "agg_weighted_median",
     "graph_modularity_regions", "skyline_pareto_frontier",
-    "layout_file_skipping_stats",
+    "layout_file_skipping_stats", "ab_bootstrap_ci_poisson",
+    "timeseries_yoy_mom",
 ]
 
 

@@ -810,3 +810,55 @@ def ml_threshold_sweep_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("recall"),
         F.round(F.when(2 * tp + fp + fn > 0,
                        2.0 * tp / (2 * tp + fp + fn)), 6).alias("f1"))
+
+
+@query("ml_calibration_bins", oracle="""
+WITH s AS (SELECT CAST(label % 2 AS INTEGER) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+b AS (SELECT y, score,
+             CAST(greatest(0, least(floor((score + 1.0) / 0.2), 9))
+                  AS BIGINT) AS bin_id
+      FROM s)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(score) / count(*), 6) AS mean_score,
+       CAST(sum(y) AS BIGINT) / CAST(count(*) AS BIGINT) AS pos_frac,
+       round((sum(score) / count(*) + 1.0) / 2.0
+             - CAST(sum(y) AS BIGINT) / CAST(count(*) AS BIGINT), 6)
+         AS calib_gap
+FROM b GROUP BY bin_id
+""")
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION / reliability diagram: bucket scores into 10
+    equal-width bins over the fixed literal range [-1, 1] (clamped) and
+    compare each bin's mean score — rescaled to [0,1] as the implied
+    probability — against its observed positive rate. The per-bin gap is
+    the reliability curve every probabilistic classifier is audited
+    with (ECE is its weighted sum); completes the eval family next to
+    ml_auc_rank_sum (ranking) and ml_threshold_sweep_f1 (operating
+    point). Same deliberately weak scorer as both: first embedding
+    coordinate vs label parity.
+
+    Determinism: bin edges are literal arithmetic on the raw score
+    (identical IEEE ops both engines); pos_frac is a pure integer-ratio
+    division (no rounding needed); only the float-sum mean_score and
+    the gap derived from it round to 6 (engine-neutral at these
+    magnitudes — the q1 revenue-rounding precedent).
+
+    Scale shape: a single narrow projection + one 10-group combiner'd
+    aggregate — calibration of a petabyte of scores is one scan."""
+    s = (load(spark, sf_dir, "embeddings")
+         .select((F.col("label") % 2).cast("int").alias("y"),
+                 F.col("embedding")[0].cast("double").alias("score")))
+    bin_id = (F.greatest(
+        F.lit(0), F.least(F.floor((F.col("score") + 1.0) / 0.2), F.lit(9)))
+        .cast("bigint"))
+    n = F.count(F.lit(1))
+    pos = F.sum("y").cast("bigint")
+    mean_score = F.sum("score") / n
+    return (s.groupBy(bin_id.alias("bin_id"))
+            .agg(n.cast("bigint").alias("n"),
+                 F.round(mean_score, 6).alias("mean_score"),
+                 (pos / n.cast("bigint")).alias("pos_frac"),
+                 F.round((mean_score + 1.0) / 2.0
+                         - pos / n.cast("bigint"), 6).alias("calib_gap")))

@@ -80,7 +80,7 @@ LLM_QUERIES = [
     "multimodal_audio_trim_silence", "agg_weighted_median",
     "graph_modularity_regions", "skyline_pareto_frontier",
     "layout_file_skipping_stats", "ab_bootstrap_ci_poisson",
-    "timeseries_yoy_mom",
+    "timeseries_yoy_mom", "ml_calibration_bins",
 ]
 
 

@@ -62,6 +62,8 @@ HEADLINE = [
     "sim_hybrid_bm25_rerank",
     "dedup_repeated_substrings",
     "asof_join_nearest",
+    "ab_bootstrap_ci_poisson",
+    "skyline_pareto_frontier",
 ]
 
 

@@ -829,3 +829,48 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("direction") == "backward", bdiff)
          .when(F.col("direction") == "forward", fdiff)
          .alias("diff_us"))
+
+
+@query("window_cumulative_distinct", oracle="""
+WITH f AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_types
+FROM f
+""")
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING COUNT-DISTINCT per user: at each event, how many distinct
+    event types has this user produced so far — the breadth-of-engagement
+    curve feature every activation model wants, and the window SQL can't
+    say directly (COUNT(DISTINCT) OVER a running frame is unsupported in
+    every engine). The standard spelling: flag each (user, type)'s FIRST
+    occurrence with one partitioned row_number, then a running SUM of the
+    flags — two keyed windows replace the impossible distinct frame.
+
+    Deterministic: ties in ts break by event_id in both windows; outputs
+    are pure integer counts.
+
+    Scale shape: both windows partition by user (the second reuses the
+    first's (user_id, ts) sort order after a sub-key shuffle), so state
+    per task is one user's history — never global. The same
+    first-occurrence trick is how events_new_vs_returning and
+    corpus_crawl_novelty_curve count novelty; this is its event-grain
+    window form."""
+    ev = load(spark, sf_dir, "events")
+    w1 = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = (W.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    first_seen = F.when(F.row_number().over(w1) == 1, 1).otherwise(0)
+    return (ev.select("event_id", "user_id", "ts", "event_type",
+                      first_seen.alias("first_seen"))
+            .select("event_id", "user_id",
+                    F.sum("first_seen").over(w2).cast("bigint")
+                    .alias("cum_distinct_types")))

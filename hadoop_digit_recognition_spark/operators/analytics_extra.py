@@ -1926,3 +1926,133 @@ def timeseries_yoy_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_orders") - pm).alias("mom_delta"),
         ((F.col("n_orders") - pm) / pm.cast("double")).alias("mom_pct"),
         ((F.col("n_orders") - py) / py.cast("double")).alias("yoy_pct"))
+
+
+# WoE binning: fixed-width value bins (engine-neutral literal edges; the
+# fixture's values live in [0, ~560]).
+_WOE_BIN_W = 50.0
+
+
+@query("feature_woe_binning", oracle=f"""
+WITH s AS (
+  SELECT CAST(least(floor(value / {_WOE_BIN_W}), 11) AS BIGINT) AS bin_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (
+  SELECT bin_id,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM s GROUP BY bin_id
+),
+t AS (
+  SELECT bin_id, n_pos, n_neg,
+         sum(n_pos) OVER () AS tp, sum(n_neg) OVER () AS tn,
+         count(*) OVER () AS k
+  FROM b
+)
+SELECT bin_id, n_pos, n_neg,
+       round(ln(((n_pos + 0.5) / (tp + 0.5 * k))
+                / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS woe,
+       round(((n_pos + 0.5) / (tp + 0.5 * k)
+              - (n_neg + 0.5) / (tn + 0.5 * k))
+             * ln(((n_pos + 0.5) / (tp + 0.5 * k))
+                  / ((n_neg + 0.5) / (tn + 0.5 * k))), 6) AS iv_contrib
+FROM t
+""")
+def feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE encoding: fixed-width value bins scored by
+    ln(pos_share / neg_share), plus each bin's Information Value
+    contribution (IV = sum of (pos_share - neg_share) * WoE) — the
+    credit-scoring-standard monotone encoder and feature screen, the
+    supervised complement of feature_target_encode_loo (which encodes
+    by raw target mean). Target: event_type = 'purchase'.
+
+    Bins are literal-edge fixed-width (no ntile — a global ntile sorts
+    the whole fact; fixed edges are a narrow map). Counts are exact
+    bigints; shares use +0.5 Laplace smoothing (shares = (n + 0.5) /
+    (total + 0.5 * n_bins)) so empty-class bins stay finite at any SF;
+    the smoothed arithmetic is the same literal IEEE ops in both
+    engines, and the single ln() rounds to 6 (the entropy/surprisal
+    precedent).
+
+    Scale shape: one combiner'd groupBy over ~12 bins, then window
+    totals over the BIN table (12 rows) — encoding a petabyte of rows
+    costs one scan; the unpartitioned window is bin-count-sized by
+    construction."""
+    from pyspark.sql import Window as W2
+
+    s = (load(spark, sf_dir, "events")
+         .select(F.least(F.floor(F.col("value") / _WOE_BIN_W), F.lit(11))
+                 .cast("bigint").alias("bin_id"),
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("y")))
+    b = (s.groupBy("bin_id")
+         .agg(F.sum("y").cast("bigint").alias("n_pos"),
+              (F.count(F.lit(1)) - F.sum("y")).cast("bigint")
+              .alias("n_neg")))
+    wall = W2.partitionBy()
+    t = (b.withColumn("tp", F.sum("n_pos").over(wall))
+         .withColumn("tn", F.sum("n_neg").over(wall))
+         .withColumn("k", F.count(F.lit(1)).over(wall)))
+    ps = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * F.col("k"))
+    ns = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * F.col("k"))
+    return t.select(
+        "bin_id", "n_pos", "n_neg",
+        F.round(F.log(ps / ns), 6).alias("woe"),
+        F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_contrib"))
+
+
+# Temporal split boundaries (literal timestamps, engine-neutral; the
+# fixture's event stream spans January 2024 -> ~67/16/17 split).
+_TSPLIT_TRAIN_END = "2024-01-21"
+_TSPLIT_VALID_END = "2024-01-26"
+
+
+@query("split_temporal_leakage_safe", oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN ts <  TIMESTAMP '{_TSPLIT_TRAIN_END}' THEN 'train'
+              WHEN ts <  TIMESTAMP '{_TSPLIT_VALID_END}' THEN 'valid'
+              ELSE 'test' END AS split,
+         user_id, event_type, ts
+  FROM events
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       min(ts) AS ts_min, max(ts) AS ts_max
+FROM s GROUP BY split
+""")
+def split_temporal_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/valid/test split — the LEAKAGE-SAFE evaluation
+    protocol for anything time-dependent: train strictly before the
+    cutoff, validate on the next period, test on the future, so no
+    example is ever scored by a model that saw later data. The summary
+    emits per-split volumes, distinct users, positive counts, and the
+    actual time ranges (the audit that proves the boundaries hold —
+    ts_max(train) < ts_min(valid) by construction). The random-by-content
+    twin is corpus_split_train_valid_test (hash split — correct for
+    exchangeable documents, WRONG for forecasting, where it leaks the
+    future into training).
+
+    Boundaries are literal timestamps; everything else is exact counts
+    and min/max — no float path at all. Scale shape: a narrow CASE
+    projection + one 3-group combiner'd aggregate (the distinct-user
+    count is the only second shuffle, keyed on (split, user))."""
+    lo = F.lit(_TSPLIT_TRAIN_END).cast("timestamp")
+    hi = F.lit(_TSPLIT_VALID_END).cast("timestamp")
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.col("ts") < lo, "train")
+         .when(F.col("ts") < hi, "valid")
+         .otherwise("test").alias("split"),
+        "user_id", "event_type", "ts")
+    return (s.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.countDistinct("user_id").cast("bigint").alias("n_users"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).cast("bigint").alias("n_purchases"),
+                 F.min("ts").alias("ts_min"),
+                 F.max("ts").alias("ts_max")))

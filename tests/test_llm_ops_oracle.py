@@ -81,7 +81,8 @@ LLM_QUERIES = [
     "graph_modularity_regions", "skyline_pareto_frontier",
     "layout_file_skipping_stats", "ab_bootstrap_ci_poisson",
     "timeseries_yoy_mom", "ml_calibration_bins",
-    "window_cumulative_distinct",
+    "window_cumulative_distinct", "feature_woe_binning",
+    "split_temporal_leakage_safe",
 ]
 
 

@@ -256,3 +256,107 @@ def test_round5_analytic_invariants(spark):
             spark, SF_ORACLE).collect():
         assert r["p05"] - 1e-6 <= r["winsor_mean"] <= r["p95"] + 1e-6, r
         assert r["p05"] - 1e-6 <= r["trimmed_mean"] <= r["p95"] + 1e-6, r
+
+
+def test_round5_resumed_invariants(spark):
+    """Mathematical invariants of the round-5 resumed operators —
+    engine-independent properties the oracle hash can't localize."""
+    from .conftest import SF_ORACLE
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    # skyline: mutually non-dominated (strict dominance between any two
+    # returned points is a contradiction)
+    sky = [(r["price"], r["size"]) for r in
+           SPARK_QUERIES["skyline_pareto_frontier"](
+               spark, SF_ORACLE).collect()]
+    assert sky
+    for pa, sa in sky:
+        for pb, sb in sky:
+            dominates = (pb <= pa and sb >= sa and (pb < pa or sb > sa))
+            assert not dominates, ((pa, sa), (pb, sb))
+
+    # weighted median: at least half the total weight sits at-or-below
+    # the reported median, strictly-below carries less than half
+    import duckdb as _dd
+    con = _dd.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{SF_ORACLE}/lineitem.parquet'")
+    for r in SPARK_QUERIES["agg_weighted_median"](
+            spark, SF_ORACLE).collect():
+        at_or_below, below, total = con.execute(
+            "SELECT sum(CASE WHEN l_extendedprice <= ? THEN l_quantity "
+            "ELSE 0 END), sum(CASE WHEN l_extendedprice < ? THEN "
+            "l_quantity ELSE 0 END), sum(l_quantity) FROM lineitem "
+            "WHERE l_returnflag = ?",
+            [r["weighted_median_price"], r["weighted_median_price"],
+             r["l_returnflag"]]).fetchone()
+        assert 2 * at_or_below >= total, r
+        assert 2 * below < total, r
+
+    # bootstrap: bounds ordered, replicate count intact
+    b = SPARK_QUERIES["ab_bootstrap_ci_poisson"](spark, SF_ORACLE).first()
+    assert b["ci_lo_cents"] <= b["ci_hi_cents"]
+    assert b["n_replicates"] == 40
+
+    # modularity: in/out strengths each sum to the total edge mass,
+    # and total Q is bounded by 1
+    rows = SPARK_QUERIES["graph_modularity_regions"](
+        spark, SF_ORACLE).collect()
+    assert sum(r["kout"] for r in rows) == sum(r["kin"] for r in rows)
+    assert abs(sum(r["q_contrib"] for r in rows)) <= 1.0
+
+    # YoY/MoM: delta consistent with the lagged count
+    for r in SPARK_QUERIES["timeseries_yoy_mom"](
+            spark, SF_ORACLE).collect():
+        if r["prev_month"] is not None:
+            assert r["mom_delta"] == r["n_orders"] - r["prev_month"], r
+
+    # cumulative distinct: per user non-decreasing, steps of 0/1,
+    # starts at 1
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    cd = SPARK_QUERIES["window_cumulative_distinct"](spark, SF_ORACLE)
+    for r in cd.orderBy("user_id", "cum_distinct_types",
+                        "event_id").collect():
+        per_user[r["user_id"]].append(r["cum_distinct_types"])
+    for seq in per_user.values():
+        assert seq[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(seq, seq[1:]))
+
+    # WoE: each IV contribution is nonnegative ((share gap) and
+    # ln(share ratio) always share sign)
+    for r in SPARK_QUERIES["feature_woe_binning"](
+            spark, SF_ORACLE).collect():
+        assert r["iv_contrib"] >= -1e-9, r
+
+    # temporal split: the leakage guarantee itself — ranges ordered
+    sp = {r["split"]: r for r in
+          SPARK_QUERIES["split_temporal_leakage_safe"](
+              spark, SF_ORACLE).collect()}
+    assert sp["train"]["ts_max"] < sp["valid"]["ts_min"]
+    assert sp["valid"]["ts_max"] < sp["test"]["ts_min"]
+
+    # file skipping: pruning never changes the answer, only the IO
+    fs = {r["layout"]: r for r in
+          SPARK_QUERIES["layout_file_skipping_stats"](
+              spark, SF_ORACLE).collect()}
+    assert (fs["random"]["rows_matched"]
+            == fs["time_partitioned"]["rows_matched"])
+    for r in fs.values():
+        assert r["files_scanned"] <= r["n_files"]
+        assert r["rows_read"] >= r["rows_matched"]
+
+    # audio trim: bounds ordered, active count fits the span
+    for r in SPARK_QUERIES["multimodal_audio_trim_silence"](
+            spark, SF_ORACLE).collect():
+        assert r["trim_start"] <= r["trim_end"], r
+        assert 1 <= r["n_active"] <= r["active_span"], r
+
+    # calibration: bins partition the scored set; rates are probabilities
+    import os
+    cal = SPARK_QUERIES["ml_calibration_bins"](spark, SF_ORACLE).collect()
+    n_emb = (spark.read.parquet(
+        os.path.join(SF_ORACLE, "embeddings.parquet")).count())
+    assert sum(r["n"] for r in cal) == n_emb
+    for r in cal:
+        assert 0.0 <= r["pos_frac"] <= 1.0, r

@@ -2056,3 +2056,86 @@ def split_temporal_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).cast("bigint").alias("n_purchases"),
                  F.min("ts").alias("ts_min"),
                  F.max("ts").alias("ts_max")))
+
+
+@query("agg_theil_decomposition", oracle="""
+WITH x AS (
+  SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+         CAST(count(*) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(v) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM x),
+g AS (SELECT nk, CAST(sum(v) AS BIGINT) AS sg,
+             CAST(count(*) AS BIGINT) AS ng FROM x GROUP BY nk),
+w AS (
+  SELECT x.nk,
+         (x.v / (g.sg / CAST(g.ng AS DOUBLE)))
+           * ln(x.v / (g.sg / CAST(g.ng AS DOUBLE))) AS wt,
+         (x.v / (tot.s / CAST(tot.n AS DOUBLE)))
+           * ln(x.v / (tot.s / CAST(tot.n AS DOUBLE))) AS tt
+  FROM x JOIN g ON g.nk = x.nk CROSS JOIN tot
+),
+gw AS (SELECT nk, sum(wt) / count(*) AS tg, sum(tt) AS tt_sum,
+              count(*) AS ng2
+       FROM w GROUP BY nk)
+SELECT tot.n AS n_customers,
+       round(sum(gw.tt_sum) / tot.n, 6) AS theil_total,
+       round(sum((g.sg / CAST(tot.s AS DOUBLE)) * gw.tg), 6)
+         AS theil_within,
+       round(sum((g.sg / CAST(tot.s AS DOUBLE))
+                 * ln((g.sg / CAST(g.ng AS DOUBLE))
+                      / (tot.s / CAST(tot.n AS DOUBLE)))), 6)
+         AS theil_between
+FROM gw JOIN g ON g.nk = gw.nk CROSS JOIN tot
+GROUP BY tot.n
+""")
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T inequality index of per-customer order counts with its
+    exact BETWEEN-/WITHIN-nation decomposition — the property the Gini
+    famously lacks (events_power_user_gini is the non-decomposable
+    twin): T_total = sum_g (s_g/s)*T_g + sum_g (s_g/s)*ln(mu_g/mu), so
+    the answer says not just HOW unequal order activity is but WHERE
+    the inequality lives (inside nations vs across them).
+
+    Activity values are exact bigint counts (customers with >= 1 order);
+    means are integer-ratio divisions; the per-row x*ln(x) terms are
+    float sums rounded to 6 at the end (entropy/gini precedent).
+
+    Scale shape: one fact-sized (cust, nation) count — the only heavy
+    shuffle — then everything is customer- or nation-keyed; the grand
+    totals are a 1-ROW scalar broadcast crossed into the stream (never a
+    data-sized global window). The decomposition is why this operator
+    distributes so well: each group's T_g is independent, so the
+    within-term is embarrassingly parallel by design."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    x = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                o.o_custkey == F.col("c_custkey"))
+         .groupBy(F.col("o_custkey").alias("ck"),
+                  F.col("c_nationkey").alias("nk"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
+    tot = x.agg(F.sum("v").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"))
+    g = x.groupBy("nk").agg(F.sum("v").cast("bigint").alias("sg"),
+                            F.count(F.lit(1)).cast("bigint").alias("ng"))
+    t = x.join(F.broadcast(g), "nk").crossJoin(F.broadcast(tot))
+    mu = F.col("s") / F.col("n").cast("double")
+    mug = F.col("sg") / F.col("ng").cast("double")
+    t = t.withColumn("wt", (F.col("v") / mug) * F.log(F.col("v") / mug)) \
+         .withColumn("tt", (F.col("v") / mu) * F.log(F.col("v") / mu))
+    gw = (t.groupBy("nk")
+          .agg((F.sum("wt") / F.count(F.lit(1))).alias("tg"),
+               F.sum("tt").alias("tt_sum")))
+    fin = (gw.join(F.broadcast(g), "nk").crossJoin(F.broadcast(tot)))
+    mu2 = F.col("s") / F.col("n").cast("double")
+    mug2 = F.col("sg") / F.col("ng").cast("double")
+    share = F.col("sg") / F.col("s").cast("double")
+    return (fin.groupBy(F.col("n").alias("n_customers"))
+            .agg(F.round(F.sum("tt_sum") / F.first("n"), 6)
+                 .alias("theil_total"),
+                 F.round(F.sum(share * F.col("tg")), 6)
+                 .alias("theil_within"),
+                 F.round(F.sum(share * F.log(mug2 / mu2)), 6)
+                 .alias("theil_between")))

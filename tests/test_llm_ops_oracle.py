@@ -82,7 +82,7 @@ LLM_QUERIES = [
     "layout_file_skipping_stats", "ab_bootstrap_ci_poisson",
     "timeseries_yoy_mom", "ml_calibration_bins",
     "window_cumulative_distinct", "feature_woe_binning",
-    "split_temporal_leakage_safe",
+    "split_temporal_leakage_safe", "agg_theil_decomposition",
 ]
 
 

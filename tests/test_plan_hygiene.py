@@ -64,9 +64,11 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "events_ltv_decayed", "agg_abc_pareto",
                 "ab_diff_in_diff", "dq_benford_test",
                 "events_hour_dow_heatmap",
-                # 1-row total-edge-mass / CI-bound scalars crossed into
-                # community- / replicate-sized tables (same class)
+                # 1-row total-edge-mass / CI-bound / grand-total scalars
+                # crossed into community- / replicate- / group-sized
+                # tables (same class)
                 "graph_modularity_regions", "ab_bootstrap_ci_poisson",
+                "agg_theil_decomposition",
                 # 7-row literal lag grid crossed into the days-count
                 # frame (threshold-sweep / gemm literal-grid class)
                 "timeseries_autocorrelation"}

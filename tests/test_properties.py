@@ -352,6 +352,12 @@ def test_round5_resumed_invariants(spark):
         assert r["trim_start"] <= r["trim_end"], r
         assert 1 <= r["n_active"] <= r["active_span"], r
 
+    # Theil: decomposition additivity and nonnegativity
+    th = SPARK_QUERIES["agg_theil_decomposition"](spark, SF_ORACLE).first()
+    assert th["theil_total"] >= 0 and th["theil_between"] >= -1e-9
+    assert abs(th["theil_total"]
+               - (th["theil_within"] + th["theil_between"])) < 5e-6
+
     # calibration: bins partition the scored set; rates are probabilities
     import os
     cal = SPARK_QUERIES["ml_calibration_bins"](spark, SF_ORACLE).collect()

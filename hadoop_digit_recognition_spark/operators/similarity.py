@@ -510,8 +510,50 @@ _HYBRID_WL = 0.6    # lexical weight; dense weight = 1 - this
 _BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + ")"
 
 
-@query("sim_hybrid_bm25_rerank", oracle=f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _bm25_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate stage for the two fusion queries: BM25 top-N
+    (k1/b as configured) with the dense cosine score to the query
+    embedding attached — `(doc_id, bm25, cos)`. The scalar corpus stats
+    (count, avgdl, query vector) are collected once (kilobytes) and
+    folded in as literals; the oracle twin is _HYBRID_CAND_SQL."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("w"))
+    n_total, avgdl = w.select(
+        F.count(F.lit(1)).cast("double"),
+        F.avg(F.size("w").cast("double"))).first()
+
+    tok = w.select("doc_id", F.size("w").cast("double").alias("dl"),
+                   F.explode("w").alias("term"))
+    tf = (tok.filter(F.col("term").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "term")
+          .agg(F.max("dl").alias("dl"),
+               F.count(F.lit(1)).cast("double").alias("tf")))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(1 + (F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (idf * F.col("tf") * (_BM25_K1 + 1)
+                  / (F.col("tf") + _BM25_K1
+                     * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)))
+    sc = (tf.join(F.broadcast(df), "term")
+          .groupBy("doc_id").agg(F.round(F.sum(term_score), 6).alias("bm25")))
+    top = sc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPN)
+
+    emb = load_parallel(spark, sf_dir, "embeddings")
+    qe = F.lit([float(x) for x in
+                emb.filter(F.col("vec_id") == 0)
+                .select(F.col("embedding").cast("array<double>")).first()[0]])
+    return (top.filter(F.col("doc_id") != 0)
+            .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                  "doc_id")
+            .select("doc_id", "bm25",
+                    F.round(dot_col(qe, F.col("embedding"))
+                            / (l2norm_col(qe)
+                               * l2norm_col(F.col("embedding"))),
+                            6).alias("cos")))
+
+
+# CTE text reused by both fusion oracles (DuckDB twin of
+# _bm25_cosine_candidates).
+_HYBRID_CAND_SQL = f"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
                  avg(CAST(len(w) AS DOUBLE)) AS avgdl FROM w),
 tok AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term FROM w),
@@ -534,7 +576,11 @@ hy AS (SELECT t.doc_id, t.bm25,
               round(list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]), 6)
                 AS cos
        FROM top t JOIN embeddings e ON e.vec_id = t.doc_id, qv
-       WHERE t.doc_id <> 0),
+       WHERE t.doc_id <> 0)"""
+
+
+@query("sim_hybrid_bm25_rerank", oracle=f"""
+WITH {_HYBRID_CAND_SQL},
 mx AS (SELECT max(bm25) AS m FROM hy),
 f AS (SELECT doc_id, bm25, cos,
              round({_HYBRID_WL} * bm25 / mx.m
@@ -564,44 +610,64 @@ def sim_hybrid_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranks sort on ROUNDED scores with doc_id tiebreaks, so both engines
     cut identical sets. At 100 TB: scan + one keyed agg + a 50-
     row rerank; the query embedding is a literal array."""
-    docs = load_parallel(spark, sf_dir, "documents")
-    w = docs.select("doc_id", F.split("text", " ").alias("w"))
-    n_total, avgdl = w.select(
-        F.count(F.lit(1)).cast("double"),
-        F.avg(F.size("w").cast("double"))).first()
-
-    tok = w.select("doc_id", F.size("w").cast("double").alias("dl"),
-                   F.explode("w").alias("term"))
-    tf = (tok.filter(F.col("term").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "term")
-          .agg(F.max("dl").alias("dl"),
-               F.count(F.lit(1)).cast("double").alias("tf")))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log(1 + (F.lit(n_total) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    term_score = (idf * F.col("tf") * (_BM25_K1 + 1)
-                  / (F.col("tf") + _BM25_K1
-                     * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)))
-    sc = (tf.join(F.broadcast(df), "term")
-          .groupBy("doc_id").agg(F.round(F.sum(term_score), 6).alias("bm25")))
-    top = sc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_BM25_TOPN)
-
-    emb = load_parallel(spark, sf_dir, "embeddings")
-    qe = F.lit([float(x) for x in
-                emb.filter(F.col("vec_id") == 0)
-                .select(F.col("embedding").cast("array<double>")).first()[0]])
-    hy = (top.filter(F.col("doc_id") != 0)
-          .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
-                "doc_id")
-          .select("doc_id", "bm25",
-                  F.round(dot_col(qe, F.col("embedding"))
-                          / (l2norm_col(qe) * l2norm_col(F.col("embedding"))),
-                          6).alias("cos")))
+    hy = _bm25_cosine_candidates(spark, sf_dir)
     mx = F.max("bm25").over(W.partitionBy())
     f = hy.select(
         "doc_id", "bm25", "cos",
         F.round(_HYBRID_WL * F.col("bm25") / mx
                 + (1 - _HYBRID_WL) * F.col("cos"), 6).alias("hybrid"))
     rnk = F.row_number().over(W.orderBy(F.desc("hybrid"), F.asc("doc_id")))
+    return (f.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= _HYBRID_K))
+
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion smoothing constant
+
+
+@query("sim_rrf_fusion", oracle=f"""
+WITH {_HYBRID_CAND_SQL},
+r1 AS (SELECT doc_id, bm25, cos,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl,
+              row_number() OVER (ORDER BY cos DESC, doc_id) AS rd
+       FROM hy),
+f AS (SELECT doc_id, CAST(rl AS BIGINT) AS rank_lex,
+             CAST(rd AS BIGINT) AS rank_dense,
+             round(1.0 / ({_RRF_C} + rl) + 1.0 / ({_RRF_C} + rd), 9)
+               AS rrf
+      FROM r1)
+SELECT doc_id, rank_lex, rank_dense, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS rnk
+FROM f QUALIFY rnk <= {_HYBRID_K}
+""")
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION over the same lexical+dense candidate set
+    as sim_hybrid_bm25_rerank: each candidate is ranked independently by
+    BM25 and by cosine, and fused by sum(1 / (60 + rank)) — the
+    industry-default hybrid-search combiner (Elasticsearch/OpenSearch/
+    Vespa ship exactly this) because it needs NO score normalization:
+    ranks are scale-free, so a BM25 of ~8 and a cosine of ~0.3 fuse
+    without the max-normalization the weighted variant requires. The two
+    queries are deliberate twins — weighted-score fusion vs rank fusion
+    on identical candidates.
+
+    Determinism: ranks are integers with doc_id tiebreaks over ROUNDED
+    scores; each RRF score is two exact integer-reciprocal IEEE
+    divisions and one add, rounded to 9 for display.
+
+    Scale shape: identical to the hybrid twin — everything after the
+    BM25 top-50 cut (TakeOrderedAndProject) touches 50 rows; both
+    ranking windows and the fusion window are candidate-set-sized by
+    construction."""
+    hy = _bm25_cosine_candidates(spark, sf_dir)
+    rl = F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    rd = F.row_number().over(W.orderBy(F.desc("cos"), F.asc("doc_id")))
+    f = (hy.select("doc_id", rl.cast("bigint").alias("rank_lex"),
+                   rd.cast("bigint").alias("rank_dense"))
+         .withColumn("rrf", F.round(
+             1.0 / (_RRF_C + F.col("rank_lex"))
+             + 1.0 / (_RRF_C + F.col("rank_dense")), 9)))
+    rnk = F.row_number().over(W.orderBy(F.desc("rrf"), F.asc("doc_id")))
     return (f.withColumn("rnk", rnk.cast("bigint"))
             .filter(F.col("rnk") <= _HYBRID_K))
 

@@ -902,3 +902,86 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     for piece in vol[1:] + [lang] + qs + [dup]:
         out = out.unionByName(piece)
     return out
+
+
+# MLM masking plan: corruption rate in per-mille, and the BERT 80/10/10
+# action split over masked positions — all drawn from a 32-bit content
+# hash so the plan is reproducible on any engine, any partitioning.
+_MLM_RATE_PM = 150          # 15% of token positions selected
+_MLM_ACTION_MOD = 10        # of selected: 0-7 [MASK], 8 random, 9 keep
+
+
+@query("corpus_mlm_mask_plan", oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS p
+  FROM w
+),
+h AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(p AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM pos
+),
+m AS (
+  SELECT doc_id, p,
+         CASE WHEN hv % 1000 < {_MLM_RATE_PM} THEN 1 ELSE 0 END AS sel,
+         CASE WHEN hv % 1000 < {_MLM_RATE_PM}
+              THEN (hv // 1000) % {_MLM_ACTION_MOD} END AS act
+  FROM h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(sel) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN act <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mask,
+       CAST(sum(CASE WHEN act = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_random,
+       CAST(sum(CASE WHEN act = 9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM m GROUP BY doc_id
+""")
+def corpus_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASKED-LANGUAGE-MODEL corruption plan (BERT recipe): select ~15%
+    of token positions per document and split the selected set 80/10/10
+    into [MASK] / random-replace / keep-unchanged — the objective-side
+    data prep of encoder pretraining, as a DATA-PARALLEL PLAN: what ships
+    is the per-doc corruption ledger (counts here; the position list
+    rides the same hash, so workers rematerialize it without any stored
+    mask). Both draws come from one det_hash64(doc_id:position) — no RNG,
+    so the plan is identical on any engine, any partitioning, any rerun
+    (the corpus_split_train_valid_test determinism contract, applied at
+    token grain).
+
+    Everything is integer hash arithmetic and counts — no float path.
+
+    Scale shape: one posexplode (narrow) + one md5 per token + a
+    doc-keyed combiner'd aggregate; nothing corpus-global. The 100 TB
+    cost is the hash throughput itself, which is exactly the cost of
+    any content-defined masking; span corruption (T5) swaps the
+    per-position Bernoulli for a hash on span starts with a geometric
+    length lookup — same plumbing."""
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "tok"))
+    # DuckDB generate_subscripts is 1-based; mirror it exactly
+    h = pos.select(
+        "doc_id",
+        det_hash64(F.concat_ws(
+            ":", F.col("doc_id"), (F.col("p0") + 1))).alias("hv"))
+    sel = F.when(F.col("hv") % 1000 < _MLM_RATE_PM, 1).otherwise(0)
+    act = F.when(F.col("hv") % 1000 < _MLM_RATE_PM,
+                 (F.col("hv") / 1000).cast("bigint") % _MLM_ACTION_MOD)
+    m = h.select("doc_id", sel.alias("sel"), act.alias("act"))
+    return (m.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.sum("sel").cast("bigint").alias("n_selected"),
+                 F.sum(F.when(F.col("act") <= 7, 1).otherwise(0))
+                 .cast("bigint").alias("n_mask"),
+                 F.sum(F.when(F.col("act") == 8, 1).otherwise(0))
+                 .cast("bigint").alias("n_random"),
+                 F.sum(F.when(F.col("act") == 9, 1).otherwise(0))
+                 .cast("bigint").alias("n_keep")))

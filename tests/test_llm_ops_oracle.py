@@ -83,7 +83,7 @@ LLM_QUERIES = [
     "timeseries_yoy_mom", "ml_calibration_bins",
     "window_cumulative_distinct", "feature_woe_binning",
     "split_temporal_leakage_safe", "agg_theil_decomposition",
-    "sim_rrf_fusion",
+    "sim_rrf_fusion", "corpus_mlm_mask_plan",
 ]
 
 

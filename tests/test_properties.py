@@ -352,6 +352,16 @@ def test_round5_resumed_invariants(spark):
         assert r["trim_start"] <= r["trim_end"], r
         assert 1 <= r["n_active"] <= r["active_span"], r
 
+    # MLM plan: action split partitions the selected set; global rate
+    # lands near the configured 15%
+    mlm = SPARK_QUERIES["corpus_mlm_mask_plan"](spark, SF_ORACLE).collect()
+    tot_sel = sum(r["n_selected"] for r in mlm)
+    tot_tok = sum(r["n_tokens"] for r in mlm)
+    for r in mlm:
+        assert r["n_selected"] == r["n_mask"] + r["n_random"] + r["n_keep"]
+        assert r["n_selected"] <= r["n_tokens"]
+    assert 0.10 < tot_sel / tot_tok < 0.20
+
     # Theil: decomposition additivity and nonnegativity
     th = SPARK_QUERIES["agg_theil_decomposition"](spark, SF_ORACLE).first()
     assert th["theil_total"] >= 0 and th["theil_between"] >= -1e-9

@@ -175,3 +175,51 @@ def pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.select("event_type", F.col("n").cast("bigint").alias("n"),
                       F.round("total", 6).alias("total"),
                       F.round("mean_value", 6).alias("mean_value"))
+
+
+@query("grouped_quantile_normalize_pandas", oracle="""
+SELECT event_id, user_id,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value, event_id)
+            AS BIGINT) AS rnk,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value, event_id)
+            AS BIGINT)
+         / CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS pct
+FROM events
+""")
+def grouped_quantile_normalize_pandas(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Per-user QUANTILE NORMALIZATION via applyInPandas (grouped map):
+    each user's values are replaced by their within-group rank fraction
+    — the scale-free transform feature pipelines use when per-entity
+    value distributions differ wildly (one user's 'high' is another's
+    'low'; ranks compare, raw values don't). The sort key is
+    (value, event_id), so ranks are UNIQUE and the pandas positional
+    rank equals SQL rank() over the same key exactly; pct is a single
+    integer-ratio division.
+
+    This is the grouped-MAP member of the Arrow UDF family next to the
+    grouped-AGG (grouped_wavg_pandas) and UDTF members: the whole group
+    lands in one pandas frame, the transform is vectorized, and the
+    declared schema makes the result a first-class DataFrame.
+
+    Scale: applyInPandas shuffles each group to ONE task — per-user
+    history fits trivially; for groups that don't fit, the same
+    semantics distribute as the pure-window oracle form (two windows,
+    no Python)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def qnorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(s)
+        # the (value, event_id) sort key is unique -> 1-based position
+        # IS the SQL rank
+        rnk = (s.index + 1).astype("int64")
+        return pd.DataFrame({
+            "event_id": s["event_id"],
+            "user_id": s["user_id"],
+            "rnk": rnk,
+            "pct": rnk / float(n),
+        })
+
+    return ev.groupBy("user_id").applyInPandas(
+        qnorm, "event_id bigint, user_id bigint, rnk bigint, pct double")

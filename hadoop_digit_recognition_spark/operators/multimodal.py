@@ -712,3 +712,77 @@ def multimodal_audio_trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("trim_end") - F.col("trim_start") + F.lit(1))
         .cast("bigint").alias("active_span"),
         "n_active")
+
+
+# Intensity histogram geometry: 16 bins of width 16 over the uint8 range,
+# computed on the same padded RASTER_H x RASTER_W raster as decode_pool.
+_HIST_BINS = 16
+
+
+@query("multimodal_histogram_equalize", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i AS i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({RASTER_H * RASTER_W}) r(i)
+),
+b AS (
+  SELECT doc_id, v // {256 // _HIST_BINS} AS bin, count(*) AS n
+  FROM px GROUP BY doc_id, bin
+)
+SELECT doc_id, CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_px,
+       CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY bin) AS BIGINT)
+         AS cdf_px
+FROM b
+""")
+def multimodal_histogram_equalize(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-image INTENSITY HISTOGRAM with the cumulative counts that
+    drive histogram equalization: 16 bins over the uint8 range on the
+    same truncate/zero-pad raster as multimodal_decode_pool, plus the
+    running CDF per image — `equalized_level(bin) = round((L-1) *
+    cdf_px / total)` is a pure projection over this output, so the
+    operator IS the data side of cv2.equalizeHist, engine-checked.
+    Empty bins emit no row (sparse histogram), matching the oracle's
+    GROUP BY.
+
+    Both histogram and CDF are computed INSIDE the batch UDF (NumPy
+    bincount + cumsum per image) — all-integer, bit-reproducible; the
+    oracle rebuilds every pixel relationally via the bounded range-join
+    (multimodal_audio_energy precedent).
+
+    At 100 TB: a NARROW map, no shuffle at all — even the per-image
+    cumulative sum stays inside the Arrow batch because an image's
+    histogram never spans partitions. Output is <= 16 small ints per
+    image, never the raster."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    n_px = RASTER_H * RASTER_W
+    width = 256 // _HIST_BINS
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, bins, ns, cdfs = [], [], [], []
+        for pdf in batches:
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b)[:n_px], dtype=np.uint8)
+                if raw.size < n_px:
+                    raw = np.pad(raw, (0, n_px - raw.size))
+                counts = np.bincount(raw // width, minlength=_HIST_BINS)
+                cdf = counts.cumsum()
+                nz = np.nonzero(counts)[0]
+                ids.extend([did] * nz.size)
+                bins.extend(nz.tolist())
+                ns.extend(counts[nz].tolist())
+                cdfs.extend(cdf[nz].tolist())
+        yield pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "bin": pd.Series(bins, dtype="int64"),
+            "n_px": pd.Series(ns, dtype="int64"),
+            "cdf_px": pd.Series(cdfs, dtype="int64")})
+
+    return mm.select("doc_id", "payload").mapInPandas(
+        hist_batches,
+        "doc_id bigint, bin bigint, n_px bigint, cdf_px bigint")

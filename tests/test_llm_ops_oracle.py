@@ -84,7 +84,7 @@ LLM_QUERIES = [
     "window_cumulative_distinct", "feature_woe_binning",
     "split_temporal_leakage_safe", "agg_theil_decomposition",
     "sim_rrf_fusion", "corpus_mlm_mask_plan",
-    "grouped_quantile_normalize_pandas",
+    "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
 ]
 
 

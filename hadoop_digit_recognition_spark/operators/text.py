@@ -1001,3 +1001,99 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_subtokens").cast("bigint").alias("n_subtokens"),
                  F.round(F.sum("n_subtokens") * 1.0 / F.sum("n_words"), 6)
                   .alias("fertility")))
+
+
+# Winnowing parameters: K-token grams, windows of W consecutive gram
+# hashes; 2^20 packs (hash, position) into one orderable int64 key
+# (hash < 2^32, position < 2^20 -> key < 2^52, exact in both engines).
+_WIN_K, _WIN_W, _WIN_POS_MOD = 4, 5, 1048576
+
+
+@query("text_winnowing_fingerprints", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, r.i AS p,
+         ('0x' || substr(md5(array_to_string(
+             toks[r.i + 1 : r.i + {_WIN_K}], ' ')), 1, 8))::BIGINT
+           * {_WIN_POS_MOD} + r.i AS key
+  FROM t CROSS JOIN range(300) r(i)
+  WHERE r.i + {_WIN_K} <= len(toks)
+),
+wmin AS (
+  SELECT doc_id, p,
+         min(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WIN_W - 1} FOLLOWING) AS mk,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+),
+sel AS (
+  SELECT doc_id, ng, mk % {_WIN_POS_MOD} AS fp_pos,
+         CAST((mk - mk % {_WIN_POS_MOD}) / {_WIN_POS_MOD} AS BIGINT)
+           AS fp_hash
+  FROM wmin WHERE p + {_WIN_W} <= ng
+)
+SELECT doc_id,
+       CAST(max(ng) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT fp_pos) AS BIGINT) AS n_fingerprints,
+       CAST(count(DISTINCT fp_hash) AS BIGINT) AS n_distinct_hashes
+FROM sel GROUP BY doc_id
+""")
+def text_winnowing_fingerprints(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprint selection (the MOSS algorithm): hash every
+    K-token gram, slide a window of W consecutive gram hashes, keep the
+    minimum per window — the guarantee-carrying document fingerprinter
+    (any shared substring of >= W+K-1 tokens shares a fingerprint)
+    behind plagiarism and near-dup detection at sublinear sketch size;
+    the density-audit counts per doc are what a fingerprint store sizes
+    itself with. text_rolling_hash_fingerprint samples by hash value
+    (mod-p, no positional guarantee); winnowing's min-per-window is the
+    stronger contract.
+
+    The classic tie problem (which position wins when a window's min
+    hash repeats) is solved ENGINE-NEUTRALLY by packing (hash, position)
+    into one int64 key = hash * 2^20 + pos before the window min —
+    leftmost-minimum selection falls out of integer ordering, no
+    argmin/arg_min semantics to diverge. All arithmetic is exact int64.
+
+    Scale shape: gram hashing is a narrow per-doc pass; the min-window
+    and the count both partition by doc (parallel, state = one doc's
+    grams); output is 5 small ints per doc. The fingerprint JOIN step
+    (matching docs sharing fp_hash) is the same band-key equi-join as
+    dedup_minhash_lsh."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+         .filter(F.size("toks") >= _WIN_K))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, _WIN_K))))
+        .alias("p", "gram"))
+    g = grams.select(
+        "doc_id", "p",
+        (det_hash64(F.col("gram")) * _WIN_POS_MOD + F.col("p"))
+        .alias("key"))
+    wspec = (W.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(0, _WIN_W - 1))
+    wmin = (g.withColumn("mk", F.min("key").over(wspec))
+            .withColumn("ng", F.count(F.lit(1))
+                        .over(W.partitionBy("doc_id"))))
+    sel = (wmin.filter(F.col("p") + _WIN_W <= F.col("ng"))
+           .select("doc_id", "ng",
+                   (F.col("mk") % _WIN_POS_MOD).alias("fp_pos"),
+                   ((F.col("mk") - F.col("mk") % _WIN_POS_MOD)
+                    / _WIN_POS_MOD).cast("bigint").alias("fp_hash")))
+    return (sel.groupBy("doc_id")
+            .agg(F.max("ng").cast("bigint").alias("n_grams"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                 F.countDistinct("fp_pos").cast("bigint")
+                 .alias("n_fingerprints"),
+                 F.countDistinct("fp_hash").cast("bigint")
+                 .alias("n_distinct_hashes")))

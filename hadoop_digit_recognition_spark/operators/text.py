@@ -1009,8 +1009,45 @@ def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_K, _WIN_W, _WIN_POS_MOD = 4, 5, 1048576
 
 
-@query("text_winnowing_fingerprints", oracle=f"""
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing selection stage shared by the density audit and the
+    pair detector: per doc, the window-minimum (hash, position) picks as
+    `(doc_id, ng, fp_pos, fp_hash)` — one row per WINDOW (a fingerprint
+    selected by several windows repeats; consumers dedupe as needed).
+    DuckDB twin: _WINNOW_SEL_SQL."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import det_hash64
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    t = (docs.select("doc_id", F.split("text", " ").alias("toks"))
+         .filter(F.size("toks") >= _WIN_K))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - _WIN_K),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, _WIN_K))))
+        .alias("p", "gram"))
+    g = grams.select(
+        "doc_id", "p",
+        (det_hash64(F.col("gram")) * _WIN_POS_MOD + F.col("p"))
+        .alias("key"))
+    wspec = (W.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(0, _WIN_W - 1))
+    wmin = (g.withColumn("mk", F.min("key").over(wspec))
+            .withColumn("ng", F.count(F.lit(1))
+                        .over(W.partitionBy("doc_id"))))
+    return (wmin.filter(F.col("p") + _WIN_W <= F.col("ng"))
+            .select("doc_id", "ng",
+                    (F.col("mk") % _WIN_POS_MOD).alias("fp_pos"),
+                    ((F.col("mk") - F.col("mk") % _WIN_POS_MOD)
+                     / _WIN_POS_MOD).cast("bigint").alias("fp_hash")))
+
+
+# Winnowing selection CTE, shared by the density audit and the pair
+# detector (DuckDB twin of the selection stage inside both Spark
+# queries).
+_WINNOW_SEL_SQL = f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 g AS (
   SELECT doc_id, r.i AS p,
          ('0x' || substr(md5(array_to_string(
@@ -1032,7 +1069,11 @@ sel AS (
          CAST((mk - mk % {_WIN_POS_MOD}) / {_WIN_POS_MOD} AS BIGINT)
            AS fp_hash
   FROM wmin WHERE p + {_WIN_W} <= ng
-)
+)"""
+
+
+@query("text_winnowing_fingerprints", oracle=f"""
+WITH {_WINNOW_SEL_SQL}
 SELECT doc_id,
        CAST(max(ng) AS BIGINT) AS n_grams,
        CAST(count(*) AS BIGINT) AS n_windows,
@@ -1062,34 +1103,8 @@ def text_winnowing_fingerprints(spark: SparkSession,
     and the count both partition by doc (parallel, state = one doc's
     grams); output is 5 small ints per doc. The fingerprint JOIN step
     (matching docs sharing fp_hash) is the same band-key equi-join as
-    dedup_minhash_lsh."""
-    from pyspark.sql import Window as W
-
-    from ..functions.vector import det_hash64
-
-    docs = load_parallel(spark, sf_dir, "documents")
-    t = (docs.select("doc_id", F.split("text", " ").alias("toks"))
-         .filter(F.size("toks") >= _WIN_K))
-    grams = t.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.size("toks") - _WIN_K),
-            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, _WIN_K))))
-        .alias("p", "gram"))
-    g = grams.select(
-        "doc_id", "p",
-        (det_hash64(F.col("gram")) * _WIN_POS_MOD + F.col("p"))
-        .alias("key"))
-    wspec = (W.partitionBy("doc_id").orderBy("p")
-             .rowsBetween(0, _WIN_W - 1))
-    wmin = (g.withColumn("mk", F.min("key").over(wspec))
-            .withColumn("ng", F.count(F.lit(1))
-                        .over(W.partitionBy("doc_id"))))
-    sel = (wmin.filter(F.col("p") + _WIN_W <= F.col("ng"))
-           .select("doc_id", "ng",
-                   (F.col("mk") % _WIN_POS_MOD).alias("fp_pos"),
-                   ((F.col("mk") - F.col("mk") % _WIN_POS_MOD)
-                    / _WIN_POS_MOD).cast("bigint").alias("fp_hash")))
+    dedup_minhash_lsh — implemented as dedup_winnowing_pairs."""
+    sel = _winnow_selected(spark, sf_dir)
     return (sel.groupBy("doc_id")
             .agg(F.max("ng").cast("bigint").alias("n_grams"),
                  F.count(F.lit(1)).cast("bigint").alias("n_windows"),
@@ -1097,3 +1112,53 @@ def text_winnowing_fingerprints(spark: SparkSession,
                  .alias("n_fingerprints"),
                  F.countDistinct("fp_hash").cast("bigint")
                  .alias("n_distinct_hashes")))
+
+
+# Pair detection thresholds: stop-fingerprint document-frequency cap
+# (hashes present in more docs carry no identity signal and would blow
+# the join bucket) and the minimum shared-fingerprint count per pair.
+_WIN_DF_CAP, _WIN_MIN_SHARED = 50, 2
+
+
+@query("dedup_winnowing_pairs", oracle=f"""
+WITH {_WINNOW_SEL_SQL},
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel),
+df AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+       HAVING count(*) <= {_WIN_DF_CAP}),
+fp2 AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN df USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fp2 a JOIN fp2 b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_WIN_MIN_SHARED}
+""")
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR DETECTION over winnowing fingerprints — the MOSS
+    match step: docs sharing >= 2 selected fingerprint hashes are
+    near-dup/plagiarism candidates (the winnowing guarantee makes any
+    shared run of >= W+K-1 tokens produce such a share). The third
+    member of the candidate-generation family next to MinHash-LSH
+    (Jaccard-tuned) and SimHash bands (Hamming-tuned): winnowing is the
+    one with a positional substring guarantee.
+
+    Scale discipline is the same as every band join in this engine: the
+    pair generator is a fingerprint-keyed EQUI-join over DISTINCT
+    (doc, hash) rows, never all-pairs — and hot fingerprints (hashes in
+    more than {_WIN_DF_CAP} docs: boilerplate grams, the exact analog of
+    dedup_boilerplate_ngrams' stop-grams) are dropped BEFORE the join,
+    bounding every bucket at {_WIN_DF_CAP}^2 candidate pairs. One
+    distinct, one doc-frequency aggregate, one bucket-bounded self-join,
+    one pair-keyed count — all combiner'd."""
+    sel = _winnow_selected(spark, sf_dir)
+    fp = sel.select("doc_id", "fp_hash").distinct()
+    df = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("dfc"))
+          .filter(F.col("dfc") <= _WIN_DF_CAP).select("fp_hash"))
+    fp2 = fp.join(df, "fp_hash")
+    a = fp2.select(F.col("fp_hash"), F.col("doc_id").alias("doc_a"))
+    b = fp2.select(F.col("fp_hash"), F.col("doc_id").alias("doc_b"))
+    return (a.join(b, "fp_hash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WIN_MIN_SHARED))

@@ -85,7 +85,7 @@ LLM_QUERIES = [
     "split_temporal_leakage_safe", "agg_theil_decomposition",
     "sim_rrf_fusion", "corpus_mlm_mask_plan",
     "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
-    "text_winnowing_fingerprints",
+    "text_winnowing_fingerprints", "dedup_winnowing_pairs",
 ]
 
 

@@ -2139,3 +2139,57 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("theil_within"),
                  F.round(F.sum(share * F.log(mug2 / mu2)), 6)
                  .alias("theil_between")))
+
+
+@query("agg_ratio_to_report", oracle="""
+WITH rev AS (
+  SELECT n.n_regionkey AS region_key, c.c_nationkey AS nation_key,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+),
+reg AS (SELECT region_key, CAST(sum(n_orders) AS BIGINT) AS region_total
+        FROM rev GROUP BY region_key),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS grand_total FROM rev)
+SELECT rev.region_key, rev.nation_key, rev.n_orders,
+       reg.region_total,
+       rev.n_orders / CAST(reg.region_total AS DOUBLE) AS share_of_region,
+       rev.n_orders / CAST(tot.grand_total AS DOUBLE) AS share_of_total
+FROM rev JOIN reg USING (region_key) CROSS JOIN tot
+""")
+def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level RATIO_TO_REPORT: each nation's order count as a share
+    of its region and of the grand total — the percent-of-total pattern
+    every report footer needs, at two grouping levels simultaneously
+    (Oracle SQL ships RATIO_TO_REPORT() for exactly this; Spark spells
+    it as re-aggregated totals joined back). Counts are exact bigints;
+    each share is one integer-ratio IEEE division — no rounding needed.
+
+    Scale shape: the fact-sized work is one combiner'd (region, nation)
+    count; region totals re-aggregate the |nations|-row result and
+    broadcast back; the grand total is a 1-row scalar broadcast (the
+    events_ltv_decayed allowlist class). No window over data — the
+    naive sum() OVER () spelling would sort the whole fact; the
+    re-aggregate-and-join form never touches the fact twice."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    rev = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                  o.o_custkey == F.col("c_custkey"))
+           .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy(F.col("n_regionkey").alias("region_key"),
+                    F.col("c_nationkey").alias("nation_key"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    reg = (rev.groupBy("region_key")
+           .agg(F.sum("n_orders").cast("bigint").alias("region_total")))
+    tot = rev.agg(F.sum("n_orders").cast("bigint").alias("grand_total"))
+    return (rev.join(F.broadcast(reg), "region_key")
+            .crossJoin(F.broadcast(tot))
+            .select("region_key", "nation_key", "n_orders", "region_total",
+                    (F.col("n_orders") / F.col("region_total").cast("double"))
+                    .alias("share_of_region"),
+                    (F.col("n_orders") / F.col("grand_total").cast("double"))
+                    .alias("share_of_total")))

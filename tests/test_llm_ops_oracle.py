@@ -86,6 +86,7 @@ LLM_QUERIES = [
     "sim_rrf_fusion", "corpus_mlm_mask_plan",
     "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
     "text_winnowing_fingerprints", "dedup_winnowing_pairs",
+    "agg_ratio_to_report",
 ]
 
 

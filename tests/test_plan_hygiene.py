@@ -68,7 +68,7 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # crossed into community- / replicate- / group-sized
                 # tables (same class)
                 "graph_modularity_regions", "ab_bootstrap_ci_poisson",
-                "agg_theil_decomposition",
+                "agg_theil_decomposition", "agg_ratio_to_report",
                 # 7-row literal lag grid crossed into the days-count
                 # frame (threshold-sweep / gemm literal-grid class)
                 "timeseries_autocorrelation"}

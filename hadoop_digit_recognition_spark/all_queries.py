@@ -80,10 +80,27 @@ def _rotate_for_driver_coverage() -> None:
                         or row.get("err") == "no_oracle")
     if not times_seen:
         return
+    # Tie-break among equally-sampled queries by family urgency: after five
+    # rounds the streaming / ml / MLlib-LSH / sketch / source families are
+    # the only SURVEY §2.5 rows with zero driver-green rows, so their
+    # never-sampled members should reach the fixed-size window before other
+    # never-sampled names (VERDICT r05 ask #1). Stable within a family.
+    _FAMILY_PRIORITY = {
+        "hadoop_digit_recognition_spark.streaming.queries": 0,
+        "hadoop_digit_recognition_spark.ml.queries": 1,
+        "hadoop_digit_recognition_spark.ml.lsh": 2,
+        "hadoop_digit_recognition_spark.operators.sketches": 3,
+        "hadoop_digit_recognition_spark.sources.queries": 4,
+    }
+
+    def _family(n: str) -> int:
+        return _FAMILY_PRIORITY.get(
+            getattr(SPARK_QUERIES[n], "__module__", ""), 9)
+
     ordered = sorted(
         SPARK_QUERIES,
         key=lambda n: (-1 if last_green.get(n, True) is False else
-                       times_seen.get(n, 0)))
+                       times_seen.get(n, 0), _family(n)))
     reordered = {n: SPARK_QUERIES[n] for n in ordered}
     SPARK_QUERIES.clear()
     SPARK_QUERIES.update(reordered)

@@ -936,7 +936,7 @@ m AS (
          sqrt(greatest(avg((gap_us * 1.0) * (gap_us * 1.0))
                        - avg(gap_us) * avg(gap_us), 0)) AS sg
   FROM g WHERE gap_us IS NOT NULL
-  GROUP BY user_id HAVING count(*) >= 3),
+  GROUP BY user_id HAVING count(*) >= 3 AND avg(gap_us) > 0),
 c AS (SELECT user_id, n_events,
              round(sg / mg, 6) AS gap_cv FROM m),
 thr AS (SELECT round(quantile_cont(gap_cv, 0.1), 9) AS t FROM c)
@@ -957,6 +957,11 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance uses the one-pass E[X^2]-E[X]^2 form (gap counts are
     bounded per user, catastrophic cancellation is not in play at these
     magnitudes, and the CV rounds to 6 before the threshold compare).
+    Users whose gaps all share one timestamp (mean gap = 0) are dropped
+    IDENTICALLY in both engines before the division — 0/0 is NaN in
+    Spark but NULL in DuckDB, an engine-dependent cell the guard
+    removes (and a zero-mean gap sequence is a dedup problem, not a
+    bot-regularity signal).
     The decile threshold is a SCALAR SUBQUERY over the per-user frame
     (users-count rows, not events) rounded to 9 digits so an
     interpolation last-bit cannot flip a boundary user between engines.
@@ -977,7 +982,7 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("gap_us").cast("double"))
                   - F.avg("gap_us") * F.avg("gap_us"), F.lit(0.0)))
               .alias("sg"))
-         .filter(F.col("n_events") >= 4))
+         .filter((F.col("n_events") >= 4) & (F.col("mg") > 0)))
     c = m.select("user_id", "n_events",
                  F.round(F.col("sg") / F.col("mg"), 6).alias("gap_cv"))
     v = f"hdr_botdetect_{_uuid.uuid4().hex[:8]}"

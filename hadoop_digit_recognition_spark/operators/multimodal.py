@@ -764,8 +764,10 @@ def multimodal_histogram_equalize(spark: SparkSession,
     width = 256 // _HIST_BINS
 
     def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, bins, ns, cdfs = [], [], [], []
+        # One output frame PER incoming Arrow batch (the lap/trim sibling
+        # convention) — never accumulate a whole partition in Python lists.
         for pdf in batches:
+            ids, bins, ns, cdfs = [], [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
                 raw = np.frombuffer(bytes(b)[:n_px], dtype=np.uint8)
                 if raw.size < n_px:
@@ -777,11 +779,11 @@ def multimodal_histogram_equalize(spark: SparkSession,
                 bins.extend(nz.tolist())
                 ns.extend(counts[nz].tolist())
                 cdfs.extend(cdf[nz].tolist())
-        yield pd.DataFrame({
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "bin": pd.Series(bins, dtype="int64"),
-            "n_px": pd.Series(ns, dtype="int64"),
-            "cdf_px": pd.Series(cdfs, dtype="int64")})
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "bin": pd.Series(bins, dtype="int64"),
+                "n_px": pd.Series(ns, dtype="int64"),
+                "cdf_px": pd.Series(cdfs, dtype="int64")})
 
     return mm.select("doc_id", "payload").mapInPandas(
         hist_batches,

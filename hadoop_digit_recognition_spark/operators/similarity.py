@@ -974,11 +974,12 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest entry of a 16-entry per-subspace codebook — 64 floats
     become 8 codes (here a dash-joined string for engine-stable
     hashing) plus the reconstruction error the recall/compression
-    trade is audited on. The codebook is the closed-form sin grid both
-    engines evaluate in-engine (sim_ann_lsh's planes convention);
-    production swaps in k-means-trained centroids
-    (ml_kmeans_lloyd_2iter is that trainer) without changing this
-    assignment plan. Distances round to 9 digits BEFORE the argmin
+    trade is audited on. The codebook is DATA-DERIVED: a deterministic
+    stride sample of actual subvectors (_pq_codebook here,
+    _PQ_CB_DUCK in the oracle — both engines materialize the identical
+    table), standing in for the k-means-trained centroids a production
+    build would use (ml_kmeans_lloyd_2iter is that trainer) without
+    changing this assignment plan. Distances round to 9 digits BEFORE the argmin
     (the k-means tie precedent) so a last-bit difference cannot flip a
     code between engines; ties break to the lower code. The error sum
     also rounds at 9 — NOT coarser: sums of 1e-9-grid values land

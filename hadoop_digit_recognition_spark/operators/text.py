@@ -1053,8 +1053,7 @@ g AS (
          ('0x' || substr(md5(array_to_string(
              toks[r.i + 1 : r.i + {_WIN_K}], ' ')), 1, 8))::BIGINT
            * {_WIN_POS_MOD} + r.i AS key
-  FROM t CROSS JOIN range(300) r(i)
-  WHERE r.i + {_WIN_K} <= len(toks)
+  FROM t, unnest(generate_series(0, len(toks) - {_WIN_K})) AS r(i)
 ),
 wmin AS (
   SELECT doc_id, p,

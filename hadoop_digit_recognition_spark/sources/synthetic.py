@@ -105,14 +105,16 @@ def _make_stream_source():
                 out.append((k, i, h, (h % 1_000_000) / 1_000_000.0))
             return out
 
-        # read()/readBetweenOffsets() return LISTS, not generators:
-        # Spark's prefetch cache copy.copy()s the returned rows, and a
-        # generator cannot be pickled/copied.
+        # read() returns an ITERATOR over a materialized list (iter(list)),
+        # never a bare list or a generator: Spark's prefetch cache calls
+        # next() on it when the offset does not advance (bare list raises
+        # TypeError in latestOffset) and copy.copy()s cached entries
+        # (generators cannot be copied/pickled; list_iterators can).
         def read(self, start):
             k = start["chunk"]
             if k >= chunks:
-                return [], {"chunk": k}
-            return self._chunk(k), {"chunk": k + 1}
+                return iter([]), {"chunk": k}
+            return iter(self._chunk(k)), {"chunk": k + 1}
 
         def readBetweenOffsets(self, start, end):
             out = []

@@ -1437,14 +1437,22 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side groups on sha2(window) so the corpus-wide shuffle carries
     32-byte keys, not window text (collision-free at any realistic
-    corpus; the oracle groups raw text — identical result). Plan: one
-    narrow explode (stride-1 windows pipelined with the scan), one
-    combiner'd keyed aggregate for the distinct-doc count, one hash-keyed
-    equi-join back, then per-doc window + rollup (doc_id keys are
-    uniform, no hot-key skew). At 100 TB the stride-1 blowup is ~n_words
-    rows x 32 bytes per doc — the same volume MinHash shingling already
-    shuffles; AQE skew-split covers boilerplate windows that appear in
-    millions of docs."""
+    corpus; the oracle groups raw text — identical result). The
+    cross-doc test is min(doc_id) < max(doc_id), NOT
+    count_distinct(doc_id) >= 2: identical truth value (>= 2 distinct
+    docs iff min < max), but min/max get full MAP-SIDE COMBINE — a
+    boilerplate window in a million docs collapses to one row per map
+    task — where Catalyst plans count_distinct as a
+    (wkey, doc_id)-grain first shuffle with no hot-key reduction
+    (measured 1.77s -> 1.42s at sf0.1; SCALE.md §repeated-substrings
+    study, incl. the rejected single-shuffle window-function form and
+    the _WIN_DF_CAP-style stop-window knob). Plan: one narrow explode
+    (stride-1 windows pipelined with the scan), one combiner'd min/max
+    aggregate, one hash-keyed equi-join back (AQE skew-split covers
+    boilerplate hot keys), then per-doc window + rollup (doc_id keys
+    are uniform, no hot-key skew). At 100 TB the stride-1 blowup is
+    ~n_words rows x 32 bytes per doc — the same volume MinHash
+    shingling already shuffles."""
     docs = load_parallel(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.split("text", " ").alias("ws"))
     n = F.size("ws")
@@ -1459,8 +1467,8 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice(F.col("ws"), s + 1, SUB_W)), 256)))
         .alias("s", "wkey"))
     dup = (seg.groupBy("wkey")
-           .agg(F.count_distinct("doc_id").alias("nd"))
-           .filter(F.col("nd") >= 2).select("wkey"))
+           .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+           .filter(F.col("mn") < F.col("mx")).select("wkey"))
     hits = seg.join(dup, "wkey").select("doc_id", "s")
     from pyspark.sql import Window as W
     wlag = W.partitionBy("doc_id").orderBy("s")

@@ -66,6 +66,20 @@ HEADLINE = [
     "skyline_pareto_frontier",
 ]
 
+# Heavy NON-headline tail (VERDICT r05 ask #3): queries whose real work
+# happens inside the queries() call (eager trainer/peel loops, streaming
+# availableNow drains) or that were only ever timed in plain-session
+# replicas. Billed as build+exec per repetition with the memoized
+# signature/edge caches CLEARED before every rep — min-of-N of a cached
+# rerun would report the cache, not the query.
+TAIL = [
+    "graph_kcore_dup_clusters",
+    "streaming_dedup_then_tumbling",
+    "embedding_pq_quantize",
+    "sim_pq_adc_topk",
+    "ml_dbn_logreg_eval",
+]
+
 
 def _calibrate(spark) -> tuple[float, float]:
     """Fixed-size CPU calibration, reported alongside the query timings so
@@ -163,6 +177,27 @@ def main() -> None:
         # downstream consumers to recompute it (measured: pipeline_llm_corpus
         # 2.5s -> 9.9s), which misattributes the shared build cost.
 
+    # Tail section: same repeat policy, but each rep starts from a cold
+    # memo cache (clear_signature_cache evicts the persisted MinHash
+    # signatures AND the k-core peeled edge list) and is billed
+    # build+exec — for these queries the work IS the build.
+    from hadoop_digit_recognition_spark.operators.dedup import clear_signature_cache
+
+    tail_names = [] if "--only" in sys.argv else TAIL
+    if "--tail-only" in sys.argv:
+        tail_names = sys.argv[sys.argv.index("--tail-only") + 1].split(",")
+        unknown = [n for n in tail_names if n not in SPARK_QUERIES]
+        assert not unknown, f"unknown tail queries: {unknown}"
+    tail: dict[str, float] = {}
+    for name in tail_names:
+        ts = []
+        for _ in range(repeat):
+            clear_signature_cache(spark)
+            t0 = time.perf_counter()
+            _force(SPARK_QUERIES[name](spark, sf_dir))
+            ts.append(time.perf_counter() - t0)
+        tail[name] = round(min(ts), 3)
+
     # Full build/exec/total detail goes to stderr (and a sidecar file when
     # $SPARK_GRAFT_BENCH_DETAIL is set); stdout carries EXACTLY ONE compact
     # JSON line, printed last. The grading driver keeps only the final
@@ -179,6 +214,7 @@ def main() -> None:
         "exec_sec": execs,
         "build_total_sec": round(sum(build.values()), 3),
         "exec_total_sec": round(sum(execs.values()), 3),
+        "tail_cold_sec": tail,
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
         "repeat": repeat,
@@ -196,6 +232,7 @@ def main() -> None:
         "queries": execs,
         "build_total_sec": round(sum(build.values()), 3),
         "total_sec": round(sum(timings.values()), 3),
+        "tail_cold_sec": tail,
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
         "repeat": repeat,

@@ -855,6 +855,128 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("hit"), F.lit(False)).alias("dropped")))
 
 
+SEM_CAP_M = 24   # capped SemDeDup: pairwise only among the M vectors
+                 # nearest their cell centroid (binds already at sf0.01's
+                 # ~31 vectors/cell, so the driver exercises the prune)
+
+
+@query("dedup_semdedup_capped", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {SEM_CELLS}),
+d AS (
+  SELECT e.vec_id, s.cid,
+         round(list_aggregate(
+           list_transform(range(1, len(e.emb) + 1),
+             i -> pow(e.emb[CAST(i AS INTEGER)]
+                      - s.cemb[CAST(i AS INTEGER)], 2)),
+           'sum'), 9) AS d2
+  FROM e CROSS JOIN seeds s
+),
+asg AS (
+  SELECT vec_id, cid AS cell, d2 FROM (
+    SELECT vec_id, cid, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1
+),
+kept AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY d2, vec_id) AS rk
+    FROM asg) WHERE rk <= {SEM_CAP_M}
+),
+pairs AS (
+  SELECT b.vec_id AS vb
+  FROM kept a JOIN kept b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
+),
+drops AS (SELECT DISTINCT vb AS vec_id FROM pairs)
+SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+       kept.vec_id IS NOT NULL AS in_cap,
+       drops.vec_id IS NOT NULL AS dropped
+FROM asg LEFT JOIN kept USING (vec_id) LEFT JOIN drops USING (vec_id)
+""")
+def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPPED SemDeDup — the production scale path of
+    dedup_semantic_semdedup, promoted to a first-class query after the
+    round-6 sf1 rehearsal MEASURED the uncapped within-cell pairwise
+    term going quadratic (~1s at 2k vectors -> 29.5s at 20k with 16
+    fixed cells; SCALE.md round-6 table). Same deterministic quantizer
+    and assignment; within each cell only the SEM_CAP_M vectors NEAREST
+    THEIR CENTROID (by the already-computed 9-digit-rounded d2, vec_id
+    tiebreak) enter the pairwise compare — the Abbas et al. 2023
+    appendix prune. Pair work drops from Σ|cell|² to cells x M², i.e.
+    CONSTANT per cell regardless of corpus size; vectors outside the
+    cap are reported kept (in_cap = false, dropped = false), which is
+    the paper's bias: boundary vectors are less likely to be the dense
+    near-dup clusters the centroid-proximal region concentrates.
+
+    The cap binds on the driver fixture (sf0.01 has ~31 vectors/cell
+    vs M = {SEM_CAP_M}), so the oracle row exercises the prune, not
+    just the uncapped path. Relational shape: assignment narrow as
+    before; the rank is ONE cell-keyed window over (cell, d2) — at
+    100 TB the per-cell top-M would come from the quantizer's training
+    pass or an approx top-k, since a mega-cell window serializes that
+    cell through one task (flagged, same class as the global-sort
+    twins); pairwise and drop-resolution are equi-joins on cell/vec_id
+    exactly as the uncapped form. The kept set (<= cells x M rows, a
+    size the pipeline CONTROLS, unlike Σ|cell|²) is materialized
+    through the session memo cache (the k-core precedent, evicted by
+    clear_signature_cache): left lazy, the scan->assign->rank subtree
+    re-executes for each of its four consumers — measured 14.8s -> 3s
+    at 20k vectors."""
+    from ..functions.vector import dot_col, l2norm_col
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    v = F.col("embedding").cast("array<double>")
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < SEM_CELLS)
+             .select("vec_id", v.alias("e")).collect()}
+    best = F.element_at(
+        F.array_sort(F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"))
+            for cid, cvec in sorted(seeds.items())])), 1)
+    asg = (emb.withColumn("b", best)
+           .select("vec_id", "embedding", "nrm",
+                   F.col("b")["c"].alias("cell"),
+                   F.col("b")["d"].alias("d2c")))
+    from pyspark.sql import Window as W
+    cache_key = f"semdedup_capped_kept::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and cache_key in per:
+        kept = per[cache_key]
+    else:
+        rk = F.row_number().over(
+            W.partitionBy("cell").orderBy("d2c", "vec_id"))
+        kept = (asg.withColumn("rk", rk).filter(F.col("rk") <= SEM_CAP_M)
+                .select("vec_id", "cell", "embedding", "nrm").persist())
+        kept.count()
+        _SIG_CACHE.setdefault(spark, {})[cache_key] = kept
+    a = kept.select(F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
+                    F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = kept.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
+                    F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_col(F.col("ea"), F.col("eb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    drops = (a.join(b, (F.col("ca") == F.col("cb"))
+                    & (F.col("va") < F.col("vb")))
+             .filter(cos >= SEM_TAU)
+             .select(F.col("vb").alias("vec_id")).distinct()
+             .withColumn("hit", F.lit(True)))
+    incap = kept.select("vec_id").withColumn("inc", F.lit(True))
+    return (asg.join(incap, "vec_id", "left").join(drops, "vec_id", "left")
+            .select("vec_id", "cell",
+                    F.coalesce(F.col("inc"), F.lit(False)).alias("in_cap"),
+                    F.coalesce(F.col("hit"), F.lit(False)).alias("dropped")))
+
+
 # Non-overlapping SEG_W-word segments; the ordinal packing doc_id*SEG_MOD
 # + seg_id requires seg_id < SEG_MOD (docs would need > SEG_W*SEG_MOD
 # words to overflow — far beyond any tested corpus; assert at scale).

@@ -86,7 +86,7 @@ LLM_QUERIES = [
     "sim_rrf_fusion", "corpus_mlm_mask_plan",
     "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
     "text_winnowing_fingerprints", "dedup_winnowing_pairs",
-    "agg_ratio_to_report",
+    "agg_ratio_to_report", "dedup_semdedup_capped",
 ]
 
 
@@ -131,6 +131,27 @@ def test_nontrivial_results(spark):
     row = sub.agg(F.sum("n_dup_spans"), F.max("dup_frac")).first()
     assert row[0] > 0, "substring dedup found no cross-doc repeated spans"
     assert row[1] <= 1.0, "merged span accounting exceeded the document"
+
+
+def test_semdedup_cap_is_sound_prune(spark):
+    """The capped variant may only LOSE drops relative to uncapped
+    SemDeDup (its pair set is a subset), it may never invent one; a
+    dropped vector must itself be inside the cap (only capped vectors
+    enter the pairwise compare as the higher-id side); and the cap must
+    actually bind on the fixture (in_cap=false rows exist), otherwise
+    the test exercises nothing."""
+    capped = {r["vec_id"]: (r["in_cap"], r["dropped"]) for r in
+              SPARK_QUERIES["dedup_semdedup_capped"](
+                  spark, SF_ORACLE).collect()}
+    full = {r["vec_id"]: r["dropped"] for r in
+            SPARK_QUERIES["dedup_semantic_semdedup"](
+                spark, SF_ORACLE).collect()}
+    assert set(capped) == set(full)
+    assert any(not inc for inc, _ in capped.values()), "cap never bound"
+    for vid, (inc, dropped) in capped.items():
+        if dropped:
+            assert inc, f"vec {vid} dropped while outside the cap"
+            assert full[vid], f"capped invented a drop uncapped lacks: {vid}"
 
 
 def test_ivf_recall_vs_exact(spark):

@@ -1094,3 +1094,134 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (approx.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K)
             .select("qid", "cid", "adist", "rnk"))
+
+
+@query("sim_ivfpq_topk", oracle=f"""
+WITH cb AS ({_PQ_CB_DUCK}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS scid, emb AS cemb FROM e WHERE vec_id < {K_CELLS}),
+cd AS (
+  SELECT e.vec_id, s.scid,
+         round(list_aggregate(
+           list_transform(range(1, len(e.emb) + 1),
+             i -> pow(e.emb[CAST(i AS INTEGER)]
+                      - s.cemb[CAST(i AS INTEGER)], 2)),
+           'sum'), 9) AS d2
+  FROM e CROSS JOIN seeds s
+),
+rankcells AS (
+  SELECT vec_id, scid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, scid) AS rn
+  FROM cd),
+cellof AS (SELECT vec_id, scid AS cell FROM rankcells WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, scid AS cell FROM rankcells
+          WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.s, cb.c,
+         round(sum((v.x - cb.w) * (v.x - cb.w)), 9) AS d2
+  FROM v JOIN cb ON v.i = cb.s * {PQ_DIM} + cb.j
+  GROUP BY v.vec_id, cb.s, cb.c
+),
+best AS (
+  SELECT vec_id, s, c AS code,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d2, c) AS rn
+  FROM d
+),
+codes AS (SELECT vec_id AS cid, s, code FROM best WHERE rn = 1),
+qd AS (SELECT vec_id AS qid, s, c, d2 FROM d WHERE vec_id < {N_QUERIES}),
+approx AS (
+  SELECT p.qid, codes.cid, round(sum(qd.d2), 9) AS adist
+  FROM probe p
+  JOIN cellof co ON co.cell = p.cell
+  JOIN codes ON codes.cid = co.vec_id
+  JOIN qd ON qd.qid = p.qid AND qd.s = codes.s AND qd.c = codes.code
+  WHERE codes.cid != p.qid
+  GROUP BY p.qid, codes.cid
+),
+ranked AS (
+  SELECT qid, cid, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist, cid) AS rnk
+  FROM approx
+)
+SELECT qid, cid, adist, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+""")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the COMPOSED production ANN index (the FAISS IVFPQ
+    shape, Jégou et al. 2011): a coarse quantizer routes each query to
+    its NPROBE nearest cells, and within the probed cells distances are
+    PQ ASYMMETRIC lookups against 8-byte codes — never raw floats. This
+    joins the two halves already verified separately
+    (sim_ivf_det_topk's cell routing, sim_pq_adc_topk's ADC): the scan
+    volume drops from all-N codes per query to |probed cells| x
+    codes-per-cell, which is the difference between \"RAM-resident
+    billion-vector search\" and \"corpus-wide sweep per query\" at
+    100 TB. Cell routing here is the deterministic first-K-seeds
+    argmin (the SemDeDup quantizer, 9-digit snap, cell-id tiebreak) so
+    the DuckDB oracle replays index build AND search exactly.
+
+    Relational shape: assignment + code derivation are narrow against
+    broadcast seeds/codebooks; the probe is an equi-join on cell
+    (bounded by cell occupancy, never N x N), the ADC lookup an
+    equi-join on the 128-key (subspace, code) grid, then one
+    (qid, cid)-keyed sum and a qid-windowed top-k. Lower recall than
+    either half alone on this clusterless corpus (quantization noise
+    x cell miss both apply) — the accuracy/cost knob is (NPROBE, M)
+    exactly as in production."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding"))
+    v64 = F.col("embedding").cast("array<double>")
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < K_CELLS)
+             .select("vec_id", v64.alias("e")).collect()}
+    ranked_cells = F.transform(
+        F.array_sort(F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v64, F.lit(cvec),
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"))
+            for cid, cvec in sorted(seeds.items())])),
+        lambda s: s["c"])
+    cellof = emb.select("vec_id",
+                        F.element_at(ranked_cells, 1).alias("cell"))
+    probe = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("qid"),
+                     F.explode(F.slice(ranked_cells, 1, NPROBE))
+                     .alias("cell")))
+
+    cb = _pq_codebook(spark, emb)
+    v = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i", "x"))
+    d = (v.join(F.broadcast(cb), v.i == cb.s * PQ_DIM + cb.j)
+         .groupBy("vec_id", "s", "c")
+         .agg(F.round(F.sum((F.col("x") - F.col("w"))
+                            * (F.col("x") - F.col("w"))), 9).alias("d2")))
+    wbest = W.partitionBy("vec_id", "s").orderBy("d2", "c")
+    codes = (d.withColumn("rn", F.row_number().over(wbest))
+             .filter(F.col("rn") == 1)
+             .select(F.col("vec_id").alias("cid"), "s",
+                     F.col("c").alias("code")))
+    qd = (d.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"), F.col("s").alias("qs"),
+                  F.col("c").alias("qc"), "d2"))
+    approx = (F.broadcast(probe.withColumnRenamed("qid", "pqid"))
+              .join(cellof, "cell")
+              .join(codes, F.col("vec_id") == F.col("cid"))
+              .filter(F.col("cid") != F.col("pqid"))
+              .join(qd, (F.col("s") == F.col("qs"))
+                    & (F.col("code") == F.col("qc"))
+                    & (F.col("qid") == F.col("pqid")))
+              .groupBy("qid", "cid")
+              .agg(F.round(F.sum("d2"), 9).alias("adist")))
+    wr = W.partitionBy("qid").orderBy("adist", "cid")
+    return (approx.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("qid", "cid", "adist", "rnk"))

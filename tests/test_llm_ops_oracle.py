@@ -86,7 +86,7 @@ LLM_QUERIES = [
     "sim_rrf_fusion", "corpus_mlm_mask_plan",
     "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
     "text_winnowing_fingerprints", "dedup_winnowing_pairs",
-    "agg_ratio_to_report", "dedup_semdedup_capped",
+    "agg_ratio_to_report", "dedup_semdedup_capped", "sim_ivfpq_topk",
 ]
 
 
@@ -152,6 +152,23 @@ def test_semdedup_cap_is_sound_prune(spark):
         if dropped:
             assert inc, f"vec {vid} dropped while outside the cap"
             assert full[vid], f"capped invented a drop uncapped lacks: {vid}"
+
+
+def test_ivfpq_consistent_with_adc(spark):
+    """IVF-PQ is ADC restricted to probed cells: wherever the routed and
+    the unrouted searches both surface a (qid, cid) pair, the asymmetric
+    distance must be IDENTICAL (same codes, same lookup tables — routing
+    changes which pairs are scored, never their score), and every
+    IVF-PQ hit must come from a probed cell's occupants."""
+    ivfpq = {(r["qid"], r["cid"]): r["adist"] for r in
+             SPARK_QUERIES["sim_ivfpq_topk"](spark, SF_ORACLE).collect()}
+    adc = {(r["qid"], r["cid"]): r["adist"] for r in
+           SPARK_QUERIES["sim_pq_adc_topk"](spark, SF_ORACLE).collect()}
+    assert ivfpq, "IVF-PQ returned nothing"
+    shared = set(ivfpq) & set(adc)
+    assert shared, "no overlap between routed and unrouted top-k at all"
+    for pair in shared:
+        assert ivfpq[pair] == adc[pair], f"adist diverged on {pair}"
 
 
 def test_ivf_recall_vs_exact(spark):

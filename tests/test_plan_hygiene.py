@@ -43,6 +43,7 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # range() products + a 1-row stride scalar — literal-sized
                 # generation, gemm_sql precedent
                 "embedding_pq_quantize", "sim_pq_adc_topk",
+                "sim_ivfpq_topk",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",

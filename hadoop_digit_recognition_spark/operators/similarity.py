@@ -1225,3 +1225,136 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (approx.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K)
             .select("qid", "cid", "adist", "rnk"))
+
+
+# NSW greedy search: beam width, unrolled hop count.
+NSW_BEAM, NSW_HOPS = 4, 3
+
+# Shared hop template for the oracle: expand the frontier over the
+# symmetrized kNN edges, keep the union with the frontier itself, score
+# against the query, cut to the beam.
+def _nsw_hop_sql(h: int) -> str:
+    return f"""
+v{h} AS (SELECT DISTINCT qid, node FROM (
+  SELECT f.qid, ed.dst AS node
+  FROM f{h - 1} f JOIN edges ed ON ed.src = f.node
+  UNION
+  SELECT qid, node FROM f{h - 1})),
+s{h} AS (SELECT v.qid, v.node,
+                round(list_cosine_similarity(q.emb, n.emb), 6) AS cos
+         FROM v{h} v JOIN qv q ON q.qid = v.qid
+         JOIN e n ON n.vec_id = v.node),
+f{h} AS (SELECT qid, node FROM (
+  SELECT qid, node,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, node) AS rn
+  FROM s{h}) WHERE rn <= {NSW_BEAM})"""
+
+
+@query("sim_graph_greedy_search", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+kscored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+knn AS (SELECT qid, cid FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM kscored) WHERE rnk <= {KNN_K}),
+edges AS (SELECT qid AS src, cid AS dst FROM knn
+          UNION SELECT cid AS src, qid AS dst FROM knn),
+qv AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {N_QUERIES}),
+entry AS (SELECT min(vec_id) AS node FROM embeddings
+          WHERE vec_id >= {N_QUERIES}),
+f0 AS (SELECT q.qid, en.node FROM qv q CROSS JOIN entry en),
+{",".join(_nsw_hop_sql(h) for h in range(1, NSW_HOPS + 1))},
+visited AS (SELECT qid, node, cos FROM s1
+            UNION SELECT qid, node, cos FROM s2
+            UNION SELECT qid, node, cos FROM s3),
+ranked AS (SELECT qid, node AS cid, cos,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cos DESC, node) AS rnk
+           FROM visited WHERE node != qid)
+SELECT qid, cid, cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+""")
+def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN (the NSW/HNSW paradigm, Malkov & Yashunin 2016):
+    greedy beam search over a navigable neighbor graph — the third
+    index family next to partition-routing (IVF/sim_ivf_det_topk) and
+    hash-bucketing (LSH/sim_ann_lsh). The graph is sim_knn_graph's
+    bucketed top-{KNN_K} SYMMETRIZED (union of both edge directions —
+    the NSW navigability trick); search starts every query at one
+    deterministic entry point (the lowest non-query vec_id) and for
+    {NSW_HOPS} unrolled hops expands the beam's neighbors, scores them
+    against the query, and keeps the top-{NSW_BEAM} beam; the answer is
+    the top-{TOP_K} of ALL nodes scored along the walk. Scores snap to
+    6 digits with node-id tiebreaks before every cut, so the DuckDB
+    oracle replays graph build AND walk exactly — graph-ANN graded by
+    value hash, not just recall.
+
+    Scale shape: the edge list is corpus x {KNN_K} rows keyed by src
+    (built once, memoized like the k-core edges); each hop is a
+    BROADCAST of the tiny frontier (queries x beam rows) onto that
+    keyed edge list plus one vec_id equi-join to fetch candidate
+    embeddings — per-hop cost is frontier x degree, independent of
+    corpus size, which is exactly why graph indexes answer queries in
+    milliseconds at billion scale. Hop count is the recall/latency
+    knob (HNSW's ef parameter); unrolled here for an oracle-exact
+    fixed plan, driver-looped in production exactly like the
+    connected-components fixpoint."""
+    from .dedup import _SIG_CACHE
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    cache_key = f"nsw_edges::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and cache_key in per:
+        edges = per[cache_key]
+    else:
+        knn = sim_knn_graph(spark, sf_dir).select("qid", "cid")
+        edges = (knn.select(F.col("qid").alias("src"),
+                            F.col("cid").alias("dst"))
+                 .unionByName(knn.select(F.col("cid").alias("src"),
+                                         F.col("qid").alias("dst")))
+                 .distinct().persist())
+        edges.count()
+        _SIG_CACHE.setdefault(spark, {})[cache_key] = edges
+
+    qv = (emb.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
+    cand = emb.select(F.col("vec_id").alias("node"),
+                      F.col("embedding").alias("ne"),
+                      F.col("nrm").alias("nn"))
+    entry = (emb.filter(F.col("vec_id") >= N_QUERIES)
+             .agg(F.min("vec_id").alias("node")))
+    frontier = qv.select("qid").crossJoin(F.broadcast(entry))
+
+    cos = F.round(dot_col(F.col("qe"), F.col("ne"))
+                  / (F.col("qn") * F.col("nn")), 6)
+    wbeam = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("node"))
+    visited = None
+    for _ in range(NSW_HOPS):
+        expanded = (F.broadcast(frontier)
+                    .join(edges, frontier.node == edges.src)
+                    .select("qid", F.col("dst").alias("node"))
+                    .unionByName(frontier.select("qid", "node"))
+                    .distinct())
+        scored = (expanded.join(cand, "node")
+                  .join(F.broadcast(qv), "qid")
+                  .select("qid", "node", cos.alias("cos")))
+        visited = scored if visited is None else (
+            visited.unionByName(scored).distinct())
+        frontier = (scored.withColumn("rn", F.row_number().over(wbeam))
+                    .filter(F.col("rn") <= NSW_BEAM).select("qid", "node"))
+    wr = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (visited.filter(F.col("node") != F.col("qid"))
+            .select("qid", F.col("node").alias("cid"), "cos")
+            .distinct()
+            .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K))

@@ -44,6 +44,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # generation, gemm_sql precedent
                 "embedding_pq_quantize", "sim_pq_adc_topk",
                 "sim_ivfpq_topk",
+                # 1-row deterministic entry-point scalar crossed into the
+                # query frontier (NSW search start)
+                "sim_graph_greedy_search",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",

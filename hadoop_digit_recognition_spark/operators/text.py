@@ -187,7 +187,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on the ROUNDED score: rounding first makes the sort key
     # identical across engines (raw doubles can differ in the last ulp
     # when two terms are mathematically tied, flipping ranks)
-    scored = (tf.join(df, "word")
+    # df is VOCABULARY-sized (one row per distinct term): the hint PINS
+    # the broadcast join Catalyst already picks from size stats at test
+    # SF, so the tf side is never re-shuffled onto word even when the
+    # df-side estimate degrades (post-agg stats are estimates, not
+    # guarantees). Above the broadcast ceiling (~100M-term web
+    # vocabularies x 16 B > autoBroadcastJoinThreshold) remove the hint
+    # and the plan reverts to the word-keyed shuffle join — the same
+    # vocab-size switch documented for the NB model in SCALE.md.
+    scored = (tf.join(F.broadcast(df), "word")
               .select("doc_id", "word",
                       F.round(F.col("tf")
                               * F.log(F.lit(float(n_docs)) / F.col("df")), 6)

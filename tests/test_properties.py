@@ -376,3 +376,56 @@ def test_round5_resumed_invariants(spark):
     assert sum(r["n"] for r in cal) == n_emb
     for r in cal:
         assert 0.0 <= r["pos_frac"] <= 1.0, r
+
+
+@given(
+    shared=st.lists(st.sampled_from(
+        ["spark", "line", "hash", "value", "sort", "dup", "key"]),
+        min_size=8, max_size=14),
+    pre_a=st.lists(st.sampled_from(["scan", "join", "agg", "row"]),
+                   min_size=0, max_size=10),
+    suf_a=st.lists(st.sampled_from(["scan", "join", "agg", "row"]),
+                   min_size=0, max_size=10),
+    pre_b=st.lists(st.sampled_from(["big", "slow", "fast", "the"]),
+                   min_size=0, max_size=10),
+    suf_b=st.lists(st.sampled_from(["big", "slow", "fast", "the"]),
+                   min_size=0, max_size=10),
+)
+@settings(max_examples=6, deadline=None)
+def test_winnowing_guarantee(spark, shared, pre_a, suf_a, pre_b, suf_b):
+    """The WINNOWING GUARANTEE (Schleimer et al. 2003), end-to-end
+    through the engine's actual selection: any two documents sharing a
+    contiguous token run of length >= W + K - 1 (here 5 + 4 - 1 = 8)
+    MUST share at least one selected fingerprint hash — some window of
+    W gram hashes then lies entirely inside the run, its minimum hash
+    is identical in both documents, and the packed (hash, pos) tie-break
+    picks the same relative gram on both sides. This is the contract
+    dedup_winnowing_pairs' candidate generation rests on; recall bugs in
+    the selection (off-by-one in the window frame, tie-break divergence)
+    fail HERE even when the oracle comparison (which replays the same
+    selection) stays green."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.operators.text import (
+        _winnow_selected)
+
+    texts = [" ".join(pre_a + shared + suf_a),
+             " ".join(pre_b + shared + suf_b)]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["src0", "src1"]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }), f"{d}/documents.parquet")
+        sel = _winnow_selected(spark, d).collect()
+    fps = {0: set(), 1: set()}
+    for r in sel:
+        fps[r["doc_id"]].add(r["fp_hash"])
+    assert fps[0] & fps[1], (
+        f"no shared fingerprint despite a {len(shared)}-token shared run "
+        f"(W+K-1=8); texts={texts}")

@@ -1169,3 +1169,119 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
             .filter(F.col("n_shared") >= _WIN_MIN_SHARED))
+
+
+# BPE merge training: unrolled merge rounds over the word-frequency table.
+_BPE_ROUNDS = 6
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One DuckDB merge round: adjacent-pair counts over the previous
+    state, deterministic best pair, greedy left-to-right merge via
+    string replace on the comma-token representation."""
+    return f"""
+pr{r} AS (
+  SELECT rtrim(syms[CAST(i AS INTEGER)], ',') AS l,
+         rtrim(syms[CAST(i AS INTEGER) + 1], ',') AS r,
+         sum(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+        FROM (SELECT freq,
+                     list_filter(string_split(repr, ' '), x -> x != '')
+                       AS syms
+              FROM s{r - 1}))
+  GROUP BY 1, 2),
+b{r} AS (SELECT l, r, cnt FROM pr{r} ORDER BY cnt DESC, l, r LIMIT 1),
+s{r} AS (SELECT word, freq,
+                replace(repr, ' ' || b.l || ', ' || b.r || ',',
+                        ' ' || b.l || b.r || ',') AS repr
+         FROM s{r - 1} CROSS JOIN b{r} b)"""
+
+
+@query("text_bpe_merge_train", oracle=f"""
+WITH wf AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+s0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1),
+                          i -> word[CAST(i AS INTEGER)] || ','), ' ')
+           AS repr
+  FROM wf),
+{",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, l AS lhs, r AS rhs, "
+    f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+    for r in range(1, _BPE_ROUNDS + 1))}
+""")
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING (Sennrich et al. 2016) as a relational
+    plan — {_BPE_ROUNDS} unrolled merge rounds producing the merge
+    table (round, lhs, rhs, pair_count), the artifact a tokenizer
+    training job ships. Start state is character symbols per word;
+    each round counts adjacent symbol pairs weighted by word frequency,
+    takes the most frequent pair (count desc, then lexicographic — a
+    total order, so the learned merges are engine-identical), and
+    greedily merges every non-overlapping occurrence left-to-right.
+    text_bpe_pair_counts is round 1's counting stage standalone; this
+    is the full training loop.
+
+    The greedy merge is STRING replace on a comma-token encoding
+    (\" l, r,\" -> \" lr,\"): each symbol token carries its own
+    trailing comma, so the inter-symbol SPACE survives a replacement
+    and consecutive pair occurrences all merge in one pass — verified
+    identical scan-continue semantics in Spark and DuckDB, which makes
+    the per-round merge a single codegen'd expression instead of a
+    fold with carry state.
+
+    Scale shape (why BPE training fits a 100 TB corpus): the ONLY
+    corpus-wide work is the initial word count (one combiner'd
+    shuffle); every merge round runs on the WORD-FREQUENCY table —
+    vocabulary-sized model state, the same budget class as the NB
+    model — with a 1-row broadcast best-pair scalar folded into the
+    next round's replace. Rounds are sequential by nature (each merge
+    changes the next round's pair counts); production trains thousands
+    of rounds with this exact per-round plan."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    wf = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
+    state = wf.select(
+        "word", "freq",
+        F.concat(F.lit(" "), F.array_join(
+            F.transform(F.split("word", ""),
+                        lambda c: F.concat(c, F.lit(","))), " "))
+        .alias("repr"))
+    outs = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        syms = F.filter(F.split("repr", " "), lambda x: x != "")
+        n = F.size("syms")
+        prs = (state.select("freq", syms.alias("syms"))
+               .select("freq", "syms",
+                       F.explode(F.when(n >= 2, F.sequence(F.lit(1), n - 1))
+                                 .otherwise(F.expr(
+                                     "cast(array() as array<int>)")))
+                       .alias("i"))
+               .select("freq",
+                       F.expr("rtrim(',', element_at(syms, i))").alias("l"),
+                       F.expr("rtrim(',', element_at(syms, i + 1))")
+                       .alias("r")))
+        best = (prs.groupBy("l", "r").agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1))
+        outs.append(best.select(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.col("l").alias("lhs"), F.col("r").alias("rhs"),
+            F.col("cnt").cast("bigint").alias("pair_count")))
+        state = (state.crossJoin(F.broadcast(best))
+                 .select("word", "freq",
+                         F.replace(
+                             F.col("repr"),
+                             F.concat(F.lit(" "), F.col("l"), F.lit(", "),
+                                      F.col("r"), F.lit(",")),
+                             F.concat(F.lit(" "), F.col("l"), F.col("r"),
+                                      F.lit(","))).alias("repr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -87,7 +87,7 @@ LLM_QUERIES = [
     "grouped_quantile_normalize_pandas", "multimodal_histogram_equalize",
     "text_winnowing_fingerprints", "dedup_winnowing_pairs",
     "agg_ratio_to_report", "dedup_semdedup_capped", "sim_ivfpq_topk",
-    "sim_graph_greedy_search",
+    "sim_graph_greedy_search", "text_bpe_merge_train",
 ]
 
 

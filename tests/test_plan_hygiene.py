@@ -47,6 +47,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # 1-row deterministic entry-point scalar crossed into the
                 # query frontier (NSW search start)
                 "sim_graph_greedy_search",
+                # six 1-row best-pair scalars folded into the next merge
+                # round's replace (BPE trainer loop state)
+                "text_bpe_merge_train",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",

@@ -78,6 +78,13 @@ TAIL = [
     "embedding_pq_quantize",
     "sim_pq_adc_topk",
     "ml_dbn_logreg_eval",
+    # round-6 additions: capped SemDeDup, composed IVF-PQ, NSW graph
+    # walk, BPE merge training — eager/memoized stages, so cold-cache
+    # build+exec billing is the honest timer for these too.
+    "dedup_semdedup_capped",
+    "sim_ivfpq_topk",
+    "sim_graph_greedy_search",
+    "text_bpe_merge_train",
 ]
 
 

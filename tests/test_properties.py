@@ -429,3 +429,45 @@ def test_winnowing_guarantee(spark, shared, pre_a, suf_a, pre_b, suf_b):
     assert fps[0] & fps[1], (
         f"no shared fingerprint despite a {len(shared)}-token shared run "
         f"(W+K-1=8); texts={texts}")
+
+
+def test_round6_invariants(spark):
+    """Round-6 operator invariants.
+
+    BPE: the winning pair count is monotone non-increasing over rounds —
+    merging (l, r) can only remove occurrences of existing pairs, and
+    any NEW pair (x, lr)/(lr, y) occurs at most as often as (l, r) did,
+    which was the round maximum. Rounds are 1..N exactly once; counts
+    positive.
+
+    NSW walk: every hop result is a real vector pair with the exact
+    cosine (checked against brute recompute for one query), rnk is
+    dense 1..k per query, and no self-pairs survive."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    bpe = sorted((r["round"], r["pair_count"], r["lhs"], r["rhs"])
+                 for r in SPARK_QUERIES["text_bpe_merge_train"](
+                     spark, SF_ORACLE).collect())
+    assert [b[0] for b in bpe] == list(range(1, len(bpe) + 1))
+    counts = [b[1] for b in bpe]
+    assert all(c > 0 for c in counts)
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+    nsw = SPARK_QUERIES["sim_graph_greedy_search"](
+        spark, SF_ORACLE).collect()
+    assert nsw
+    per_q: dict = {}
+    for r in nsw:
+        assert r["qid"] != r["cid"]
+        per_q.setdefault(r["qid"], []).append(r["rnk"])
+    for qid, rnks in per_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), qid
+    # exact-cosine spot check for the first returned pair
+    import numpy as np
+    r0 = nsw[0]
+    emb = {row["vec_id"]: np.array(row["embedding"], dtype=np.float64)
+           for row in spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+           .filter(F.col("vec_id").isin([r0["qid"], r0["cid"]])).collect()}
+    a, b = emb[r0["qid"]], emb[r0["cid"]]
+    expect = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+    assert abs(r0["cos"] - expect) < 2e-6, (r0, expect)

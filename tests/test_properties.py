@@ -194,21 +194,32 @@ def test_chunking_covers_and_overlaps(words):
     "events_dau_wau_mau",
     "window_outlier_hampel",
     "ml_auc_rank_sum",
+    # round-6 additions: iterative walk + trainer loop
+    "sim_graph_greedy_search",
+    "text_bpe_merge_train",
 ])
 def test_result_invariant_to_shuffle_width(spark, name):
     """Engine-wide analog of the A4 invariant: results of hash-keyed and
     iterative operators must not depend on spark.sql.shuffle.partitions.
-    Runs each query under two widths and compares full sorted row sets."""
+    Runs each query under two widths and compares full sorted row sets.
+    Memoized stages (k-core edges, NSW edges, capped-SemDeDup kept set)
+    are EVICTED per width — otherwise the second width silently reuses
+    the first width's materialization and the test is vacuous for the
+    cached stage."""
     from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        clear_signature_cache)
 
     def rows_at(width):
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        clear_signature_cache(spark)
         try:
             df = SPARK_QUERIES[name](spark, SF_ORACLE)
             return sorted(tuple(str(c) for c in r) for r in df.collect())
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+            clear_signature_cache(spark)
 
     assert rows_at(5) == rows_at(32)
 

@@ -643,3 +643,106 @@ def graph_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.col("kout") * F.col("kin"))
                     / (F.col("m") * F.col("m"))).alias("q_contrib")))
     return out
+
+
+# ANF rounds (ball radii reported). Register conventions are
+# sketch_hll_registers' exactly: 32-bit det hash, 256 buckets,
+# register = leading-zero rank of the high 24 bits.
+_ANF_ROUNDS = 2
+
+_ANF_MERGE_SQL = """
+m{r} AS (
+  SELECT node, bucket, max(register) AS register FROM (
+    SELECT node, bucket, register FROM m{p}
+    UNION ALL
+    SELECT s.node, r.bucket, r.register
+    FROM sym s JOIN m{p} r ON r.node = s.nbr
+  ) GROUP BY node, bucket)"""
+
+
+def _anf_oracle() -> str:
+    merges = ",".join(
+        _ANF_MERGE_SQL.format(r=r, p="0" if r == 1 else str(r - 1))
+        for r in range(1, _ANF_ROUNDS + 1))
+    radii = " UNION ALL ".join(
+        f"SELECT CAST(node AS BIGINT) AS node, CAST({r} AS BIGINT) AS radius,"
+        f" CAST(bucket AS BIGINT) AS bucket, CAST(register AS BIGINT)"
+        f" AS register FROM m{r}"
+        for r in range(1, _ANF_ROUNDS + 1))
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+sym AS (SELECT src AS node, dst AS nbr FROM edges WHERE src != dst
+        UNION SELECT dst, src FROM edges WHERE src != dst),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+h AS (SELECT node,
+             ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM nodes),
+m0 AS (SELECT node, hv % 256 AS bucket,
+              CASE WHEN hv // 256 = 0 THEN 25
+                   ELSE 24 - CAST(floor(log2(hv // 256)) AS BIGINT) END
+                AS register
+       FROM h),
+{merges}
+{radii}
+"""
+
+
+def _anf_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / HyperANF (Palmer et al. 2002; Boldi & Vigna 2011): the
+    NEIGHBORHOOD FUNCTION |ball(v, r)| estimated by HLL sketches — per
+    node, a 256-register HLL of its r-hop ball, built by {_ANF_ROUNDS}
+    unrolled rounds of register-wise MAX-merge with the neighbors'
+    sketches over the co-supply nation graph. Output is the INTEGER
+    register state per (node, radius) — bit-reproducible in any engine
+    (sketch_hll_registers' exact hash/bucket/rank conventions); the
+    cardinality estimate derived from it is graded against exact
+    BFS ball sizes in tests/test_graph_merge_oracle.py. ANF is how
+    effective-diameter / centrality-ish statistics are computed on
+    graphs where exact per-node reachability (n x BFS) is infeasible —
+    the web-graph / dup-graph diagnostic at 100 B nodes.
+
+    Scale shape: sketch state is nodes x 256 small ints, mergeable by
+    MAX — each round is ONE self-describing keyed aggregate over
+    (edges JOIN state), exactly the combiner-friendly shuffle HLL
+    exists to enable (the same reason sketch_hll_merge_rollup works as
+    a continuous aggregate). Rounds grow the radius, not the state;
+    O(diameter) rounds total, each a |E|-row keyed shuffle — the
+    large-star/small-star cost class, with NO frontier blowup because
+    the sketch absorbs the set union."""
+    from ..functions.vector import det_hash64
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    edges = spark.sql(_EDGES_SQL).filter(F.col("src") != F.col("dst"))
+    sym = (edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+           .unionByName(edges.select(F.col("dst").alias("node"),
+                                     F.col("src").alias("nbr")))
+           .distinct())
+    nodes = spark.table("nation").select(F.col("n_nationkey").alias("node"))
+    hv = det_hash64(F.col("node").cast("string"))
+    w = F.floor(hv / 256)
+    register = F.when(w == 0, F.lit(25)).otherwise(
+        24 - F.floor(F.log2(w.cast("double")))).cast("bigint")
+    state = nodes.select("node", (hv % 256).alias("bucket"),
+                         register.alias("register"))
+    out = None
+    for r in range(1, _ANF_ROUNDS + 1):
+        nbr_state = (sym.join(state.withColumnRenamed("node", "nbr"), "nbr")
+                     .select("node", "bucket", "register"))
+        state = (state.unionByName(nbr_state)
+                 .groupBy("node", "bucket")
+                 .agg(F.max("register").alias("register")))
+        radius_rows = state.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.lit(r).cast("bigint").alias("radius"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("register").cast("bigint").alias("register"))
+        out = radius_rows if out is None else out.unionByName(radius_rows)
+    return out
+
+
+def _register_anf() -> None:
+    query("graph_anf_hll", oracle=_anf_oracle())(_anf_impl)
+
+
+_register_anf()

@@ -13,7 +13,8 @@ from .oracle_harness import compare
 
 NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_degree_distribution", "mv_incremental_refresh",
-         "temporal_scd2_lookup", "graph_jaccard_link_prediction"]
+         "temporal_scd2_lookup", "graph_jaccard_link_prediction",
+         "graph_anf_hll"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -100,3 +101,57 @@ def test_link_prediction_scores_well_formed(spark):
     scores = [r.jaccard for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(0 < r.jaccard <= 1.0 and r.common >= 1 for r in rows)
+
+
+def test_anf_estimate_tracks_exact_balls(spark):
+    """The HLL register state graph_anf_hll ships must DECODE to ball
+    sizes that track exact BFS reachability: estimates derive via the
+    standard Flajolet fold (with linear-counting small-range
+    correction), exact balls via a driver-side BFS over the 25-node
+    nation graph. At n <= 25 with m = 256 buckets every estimate sits
+    in the linear-counting regime, so the tolerance is tight (25%
+    relative, and monotone non-decreasing radius-over-radius which the
+    max-merge construction guarantees structurally)."""
+    import math
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.operators.graph import _EDGES_SQL
+    from hadoop_digit_recognition_spark.tables import load
+
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, SF_ORACLE, t).createOrReplaceTempView(t)
+    edges = [(r.src, r.dst) for r in spark.sql(_EDGES_SQL).collect()
+             if r.src != r.dst]
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    nodes = [r.n_nationkey for r in
+             spark.table("nation").select("n_nationkey").collect()]
+
+    def ball(v, r):
+        seen = {v}
+        frontier = {v}
+        for _ in range(r):
+            frontier = {u for f in frontier for u in adj[f]} - seen
+            seen |= frontier
+        return len(seen)
+
+    regs = defaultdict(dict)
+    for row in SPARK_QUERIES["graph_anf_hll"](spark, SF_ORACLE).collect():
+        regs[(row.node, row.radius)][row.bucket] = row.register
+
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    prev = {}
+    for (node, radius), buckets in sorted(regs.items()):
+        s = sum(2.0 ** -r for r in buckets.values())
+        v_empty = m - len(buckets)
+        est = alpha * m * m / (s + v_empty)
+        if est <= 2.5 * m and v_empty > 0:
+            est = m * math.log(m / v_empty)
+        exact = ball(node, radius)
+        assert abs(est - exact) / exact <= 0.25, (node, radius, est, exact)
+        if (node, radius - 1) in prev:
+            assert est >= prev[(node, radius - 1)] - 1e-9
+        prev[(node, radius)] = est

@@ -818,6 +818,71 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+@query("ml_label_noise_knn", oracle=f"""
+WITH {_BUCKETS},
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+       FROM bucket b
+       JOIN e ON e.vec_id = b.vec_id
+       JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS nl,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+knn AS (
+  SELECT qid, ql, nl FROM (
+    SELECT qid, ql, nl,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+    FROM scored) WHERE rnk <= {KNN_K}
+)
+SELECT qid AS vec_id, CAST(max(ql) AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       CAST(sum(CASE WHEN nl != ql THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       round(sum(CASE WHEN nl != ql THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS noise_score,
+       count(*) >= 2 AND
+         sum(CASE WHEN nl != ql THEN 1 ELSE 0 END) * 3 >= count(*) * 2
+         AS suspect
+FROM knn GROUP BY qid
+""")
+def ml_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-NOISE detection by neighbor disagreement (the cleanlab /
+    confident-learning heuristic in its kNN form, Northcutt et al.
+    2021): a vector whose approximate nearest neighbors mostly carry a
+    DIFFERENT label is a suspected annotation error — the
+    training-data-quality filter run before any supervised head
+    (ml_dbn_logreg_eval and friends) sees the labels. Output per
+    vector: its label, neighbor count, disagreement count, the
+    disagreement fraction, and the suspect flag (>= 2/3 disagreement
+    over >= 2 neighbors). Exact-integer votes; only the final fraction
+    rounds.
+
+    Reuses sim_knn_graph's bucketed candidate generation verbatim
+    (Σ|bucket|², never N²) with the label joined onto BOTH sides of
+    the bucket join; the disagreement aggregate is k rows per vector,
+    combiner'd on vec_id. At 100 TB this is the same plan as the kNN
+    confusion matrix with a per-vector instead of per-class rollup —
+    the graph build dominates, shared across the whole eval family."""
+    knn = sim_knn_graph(spark, sf_dir)
+    lab = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label")
+    v = (knn
+         .join(lab.select(F.col("vec_id").alias("cid"),
+                          F.col("label").alias("nl")), "cid")
+         .join(lab.select(F.col("vec_id").alias("qid"),
+                          F.col("label").alias("ql")), "qid"))
+    dis = F.sum(F.when(F.col("nl") != F.col("ql"), 1).otherwise(0))
+    n = F.count(F.lit(1))
+    return (v.groupBy("qid")
+            .agg(F.max("ql").cast("bigint").alias("label"),
+                 n.cast("bigint").alias("n_nbrs"),
+                 dis.cast("bigint").alias("n_disagree"),
+                 F.round(dis * 1.0 / n, 6).alias("noise_score"),
+                 ((n >= 2) & (dis * 3 >= n * 2)).alias("suspect"))
+            .withColumnRenamed("qid", "vec_id"))
+
+
 # Matryoshka truncation dims audited against the full 64-dim ranking.
 MRL_DIMS = (16, 32)
 

@@ -572,3 +572,66 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_tested"),
         fp.cast("bigint").alias("n_false_pos"),
         F.round(fp * 1.0 / F.nullif(non_m, F.lit(0)), 6).alias("fpr")))
+
+
+# KMV sketch size.
+_KMV_K = 64
+
+
+@query("sketch_kmv_distinct", oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM events
+),
+rk AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct_hashes
+  FROM h
+)
+SELECT event_type,
+       CAST(max(rn) AS BIGINT) AS k_kept,
+       CAST(max(hv) AS BIGINT) AS kth_min_hash,
+       CAST(max(n_distinct_hashes) AS BIGINT) AS n_distinct_hashes
+FROM rk WHERE rn <= {_KMV_K}
+GROUP BY event_type
+""")
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) DISTINCT sketch (Bar-Yossef et al. 2002;
+    Beyer et al. 2007) — the second mergeable cardinality-estimator
+    family next to HLL (sketch_hll_registers): keep the K smallest
+    distinct 32-bit hashes per key; the unbiased estimate is
+    (K - 1) * 2^32 / kth_min_hash (decoded and graded against the exact
+    distinct count in tests/test_physical_sketches.py — estimates are
+    floats, the SHIPPED state is integers). Unlike HLL, a KMV also
+    supports set intersection via the k-min union trick, which is why
+    theta-sketch engines build on it. Output: the sketch boundary
+    (k_kept, kth_min_hash) plus the exact distinct-hash count the test
+    uses as its reference.
+
+    Scale shape: a distinct on (key, hash) — combiner'd, the hash is
+    8 bytes — then one key-partitioned window for the k smallest.
+    MERGE of two KMVs = union the value sets, re-take the k smallest:
+    relationally a unionByName + the same window, the continuous-
+    aggregate shape of sketch_hll_merge_rollup. The per-key window is
+    safe because state per key is K values; the distinct before it is
+    the corpus-wide edge and carries ONLY (key, 8-byte hash)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   det_hash64(F.col("user_id").cast("string")).alias("hv"))
+         .distinct())
+    wk = W.partitionBy("event_type").orderBy("hv")
+    wall = W.partitionBy("event_type")
+    rk = (h.withColumn("rn", F.row_number().over(wk))
+          .withColumn("n_distinct_hashes", F.count(F.lit(1)).over(wall)))
+    return (rk.filter(F.col("rn") <= _KMV_K)
+            .groupBy("event_type")
+            .agg(F.max("rn").cast("bigint").alias("k_kept"),
+                 F.max("hv").cast("bigint").alias("kth_min_hash"),
+                 F.max("n_distinct_hashes").cast("bigint")
+                 .alias("n_distinct_hashes")))

@@ -83,8 +83,35 @@ if "--only" in sys.argv:
     only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     qs = {k: v for k, v in qs.items() if k in only}
 print(f"{len(qs)} queries, {len(osql)} with oracle")
+
+
+def _release_session_state():
+    """Correctness harness, not a timing harness: drop the engine's
+    memoized persisted frames (MinHash signatures, k-core/NSW edges,
+    capped-SemDeDup kept sets) and every other cached table after each
+    query. Left to accumulate, ~120 queries at sf0.1 exhaust a plain
+    session's 1 GB default driver heap (observed: the full --sf sf0.1
+    sweep OOM'd mid-run while every query passes in isolation).
+    Memoized stages simply recompute on next use — results unchanged."""
+    try:
+        from hadoop_digit_recognition_spark.operators.dedup import (
+            clear_signature_cache)
+        clear_signature_cache(spark)
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    # drop Python references to checkpointed frames so the JVM context
+    # cleaner can release their blocks
+    import gc
+    gc.collect()
+
+
 fails = []
 for name, fn in qs.items():
+    _release_session_state()
     t0 = time.time()
     try:
         sdf = fn(spark, SF).toPandas()

@@ -312,3 +312,38 @@ def test_hll_intersection_estimates_near_truth(spark):
         rel = abs(r.est_intersection - r.exact_intersection) \
             / r.exact_intersection
         assert rel < 0.35, (r, rel)
+
+
+def test_kmv_estimate_within_bound(spark, duck):
+    """KMV decode check: (K-1) * 2^32 / kth_min_hash must sit within
+    the KMV relative error ~1/sqrt(K-2) (4 sigma asserted, K=64) of the
+    exact per-type distinct user count — and the sketch must agree with
+    its own n_distinct_hashes reference column (hash collisions on
+    32 bits are ~0 at this cardinality). Also oracle-compared."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from hadoop_digit_recognition_spark.operators.sketches import _KMV_K
+    from hadoop_digit_recognition_spark.tables import load
+
+    from .conftest import SF_ORACLE
+
+    name = "sketch_kmv_distinct"
+    df = SPARK_QUERIES[name](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL[name], name)
+    rows = {r["event_type"]: r for r in df.collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in load(spark, SF_ORACLE, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    sigma = 1.0 / (_KMV_K - 2) ** 0.5
+    for k, n in exact.items():
+        r = rows[k]
+        assert abs(r["n_distinct_hashes"] - n) <= max(2, 0.01 * n)
+        if r["k_kept"] < _KMV_K:
+            # fewer distinct values than K: the sketch IS the exact set
+            assert r["n_distinct_hashes"] == r["k_kept"]
+            continue
+        est = (_KMV_K - 1) * (2.0 ** 32) / r["kth_min_hash"]
+        assert abs(est - n) / n <= 4 * sigma, (k, est, n)

@@ -1427,8 +1427,10 @@ j AS (
 SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
        CAST(sum(in_cand) AS BIGINT) AS n_candidates,
        CAST(sum(in_cand * in_truth) AS BIGINT) AS n_hits,
-       round(sum(in_cand * in_truth) * 1.0 / sum(in_cand), 6) AS prec,
-       round(sum(in_cand * in_truth) * 1.0 / sum(in_truth), 6) AS rec,
+       CASE WHEN sum(in_cand) > 0 THEN
+         round(sum(in_cand * in_truth) * 1.0 / sum(in_cand), 6) END AS prec,
+       CASE WHEN sum(in_truth) > 0 THEN
+         round(sum(in_cand * in_truth) * 1.0 / sum(in_truth), 6) END AS rec,
        round(2.0 * sum(in_cand * in_truth)
              / (sum(in_cand) + sum(in_truth)), 6) AS f1
 FROM j
@@ -1457,12 +1459,17 @@ def dedup_lsh_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.coalesce("in_cand", F.lit(0)).alias("in_cand"),
                  F.coalesce("in_truth", F.lit(0)).alias("in_truth")))
     hits = F.sum(F.col("in_cand") * F.col("in_truth"))
+    # one-sided empties (all-truth or all-candidate rows) would make the
+    # unguarded ratio 0.0/0.0 — NaN in Spark, NULL in DuckDB (the
+    # events_bot_detection divergence class); guard IDENTICALLY in both
     return j.agg(
         F.sum("in_truth").cast("bigint").alias("n_truth"),
         F.sum("in_cand").cast("bigint").alias("n_candidates"),
         hits.cast("bigint").alias("n_hits"),
-        F.round(hits * 1.0 / F.sum("in_cand"), 6).alias("prec"),
-        F.round(hits * 1.0 / F.sum("in_truth"), 6).alias("rec"),
+        F.when(F.sum("in_cand") > 0,
+               F.round(hits * 1.0 / F.sum("in_cand"), 6)).alias("prec"),
+        F.when(F.sum("in_truth") > 0,
+               F.round(hits * 1.0 / F.sum("in_truth"), 6)).alias("rec"),
         F.round(2.0 * hits / (F.sum("in_cand") + F.sum("in_truth")), 6)
         .alias("f1"))
 

@@ -482,3 +482,55 @@ def test_round6_invariants(spark):
     a, b = emb[r0["qid"]], emb[r0["cid"]]
     expect = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
     assert abs(r0["cos"] - expect) < 2e-6, (r0, expect)
+
+
+def test_degenerate_events_engine_parity(spark, tmp_path):
+    """DEGENERATE-corpus parity sweep: a pathological events table (one
+    hyperactive user with many IDENTICAL timestamps, one single-event
+    user, zero value variance within a day) is exactly the regime where
+    0/0, variance-0, and empty-frame expressions diverge between
+    engines (Spark NaN vs DuckDB NULL — the events_bot_detection /
+    lsh_eval_pr class). Run a slice of division/variance-heavy event
+    analytics on it and hold each query to its DuckDB oracle. Queries
+    here must either produce identical values or drop the degenerate
+    rows IDENTICALLY — silent NaN/NULL divergence fails the hash."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # user 1: 40 events all at the SAME instant, same value
+    for i in range(40):
+        rows.append((i, t0, 1, "click", 5.0, "{}"))
+    # user 2: single event
+    rows.append((100, t0, 2, "view", 0.0, "{}"))
+    # user 3: two events, zero gap, zero value
+    rows.append((101, t0, 3, "click", 0.0, "{}"))
+    rows.append((102, t0, 3, "click", 0.0, "{}"))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    for name in ("events_bot_detection", "events_dau_wau_mau",
+                 "events_power_user_gini", "events_new_vs_returning",
+                 "events_hour_dow_heatmap", "agg_hhi_concentration_events"
+                 if "agg_hhi_concentration_events" in SPARK_QUERIES
+                 else "events_session_paths"):
+        df = SPARK_QUERIES[name](spark, d)
+        compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")

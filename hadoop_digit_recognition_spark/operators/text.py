@@ -1285,3 +1285,92 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Kneser-Ney: absolute discount and report size.
+_KN_D, _KN_TOP = 0.75, 50
+
+
+@query("text_kneser_ney_bigram", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_right
+       FROM c12 GROUP BY w1),
+cl AS (SELECT w2, count(*) AS n1p_left FROM c12 GROUP BY w2),
+tt AS (SELECT count(*) AS t_types FROM c12),
+scored AS (
+  SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+         c1.n1p_right, cl.n1p_left,
+         round(cl.n1p_left * 1.0 / tt.t_types, 6) AS p_cont,
+         round((c12.c12 - {_KN_D}) / c1.c1
+               + {_KN_D} * c1.n1p_right / c1.c1
+                 * (cl.n1p_left * 1.0 / tt.t_types), 6) AS p_kn
+  FROM c12 JOIN c1 USING (w1) JOIN cl USING (w2) CROSS JOIN tt),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rnk
+  FROM scored)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+       CAST(n1p_right AS BIGINT) AS n1p_right,
+       CAST(n1p_left AS BIGINT) AS n1p_left,
+       p_cont, p_kn, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_KN_TOP}
+""")
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed bigram LM training counts (Kneser & Ney
+    1995; Chen & Goodman 1998) — the count tables an n-gram language
+    model ships: raw bigram counts, context totals, the CONTINUATION
+    counts KN is famous for (how many distinct left-contexts a word
+    appears in — "Francisco" is frequent but only ever follows "San",
+    so its continuation probability is tiny), and the absolutely-
+    discounted interpolated probability
+    p_kn(w2|w1) = (c12 - D)/c1 + D * N1+(w1,.)/c1 * N1+(.,w2)/T.
+    Top-{_KN_TOP} bigrams by count (deterministic ties). The n-gram-LM
+    relative of text_bigram_surprisal (raw MLE) — KN is what perplexity
+    filters actually train at corpus scale (CCNet's LM quality scoring).
+
+    Scale shape: all four count tables derive from ONE bigram aggregate
+    (c12), itself one combiner'd corpus-wide shuffle on the bigram key;
+    context/continuation tables are vocabulary-sized reaggregations of
+    c12, the type total is a 1-row broadcast scalar, and the final
+    top-k is a single global sort of ONLY the report rows. D folds in
+    as a literal. All-integer until the two final divisions."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bg = (docs.select(ws.alias("w"))
+          .select(F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1), "
+              "i -> struct(w[i - 1] AS w1, w[i] AS w2))")).alias("b"))
+          .select("b.w1", "b.w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (c12.groupBy("w1")
+          .agg(F.sum("c12").alias("c1"),
+               F.count(F.lit(1)).alias("n1p_right")))
+    cl = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_left"))
+    tt = c12.agg(F.count(F.lit(1)).alias("t_types"))
+    from pyspark.sql import Window as W
+    scored = (c12.join(c1, "w1").join(cl, "w2")
+              .crossJoin(F.broadcast(tt))
+              .select(
+                  "w1", "w2",
+                  F.col("c12").cast("bigint").alias("c12"),
+                  F.col("c1").cast("bigint").alias("c1"),
+                  F.col("n1p_right").cast("bigint").alias("n1p_right"),
+                  F.col("n1p_left").cast("bigint").alias("n1p_left"),
+                  F.round(F.col("n1p_left") * 1.0 / F.col("t_types"), 6)
+                  .alias("p_cont"),
+                  F.round((F.col("c12") - _KN_D) / F.col("c1")
+                          + _KN_D * F.col("n1p_right") / F.col("c1")
+                          * (F.col("n1p_left") * 1.0 / F.col("t_types")), 6)
+                  .alias("p_kn")))
+    # distributed top-k FIRST (TakeOrderedAndProject: per-partition
+    # partial top-k, never a corpus-wide single-task sort of all bigram
+    # types), THEN rank the <= _KN_TOP surviving rows — the global
+    # row_number window only ever sees the bounded report.
+    top = scored.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")) \
+        .limit(_KN_TOP)
+    rnk = F.row_number().over(
+        W.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")))
+    return top.withColumn("rnk", rnk.cast("bigint"))

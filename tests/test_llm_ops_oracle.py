@@ -88,7 +88,7 @@ LLM_QUERIES = [
     "text_winnowing_fingerprints", "dedup_winnowing_pairs",
     "agg_ratio_to_report", "dedup_semdedup_capped", "sim_ivfpq_topk",
     "sim_graph_greedy_search", "text_bpe_merge_train",
-    "ml_label_noise_knn",
+    "ml_label_noise_knn", "text_kneser_ney_bigram",
 ]
 
 

@@ -50,6 +50,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # six 1-row best-pair scalars folded into the next merge
                 # round's replace (BPE trainer loop state)
                 "text_bpe_merge_train",
+                # 1-row bigram-type-total scalar (the KN continuation
+                # normalizer) crossed into the vocab-sized score table
+                "text_kneser_ney_bigram",
                 # banding S-curve: 4-row config x 19-row grid, both
                 # literal-generated — no table is ever a join input
                 "dedup_lsh_band_tuning",

@@ -1339,9 +1339,14 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a literal. All-integer until the two final divisions."""
     docs = load_parallel(spark, sf_dir, "documents")
     ws = F.split("text", " ")
+    # guard single-word docs: sequence(1, 0) DESCENDS in Spark, which
+    # would index w[-1] (ANSI invalid-array-index; caught by the
+    # degenerate-documents parity test)
     bg = (docs.select(ws.alias("w"))
           .select(F.explode(F.expr(
-              "transform(sequence(1, size(w) - 1), "
+              "transform("
+              "  CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1)"
+              "       ELSE cast(array() as array<int>) END, "
               "i -> struct(w[i - 1] AS w1, w[i] AS w2))")).alias("b"))
           .select("b.w1", "b.w2"))
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

@@ -534,3 +534,45 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  else "events_session_paths"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
+
+
+def test_degenerate_documents_engine_parity(spark, tmp_path):
+    """Documents-family analog of the degenerate-events sweep: empty
+    text, single-word docs, a doc of one repeated word, and a block of
+    byte-identical docs — the regime where split('') -> [''],
+    zero-gram documents, and all-ties ranking diverge between engines
+    if any operator is off by one. Each query is held to its DuckDB
+    oracle on the pathological corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    texts = [
+        "",                                   # empty doc
+        "spark",                              # single word
+        "dup dup dup dup dup dup dup dup dup dup",  # one repeated word
+        "the quick value table scan",         # short normal doc
+    ] + ["copy of this exact doc text here now"] * 5   # identical block
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array([f"src{i % 2}" for i in range(len(texts))]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in ("dedup_exact", "dedup_normalized_prefix",
+                 "text_tfidf_top_terms", "text_winnowing_fingerprints",
+                 "dedup_repeated_substrings", "text_bpe_merge_train",
+                 "text_kneser_ney_bigram", "dedup_minhash_lsh"):
+        df = SPARK_QUERIES[name](spark, d)
+        compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")

@@ -589,3 +589,27 @@ def test_pq_adc_recall(spark):
     assert len(ad) == len(ex)
     recalls = [len(ex[q] & ad.get(q, set())) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.08
+
+
+def test_nsw_recall_vs_exact(spark):
+    """Graph-ANN recall floor: the 3-hop beam-4 NSW walk from a single
+    entry point must recover a nonzero fraction of the exact top-5 on
+    the clusterless synthetic corpus (measured ~0.09 — honest for
+    random unit vectors where a greedy walk has no density gradient to
+    follow; hops/beam is the ef knob production tunes). Asserted at
+    0.03 with margin, plus per-query structural soundness (every
+    returned neighbor really is a corpus vector, no query answers
+    more than TOP_K)."""
+    from hadoop_digit_recognition_spark.operators.similarity import TOP_K
+
+    exact = {}
+    for r in SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    nsw = {}
+    for r in SPARK_QUERIES["sim_graph_greedy_search"](
+            spark, SF_ORACLE).collect():
+        nsw.setdefault(r["qid"], set()).add(r["cid"])
+    assert nsw and all(len(c) <= TOP_K for c in nsw.values())
+    hits = sum(len(exact.get(q, set()) & c) for q, c in nsw.items())
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.03, f"NSW recall@{TOP_K} = {hits / total:.3f}"

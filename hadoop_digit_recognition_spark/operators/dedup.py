@@ -924,8 +924,11 @@ def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     size the pipeline CONTROLS, unlike Σ|cell|²) is materialized
     through the session memo cache (the k-core precedent, evicted by
     clear_signature_cache): left lazy, the scan->assign->rank subtree
-    re-executes for each of its four consumers — measured 14.8s -> 3s
-    at 20k vectors."""
+    re-executes for each of its four consumers. Measured at 20k
+    vectors: 29.5s uncapped -> 13.4s capped cold-single-query (of which
+    ~5s is fresh-session warmup + seed collect and ~3.5s the
+    scan+assign+rank floor); warm-session cold-cache bench tail at
+    sf0.1: 2.5s."""
     from ..functions.vector import dot_col, l2norm_col
 
     emb = (load_parallel(spark, sf_dir, "embeddings")

@@ -508,3 +508,48 @@ def source_jsonl_malformed_permissive(spark: SparkSession,
         F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(bad, 0).otherwise(F.col("n_chars"))).cast("bigint")
         .alias("good_chars"))
+
+
+@query("source_fixedwidth_roundtrip", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 6) AS total,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+""")
+def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text sink + offset-parsed scan — the mainframe /
+    legacy-feed format Spark has no built-in reader for, expressed as
+    the engine's own codec: orders serialize to 52-char records
+    (key 12 right-aligned | custkey 12 | status 1 | totalprice 12 as
+    %.2f | priority 15 left-aligned), written via the text sink, read
+    back with spark.read.text + substring slicing at the declared
+    offsets, then aggregated. The oracle aggregates the parquet source
+    directly, so ANY off-by-one in the offsets, padding direction, or
+    numeric formatting breaks the hash (%.2f round-trips exactly
+    because o_totalprice carries 2-decimal values).
+
+    At 100 TB: both directions are NARROW passes (format_string out,
+    substring+cast in, whole-stage codegen; the text scan splits by
+    line like any text source), and the explicit offset schema is the
+    contract a COBOL copybook would generate — no inference job, no
+    per-row Python."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_fixedwidth_stage",
+                         uuid.uuid4().hex)
+    o = load(spark, sf_dir, "orders")
+    lines = o.select(F.format_string(
+        "%12d%12d%s%12.2f%-15s",
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority").alias("value"))
+    lines.write.mode("overwrite").text(stage)
+    back = spark.read.text(stage).select(
+        F.trim(F.substring("value", 1, 12)).cast("long").alias("o_orderkey"),
+        F.trim(F.substring("value", 13, 12)).cast("long").alias("o_custkey"),
+        F.substring("value", 25, 1).alias("o_orderstatus"),
+        F.trim(F.substring("value", 26, 12)).cast("double")
+        .alias("o_totalprice"),
+        F.rtrim(F.substring("value", 38, 15)).alias("o_orderpriority"))
+    return (back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.round(F.sum("o_totalprice"), 6).alias("total"),
+                 F.sum("o_orderkey").cast("bigint").alias("key_sum")))

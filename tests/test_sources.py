@@ -90,7 +90,8 @@ def test_weights_text_arity_guard():
 @pytest.mark.parametrize("name", ["source_csv_roundtrip",
                                   "source_json_roundtrip",
                                   "source_orc_roundtrip",
-                                  "source_jsonl_malformed_permissive"])
+                                  "source_jsonl_malformed_permissive",
+                                  "source_fixedwidth_roundtrip"])
 def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)

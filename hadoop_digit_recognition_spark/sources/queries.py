@@ -553,3 +553,46 @@ def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.round(F.sum("o_totalprice"), 6).alias("total"),
                  F.sum("o_orderkey").cast("bigint").alias("key_sum")))
+
+
+@query("source_json_multiline", oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+""")
+def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE JSON ingest (one top-level JSON ARRAY spanning many
+    lines — the shape REST-API dumps and config exports arrive in):
+    documents serialize into per-partition pretty-ish array files, read
+    back with spark.read.option('multiLine', true), aggregated; the
+    oracle aggregates the parquet source, so any nesting/escaping error
+    in the array assembly breaks the hash.
+
+    THE SCALE LESSON IS THE FORMAT'S FLAW: a multiline JSON document
+    cannot be split — the whole file is one parse unit, one task, no
+    matter how large (unlike JSONL, where every line is a record and
+    the scan parallelizes; source_json_roundtrip is that path). The
+    writer here keeps one array PER PARTITION (mapPartitions-shaped
+    assembly, no driver collect, no global single reducer), which is
+    exactly the mitigation a pipeline stuck with this format uses:
+    many medium array files instead of one giant one."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_mljson_stage",
+                         uuid.uuid4().hex)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    rows = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
+                       .alias("j"))
+    # one JSON array per partition: spark_partition_id-keyed assembly
+    # (keyed agg, combiner'd) — never a global concat
+    arrays = (rows.groupBy(F.spark_partition_id().alias("p"))
+              .agg(F.concat(F.lit("[\n  "),
+                            F.concat_ws(",\n  ", F.collect_list("j")),
+                            F.lit("\n]")).alias("value"))
+              .select("value"))
+    arrays.write.mode("overwrite").text(stage)
+    back = (spark.read.option("multiLine", True)
+            .schema("doc_id long, lang string, n_chars long")
+            .json(stage))
+    return (back.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("n_chars").cast("bigint").alias("chars")))

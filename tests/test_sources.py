@@ -91,7 +91,8 @@ def test_weights_text_arity_guard():
                                   "source_json_roundtrip",
                                   "source_orc_roundtrip",
                                   "source_jsonl_malformed_permissive",
-                                  "source_fixedwidth_roundtrip"])
+                                  "source_fixedwidth_roundtrip",
+                                  "source_json_multiline"])
 def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)

@@ -513,7 +513,8 @@ def source_jsonl_malformed_permissive(spark: SparkSession,
 @query("source_fixedwidth_roundtrip", oracle="""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 6) AS total,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
        CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM orders GROUP BY o_orderstatus, o_orderpriority
 """)
@@ -526,8 +527,11 @@ def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back with spark.read.text + substring slicing at the declared
     offsets, then aggregated. The oracle aggregates the parquet source
     directly, so ANY off-by-one in the offsets, padding direction, or
-    numeric formatting breaks the hash (%.2f round-trips exactly
-    because o_totalprice carries 2-decimal values).
+    numeric formatting breaks the hash. Money totals aggregate in
+    INTEGER CENTS (%.2f emits exactly 2 decimals; x100-round-cast on
+    both sides): a float sum of 150k ~1e5-magnitude prices has an ulp
+    near 5e-7, so a 6-decimal rounded double total is an engine coin
+    flip at sf0.1 — caught by the off-nominal axis, exact in cents.
 
     At 100 TB: both directions are NARROW passes (format_string out,
     substring+cast in, whole-stage codegen; the text scan splits by
@@ -551,7 +555,8 @@ def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rtrim(F.substring("value", 38, 15)).alias("o_orderpriority"))
     return (back.groupBy("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                 F.round(F.sum("o_totalprice"), 6).alias("total"),
+                 F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).cast("bigint").alias("total_cents"),
                  F.sum("o_orderkey").cast("bigint").alias("key_sum")))
 
 

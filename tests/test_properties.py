@@ -573,6 +573,9 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
     for name in ("dedup_exact", "dedup_normalized_prefix",
                  "text_tfidf_top_terms", "text_winnowing_fingerprints",
                  "dedup_repeated_substrings", "text_bpe_merge_train",
-                 "text_kneser_ney_bigram", "dedup_minhash_lsh"):
+                 "text_kneser_ney_bigram", "dedup_minhash_lsh",
+                 "dedup_segments_corpus", "text_repetition_rates",
+                 "corpus_decontamination", "text_word_entropy",
+                 "text_token_stats", "dedup_boilerplate_ngrams"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")

@@ -400,7 +400,9 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_embedding_cosine", oracle="""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -409,8 +411,13 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs (cosine >= 0.4 — this corpus has no
     planted vector dups; the threshold is set to exercise the operator).
-    All-pairs at test SF; the ANN path for scale is in similarity.py."""
-    emb = load(spark, sf_dir, "embeddings")
+    All-pairs at test SF; the ANN path for scale is in similarity.py.
+    Zero-norm vectors drop out identically on both sides before the
+    pairwise compare (cosine undefined; ANSI division would raise)."""
+    from ..functions.vector import l2norm_col
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .filter(l2norm_col(F.col("embedding")) > 0))
     a = emb.alias("a")
     b = emb.alias("b")
     cos = cosine_col(F.col("a.embedding"), F.col("b.embedding"))
@@ -796,7 +803,9 @@ pairs AS (
   FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
+  WHERE list_aggregate(list_transform(ea.emb, x -> x * x), 'sum') > 0
+    AND list_aggregate(list_transform(eb.emb, x -> x * x), 'sum') > 0
+    AND round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
 ),
 drops AS (SELECT DISTINCT vb AS vec_id FROM pairs)
 SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
@@ -839,10 +848,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(cid).cast("bigint").alias("c"))
             for cid, cvec in sorted(seeds.items())])), 1)["c"]
     asg = emb.withColumn("cell", cell)
-    a = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
-                   F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
-                   F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    # zero-norm vectors keep their assignment row but never enter the
+    # pairwise compare (cosine undefined; ANSI division would raise) —
+    # the oracle's pairs CTE carries the identical norm guard
+    pairable = asg.filter(F.col("nrm") > 0)
+    a = pairable.select(F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
+                        F.col("embedding").alias("ea"),
+                        F.col("nrm").alias("na"))
+    b = pairable.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
+                        F.col("embedding").alias("eb"),
+                        F.col("nrm").alias("nb"))
     cos = F.round(dot_col(F.col("ea"), F.col("eb"))
                   / (F.col("na") * F.col("nb")), 6)
     drops = (a.join(b, (F.col("ca") == F.col("cb"))
@@ -889,7 +904,9 @@ pairs AS (
   FROM kept a JOIN kept b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN e ea ON ea.vec_id = a.vec_id
   JOIN e eb ON eb.vec_id = b.vec_id
-  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
+  WHERE list_aggregate(list_transform(ea.emb, x -> x * x), 'sum') > 0
+    AND list_aggregate(list_transform(eb.emb, x -> x * x), 'sum') > 0
+    AND round(list_cosine_similarity(ea.emb, eb.emb), 6) >= {SEM_TAU}
 ),
 drops AS (SELECT DISTINCT vb AS vec_id FROM pairs)
 SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
@@ -962,10 +979,16 @@ def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("vec_id", "cell", "embedding", "nrm").persist())
         kept.count()
         _SIG_CACHE.setdefault(spark, {})[cache_key] = kept
-    a = kept.select(F.col("vec_id").alias("va"), F.col("cell").alias("ca"),
-                    F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = kept.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cb"),
-                    F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    # zero-norm guard on the pair sides only (assignment/cap rows stay)
+    pairable = kept.filter(F.col("nrm") > 0)
+    a = pairable.select(F.col("vec_id").alias("va"),
+                        F.col("cell").alias("ca"),
+                        F.col("embedding").alias("ea"),
+                        F.col("nrm").alias("na"))
+    b = pairable.select(F.col("vec_id").alias("vb"),
+                        F.col("cell").alias("cb"),
+                        F.col("embedding").alias("eb"),
+                        F.col("nrm").alias("nb"))
     cos = F.round(dot_col(F.col("ea"), F.col("eb"))
                   / (F.col("na") * F.col("nb")), 6)
     drops = (a.join(b, (F.col("ca") == F.col("cb"))

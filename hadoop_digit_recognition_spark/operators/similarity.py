@@ -39,7 +39,9 @@ _E = "SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings"
 
 
 @query("sim_topk_cosine", oracle=f"""
-WITH e AS ({_E}),
+WITH e0 AS ({_E}),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -59,10 +61,16 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are precomputed once per vector at a projection boundary, so the
     per-pair work is ONE zip_with/aggregate pass (dot product) instead of
     three — with arithmetic identical to cos = dot/(sqrt(aa)*sqrt(bb)),
-    keeping the rounded values bit-equal to the oracle."""
+    keeping the rounded values bit-equal to the oracle. Zero-norm
+    vectors (failed/padded embeddings — absent from the fixtures but
+    real in production) are dropped IDENTICALLY on both sides before
+    any pairwise compare: cosine is undefined for them, and Spark's
+    ANSI division would otherwise raise where DuckDB returns a value
+    (caught by the degenerate-embeddings parity test)."""
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
-                   l2norm_col(F.col("embedding")).alias("nrm")))
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
                  F.col("nrm").alias("qn")))

@@ -579,3 +579,47 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "text_token_stats", "dedup_boilerplate_ngrams"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
+
+
+def test_degenerate_embeddings_engine_parity(spark, tmp_path):
+    """Embeddings-family pathological sweep: a ZERO vector (failed or
+    padded embedding — absent from fixtures, real in production), an
+    exact-duplicate pair, and a two-label split. Before round 6 a zero
+    vector CRASHED the cosine family outright (ANSI divide-by-zero on
+    the norm product); the fix drops zero-norm vectors from pairwise
+    compares identically in both engines, keeping assignment rows where
+    the output is per-vector (SemDeDup). Queries here must hold their
+    oracles with the zero vector present."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 0.12, (40, 64)).astype(np.float32)
+    vecs[5] = 0.0          # zero vector
+    vecs[6] = vecs[7]      # exact duplicate pair
+    tbl = pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([i % 2 for i in range(40)], pa.int32())})
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    for name in ("sim_topk_cosine", "dedup_embedding_cosine",
+                 "dedup_semantic_semdedup", "dedup_semdedup_capped",
+                 "sim_knn_graph", "embedding_int8_quantize",
+                 "embedding_pq_quantize"):
+        df = SPARK_QUERIES[name](spark, d)
+        compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
+    # the zero vector must still get its SemDeDup verdict row
+    sem = {r["vec_id"] for r in SPARK_QUERIES["dedup_semantic_semdedup"](
+        spark, d).collect()}
+    assert 5 in sem, "zero vector lost its assignment row"

@@ -687,8 +687,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dedup_embedding_lsh", oracle="""
-WITH v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-                  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum') > 0),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
 pl AS (SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w
        FROM range(8) p(p), range(64) i(i)),
 dots AS (

@@ -92,9 +92,17 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLANES = (f"SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w "
            f"FROM range({N_PLANES}) p(p), range(64) i(i)")
 
+# Zero-norm vectors (failed/padded embeddings) are excluded from the
+# LSH index at the source: they cannot be cosine-compared (ANSI
+# division raises on the zero norm product) and their sign-bit bucket
+# would be meaningless all-zero-dots noise. Spark twin: _bucket_df's
+# norm filter. Fleet-wide parity for every bucket-family consumer.
 _BUCKETS = f"""
+nz AS (SELECT vec_id, embedding FROM embeddings
+       WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum') > 0),
 v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
 pl AS ({_PLANES}),
 dots AS (
   SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
@@ -124,8 +132,10 @@ def _bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plane dots ride zip_with/aggregate over a broadcast plane array —
     no explode, no shuffle; the groupBy in the SQL oracle is replaced by
-    a per-row array fold."""
-    emb = load_parallel(spark, sf_dir, "embeddings")
+    a per-row array fold. Zero-norm vectors are excluded from the index
+    (cosine-undefined; the oracle's nz CTE is the identical guard)."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .filter(l2norm_col(F.col("embedding")) > 0))
     planes = [
         F.array(*[F.sin(F.lit(float(p * 64 + i) + 0.5)) for i in range(64)])
         for p in range(N_PLANES)
@@ -196,7 +206,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
-                   l2norm_col(F.col("embedding")).alias("nrm")))
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
     train = emb.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>")))
     model = KMeans(k=K_CELLS, seed=42, maxIter=20).fit(train)
@@ -276,8 +287,11 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_DET_ORACLE = f"""
-WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                  unnest(embedding)::DOUBLE AS x FROM embeddings),
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum') > 0),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x FROM nz),
 seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {K_CELLS}),
 d1 AS (SELECT e.vec_id, s.cid, round(sum((e.x - s.x) * (e.x - s.x)), 9) AS d2
        FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
@@ -328,10 +342,13 @@ def sim_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine rerank inside, rank on the ROUNDED score with cid
     tiebreak so both engines cut identical top-k sets. The DuckDB
     oracle replays the entire index build AND search relationally —
-    ANN graded by value hash, not just recall."""
+    ANN graded by value hash, not just recall. Zero-norm vectors are
+    excluded from index and queries (cosine-undefined; oracle nz CTE
+    is the identical guard)."""
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
-                   l2norm_col(F.col("embedding")).alias("nrm")))
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
     v = F.col("embedding").cast("array<double>")
 
     seeds = {r["vec_id"]: list(r["e"]) for r in
@@ -549,8 +566,11 @@ def _bm25_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = F.lit([float(x) for x in
                 emb.filter(F.col("vec_id") == 0)
                 .select(F.col("embedding").cast("array<double>")).first()[0]])
+    # zero-norm candidates are cosine-undefined — excluded identically
+    # in the oracle's hy CTE (the ANSI divide-by-zero class)
     return (top.filter(F.col("doc_id") != 0)
-            .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+                  .filter(l2norm_col(F.col("embedding")) > 0),
                   "doc_id")
             .select("doc_id", "bm25",
                     F.round(dot_col(qe, F.col("embedding"))
@@ -584,7 +604,9 @@ hy AS (SELECT t.doc_id, t.bm25,
               round(list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]), 6)
                 AS cos
        FROM top t JOIN embeddings e ON e.vec_id = t.doc_id, qv
-       WHERE t.doc_id <> 0)"""
+       WHERE t.doc_id <> 0
+         AND list_aggregate(list_transform(e.embedding::DOUBLE[],
+                                           x -> x * x), 'sum') > 0)"""
 
 
 @query("sim_hybrid_bm25_rerank", oracle=f"""
@@ -896,7 +918,10 @@ MRL_DIMS = (16, 32)
 
 
 @query("sim_matryoshka_truncation_eval", oracle=f"""
-WITH e AS ({_E}),
+WITH e0 AS ({_E}),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb[1:16], x -> x * x),
+                           'sum') > 0),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -943,9 +968,14 @@ def sim_matryoshka_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFram
     ROUNDED cosine with cid tiebreak, so both engines cut identical
     top-k sets. Scale: the pair stream is the exact-baseline BNLJ shape
     (fixed query side, declared twin of the bucketed ANN paths); the
-    truncation audit itself adds only two extra dots per pair."""
+    truncation audit itself adds only two extra dots per pair.
+    The zero-norm guard applies to the SHORTEST prefix (first 16
+    dims): a vector whose 16-dim prefix is all zero is
+    cosine-undefined at that truncation even when the full vector
+    isn't — guarding the full norm alone would still raise on cos16."""
     emb = (load_parallel(spark, sf_dir, "embeddings")
-           .select("vec_id", "embedding"))
+           .select("vec_id", "embedding")
+           .filter(l2norm_col(F.slice("embedding", 1, 16)) > 0))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     c = emb.select(F.col("vec_id").alias("cid"),
@@ -1326,7 +1356,9 @@ f{h} AS (SELECT qid, node FROM (
 
 @query("sim_graph_greedy_search", oracle=f"""
 WITH {_BUCKETS},
-e AS ({_E}),
+e0 AS ({_E}),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
 be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
 kscored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -1340,7 +1372,7 @@ knn AS (SELECT qid, cid FROM (
 edges AS (SELECT qid AS src, cid AS dst FROM knn
           UNION SELECT cid AS src, qid AS dst FROM knn),
 qv AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {N_QUERIES}),
-entry AS (SELECT min(vec_id) AS node FROM embeddings
+entry AS (SELECT min(vec_id) AS node FROM e
           WHERE vec_id >= {N_QUERIES}),
 f0 AS (SELECT q.qid, en.node FROM qv q CROSS JOIN entry en),
 {",".join(_nsw_hop_sql(h) for h in range(1, NSW_HOPS + 1))},
@@ -1381,9 +1413,13 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components fixpoint."""
     from .dedup import _SIG_CACHE
 
+    # zero-norm vectors are out of the walk everywhere: queries, entry
+    # point, and scoring candidates (the edges come from the already-
+    # filtered LSH bucket graph) — oracle's e CTE is the same guard
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
-                   l2norm_col(F.col("embedding")).alias("nrm")))
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
     cache_key = f"nsw_edges::{sf_dir}"
     per = _SIG_CACHE.get(spark)
     if per is not None and cache_key in per:

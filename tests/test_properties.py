@@ -616,7 +616,12 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
     for name in ("sim_topk_cosine", "dedup_embedding_cosine",
                  "dedup_semantic_semdedup", "dedup_semdedup_capped",
                  "sim_knn_graph", "embedding_int8_quantize",
-                 "embedding_pq_quantize"):
+                 "embedding_pq_quantize", "sim_ann_lsh",
+                 "sim_ann_lsh_buckets", "sim_hard_negatives",
+                 "sim_ivf_det_topk", "sim_matryoshka_truncation_eval",
+                 "dedup_embedding_lsh", "sim_graph_greedy_search",
+                 "ml_knn_classifier_eval", "ml_label_noise_knn",
+                 "pipeline_embedding_dedup"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

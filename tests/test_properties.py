@@ -576,7 +576,9 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "text_kneser_ney_bigram", "dedup_minhash_lsh",
                  "dedup_segments_corpus", "text_repetition_rates",
                  "corpus_decontamination", "text_word_entropy",
-                 "text_token_stats", "dedup_boilerplate_ngrams"):
+                 "text_token_stats", "dedup_boilerplate_ngrams",
+                 "multimodal_histogram_equalize",
+                 "multimodal_laplacian_sharpness", "multimodal_meta"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

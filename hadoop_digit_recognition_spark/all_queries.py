@@ -80,20 +80,32 @@ def _rotate_for_driver_coverage() -> None:
                         or row.get("err") == "no_oracle")
     if not times_seen:
         return
-    # Tie-break among equally-sampled queries by family urgency: after five
-    # rounds the streaming / ml / MLlib-LSH / sketch / source families are
-    # the only SURVEY §2.5 rows with zero driver-green rows, so their
-    # never-sampled members should reach the fixed-size window before other
-    # never-sampled names (VERDICT r05 ask #1). Stable within a family.
+    # Tie-break among equally-sampled queries by family urgency: after six
+    # rounds the graph / corpus / merge / data-quality / corpus-hygiene /
+    # physical-join families have zero driver rows, and three of round 6's
+    # four discovered defect classes lived in never-sampled operators, so
+    # those families reach the fixed-size window first (VERDICT r06 ask #1).
+    # A small explicit name list pins the round-6 additions and the queries
+    # the verdict names ahead of the family order. Stable within a family.
+    _NAME_PRIORITY = {
+        # round-6 additions still lacking a driver row + verdict-named
+        "dedup_semdedup_capped", "sim_ivfpq_topk", "sim_graph_greedy_search",
+        "text_bpe_merge_train", "text_kneser_ney_bigram", "ml_label_noise_knn",
+        "graph_anf_hll", "source_fixedwidth_roundtrip", "source_json_multiline",
+        "join_dpp_partitioned",
+    }
     _FAMILY_PRIORITY = {
-        "hadoop_digit_recognition_spark.streaming.queries": 0,
-        "hadoop_digit_recognition_spark.ml.queries": 1,
-        "hadoop_digit_recognition_spark.ml.lsh": 2,
-        "hadoop_digit_recognition_spark.operators.sketches": 3,
-        "hadoop_digit_recognition_spark.sources.queries": 4,
+        "hadoop_digit_recognition_spark.operators.graph": 1,
+        "hadoop_digit_recognition_spark.operators.corpus": 2,
+        "hadoop_digit_recognition_spark.operators.merge": 3,
+        "hadoop_digit_recognition_spark.operators.dataquality": 4,
+        "hadoop_digit_recognition_spark.operators.corpus_hygiene": 5,
+        "hadoop_digit_recognition_spark.operators.physical": 6,
     }
 
     def _family(n: str) -> int:
+        if n in _NAME_PRIORITY:
+            return 0
         return _FAMILY_PRIORITY.get(
             getattr(SPARK_QUERIES[n], "__module__", ""), 9)
 

@@ -1376,9 +1376,8 @@ entry AS (SELECT min(vec_id) AS node FROM e
           WHERE vec_id >= {N_QUERIES}),
 f0 AS (SELECT q.qid, en.node FROM qv q CROSS JOIN entry en),
 {",".join(_nsw_hop_sql(h) for h in range(1, NSW_HOPS + 1))},
-visited AS (SELECT qid, node, cos FROM s1
-            UNION SELECT qid, node, cos FROM s2
-            UNION SELECT qid, node, cos FROM s3),
+visited AS ({" UNION ".join(f"SELECT qid, node, cos FROM s{h}"
+                            for h in range(1, NSW_HOPS + 1))}),
 ranked AS (SELECT qid, node AS cid, cos,
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY cos DESC, node) AS rnk

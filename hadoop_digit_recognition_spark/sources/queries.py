@@ -537,9 +537,12 @@ def source_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring+cast in, whole-stage codegen; the text scan splits by
     line like any text source), and the explicit offset schema is the
     contract a COBOL copybook would generate — no inference job, no
-    per-row Python."""
-    stage = os.path.join(tempfile.gettempdir(), "hdr_fixedwidth_stage",
-                         uuid.uuid4().hex)
+    per-row Python.
+
+    Staging is a FIXED per-query path with mode('overwrite') (not a
+    fresh uuid per run) so repeated bench/rotation runs re-use one
+    directory instead of accumulating unbounded stage data."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_fixedwidth_stage")
     o = load(spark, sf_dir, "orders")
     lines = o.select(F.format_string(
         "%12d%12d%s%12.2f%-15s",
@@ -577,27 +580,37 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot be split — the whole file is one parse unit, one task, no
     matter how large (unlike JSONL, where every line is a record and
     the scan parallelizes; source_json_roundtrip is that path). The
-    writer here keeps one array PER PARTITION (mapPartitions-shaped
-    assembly, no driver collect, no global single reducer), which is
-    exactly the mitigation a pipeline stuck with this format uses:
-    many medium array files instead of one giant one."""
-    stage = os.path.join(tempfile.gettempdir(), "hdr_mljson_stage",
-                         uuid.uuid4().hex)
+    writer here keeps one array PER GROUP, keyed by a deterministic
+    bucket of doc_id (keyed agg, combiner'd, no driver collect, no
+    global single reducer) — exactly the mitigation a pipeline stuck
+    with this format uses: many medium array files instead of one
+    giant one. A deterministic key (not spark_partition_id) means the
+    multi-file path is exercised at EVERY fixture size, not only when
+    the source happens to read as >1 input partition.
+
+    ONE ARRAY PER FILE is load-bearing, not cosmetic: Spark's multiLine
+    reader parses only the FIRST top-level JSON value in each file, so
+    two arrays packed into one output file silently drop the second
+    array's records. A plain write.text gives no such guarantee (two
+    group rows can hash to the same shuffle partition, or AQE can
+    coalesce them into one task → one file). partitionBy('p') does:
+    every group lands in its own p=N/ directory as a single one-row
+    file. Staging is a fixed per-query path with mode('overwrite') so
+    repeated runs don't accumulate stage data."""
+    stage = os.path.join(tempfile.gettempdir(), "hdr_mljson_stage")
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars")
     rows = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars"))
                        .alias("j"))
-    # one JSON array per partition: spark_partition_id-keyed assembly
-    # (keyed agg, combiner'd) — never a global concat
-    arrays = (rows.groupBy(F.spark_partition_id().alias("p"))
+    arrays = (rows.groupBy(F.pmod(F.xxhash64("j"), F.lit(8)).alias("p"))
               .agg(F.concat(F.lit("[\n  "),
                             F.concat_ws(",\n  ", F.collect_list("j")),
-                            F.lit("\n]")).alias("value"))
-              .select("value"))
-    arrays.write.mode("overwrite").text(stage)
+                            F.lit("\n]")).alias("value")))
+    arrays.write.mode("overwrite").partitionBy("p").text(stage)
     back = (spark.read.option("multiLine", True)
             .schema("doc_id long, lang string, n_chars long")
-            .json(stage))
+            .json(stage)
+            .drop("p"))
     return (back.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum("n_chars").cast("bigint").alias("chars")))

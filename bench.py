@@ -85,6 +85,9 @@ TAIL = [
     "sim_ivfpq_topk",
     "sim_graph_greedy_search",
     "text_bpe_merge_train",
+    # round-7 addition: adaptive-plane kNN graph (count -> planes -> bucket
+    # self-join; the count makes it eager, so cold billing applies).
+    "sim_knn_graph_adaptive",
 ]
 
 

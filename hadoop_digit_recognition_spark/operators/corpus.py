@@ -110,29 +110,23 @@ def pipeline_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("quality"), 6).alias("avg_quality")))
 
 
-_EMB_BUCKETS_SQL = """
-nz AS (SELECT vec_id, embedding FROM embeddings
-       WHERE list_aggregate(list_transform(embedding::DOUBLE[],
-                                           x -> x * x), 'sum') > 0),
-v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
-pl AS (SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w
-       FROM range(8) p(p), range(64) i(i)),
-dots AS (
-  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
-  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
-),
-bucket AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bkt
-  FROM dots GROUP BY vec_id
+# Banded sign-LSH candidate pairs — single source of truth for the
+# band/bucket CTEs lives in similarity.EMB_BAND_BUCKETS_SQL (the same
+# fragment dedup_embedding_lsh's oracle composes), so the three oracles
+# can never drift apart again.
+from .similarity import EMB_BAND_BUCKETS_SQL as _EMB_BAND_SQL
+
+_EMB_BUCKETS_SQL = f"""
+{_EMB_BAND_SQL.strip()},
+ecand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bkt = b.bkt
+                      AND a.vec_id < b.vec_id
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
 vpairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b
+  FROM ecand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
   WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 )
 """

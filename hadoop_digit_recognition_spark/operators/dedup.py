@@ -686,56 +686,60 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("x_id").alias("keep_id")))
 
 
-@query("dedup_embedding_lsh", oracle="""
-WITH nz AS (SELECT vec_id, embedding FROM embeddings
-            WHERE list_aggregate(list_transform(embedding::DOUBLE[],
-                                                x -> x * x), 'sum') > 0),
-v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
-pl AS (SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w
-       FROM range(8) p(p), range(64) i(i)),
-dots AS (
-  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
-  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+from .similarity import EMB_BAND_BUCKETS_SQL as _EMB_BAND_SQL
+
+
+@query("dedup_embedding_lsh", oracle=f"""
+WITH {_EMB_BAND_SQL.strip()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bkt = b.bkt
+                      AND a.vec_id < b.vec_id
 ),
-bucket AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bkt
-  FROM dots GROUP BY vec_id
-),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT c.vec_a, c.vec_b,
        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
-FROM be a JOIN be b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+FROM cand c JOIN e a ON a.vec_id = c.vec_a JOIN e b ON b.vec_id = c.vec_b
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
 """)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs, SCALE path: random-hyperplane LSH
-    buckets (same deterministic sin-derived planes as similarity.py)
-    turn the all-pairs cosine cross join (dedup_embedding_cosine, the
-    ground-truth twin) into a self equi-join on the bucket key, with the
-    exact cosine threshold applied only inside buckets.
+    """Embedding near-dup pairs, SCALE path: BANDED multi-table sign-LSH
+    (similarity.py's EMB_BAND_BUCKETS_SQL twin) turns the all-pairs
+    cosine cross join (dedup_embedding_cosine, the ground-truth twin)
+    into L self equi-joins on (band, bucket), with the exact cosine
+    threshold applied only to the distinct candidate set.
 
-    Sign-LSH collision probability is 1 - theta/pi per plane; near-dup
-    pairs (cos >= 0.4 -> theta <= 66 deg) collide on all 8 bits with
-    usable probability while the bucket join prunes the N^2 candidate
-    space to sum-of-bucket-sizes^2. Recall vs the exact twin is asserted
-    in tests; every emitted pair is exact-verified (no false positives
-    by construction)."""
-    from .similarity import _bucket_df
+    Sign-LSH collision probability is p = 1 - theta/pi per plane — only
+    ~0.63 at the cos >= 0.4 near-dup threshold, so a single wide table
+    keeps p^bits ~ 2.5% of true pairs. Banding runs the same S-curve as
+    the MinHash family (dedup_lsh_band_tuning): L=4 tables of r=4 bits
+    catch 1-(1-p^4)^4 ~ 50% of threshold pairs
+    (measured 26/59 at sf0.01, 483/920 at sf0.1) while pruning the
+    candidate space to sum over (band, bucket) of |bucket|^2. At scale
+    r grows ~log n (the adaptive-planes posture, sim_knn_graph_adaptive)
+    to pin band-bucket width, and L rises to hold the recall point —
+    the knobs production ANN dedup actually turns. Candidates are
+    DISTINCT'd id-only (narrow) before the two embedding fetch joins;
+    every emitted pair is exact-verified (no false positives by
+    construction)."""
+    from .similarity import _band_bucket_df
     from ..functions.vector import dot_col, l2norm_col
 
-    be = _bucket_df(spark, sf_dir).withColumn(
-        "nrm", l2norm_col(F.col("embedding")))
-    a = be.select(F.col("vec_id").alias("vec_a"), F.col("bkt").alias("ba"),
-                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
-    b = be.select(F.col("vec_id").alias("vec_b"), F.col("bkt").alias("bb"),
-                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    bb = _band_bucket_df(spark, sf_dir).select("vec_id", "band", "bkt")
+    a = bb.select(F.col("vec_id").alias("vec_a"), "band", "bkt")
+    b = bb.select(F.col("vec_id").alias("vec_b"), "band", "bkt")
+    cand = (a.join(b, ["band", "bkt"])
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
     cos = dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    return (a.join(b, (F.col("ba") == F.col("bb"))
-                   & (F.col("vec_a") < F.col("vec_b")))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
             .filter(cos >= 0.4)
             .select("vec_a", "vec_b", F.round(cos, 6).alias("cos")))
 
@@ -876,6 +880,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEM_CAP_M = 24   # capped SemDeDup: pairwise only among the M vectors
                  # nearest their cell centroid (binds already at sf0.01's
                  # ~31 vectors/cell, so the driver exercises the prune)
+SEM_CAP_SHARDS = 8   # phase-1 shards of the two-phase per-cell top-M:
+                     # a mega-cell is ranked as 8 parallel (cell, shard)
+                     # tasks before the <= 8*M-row exact merge rank
 
 
 @query("dedup_semdedup_capped", oracle=f"""
@@ -935,11 +942,21 @@ def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cap binds on the driver fixture (sf0.01 has ~31 vectors/cell
     vs M = {SEM_CAP_M}), so the oracle row exercises the prune, not
     just the uncapped path. Relational shape: assignment narrow as
-    before; the rank is ONE cell-keyed window over (cell, d2) — at
-    100 TB the per-cell top-M would come from the quantizer's training
-    pass or an approx top-k, since a mega-cell window serializes that
-    cell through one task (flagged, same class as the global-sort
-    twins); pairwise and drop-resolution are equi-joins on cell/vec_id
+    before; the per-cell top-M is the TWO-PHASE SHARDED rank (the
+    round-7 mega-cell fix, SCALE.md watch #3): phase 1 ranks inside
+    (cell, vec_id % {SEM_CAP_SHARDS}) partitions — a mega-cell is cut
+    into {SEM_CAP_SHARDS} parallel tasks — and keeps each shard's
+    local top-M; phase 2 ranks the surviving <= {SEM_CAP_SHARDS}·M
+    rows per cell (a size the PLAN controls, independent of cell
+    occupancy) to the exact global top-M. The global top-M is always
+    a subset of the union of per-shard top-Ms, so the result is
+    BIT-IDENTICAL to the single-window form the oracle declares —
+    the distributed-TopK merge argument — while no task ever sees
+    more than max(shard, {SEM_CAP_SHARDS}·M) rows of any one cell.
+    At 100 TB the shard count scales with max-occupancy/M; the
+    agreement-at-skew test (test_semdedup_megacell_two_phase) forces
+    a 4000-vector mega-cell and holds the query to the same oracle.
+    Pairwise and drop-resolution are equi-joins on cell/vec_id
     exactly as the uncapped form. The kept set (<= cells x M rows, a
     size the pipeline CONTROLS, unlike Σ|cell|²) is materialized
     through the session memo cache (the k-core precedent, evicted by
@@ -976,9 +993,16 @@ def dedup_semdedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     if per is not None and cache_key in per:
         kept = per[cache_key]
     else:
+        # two-phase sharded top-M (mega-cell safe; see docstring)
+        lrk = F.row_number().over(
+            W.partitionBy("cell", F.pmod(F.col("vec_id"),
+                                         F.lit(SEM_CAP_SHARDS)))
+            .orderBy("d2c", "vec_id"))
+        local = (asg.withColumn("lrk", lrk)
+                 .filter(F.col("lrk") <= SEM_CAP_M).drop("lrk"))
         rk = F.row_number().over(
             W.partitionBy("cell").orderBy("d2c", "vec_id"))
-        kept = (asg.withColumn("rk", rk).filter(F.col("rk") <= SEM_CAP_M)
+        kept = (local.withColumn("rk", rk).filter(F.col("rk") <= SEM_CAP_M)
                 .select("vec_id", "cell", "embedding", "nrm").persist())
         kept.count()
         _SIG_CACHE.setdefault(spark, {})[cache_key] = kept

@@ -86,10 +86,26 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= TOP_K))
 
 
-# LSH planes: P[p][i] = sin(p*64 + i + 0.5) — closed form both engines can
-# evaluate; +0.5 keeps arguments off integer multiples of pi, so plane
-# dot products are bounded away from exact zero sign-flips.
-_PLANES = (f"SELECT p.p, i.i, sin(CAST(p.p * 64 + i.i AS DOUBLE) + 0.5) AS w "
+# LSH planes: P[p][i] = sin((p+1) * (i + 0.5)) — closed form both engines
+# can evaluate; the +0.5 phase keeps arguments off integer multiples of
+# pi, so plane dot products are bounded away from exact zero sign-flips
+# (measured min |dot| ~2e-5 at sf0.1, ten orders above cross-engine sin
+# ulp noise).
+#
+# WHY FREQUENCY-INDEXED, NOT PHASE-SHIFTED: the previous family
+# sin(p*64 + i + 0.5) looked random but was RANK-2 DEGENERATE —
+# sin(i + phi_p) = sin(i)cos(phi_p) + cos(i)sin(phi_p), so every
+# "hyperplane" lay in the 2-D span of {sin(i), cos(i)} and P planes
+# could cut space into at most 2P sectors (measured: exactly 14
+# occupied buckets at 7 planes on 2000 isotropic vectors, max bucket
+# 265 — the bucket self-join cost was ~10x the balanced model and more
+# planes could never fix it). Distinct FREQUENCIES are Fourier-
+# independent: sin(k*t) for k = 1..{PLANES_MAX} sampled at t = i+0.5
+# spans a {PLANES_MAX}-dim space, giving genuinely independent sign
+# bits — measured sum|bucket|^2 within 7% of the perfectly-balanced
+# ideal at 5 and 7 planes on the same vectors.
+_PLANES = (f"SELECT p.p, i.i, "
+           f"sin(CAST(p.p + 1 AS DOUBLE) * (CAST(i.i AS DOUBLE) + 0.5)) AS w "
            f"FROM range({N_PLANES}) p(p), range(64) i(i)")
 
 # Zero-norm vectors (failed/padded embeddings) are excluded from the
@@ -127,25 +143,141 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_vectors"))
 
 
-def _bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucket_df(spark: SparkSession, sf_dir: str,
+               n_planes: int = N_PLANES, freq_offset: int = 0) -> DataFrame:
     """(vec_id, embedding, bkt): sign-bit bucket of each vector.
 
     Plane dots ride zip_with/aggregate over a broadcast plane array —
     no explode, no shuffle; the groupBy in the SQL oracle is replaced by
     a per-row array fold. Zero-norm vectors are excluded from the index
-    (cosine-undefined; the oracle's nz CTE is the identical guard)."""
+    (cosine-undefined; the oracle's nz CTE is the identical guard).
+    freq_offset selects an INDEPENDENT plane table (frequencies
+    offset+1 .. offset+n_planes) — the multi-table LSH building block."""
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .filter(l2norm_col(F.col("embedding")) > 0))
     planes = [
-        F.array(*[F.sin(F.lit(float(p * 64 + i) + 0.5)) for i in range(64)])
-        for p in range(N_PLANES)
+        F.array(*[F.sin(F.lit(float(p + 1 + freq_offset) * (float(i) + 0.5)))
+                  for i in range(64)])
+        for p in range(n_planes)
     ]
     bkt = None
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         d = dot_col(F.col("embedding"), planes[p])
         bit = F.when(d > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         bkt = bit if bkt is None else (bkt + bit)
     return emb.select("vec_id", "embedding", bkt.alias("bkt"))
+
+
+# Second independent bucket table (frequencies N_PLANES+1 .. 2*N_PLANES),
+# appended after _BUCKETS (reuses its nz/v CTEs). Two independent
+# partitions of the corpus: a pair split by table A has an independent
+# chance to collide in table B — the multi-table trick that keeps
+# bucketed kNN graphs CONNECTED (in-bucket-only edges make the graph a
+# disjoint union of per-bucket components, which strands a graph walk).
+_BUCKETS_B = f"""
+pl_b AS (SELECT p.p, i.i,
+                sin(CAST(p.p + 1 + {N_PLANES} AS DOUBLE)
+                    * (CAST(i.i AS DOUBLE) + 0.5)) AS w
+         FROM range({N_PLANES}) p(p), range(64) i(i)),
+dots_b AS (
+  SELECT v.vec_id, pl_b.p, sum(v.x * pl_b.w) AS d
+  FROM v JOIN pl_b ON v.i = pl_b.i GROUP BY v.vec_id, pl_b.p
+),
+bucket_b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS bkt
+  FROM dots_b GROUP BY vec_id
+)
+"""
+
+
+# Banded multi-table sign-LSH for NEAR-DUP PAIR RECALL. The kNN-graph
+# family above wants every vector to land in exactly one (reasonably
+# small) bucket per table — top-k inside the bucket does the rest. The
+# near-dup PAIR queries (dedup_embedding_lsh, pipeline_embedding_dedup)
+# have a harder target: catch pairs at cos >= 0.4, i.e. theta up to
+# ~66 deg, where the per-plane sign-collision probability is only
+# 1 - theta/pi ~ 0.63 — a single 8-bit table retains 0.63^8 ~ 2.5% of
+# them. The standard answer is the SAME banding S-curve the MinHash
+# family tunes with dedup_lsh_band_tuning: L tables of r bits each
+# catch a pair with probability 1 - (1 - p^r)^L. At r=4, L=4 and
+# p=0.63 that is ~0.50 (measured 26/59 at sf0.01, 483/920 at sf0.1),
+# with candidate volume sum over (band, bucket) of |bucket|^2 — 4.4x
+# below all-pairs at the fixtures, and tuned at scale by growing r
+# with log n (the adaptive-planes posture) while raising L to hold the
+# recall point. The 16 frequencies 1..16 give 4 independent tables for
+# free (Fourier-independence of distinct integer frequencies — see the
+# rank-2 degeneracy note above for why frequency-indexed matters).
+BAND_BITS = 4       # r: sign bits per band table
+N_BAND_TABLES = 4   # L: independent band tables (frequencies 1..16)
+
+EMB_BAND_BUCKETS_SQL = f"""
+nz AS (SELECT vec_id, embedding FROM embeddings
+       WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum') > 0),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
+plb AS (SELECT p.p, i.i,
+               sin(CAST(p.p + 1 AS DOUBLE) * (CAST(i.i AS DOUBLE) + 0.5)) AS w
+        FROM range({BAND_BITS * N_BAND_TABLES}) p(p), range(64) i(i)),
+dotsb AS (
+  SELECT v.vec_id, plb.p, sum(v.x * plb.w) AS d
+  FROM v JOIN plb ON v.i = plb.i GROUP BY v.vec_id, plb.p
+),
+bb AS (
+  SELECT vec_id, CAST(p // {BAND_BITS} AS BIGINT) AS band,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p % {BAND_BITS}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bkt
+  FROM dotsb GROUP BY vec_id, p // {BAND_BITS}
+)
+"""
+
+
+def _band_bucket_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, band, bkt): one row per vector per band
+    table — the banded sign-LSH index, Spark twin of
+    EMB_BAND_BUCKETS_SQL. All {BAND_BITS * N_BAND_TABLES} plane dots
+    are per-row array folds over broadcast literals (narrow, no
+    shuffle); posexplode emits the L band keys."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .filter(l2norm_col(F.col("embedding")) > 0))
+
+    def plane(p: int):
+        return F.array(*[F.sin(F.lit(float(p + 1) * (float(i) + 0.5)))
+                         for i in range(64)])
+
+    band_keys = []
+    for g in range(N_BAND_TABLES):
+        key = None
+        for j in range(BAND_BITS):
+            d = dot_col(F.col("embedding"), plane(g * BAND_BITS + j))
+            bit = (F.when(d > 0, F.lit(2 ** j).cast("bigint"))
+                   .otherwise(F.lit(0).cast("bigint")))
+            key = bit if key is None else key + bit
+        band_keys.append(key)
+    return (emb.select("vec_id", "embedding",
+                       F.posexplode(F.array(*band_keys)).alias("band", "bkt"))
+            .select("vec_id", "embedding",
+                    F.col("band").cast("bigint").alias("band"), "bkt"))
+
+
+# Adaptive plane count: the production answer to SCALE.md watch #2 (the
+# fixed-plane Σ|bucket|² quadratic measured at sf1). Expected bucket
+# occupancy under a balanced sign-bit hash is n / 2^planes, so the
+# SMALLEST p with n <= BUCKET_TARGET * 2^p pins the expected width into
+# (BUCKET_TARGET/2, BUCKET_TARGET] at EVERY corpus size — the self-join
+# cost stays Σ|bucket|² ≈ n * BUCKET_TARGET, linear in n, instead of
+# quadratic at fixed planes. Integer-only comparison (no log2 float)
+# so Spark and DuckDB derive bit-identical plane counts.
+PLANES_MIN, PLANES_MAX, BUCKET_TARGET = 4, 20, 16
+
+
+def _adaptive_n_planes(n: int) -> int:
+    for p in range(PLANES_MIN, PLANES_MAX):
+        if n <= BUCKET_TARGET << p:
+            return p
+    return PLANES_MAX
 
 
 @query("sim_ann_lsh", oracle=f"""
@@ -244,12 +376,20 @@ KNN_K = 3
 
 @query("sim_knn_graph", oracle=f"""
 WITH {_BUCKETS},
+{_BUCKETS_B},
 e AS ({_E}),
-be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+be_a AS (SELECT b.vec_id, b.bkt, e.emb
+         FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+be_b AS (SELECT b.vec_id, b.bkt, e.emb
+         FROM bucket_b b JOIN e ON e.vec_id = b.vec_id),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  FROM be_a q JOIN be_a c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  UNION
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be_b q JOIN be_b c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
 ),
 ranked AS (
   SELECT qid, cid, cos,
@@ -264,13 +404,118 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding near-dup clustering and graph-based ANN indexes at corpus
     scale.
 
-    Scale shape: a SELF equi-join on the LSH bucket key (no broadcast —
-    both sides are the full corpus, so this is an SMJ/shuffle-hash join
-    on `bkt`), exact cosine rerank inside buckets, per-vector top-k via
-    window. Cost is sum over buckets of |bucket|^2 instead of N^2; bucket
-    width is tuned by N_PLANES. The exact-all-pairs ground truth twin is
-    dedup_embedding_cosine (operators/dedup.py)."""
-    be = _bucket_df(spark, sf_dir).withColumn(
+    TWO independent LSH tables (frequency sets 1..{N_PLANES} and
+    {N_PLANES + 1}..{2 * N_PLANES}), candidate pairs unioned before the
+    top-k cut. One table alone makes the kNN graph a DISJOINT UNION of
+    per-bucket components (edges never cross a bucket boundary), which
+    strands any graph walk at its entry component — measured NSW
+    recall collapsed 0.09 -> 0.013 when the bucket family was fixed to
+    genuinely partition the space. A pair split by table A collides in
+    table B independently, so the unioned graph is connected with high
+    probability — the same reason HNSW keeps long-range links.
+
+    Scale shape: two SELF equi-joins on the bucket keys (no broadcast —
+    both sides are the full corpus, so SMJ/shuffle-hash on `bkt`),
+    exact cosine rerank inside buckets, pair-dedup via UNION distinct,
+    per-vector top-k via window. Cost is 2 x sum over buckets of
+    |bucket|^2 instead of N^2; bucket width is tuned by N_PLANES (see
+    sim_knn_graph_adaptive for the planes ~ log N production form).
+    The exact-all-pairs ground truth twin is dedup_embedding_cosine
+    (operators/dedup.py)."""
+    def in_bucket_pairs(freq_offset: int) -> DataFrame:
+        be = _bucket_df(spark, sf_dir, freq_offset=freq_offset).withColumn(
+            "nrm", l2norm_col(F.col("embedding")))
+        q = be.select(F.col("vec_id").alias("qid"),
+                      F.col("bkt").alias("qbkt"),
+                      F.col("embedding").alias("qe"),
+                      F.col("nrm").alias("qn"))
+        c = be.select(F.col("vec_id").alias("cid"),
+                      F.col("bkt").alias("cbkt"),
+                      F.col("embedding").alias("ce"),
+                      F.col("nrm").alias("cn"))
+        return (q.join(c, (F.col("qbkt") == F.col("cbkt"))
+                       & (F.col("qid") != F.col("cid")))
+                .select("qid", "cid",
+                        F.round(dot_col(F.col("qe"), F.col("ce"))
+                                / (F.col("qn") * F.col("cn")), 6)
+                        .alias("cos")))
+
+    scored = (in_bucket_pairs(0)
+              .unionByName(in_bucket_pairs(N_PLANES))
+              .distinct())
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= KNN_K))
+
+
+@query("sim_knn_graph_adaptive", oracle=f"""
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum') > 0),
+np AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nz),
+pc AS (SELECT coalesce(min(p), {PLANES_MAX}) AS planes
+       FROM generate_series({PLANES_MIN}, {PLANES_MAX}) g(p), np
+       WHERE np.cnt <= ({BUCKET_TARGET}::BIGINT << p)),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
+pl AS (SELECT g.p, i.i,
+              sin(CAST(g.p + 1 AS DOUBLE) * (CAST(i.i AS DOUBLE) + 0.5)) AS w
+       FROM generate_series(0, {PLANES_MAX} - 1) g(p),
+            generate_series(0, 63) i(i), pc
+       WHERE g.p < pc.planes),
+dots AS (
+  SELECT v.vec_id, pl.p, sum(v.x * pl.w) AS d
+  FROM v JOIN pl ON v.i = pl.i GROUP BY v.vec_id, pl.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bkt
+  FROM dots GROUP BY vec_id
+),
+e AS ({_E}),
+be AS (SELECT b.vec_id, b.bkt, e.emb
+       FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {KNN_K}
+""")
+def sim_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph with ADAPTIVE plane count — the production form of
+    sim_knn_graph and the answer to the measured fixed-plane quadratic
+    (SCALE.md watch #2: at N_PLANES=8 the bucket self-join is
+    Σ|bucket|² ≈ n²/256, which the sf1 rehearsal measured dominating
+    the NSW build). Step 1 MEASURES the corpus (one count of the
+    nonzero-norm vectors — the classic "analyze then index" pass every
+    ANN index build starts with); step 2 picks the smallest plane count
+    whose expected bucket width is <= {BUCKET_TARGET} vectors
+    (integer-only comparison, clamped to [{PLANES_MIN}, {PLANES_MAX}]);
+    step 3 is sim_knn_graph's bucket self-join + windowed top-{KNN_K}
+    on those planes. The DuckDB oracle derives the SAME plane count
+    from the SAME count with the same integer comparison, so the
+    result is hash-exact — the adaptivity itself is oracle-graded, at
+    sf0.01 (500 vectors -> 5 planes) and sf0.1 (2000 -> 7) alike.
+
+    Scale shape: the self-join cost becomes Σ|bucket|² ≈
+    n x {BUCKET_TARGET} — LINEAR in corpus size — and the plane count
+    grows ~log2(n) (a 1e9-vector corpus gets {PLANES_MAX} planes /
+    1M buckets), which is exactly the "planes ~ log N" posture the
+    fixed-plane query's docstring documents as its tuning knob. The
+    extra count() is one combiner'd scan returning a single scalar.
+    sim_knn_graph keeps the FIXED plane count so its oracle (and the
+    NSW walk built on its edges) stays byte-stable across rounds."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .filter(l2norm_col(F.col("embedding")) > 0))
+    n_planes = _adaptive_n_planes(emb.count())
+    be = _bucket_df(spark, sf_dir, n_planes=n_planes).withColumn(
         "nrm", l2norm_col(F.col("embedding")))
     q = be.select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
                   F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
@@ -788,15 +1033,24 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query("ml_knn_classifier_eval", oracle=f"""
 WITH {_BUCKETS},
+{_BUCKETS_B},
 e AS ({_E}),
-be AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
-       FROM bucket b
-       JOIN e ON e.vec_id = b.vec_id
-       JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+be_a AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+         FROM bucket b
+         JOIN e ON e.vec_id = b.vec_id
+         JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+be_b AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+         FROM bucket_b b
+         JOIN e ON e.vec_id = b.vec_id
+         JOIN embeddings e2 ON e2.vec_id = b.vec_id),
 scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nl,
          round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  FROM be_a q JOIN be_a c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  UNION
+  SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS nl,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be_b q JOIN be_b c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
 ),
 knn AS (
   SELECT qid, cid, nl FROM (
@@ -850,15 +1104,24 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ml_label_noise_knn", oracle=f"""
 WITH {_BUCKETS},
+{_BUCKETS_B},
 e AS ({_E}),
-be AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
-       FROM bucket b
-       JOIN e ON e.vec_id = b.vec_id
-       JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+be_a AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+         FROM bucket b
+         JOIN e ON e.vec_id = b.vec_id
+         JOIN embeddings e2 ON e2.vec_id = b.vec_id),
+be_b AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
+         FROM bucket_b b
+         JOIN e ON e.vec_id = b.vec_id
+         JOIN embeddings e2 ON e2.vec_id = b.vec_id),
 scored AS (
   SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS nl,
          round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  FROM be_a q JOIN be_a c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  UNION
+  SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS nl,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be_b q JOIN be_b c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
 ),
 knn AS (
   SELECT qid, ql, nl FROM (
@@ -1356,14 +1619,22 @@ f{h} AS (SELECT qid, node FROM (
 
 @query("sim_graph_greedy_search", oracle=f"""
 WITH {_BUCKETS},
+{_BUCKETS_B},
 e0 AS ({_E}),
 e AS (SELECT * FROM e0
       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
-be AS (SELECT b.vec_id, b.bkt, e.emb FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+be_a AS (SELECT b.vec_id, b.bkt, e.emb
+         FROM bucket b JOIN e ON e.vec_id = b.vec_id),
+be_b AS (SELECT b.vec_id, b.bkt, e.emb
+         FROM bucket_b b JOIN e ON e.vec_id = b.vec_id),
 kscored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
-  FROM be q JOIN be c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  FROM be_a q JOIN be_a c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
+  UNION
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM be_b q JOIN be_b c ON c.bkt = q.bkt AND c.vec_id != q.vec_id
 ),
 knn AS (SELECT qid, cid FROM (
   SELECT qid, cid,

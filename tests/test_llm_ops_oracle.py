@@ -89,6 +89,7 @@ LLM_QUERIES = [
     "agg_ratio_to_report", "dedup_semdedup_capped", "sim_ivfpq_topk",
     "sim_graph_greedy_search", "text_bpe_merge_train",
     "ml_label_noise_knn", "text_kneser_ney_bigram",
+    "sim_knn_graph_adaptive",
 ]
 
 
@@ -154,6 +155,65 @@ def test_semdedup_cap_is_sound_prune(spark):
         if dropped:
             assert inc, f"vec {vid} dropped while outside the cap"
             assert full[vid], f"capped invented a drop uncapped lacks: {vid}"
+
+
+def test_semdedup_megacell_two_phase(spark, tmp_path):
+    """SCALE.md watch #3 closure: the two-phase sharded per-cell top-M
+    must be BIT-IDENTICAL to the declared single-window oracle even on
+    a forced MEGA-CELL — 4000 of 4040 vectors funneled into one cell
+    (every vector a small perturbation of centroid 0), exactly the
+    occupancy skew where the old one-window plan serialized the cell
+    through a single task. The fixture makes phase 1 genuinely cut the
+    mega-cell (4000 rows across SEM_CAP_SHARDS shards, each shard's
+    local top-M > the global top-M's per-shard share), and the oracle
+    compare proves the distributed-TopK merge loses nothing. Also
+    re-asserts prune soundness (drops only from inside the cap) at
+    this skew."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        SEM_CAP_M, SEM_CELLS, clear_signature_cache)
+    from .oracle_harness import compare
+
+    rng = np.random.default_rng(42)
+    n_big, n_rest = 4000, 40
+    base = rng.normal(0, 0.12, 64)
+    vecs = np.concatenate([
+        # centroid seeds 0..SEM_CELLS-1 live at vec_id < SEM_CELLS;
+        # make seed 0 = base so the perturbed mass lands in cell 0
+        np.concatenate([[base], rng.normal(0, 0.12, (SEM_CELLS - 1, 64))]),
+        base + rng.normal(0, 0.004, (n_big - SEM_CELLS, 64)),   # mega-cell
+        rng.normal(0, 0.12, (n_rest, 64)),                      # scatter
+    ]).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([i % 2 for i in range(len(vecs))], pa.int32())})
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+
+    clear_signature_cache(spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    df = SPARK_QUERIES["dedup_semdedup_capped"](spark, d)
+    compare(df, con, ORACLE_SQL["dedup_semdedup_capped"], "megacell")
+
+    rows = df.collect()
+    cells: dict = {}
+    for r in rows:
+        cells[r["cell"]] = cells.get(r["cell"], 0) + 1
+    assert max(cells.values()) >= n_big - SEM_CELLS, cells  # skew is real
+    in_cap = [r for r in rows if r["in_cap"]]
+    mega = max(cells, key=cells.get)
+    assert sum(1 for r in in_cap if r["cell"] == mega) == SEM_CAP_M
+    for r in rows:
+        if r["dropped"]:
+            assert r["in_cap"], f"drop outside cap at vec {r['vec_id']}"
+    clear_signature_cache(spark)
 
 
 def test_ivfpq_consistent_with_adc(spark):
@@ -594,12 +654,15 @@ def test_pq_adc_recall(spark):
 def test_nsw_recall_vs_exact(spark):
     """Graph-ANN recall floor: the 3-hop beam-4 NSW walk from a single
     entry point must recover a nonzero fraction of the exact top-5 on
-    the clusterless synthetic corpus (measured ~0.09 — honest for
-    random unit vectors where a greedy walk has no density gradient to
-    follow; hops/beam is the ef knob production tunes). Asserted at
-    0.03 with margin, plus per-query structural soundness (every
-    returned neighbor really is a corpus vector, no query answers
-    more than TOP_K)."""
+    the clusterless synthetic corpus (measured 0.040 on the two-table
+    connected graph — honest for random isotropic vectors where a
+    greedy walk has no density gradient to follow; hops/beam is the ef
+    knob production tunes). Before the round-7 two-table edge build,
+    single-table edges made the graph a disjoint union of per-bucket
+    components and recall collapsed to 0.013: this floor is the
+    connectivity regression test. Asserted at 0.03, plus per-query
+    structural soundness (every returned neighbor really is a corpus
+    vector, no query answers more than TOP_K)."""
     from hadoop_digit_recognition_spark.operators.similarity import TOP_K
 
     exact = {}
@@ -613,3 +676,50 @@ def test_nsw_recall_vs_exact(spark):
     hits = sum(len(exact.get(q, set()) & c) for q, c in nsw.items())
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.03, f"NSW recall@{TOP_K} = {hits / total:.3f}"
+
+
+def test_adaptive_planes_formula_clamps_and_boundaries():
+    """Integer plane-count formula: smallest p with n <= TARGET * 2^p,
+    clamped to [PLANES_MIN, PLANES_MAX]. Boundary n = TARGET << p must
+    pick p (not p+1) on both engines — the Spark twin is this Python
+    function, the oracle twin is the pc CTE's identical comparison."""
+    from hadoop_digit_recognition_spark.operators.similarity import (
+        BUCKET_TARGET, PLANES_MAX, PLANES_MIN, _adaptive_n_planes)
+
+    assert _adaptive_n_planes(1) == PLANES_MIN
+    assert _adaptive_n_planes(BUCKET_TARGET << PLANES_MIN) == PLANES_MIN
+    assert _adaptive_n_planes((BUCKET_TARGET << PLANES_MIN) + 1) \
+        == PLANES_MIN + 1
+    assert _adaptive_n_planes(10**12) == PLANES_MAX
+    # monotone non-decreasing in n
+    widths = [_adaptive_n_planes(n) for n in range(1, 5000, 37)]
+    assert widths == sorted(widths)
+
+
+def test_adaptive_planes_bucket_width_constant_across_sf(spark):
+    """The point of the adaptive count (SCALE.md watch #2): EXPECTED
+    bucket width n / 2^planes stays inside (TARGET/2, TARGET] at every
+    fixture size — so the bucket self-join cost is ~n x TARGET, linear,
+    instead of the fixed-plane quadratic. Also asserts the hash is
+    actually balanced at that width: measured MEAN occupancy within 4x
+    of expected (sign-bit LSH on the synthetic vectors is near-uniform;
+    a broken plane family would blow this band)."""
+    from hadoop_digit_recognition_spark.operators.similarity import (
+        BUCKET_TARGET, _adaptive_n_planes, _bucket_df, l2norm_col)
+    from hadoop_digit_recognition_spark.tables import load_parallel
+    import pyspark.sql.functions as F
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        emb = (load_parallel(spark, sf_dir, "embeddings")
+               .filter(l2norm_col(F.col("embedding")) > 0))
+        n = emb.count()
+        planes = _adaptive_n_planes(n)
+        expected = n / (1 << planes)
+        assert BUCKET_TARGET / 2 < expected <= BUCKET_TARGET, \
+            f"{sf_dir}: n={n} planes={planes} expected width {expected}"
+        occ = (_bucket_df(spark, sf_dir, n_planes=planes)
+               .groupBy("bkt").count().agg(
+                   F.mean("count").alias("mean")).collect()[0])
+        assert occ["mean"] <= 4 * BUCKET_TARGET, \
+            f"{sf_dir}: mean occupancy {occ['mean']} vs target {BUCKET_TARGET}"

@@ -572,6 +572,7 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
     for name in ("dedup_exact", "dedup_normalized_prefix",
                  "text_tfidf_top_terms", "text_winnowing_fingerprints",
+                 "dedup_winnowing_pairs",
                  "dedup_repeated_substrings", "text_bpe_merge_train",
                  "text_kneser_ney_bigram", "dedup_minhash_lsh",
                  "dedup_segments_corpus", "text_repetition_rates",
@@ -623,6 +624,7 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "sim_ivf_det_topk", "sim_matryoshka_truncation_eval",
                  "dedup_embedding_lsh", "sim_graph_greedy_search",
                  "ml_knn_classifier_eval", "ml_label_noise_knn",
+                 "sim_knn_graph_adaptive",
                  "pipeline_embedding_dedup"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")

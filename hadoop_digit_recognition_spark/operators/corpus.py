@@ -982,3 +982,60 @@ def corpus_mlm_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_random"),
                  F.sum(F.when(F.col("act") == 9, 1).otherwise(0))
                  .cast("bigint").alias("n_keep")))
+
+
+# Weighted-reservoir sample size per language.
+_WRES_K = 5
+
+
+@query("corpus_weighted_reservoir", oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5(doc_id || ':wres'), 1, 8))::BIGINT AS h
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((h + 1) / 4294967297.0) / n_chars, 9) AS k
+  FROM d),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY k DESC, doc_id) AS rk
+  FROM keyed)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+       CAST(n_chars AS BIGINT) AS weight, k AS res_key
+FROM ranked WHERE rk <= {_WRES_K}
+""")
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir sampling (Efraimidis & Spirakis 2006,
+    algorithm A-ES): per language, sample k={_WRES_K} documents with
+    probability proportional to weight (n_chars here; token count in a
+    real mix) WITHOUT replacement, by ranking on key = u^(1/w) and
+    keeping the top k. The deterministic-streaming twin of
+    corpus_balanced_sample (uniform): this is how a token-budgeted
+    pretraining mix draws long-doc-favoring samples reproducibly —
+    reruns and late-arriving shards can't change already-drawn keys
+    because u derives from a content hash, not an RNG. Ranking uses
+    the equivalent monotone form ln(u)/w (avoids pow's double-rounding)
+    snapped to a 9-digit grid; ties break on doc_id.
+
+    Scale shape: key generation is a narrow scan (one md5 per doc);
+    per-group top-k is a lang-partitioned window — with a group count
+    this small every group's rank runs parallel, and beyond that the
+    two-phase shard-local-top-k-then-merge form (corpus_shard_assign
+    precedent) caps any single task at k x shards rows. A full-corpus
+    A-ES reservoir is the same query with one global group."""
+    from ..functions.vector import det_hash64
+    docs = load_parallel(spark, sf_dir, "documents")
+    h = det_hash64(F.concat(F.col("doc_id").cast("string"),
+                            F.lit(":wres")))
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(F.log((h + 1) / F.lit(4294967297.0)) / F.col("n_chars"), 9)
+        .alias("k"))
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id")))
+    return (keyed.withColumn("rk", rk.cast("bigint"))
+            .filter(F.col("rk") <= _WRES_K)
+            .select("lang", "rk", "doc_id",
+                    F.col("n_chars").cast("bigint").alias("weight"),
+                    F.col("k").alias("res_key")))

@@ -569,3 +569,97 @@ def quality_tier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("qmicro")
                          / (F.count(F.lit(1)) * 1000000.0), 6)
                  .alias("avg_quality")))
+
+
+# DSIR hashed-feature space: 8-bit bucket count keeps the bucket model
+# a trivially-broadcast 256-row table at any corpus size (the paper
+# uses 10k buckets; the plan shape is identical, only B changes).
+_DSIR_B = 256
+
+
+@query("corpus_dsir_importance", oracle=f"""
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+           FROM documents),
+uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+bi AS (SELECT doc_id, lang,
+              w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER) + 1] AS f
+       FROM (SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM t)),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % {_DSIR_B} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+raw AS (SELECT b, count(*) AS n_raw FROM feats GROUP BY b),
+tgt AS (SELECT b, count(*) AS n_tgt FROM feats WHERE lang = 'en'
+        GROUP BY b),
+tots AS (SELECT (SELECT sum(n_raw) FROM raw) AS t_raw,
+                (SELECT coalesce(sum(n_tgt), 0) FROM tgt) AS t_tgt),
+model AS (
+  SELECT r.b, CAST(r.n_raw AS BIGINT) AS n_raw,
+         CAST(coalesce(g.n_tgt, 0) AS BIGINT) AS n_tgt,
+         round(ln((coalesce(g.n_tgt, 0) + 1.0) / (s.t_tgt + {_DSIR_B}))
+               - ln((r.n_raw + 1.0) / (s.t_raw + {_DSIR_B})), 9) AS lr
+  FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN tots s),
+dcount AS (SELECT doc_id, b, count(*) AS m FROM feats GROUP BY doc_id, b)
+SELECT d.doc_id,
+       CAST(sum(d.m) AS BIGINT) AS n_feats,
+       round(sum(d.m * mo.lr), 6) AS logw,
+       round(sum(d.m * mo.lr) / sum(d.m), 6) AS logw_per_feat
+FROM dcount d JOIN model mo USING (b)
+GROUP BY d.doc_id
+""")
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its HASHED n-gram profile is. Unigram
+    + bigram features hash into B={_DSIR_B} buckets; a bag-of-buckets
+    multinomial is fit to the target slice (lang='en' stands in for the
+    curated target domain) and to the full raw corpus (add-1
+    smoothed); each doc's importance log-weight is sum_b m_b *
+    (ln p_target(b) - ln p_raw(b)). Downstream, corpus_importance_
+    resample-style survival on exp(logw) implements the paper's
+    resampling step; the per-feature-normalized column makes scores
+    comparable across lengths.
+
+    Scale shape: feature extraction is a narrow explode (the n-gram
+    scan every hygiene pass already pays); both bucket models come
+    from ONE combiner'd groupBy on an 8-bit key; the model is a
+    {_DSIR_B}-row broadcast; per-doc scoring is one combiner'd
+    (doc, bucket) count joined map-side. No vocabulary-sized state
+    ever shuffles — that is the point of the hashed feature space.
+    Log-ratios snap to a 9-digit grid so engine ulp drift dies before
+    the weighted sum."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bi_expr = F.expr(
+        "CASE WHEN size(w) >= 2 THEN "
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', w[i - 1], w[i])) "
+        "ELSE cast(array() as array<string>) END")
+    base = docs.select("doc_id", "lang", ws.alias("w"))
+    feats = (base
+             .select("doc_id", "lang",
+                     F.explode(F.concat(F.col("w"), bi_expr)).alias("f"))
+             .select("doc_id", "lang",
+                     (F.conv(F.substring(F.md5("f"), 1, 8), 16, 10)
+                      .cast("bigint") % _DSIR_B).alias("b")))
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (feats.filter(F.col("lang") == "en")
+           .groupBy("b").agg(F.count(F.lit(1)).alias("n_tgt")))
+    model = (raw.join(tgt, "b", "left")
+             .withColumn("n_tgt", F.coalesce("n_tgt", F.lit(0))))
+    tots = model.agg(F.sum("n_raw").alias("t_raw"),
+                     F.sum("n_tgt").alias("t_tgt"))
+    lr = F.round(
+        F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + _DSIR_B))
+        - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + _DSIR_B)), 9)
+    model = (model.crossJoin(F.broadcast(tots))
+             .select("b", F.col("n_raw").cast("bigint").alias("n_raw"),
+                     F.col("n_tgt").cast("bigint").alias("n_tgt"),
+                     lr.alias("lr")))
+    dcount = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    return (dcount.join(F.broadcast(model), "b")
+            .groupBy("doc_id")
+            .agg(F.sum("m").cast("bigint").alias("n_feats"),
+                 F.round(F.sum(F.col("m") * F.col("lr")), 6).alias("logw"),
+                 F.round(F.sum(F.col("m") * F.col("lr")) / F.sum("m"), 6)
+                 .alias("logw_per_feat")))

@@ -297,3 +297,192 @@ def dq_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(e, 6).alias("expected"),
                     F.round(dev * dev / (F.col("tot") * e), 6)
                     .alias("chi2_term")))
+
+
+# PSI price-bin width / cap, and the snapshot split reused from
+# dq_profile_drift. Conventional PSI alert bands: <0.1 stable,
+# 0.1-0.25 moderate, >0.25 action.
+_PSI_BIN_W, _PSI_BIN_CAP = 25000, 9
+
+
+@query("dq_psi_distribution_drift", oracle=f"""
+WITH base AS (
+  SELECT CASE WHEN o_orderdate < DATE '{_DRIFT_CUT}'
+              THEN 'baseline' ELSE 'current' END AS snapshot,
+         stacked.dim, stacked.bin
+  FROM orders CROSS JOIN LATERAL (
+    SELECT 'price_bin' AS dim,
+           CAST(least(CAST(o_totalprice AS BIGINT) // {_PSI_BIN_W},
+                      {_PSI_BIN_CAP}) AS VARCHAR) AS bin
+    UNION ALL SELECT 'priority', o_orderpriority
+  ) stacked
+),
+c AS (SELECT dim, bin, snapshot, count(*) AS n
+      FROM base GROUP BY 1, 2, 3),
+bins AS (SELECT dim, bin,
+                coalesce(sum(CASE WHEN snapshot = 'baseline' THEN n END), 0)
+                  AS n_base,
+                coalesce(sum(CASE WHEN snapshot = 'current' THEN n END), 0)
+                  AS n_cur
+         FROM c GROUP BY 1, 2),
+tot AS (SELECT dim, sum(n_base) AS t_base, sum(n_cur) AS t_cur,
+               count(*) AS n_bins
+        FROM bins GROUP BY 1),
+terms AS (
+  SELECT b.dim, b.bin, b.n_base, b.n_cur,
+         (b.n_base + 1.0) / (t.t_base + t.n_bins) AS p_base,
+         (b.n_cur + 1.0) / (t.t_cur + t.n_bins) AS p_cur
+  FROM bins b JOIN tot t USING (dim))
+SELECT dim, bin, CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+       round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+FROM terms
+""")
+def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX drift audit — the industry-standard
+    DISTRIBUTION drift metric (dq_profile_drift watches scalar metrics;
+    PSI watches the whole shape): bin the monitored column per snapshot,
+    Laplace-smooth the bin shares so empty bins stay finite, and emit
+    the per-bin PSI contribution (p_cur - p_base) * ln(p_cur / p_base).
+    Total PSI per dimension is the sum of its terms (the report keeps
+    terms so the alert can say WHICH bins moved); >0.25 is the
+    conventional act-now band. Two dimensions in one pass: fixed-width
+    capped price bins (numeric) and order priority (categorical).
+
+    One scan fans each row into its two (dim, bin) features via an
+    inline 2-row lateral (Spark: explode over a 2-element struct
+    array — no second scan), then a combiner'd grouped count; bin and
+    total tables are dims x bins sized (~15 rows), so everything after
+    the count is driver-trivial broadcast work. Smoothing uses
+    (n + 1) / (N + n_bins) with n_bins the OBSERVED bin count per
+    dimension — derived identically in both engines, never a config."""
+    orders = load(spark, sf_dir, "orders")
+    snap = F.when(F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("date"),
+                  "baseline").otherwise("current")
+    price_bin = F.least(
+        (F.col("o_totalprice").cast("bigint") / F.lit(_PSI_BIN_W))
+        .cast("bigint"), F.lit(_PSI_BIN_CAP)).cast("string")
+    feats = (orders
+             .select(snap.alias("snapshot"), F.explode(F.array(
+                 F.struct(F.lit("price_bin").alias("dim"),
+                          price_bin.alias("bin")),
+                 F.struct(F.lit("priority").alias("dim"),
+                          F.col("o_orderpriority").alias("bin"))))
+                 .alias("f"))
+             .select("snapshot", "f.dim", "f.bin"))
+    c = feats.groupBy("dim", "bin", "snapshot").agg(
+        F.count(F.lit(1)).alias("n"))
+    bins = (c.groupBy("dim", "bin")
+            .agg(F.coalesce(F.sum(F.when(F.col("snapshot") == "baseline",
+                                         F.col("n"))), F.lit(0))
+                 .alias("n_base"),
+                 F.coalesce(F.sum(F.when(F.col("snapshot") == "current",
+                                         F.col("n"))), F.lit(0))
+                 .alias("n_cur")))
+    tot = (bins.groupBy("dim")
+           .agg(F.sum("n_base").alias("t_base"),
+                F.sum("n_cur").alias("t_cur"),
+                F.count(F.lit(1)).alias("n_bins")))
+    p_base = (F.col("n_base") + 1.0) / (F.col("t_base") + F.col("n_bins"))
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + F.col("n_bins"))
+    return (bins.join(F.broadcast(tot), "dim")
+            .select("dim", "bin",
+                    F.col("n_base").cast("bigint").alias("n_base"),
+                    F.col("n_cur").cast("bigint").alias("n_cur"),
+                    F.round(p_base, 6).alias("p_base"),
+                    F.round(p_cur, 6).alias("p_cur"),
+                    F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+                    .alias("psi_term")))
+
+
+# KS bucket width: fixed price ranges so the prefix-sum stage is
+# bucket-count sized (~14 buckets at any SF), never a global window.
+_KS_BUCKET_W = 25000
+
+
+@query("dq_ks_two_sample", oracle="""
+WITH s AS (SELECT o_totalprice AS v, o_orderstatus AS g FROM orders
+           WHERE o_orderstatus IN ('F', 'O')),
+n AS (SELECT sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS n2 FROM s),
+d AS (SELECT v, sum(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY v),
+cum AS (SELECT v,
+               sum(c1) OVER (ORDER BY v) AS f1,
+               sum(c2) OVER (ORDER BY v) AS f2
+        FROM d),
+dd AS (SELECT v, abs(f1 * (SELECT n2 FROM n) - f2 * (SELECT n1 FROM n))
+                 AS d_num
+       FROM cum),
+mx AS (SELECT max(d_num) AS best FROM dd)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(mx.best AS BIGINT) AS d_numerator,
+       round(mx.best * 1.0 / (n.n1 * n.n2), 9) AS d_stat,
+       round(mx.best * 1.0 / (n.n1 * n.n2)
+             * sqrt(n.n1 * n.n2 * 1.0 / (n.n1 + n.n2)), 6) AS ks_scaled,
+       (SELECT min(v) FROM dd WHERE d_num = mx.best) AS at_value
+FROM n CROSS JOIN mx
+""")
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KOLMOGOROV-SMIRNOV statistic — the
+    nonparametric distribution-equality test between two slices
+    (finished vs open orders' value distributions here; in a corpus
+    pipeline, feature distributions between training snapshots). The
+    supremum |F1(x) - F2(x)| is computed in INTEGER arithmetic:
+    D's numerator max|cum1 * N2 - cum2 * N1| is exact, and the only
+    divisions happen on the final 1-row report (d_stat, and the
+    sqrt(n1 n2/(n1+n2))-scaled form the critical tables use).
+
+    Scale shape: the oracle's global cumulative window is replaced by a
+    TWO-PHASE prefix sum (the corpus_shard_assign precedent) — phase 1
+    cumulates within fixed price-range buckets (windows partitioned by
+    bucket, all parallel), phase 2 adds each bucket's offset computed
+    from the ~14-row bucket-total table (window over bucket totals
+    only, then broadcast back). No task ever sorts more than one
+    bucket's distinct values; the final max is a plain aggregate."""
+    o = (load(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus").isin("F", "O"))
+         .select(F.col("o_totalprice").alias("v"),
+                 F.col("o_orderstatus").alias("g")))
+    n = o.agg(F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("n1"),
+              F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("n2"))
+    d = (o.groupBy("v")
+         .agg(F.sum(F.when(F.col("g") == "F", 1).otherwise(0)).alias("c1"),
+              F.sum(F.when(F.col("g") == "O", 1).otherwise(0)).alias("c2"))
+         .withColumn("bkt", F.floor(F.col("v") / _KS_BUCKET_W)))
+    from pyspark.sql import Window as W
+    in_bkt = W.partitionBy("bkt").orderBy("v")
+    local = d.select(
+        "bkt", "v",
+        F.sum("c1").over(in_bkt).alias("l1"),
+        F.sum("c2").over(in_bkt).alias("l2"),
+        F.col("c1"), F.col("c2"))
+    btot = (d.groupBy("bkt")
+            .agg(F.sum("c1").alias("b1"), F.sum("c2").alias("b2")))
+    off_w = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(off_w), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(off_w), F.lit(0)).alias("o2"))
+    cum = (local.join(F.broadcast(offs), "bkt")
+           .select("v", (F.col("l1") + F.col("o1")).alias("f1"),
+                   (F.col("l2") + F.col("o2")).alias("f2")))
+    dd = cum.crossJoin(F.broadcast(n)).select(
+        "v", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .alias("d_num"))
+    mx = dd.agg(F.max("d_num").alias("best"))
+    at_v = (dd.join(F.broadcast(mx), F.col("d_num") == F.col("best"))
+            .agg(F.min("v").alias("at_value")))
+    return (n.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(at_v))
+            .select(F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    F.col("best").cast("bigint").alias("d_numerator"),
+                    F.round(F.col("best") * 1.0 / (F.col("n1") * F.col("n2")),
+                            9).alias("d_stat"),
+                    F.round(F.col("best") * 1.0 / (F.col("n1") * F.col("n2"))
+                            * F.sqrt(F.col("n1") * F.col("n2") * 1.0
+                                     / (F.col("n1") + F.col("n2"))), 6)
+                    .alias("ks_scaled"),
+                    "at_value"))

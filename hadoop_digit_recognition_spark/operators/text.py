@@ -1379,3 +1379,147 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = F.row_number().over(
         W.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")))
     return top.withColumn("rnk", rnk.cast("bigint"))
+
+
+# Perplexity-filter quartile split (CCNet uses tertiles; quartiles keep
+# the threshold literals exactly representable in binary).
+_PPL_Q1, _PPL_Q3 = 0.25, 0.75
+
+
+@query("text_kn_perplexity_filter", oracle=f"""
+WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 2 = 0),
+trbg AS (
+  SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM trbg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_right
+       FROM c12 GROUP BY w1),
+cl AS (SELECT w2, count(*) AS n1p_left FROM c12 GROUP BY w2),
+tt AS (SELECT count(*) AS t_types FROM c12),
+vv AS (SELECT count(DISTINCT word) AS v
+       FROM (SELECT unnest(w) AS word FROM tr)),
+al AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+albg AS (
+  SELECT doc_id, w[CAST(i AS INTEGER)] AS w1,
+         w[CAST(i AS INTEGER) + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM al)),
+dbg AS (SELECT doc_id, w1, w2, count(*) AS m
+        FROM albg GROUP BY doc_id, w1, w2),
+scored AS (
+  SELECT d.doc_id, d.m,
+         round(CASE
+           WHEN c12.c12 IS NOT NULL THEN
+             (c12.c12 - {_KN_D}) / c1.c1
+             + {_KN_D} * c1.n1p_right / c1.c1
+               * (cl.n1p_left * 1.0 / tt.t_types)
+           WHEN c1.c1 IS NOT NULL THEN
+             {_KN_D} * c1.n1p_right / c1.c1
+             * coalesce(cl.n1p_left * 1.0 / tt.t_types, 1.0 / (vv.v + 1))
+           ELSE
+             coalesce(cl.n1p_left * 1.0 / tt.t_types, 1.0 / (vv.v + 1))
+         END, 12) AS p
+  FROM dbg d
+  LEFT JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+  LEFT JOIN c1 ON d.w1 = c1.w1
+  LEFT JOIN cl ON d.w2 = cl.w2
+  CROSS JOIN tt CROSS JOIN vv),
+perdoc AS (
+  SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         round(sum(m * -ln(p)) / sum(m), 6) AS avg_nll
+  FROM scored GROUP BY doc_id),
+thr AS (SELECT round(quantile_cont(avg_nll, {_PPL_Q1}), 9) AS q1,
+               round(quantile_cont(avg_nll, {_PPL_Q3}), 9) AS q3
+        FROM perdoc)
+SELECT a.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       p.avg_nll,
+       round(exp(p.avg_nll), 3) AS ppl,
+       CASE WHEN p.avg_nll IS NULL THEN 'unscored'
+            WHEN p.avg_nll <= t.q1 THEN 'head'
+            WHEN p.avg_nll > t.q3 THEN 'tail'
+            ELSE 'middle' END AS tier
+FROM (SELECT doc_id FROM documents) a
+LEFT JOIN perdoc p USING (doc_id)
+CROSS JOIN thr t
+""")
+def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY FILTERING — the CCNet / LLaMA-data quality gate
+    (Wenzek et al. 2020): train a Kneser-Ney bigram LM on a reference
+    slice (even doc_ids stand in for the wiki-quality corpus), score
+    EVERY document's per-token cross-entropy under it, and split the
+    corpus into head/middle/tail quality bands at the scored-corpus
+    quartiles. Downstream pipelines keep head+middle and drop or
+    downweight tail — this is the single most load-bearing filter in
+    the CCNet recipe. Backoff chain for unseen events: seen bigram →
+    full interpolated KN; seen context only → discount mass times
+    continuation probability; unseen context → continuation
+    probability; unseen word → uniform 1/(V+1).
+
+    Scale shape: model tables are the same ONE combiner'd bigram
+    aggregate text_kneser_ney_bigram builds (vocabulary-sized);
+    scoring re-aggregates each doc's bigrams (one combiner'd shuffle
+    on (doc, w1, w2)) then LEFT-joins the model tables — all
+    vocabulary-sized, broadcast at any corpus size. The quartile
+    thresholds are a 2-value scalar broadcast (exact percentile over
+    the doc-level frame; the approx_percentile twin applies beyond
+    ~10^9 docs). Probabilities snap to a 12-digit grid BEFORE ln so
+    the two engines' ulp drift cannot survive into the sum."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    bg_expr = F.expr(
+        "transform("
+        "  CASE WHEN size(w) >= 2 THEN sequence(1, size(w) - 1)"
+        "       ELSE cast(array() as array<int>) END, "
+        "i -> struct(w[i - 1] AS w1, w[i] AS w2))")
+    tr = docs.filter(F.col("doc_id") % 2 == 0).select(ws.alias("w"))
+    trbg = (tr.select(F.explode(bg_expr).alias("b"))
+            .select("b.w1", "b.w2"))
+    c12 = trbg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (c12.groupBy("w1")
+          .agg(F.sum("c12").alias("c1"),
+               F.count(F.lit(1)).alias("n1p_right")))
+    cl = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_left"))
+    tt = c12.agg(F.count(F.lit(1)).alias("t_types"))
+    vv = (tr.select(F.explode("w").alias("word"))
+          .agg(F.countDistinct("word").alias("v")))
+    dbg = (docs.select("doc_id", ws.alias("w"))
+           .select("doc_id", F.explode(bg_expr).alias("b"))
+           .groupBy("doc_id", F.col("b.w1").alias("w1"),
+                    F.col("b.w2").alias("w2"))
+           .agg(F.count(F.lit(1)).alias("m")))
+    p_cont = F.col("n1p_left") * 1.0 / F.col("t_types")
+    fallback = F.coalesce(p_cont, 1.0 / (F.col("v") + 1))
+    p = F.round(
+        F.when(F.col("c12").isNotNull(),
+               (F.col("c12") - _KN_D) / F.col("c1")
+               + _KN_D * F.col("n1p_right") / F.col("c1") * p_cont)
+        .when(F.col("c1").isNotNull(),
+              _KN_D * F.col("n1p_right") / F.col("c1") * fallback)
+        .otherwise(fallback), 12)
+    scored = (dbg
+              .join(F.broadcast(c12), ["w1", "w2"], "left")
+              .join(F.broadcast(c1), ["w1"], "left")
+              .join(F.broadcast(cl), ["w2"], "left")
+              .crossJoin(F.broadcast(tt)).crossJoin(F.broadcast(vv))
+              .select("doc_id", "m", p.alias("p")))
+    perdoc = (scored.groupBy("doc_id")
+              .agg(F.sum("m").cast("bigint").alias("n_bigrams"),
+                   F.round(F.sum(F.col("m") * -F.log("p")) / F.sum("m"), 6)
+                   .alias("avg_nll")))
+    thr = perdoc.agg(
+        F.round(F.percentile("avg_nll", F.lit(_PPL_Q1)), 9).alias("q1"),
+        F.round(F.percentile("avg_nll", F.lit(_PPL_Q3)), 9).alias("q3"))
+    tier = (F.when(F.col("avg_nll").isNull(), "unscored")
+            .when(F.col("avg_nll") <= F.col("q1"), "head")
+            .when(F.col("avg_nll") > F.col("q3"), "tail")
+            .otherwise("middle"))
+    return (docs.select("doc_id")
+            .join(perdoc, "doc_id", "left")
+            .crossJoin(F.broadcast(thr))
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                    .alias("n_bigrams"),
+                    "avg_nll",
+                    F.round(F.exp("avg_nll"), 3).alias("ppl"),
+                    tier.alias("tier")))

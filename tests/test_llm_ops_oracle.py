@@ -90,6 +90,9 @@ LLM_QUERIES = [
     "sim_graph_greedy_search", "text_bpe_merge_train",
     "ml_label_noise_knn", "text_kneser_ney_bigram",
     "sim_knn_graph_adaptive",
+    "dq_psi_distribution_drift", "dq_ks_two_sample",
+    "text_kn_perplexity_filter", "corpus_dsir_importance",
+    "corpus_weighted_reservoir",
 ]
 
 

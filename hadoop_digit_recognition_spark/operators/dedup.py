@@ -321,6 +321,104 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
 
+# Stop-bucket cap for the width-capped LSH variant: a (band, key)
+# bucket wider than this contributes NO candidates from that band.
+LSH_BUCKET_CAP = 16
+
+
+@query("dedup_minhash_lsh_capped", oracle=f"""
+WITH {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, b // {BAND_ROWS} AS g,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY b) AS key
+  FROM mh GROUP BY doc_id, b // {BAND_ROWS}
+),
+bw AS (
+  SELECT doc_id, g, key,
+         count(*) OVER (PARTITION BY g, key) AS wdt
+  FROM bands
+),
+bc AS (SELECT doc_id, g, key FROM bw WHERE wdt <= {LSH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bc a JOIN bc b ON a.g = b.g AND a.key = b.key
+                      AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (x.n + y.n - i), 6) AS jaccard
+FROM inter
+JOIN sz x ON x.doc_id = doc_a
+JOIN sz y ON y.doc_id = doc_b
+WHERE i * 1.0 / (x.n + y.n - i) >= {JACCARD_THRESHOLD}
+""")
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-capped MinHash-LSH: identical to `dedup_minhash_lsh` except
+    (band, key) buckets wider than {LSH_BUCKET_CAP} docs are STOP
+    BUCKETS — they contribute no candidates from that band (docs can
+    still pair through their other {NUM_HASHES // BAND_ROWS - 1} bands).
+    This is the production guard the sf10 rehearsal made necessary:
+    candidate volume there was 3C on top of the 8N band exchange
+    (C = 5.0M at N = 500k), dominated by one 800-doc identical-text
+    mega-clique whose single bucket alone yields C(800,2) = 319,600
+    verified pairs — Σ|bucket|² is the real cost term and a mega-bucket
+    is its quadratic spike. The cap bounds every bucket's join fan-out
+    at {LSH_BUCKET_CAP}², exactly the stop-node pruning of
+    common-neighbor systems (graph_jaccard_link_prediction's documented
+    knob, here enforced).
+
+    What the cap can lose — and why the loss is ALREADY handled: a doc
+    pair colliding ONLY in over-cap buckets. Near-identical docs
+    collide in all bands (identical docs deterministically so), so the
+    affected pairs are precisely the mega-clique members — and the
+    standard pipeline (pipeline_llm_corpus's ordering) runs EXACT
+    hash dedup first, which removes identical-text cliques before LSH
+    ever sees them. tests/test_llm_ops_oracle.py::
+    test_minhash_cap_composes_with_exact proves the composition covers
+    every uncapped pair on a forced mega-clique fixture. The width
+    window shuffles on the same (g, key) the candidate join needs —
+    one extra pass over the band table, no new shuffle key."""
+    sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+    from pyspark.sql import Window as W
+    bands = (sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+             .withColumn("wdt", F.count(F.lit(1)).over(
+                 W.partitionBy("g", "key")))
+             .filter(F.col("wdt") <= LSH_BUCKET_CAP)
+             .select("doc_id", "g", "key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    arrs = sig.select("doc_id", "sh", "n")
+    pairs = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sh").alias("sha"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sh").alias("shb"),
+                               F.col("n").alias("nb")), "doc_b"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (pairs.filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
+
+
 _SIMHASH_SQL = """
 t0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 tok AS (SELECT doc_id, unnest(w) AS word FROM t0),
@@ -1364,6 +1462,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              .unionAll(tri.select(F.col("w").alias("doc_id"))))
     return nodes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tri"))
+
+
+@query("graph_clustering_coefficient", oracle=f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+und AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT node, count(*) AS d FROM und GROUP BY node),
+tri AS (
+  SELECT e1.doc_a AS u, e1.doc_b AS v, e2.doc_b AS w
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tcnt AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT u AS node FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS doc_id, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_tri,
+       round(CASE WHEN deg.d < 2 THEN 0.0
+                  ELSE 2.0 * coalesce(tcnt.t, 0)
+                       / (deg.d * (deg.d - 1)) END, 6) AS coeff
+FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+""")
+def graph_clustering_coefficient(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node over the near-dup pair
+    graph: C(u) = 2·T(u) / (d(u)·(d(u)−1)) — the Watts-Strogatz local
+    density measure. In a dedup pipeline this separates CLIQUE-like
+    duplicate clusters (C→1: boilerplate families, mirrored sites,
+    where dropping all-but-one is safe) from CHAIN-like near-dup paths
+    (C→0: version histories A~B~C where A and C differ — a transitive
+    min-hash merge would over-delete). Degree-1 nodes report 0.
+
+    Composition on top of graph_triangle_count's ordered-wedge pass:
+    the same two self-equi-joins enumerate each triangle once (u<v<w),
+    per-node counts explode each triangle to its 3 corners, and the
+    degree table is one keyed count over the symmetrized edge list;
+    a final doc-id-keyed LEFT join aligns the two. At 100 TB the cost
+    stays the Σ deg² wedge bound on the LSH-sparsified graph, and all
+    joins key on doc ids — same scale posture as the triangle query,
+    one extra edge-sized aggregate. Reuses the shared memoized
+    signature pass."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    und = (pairs.select(F.col("doc_a").alias("node"),
+                        F.col("doc_b").alias("nbr"))
+           .unionAll(pairs.select(F.col("doc_b").alias("node"),
+                                  F.col("doc_a").alias("nbr"))))
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    e1 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e2 = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
+    e3 = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w"))
+    tri = e1.join(e2, "v").join(e3, ["u", "w"])
+    tcnt = (tri.select(F.col("u").alias("node"))
+            .unionAll(tri.select(F.col("v").alias("node")))
+            .unionAll(tri.select(F.col("w").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("t")))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (deg.join(tcnt, "node", "left")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("d").cast("bigint").alias("degree"),
+                    t.cast("bigint").alias("n_tri"),
+                    F.round(F.when(F.col("d") < 2, F.lit(0.0))
+                            .otherwise(2.0 * t
+                                       / (F.col("d")
+                                          * (F.col("d") - 1))), 6)
+                    .alias("coeff")))
 
 
 @query("dedup_cluster_canonical", oracle=f"""

@@ -1743,3 +1743,170 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .withColumn("rnk", F.row_number().over(wr).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))
+
+
+# MMR rerank: pool of top-MMR_POOL exact-cosine candidates per query,
+# MMR_K greedy diversity selections at trade-off lambda = 7/10. The
+# weights are INTEGERS over a denominator of 10 so the MMR score lives
+# on an exact bigint grid (tenth-micro units): 7*rel_micro - 3*ms_micro
+# where rel/ms are the 6-digit-rounded similarities scaled by 1e6.
+# A float 0.7*rel lands exactly on 6-digit rounding half-boundaries
+# (0.7 * 0.371485 = 0.2600395 — observed Spark HALF_UP 0.260040 vs
+# DuckDB 0.260039), so the argmax itself could flip between engines;
+# bigint scores cannot (quality_tier_report's micro-unit precedent).
+MMR_POOL = 10
+MMR_K = 3
+MMR_LAM_NUM = 7     # lambda numerator     (lambda = 7/10)
+MMR_OML_NUM = 3     # (1 - lambda) numerator
+_MMR_GRID = 10_000_000.0  # tenth-micro -> float, exact bigint/1e7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled MMR rounds, generated from range(2, MMR_K + 1) so the
+    oracle can never desynchronize from the Spark loop when MMR_K moves
+    (the NSW visited-union lesson, ADVICE r06)."""
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev = f"sel{r - 1}"
+        rounds.append(f"""
+m{r} AS (
+  SELECT c.qid, c.cid, c.rel,
+         {MMR_LAM_NUM} * c.rel_m - {MMR_OML_NUM} * max(p.s_m) AS mmr_m
+  FROM cands c
+  JOIN psim p ON p.qid = c.qid AND p.c1 = c.cid
+  JOIN {prev} s ON s.qid = p.qid AND s.cid = p.c2
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.qid = c.qid AND x.cid = c.cid)
+  GROUP BY c.qid, c.cid, c.rel, c.rel_m),
+s{r} AS (
+  SELECT qid, cid, rel, mmr_m, {r} AS rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY mmr_m DESC, cid) AS rn
+        FROM m{r}) WHERE rn = 1),
+sel{r} AS (SELECT qid, cid FROM sel{r - 1}
+           UNION ALL SELECT qid, cid FROM s{r})""")
+    final = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, MMR_K + 1))
+    return f"""
+WITH e0 AS ({_E}),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS rel
+  FROM q JOIN e c ON c.vec_id != q.vec_id),
+cands AS (
+  SELECT qid, cid, rel,
+         CAST(round(rel * 1000000) AS BIGINT) AS rel_m
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, cid) AS rn
+        FROM scored) WHERE rn <= {MMR_POOL}),
+psim AS (
+  SELECT a.qid, a.cid AS c1, b.cid AS c2,
+         CAST(round(round(list_cosine_similarity(ea.emb, eb.emb), 6)
+                    * 1000000) AS BIGINT) AS s_m
+  FROM cands a
+  JOIN cands b ON b.qid = a.qid AND b.cid != a.cid
+  JOIN e ea ON ea.vec_id = a.cid
+  JOIN e eb ON eb.vec_id = b.cid),
+s1 AS (
+  SELECT qid, cid, rel, {MMR_LAM_NUM} * rel_m AS mmr_m, 1 AS rnk
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY rel DESC, cid) AS rn
+        FROM cands) WHERE rn = 1),
+sel1 AS (SELECT qid, cid FROM s1),{",".join(rounds)}
+SELECT qid, CAST(rnk AS BIGINT) AS rnk, cid, rel,
+       mmr_m / {_MMR_GRID} AS mmr
+FROM ({final})
+"""
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    from each query's top-{MMR_POOL} exact-cosine pool, greedily select
+    {MMR_K} results maximizing lam*rel - (1-lam)*max_sim_to_already_
+    selected, lam = {MMR_LAM_NUM}/10 — the standard diversity rerank
+    for RAG retrieval and for picking REPRESENTATIVE exemplars out of a
+    near-dup cluster (relevance alone returns {MMR_K} copies of the
+    same passage; MMR's penalty forces coverage).
+
+    The greedy argmax is inherently sequential, so the plan unrolls
+    MMR_K - 1 = {MMR_K - 1} selection rounds (the BPE-merge-train
+    precedent): each round anti-joins the selected set off the pool,
+    computes each survivor's max-similarity-to-selected from the
+    PRECOMPUTED pool-internal pairwise table ({MMR_POOL}^2 rows per
+    query, built once), and takes a per-query argmax window. Scores are
+    EXACT BIGINTS — {MMR_LAM_NUM}*rel_micro - {MMR_OML_NUM}*ms_micro
+    over the 6-digit similarity grid — so no selection can sit on a
+    float rounding boundary (the observed 0.7*0.371485 half-boundary
+    killed the float form); ties break on cid. At 100 TB nothing here
+    scales with corpus size: the pool is TOP_K-window output (queries x
+    {MMR_POOL} rows), psim is queries x {MMR_POOL}^2, and every join
+    keys on (qid, cid) — the rerank is a constant-sized epilogue to
+    whatever ANN query produced the pool."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("rel")))
+    wrel = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cands = (scored.withColumn("rn", F.row_number().over(wrel))
+             .filter(F.col("rn") <= MMR_POOL).drop("rn")
+             .withColumn("rel_m", F.round(F.col("rel") * 1000000)
+                         .cast("bigint"))
+             .localCheckpoint())
+    ea = emb.select(F.col("vec_id").alias("c1"),
+                    F.col("embedding").alias("e1"), F.col("nrm").alias("n1"))
+    eb = emb.select(F.col("vec_id").alias("c2"),
+                    F.col("embedding").alias("e2"), F.col("nrm").alias("n2"))
+    a = cands.select("qid", F.col("cid").alias("c1"))
+    b = cands.select("qid", F.col("cid").alias("c2"))
+    psim = (a.join(b, "qid").filter(F.col("c1") != F.col("c2"))
+            .join(ea, "c1").join(eb, "c2")
+            .select("qid", "c1", "c2",
+                    F.round(F.round(dot_col(F.col("e1"), F.col("e2"))
+                                    / (F.col("n1") * F.col("n2")), 6)
+                            * 1000000).cast("bigint").alias("s_m"))
+            .localCheckpoint())
+    s1 = (cands.withColumn("rn", F.row_number().over(wrel))
+          .filter(F.col("rn") == 1)
+          .select("qid", "cid", "rel",
+                  (F.lit(MMR_LAM_NUM) * F.col("rel_m")).alias("mmr_m"),
+                  F.lit(1).alias("rnk")))
+    picks = [s1]
+    sel = s1.select("qid", "cid")
+    wmmr = W.partitionBy("qid").orderBy(F.desc("mmr_m"), F.asc("cid"))
+    for r in range(2, MMR_K + 1):
+        maxsim = (psim.join(sel.select("qid", F.col("cid").alias("c2")),
+                            ["qid", "c2"])
+                  .groupBy("qid", F.col("c1").alias("cid"))
+                  .agg(F.max("s_m").alias("ms_m")))
+        m = (cands.join(sel, ["qid", "cid"], "left_anti")
+             .join(maxsim, ["qid", "cid"])
+             .select("qid", "cid", "rel",
+                     (F.lit(MMR_LAM_NUM) * F.col("rel_m")
+                      - F.lit(MMR_OML_NUM) * F.col("ms_m")).alias("mmr_m")))
+        sr = (m.withColumn("rn", F.row_number().over(wmmr))
+              .filter(F.col("rn") == 1).drop("rn")
+              .withColumn("rnk", F.lit(r))
+              .localCheckpoint())
+        picks.append(sr)
+        sel = sel.unionByName(sr.select("qid", "cid"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("qid", F.col("rnk").cast("bigint").alias("rnk"),
+                      "cid", "rel",
+                      (F.col("mmr_m") / F.lit(_MMR_GRID)).alias("mmr"))

@@ -92,7 +92,8 @@ LLM_QUERIES = [
     "sim_knn_graph_adaptive",
     "dq_psi_distribution_drift", "dq_ks_two_sample",
     "text_kn_perplexity_filter", "corpus_dsir_importance",
-    "corpus_weighted_reservoir",
+    "corpus_weighted_reservoir", "graph_clustering_coefficient",
+    "dedup_minhash_lsh_capped", "sim_mmr_rerank",
 ]
 
 
@@ -726,3 +727,81 @@ def test_adaptive_planes_bucket_width_constant_across_sf(spark):
                    F.mean("count").alias("mean")).collect()[0])
         assert occ["mean"] <= 4 * BUCKET_TARGET, \
             f"{sf_dir}: mean occupancy {occ['mean']} vs target {BUCKET_TARGET}"
+
+
+def test_minhash_cap_composes_with_exact(spark, tmp_path):
+    """sf10 rehearsal closure (SCALE.md round-7 entry): the width-capped
+    LSH must (a) match its own oracle on a forced mega-clique fixture,
+    (b) actually suppress the mega-bucket (cap binds), and (c) lose ONLY
+    pairs inside identical-text groups — i.e. exact-hash dedup running
+    first (the pipeline ordering) plus the capped LSH together cover
+    every pair the uncapped query finds. 40 identical docs force every
+    one of the clique's band buckets over LSH_BUCKET_CAP; 10 planted
+    near-dup pairs (one word changed, J≈0.92) stay in width-2 buckets
+    and must survive the cap."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        LSH_BUCKET_CAP, clear_signature_cache)
+    from .oracle_harness import compare
+
+    rng = random.Random(7)
+
+    def words(n):
+        return [("w%05d" % rng.randrange(100000)) for _ in range(n)]
+
+    texts = {}
+    clique_text = " ".join(words(50))
+    n_clique = 40
+    assert n_clique > LSH_BUCKET_CAP
+    for d in range(n_clique):
+        texts[d] = clique_text
+    nid = n_clique
+    for _ in range(10):                     # near-dup pairs, J ~ 0.92
+        base = words(50)
+        texts[nid] = " ".join(base)
+        texts[nid + 1] = " ".join(base[:-1] + ["w99999"])
+        nid += 2
+    for _ in range(30):                     # background singletons
+        texts[nid] = " ".join(words(40))
+        nid += 1
+
+    ids = sorted(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([texts[i] for i in ids]),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["src0"] * len(ids)),
+        "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64())})
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    clear_signature_cache(spark)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    capped_df = SPARK_QUERIES["dedup_minhash_lsh_capped"](spark, d)
+    compare(capped_df, con,
+            ORACLE_SQL["dedup_minhash_lsh_capped"], "megaclique")
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_df.collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]) for r in
+                SPARK_QUERIES["dedup_minhash_lsh"](spark, d).collect()}
+    # identical-text groups -> the pairs exact dedup resolves upstream
+    groups: dict = {}
+    for i in ids:
+        groups.setdefault(texts[i], []).append(i)
+    exact_pairs = {(a, b) for g in groups.values() if len(g) > 1
+                   for a in g for b in g if a < b}
+    assert capped <= uncapped
+    assert len(uncapped - capped) > 0, "cap never bound on the fixture"
+    assert uncapped - capped <= exact_pairs, (
+        "cap lost a pair outside identical-text groups")
+    assert capped | exact_pairs >= uncapped
+    # the planted near-dup pairs survive the cap
+    planted = {(a, a + 1) for a in range(n_clique, n_clique + 20, 2)}
+    assert planted <= capped

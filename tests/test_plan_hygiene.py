@@ -78,6 +78,17 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # crossed into community- / replicate- / group-sized
                 # tables (same class)
                 "graph_modularity_regions", "ab_bootstrap_ci_poisson",
+                # 1-row corpus/target feature-total scalar crossed into
+                # the 256-row hashed-bucket model (DSIR log-ratio
+                # normalizer) — model state, never data x data
+                "corpus_dsir_importance",
+                # 1-row sample-size / sup-D / critical-value scalars
+                # crossed into the 1-row verdict (KS statistic epilogue)
+                "dq_ks_two_sample",
+                # 1-row KN normalizer / vocab-size / percentile-threshold
+                # scalars crossed into the scored-documents stream
+                # (text_kneser_ney_bigram precedent)
+                "text_kn_perplexity_filter",
                 "agg_theil_decomposition", "agg_ratio_to_report",
                 # 7-row literal lag grid crossed into the days-count
                 # frame (threshold-sweep / gemm literal-grid class)

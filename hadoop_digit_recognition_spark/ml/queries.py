@@ -862,3 +862,192 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (pos / n.cast("bigint")).alias("pos_frac"),
                  F.round((mean_score + 1.0) / 2.0
                          - pos / n.cast("bigint"), 6).alias("calib_gap")))
+
+
+# AdaBoost grid: value thresholds x polarity. The synthetic target is
+# (value >= 40) XOR (event_id % 7 == 0) — a noisy threshold concept:
+# the best stump is t=40 at ~1/7 weighted error, and round 2's
+# reweighting provably pushes that stump's weighted error to exactly
+# 1/2, forcing a different pick (the textbook AdaBoost dynamic).
+_ADA_THRESHOLDS = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+_ADA_NOISE_MOD = 7
+_ADA_T_SQL = "[" + ", ".join(str(t) for t in _ADA_THRESHOLDS) + "]"
+
+
+@query("ml_adaboost_stumps", oracle=f"""
+WITH base AS (
+  SELECT event_id, value,
+         CASE WHEN (value >= 40.0) != (event_id % {_ADA_NOISE_MOD} = 0)
+              THEN 1 ELSE -1 END AS y
+  FROM events),
+nn AS (SELECT count(*) AS n FROM base),
+cand AS (
+  SELECT g.t, p.pol
+  FROM (SELECT unnest({_ADA_T_SQL}) AS t) g
+  CROSS JOIN (SELECT unnest([1, -1]) AS pol) p),
+h1 AS (
+  SELECT c.t, c.pol,
+         count(*) FILTER (WHERE (CASE WHEN b.value <= c.t
+                                 THEN -c.pol ELSE c.pol END) != b.y) AS ec
+  FROM base b CROSS JOIN cand c GROUP BY c.t, c.pol),
+b1 AS (SELECT t, pol, ec FROM h1 ORDER BY ec, t, pol LIMIT 1),
+s1 AS (
+  SELECT b1.t, b1.pol, b1.ec,
+         round(b1.ec * 1.0 / nn.n, 9) AS eps,
+         round(0.5 * ln((nn.n - b1.ec) * 1.0 / b1.ec), 9) AS alpha,
+         round(sqrt(b1.ec * 1.0 / (nn.n - b1.ec)), 9) AS wc,
+         round(sqrt((nn.n - b1.ec) * 1.0 / b1.ec), 9) AS wm
+  FROM b1 CROSS JOIN nn),
+marked AS (
+  SELECT b.event_id, b.value, b.y,
+         (CASE WHEN b.value <= s1.t THEN -s1.pol ELSE s1.pol END) = b.y
+           AS r1c
+  FROM base b CROSS JOIN s1),
+h2 AS (
+  SELECT c.t, c.pol,
+         count(*) FILTER (WHERE m.r1c AND (CASE WHEN m.value <= c.t
+                          THEN -c.pol ELSE c.pol END) != m.y) AS a,
+         count(*) FILTER (WHERE NOT m.r1c AND (CASE WHEN m.value <= c.t
+                          THEN -c.pol ELSE c.pol END) != m.y) AS b,
+         count(*) FILTER (WHERE m.r1c) AS ncor,
+         count(*) FILTER (WHERE NOT m.r1c) AS nwro
+  FROM marked m CROSS JOIN cand c GROUP BY c.t, c.pol),
+w2 AS (
+  SELECT h2.t, h2.pol,
+         round((s1.wc * h2.a + s1.wm * h2.b)
+               / (s1.wc * h2.ncor + s1.wm * h2.nwro), 9) AS eps
+  FROM h2 CROSS JOIN s1),
+b2 AS (SELECT t, pol, eps FROM w2 ORDER BY eps, t, pol LIMIT 1),
+s2 AS (
+  SELECT t, pol, eps,
+         round(0.5 * ln((1.0 - eps) / eps), 9) AS alpha
+  FROM b2),
+ens AS (
+  SELECT count(*) FILTER (WHERE
+           (CASE WHEN s1.alpha * (CASE WHEN b.value <= s1.t
+                                  THEN -s1.pol ELSE s1.pol END)
+               + s2.alpha * (CASE WHEN b.value <= s2.t
+                             THEN -s2.pol ELSE s2.pol END) >= 0
+            THEN 1 ELSE -1 END) = b.y) AS nok
+  FROM base b CROSS JOIN s1 CROSS JOIN s2)
+SELECT CAST(1 AS BIGINT) AS round, s1.t AS threshold,
+       CAST(s1.pol AS BIGINT) AS polarity, s1.eps AS werr, s1.alpha,
+       round((nn.n - s1.ec) * 1.0 / nn.n, 9) AS ens_acc
+FROM s1 CROSS JOIN nn
+UNION ALL
+SELECT CAST(2 AS BIGINT), s2.t, CAST(s2.pol AS BIGINT), s2.eps, s2.alpha,
+       round(ens.nok * 1.0 / nn.n, 9)
+FROM s2 CROSS JOIN ens CROSS JOIN nn
+""")
+def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost.M1 with decision stumps, two rounds UNROLLED as
+    relational algebra (Freund & Schapire 1997) — the boosting loop a
+    distributed GBDT/AdaBoost fitter runs, expressed as sufficient-
+    statistic aggregation instead of per-sample mutation. The exact
+    trick that keeps it relational: after round 1 the sample weights
+    take only TWO values (exp(-a) for correct, exp(+a) for wrong), so
+    round 2's weighted error for every candidate stump is a linear
+    combination of FOUR integer counts — (r1-correct, h2-wrong) and
+    (r1-wrong, h2-wrong) against the two class totals — no per-row
+    weight column ever materializes, and the weight constants are
+    closed-form sqrt(eps/(1-eps)) snapped to the 9-digit grid (never
+    exp(round(ln(...))), which would double-drift across engines).
+
+    Candidate grid: {len(_ADA_THRESHOLDS)} fixed thresholds x 2
+    polarities (ml_decision_stump_gain's bit-exact-constants guard);
+    argmins order on (rounded error, t, pol) so no float tie can flip
+    the pick. Target: (value >= 40) XOR (event_id % {_ADA_NOISE_MOD}
+    == 0) — a noisy threshold concept, so round 1 finds t=40 at ~1/7
+    error, the reweight drives that stump to exactly 1/2, and round 2
+    must pick elsewhere: real boosting dynamics on synthetic data.
+
+    Scale shape: two corpus-wide partial-aggregate shuffles (one per
+    round), each emitting grid-sized sufficient statistics (36 counts);
+    everything else is 1-row scalar broadcasts crossed into the stream
+    (the decision-stump/KN-normalizer class). At 100 TB: 2 scans + 2
+    tiny shuffles — the same cost envelope as MLlib's tree fitter per
+    depth level."""
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", "value",
+        F.when((F.col("value") >= 40.0)
+               != (F.col("event_id") % _ADA_NOISE_MOD == 0), 1)
+        .otherwise(-1).alias("y"))
+    nn = base.agg(F.count(F.lit(1)).alias("n"))
+    ts = spark.createDataFrame([(t,) for t in _ADA_THRESHOLDS], "t double")
+    pols = spark.createDataFrame([(1,), (-1,)], "pol int")
+    cand = ts.crossJoin(pols)
+
+    def h(v, t, pol):
+        return F.when(v <= t, -pol).otherwise(pol)
+
+    pred1 = h(F.col("value"), F.col("t"), F.col("pol"))
+    h1 = (base.crossJoin(F.broadcast(cand))
+          .groupBy("t", "pol")
+          .agg(F.sum(F.when(pred1 != F.col("y"), 1).otherwise(0))
+               .alias("ec")))
+    b1 = h1.orderBy("ec", "t", "pol").limit(1)
+    n_, ec_ = F.col("n"), F.col("ec")
+    s1 = (b1.crossJoin(F.broadcast(nn))
+          .select("t", "pol", "ec",
+                  F.round(ec_ * 1.0 / n_, 9).alias("eps"),
+                  F.round(0.5 * F.log((n_ - ec_) * 1.0 / ec_), 9)
+                  .alias("alpha"),
+                  F.round(F.sqrt(ec_ * 1.0 / (n_ - ec_)), 9).alias("wc"),
+                  F.round(F.sqrt((n_ - ec_) * 1.0 / ec_), 9).alias("wm"))
+          .localCheckpoint())
+    sel1 = s1.select(F.col("t").alias("t1"), F.col("pol").alias("pol1"),
+                     F.col("eps").alias("eps1"), F.col("alpha").alias("a1"),
+                     "wc", "wm", "ec")
+    marked = (base.crossJoin(F.broadcast(sel1))
+              .withColumn("r1c", h(F.col("value"), F.col("t1"),
+                                   F.col("pol1")) == F.col("y")))
+    pred2 = h(F.col("value"), F.col("t"), F.col("pol"))
+    wrong2 = pred2 != F.col("y")
+    h2 = (marked.crossJoin(F.broadcast(cand))
+          .groupBy("t", "pol")
+          .agg(F.sum(F.when(F.col("r1c") & wrong2, 1).otherwise(0))
+               .alias("a"),
+               F.sum(F.when(~F.col("r1c") & wrong2, 1).otherwise(0))
+               .alias("b"),
+               F.sum(F.when(F.col("r1c"), 1).otherwise(0)).alias("ncor"),
+               F.sum(F.when(~F.col("r1c"), 1).otherwise(0)).alias("nwro")))
+    w2 = (h2.crossJoin(F.broadcast(s1.select("wc", "wm")))
+          .select("t", "pol",
+                  F.round((F.col("wc") * F.col("a")
+                           + F.col("wm") * F.col("b"))
+                          / (F.col("wc") * F.col("ncor")
+                             + F.col("wm") * F.col("nwro")), 9)
+                  .alias("eps")))
+    b2 = w2.orderBy("eps", "t", "pol").limit(1)
+    s2 = (b2.select("t", "pol", "eps",
+                    F.round(0.5 * F.log((1.0 - F.col("eps"))
+                                        / F.col("eps")), 9).alias("alpha"))
+          .localCheckpoint())
+    sel2 = s2.select(F.col("t").alias("t2"), F.col("pol").alias("pol2"),
+                     F.col("eps").alias("eps2"), F.col("alpha").alias("a2"))
+    scored = (base.crossJoin(F.broadcast(sel1.select("t1", "pol1", "a1")))
+              .crossJoin(F.broadcast(sel2))
+              .withColumn(
+                  "s", F.col("a1") * h(F.col("value"), F.col("t1"),
+                                       F.col("pol1"))
+                  + F.col("a2") * h(F.col("value"), F.col("t2"),
+                                    F.col("pol2"))))
+    ens = scored.agg(F.sum(
+        F.when((F.when(F.col("s") >= 0, 1).otherwise(-1))
+               == F.col("y"), 1).otherwise(0)).alias("nok"))
+    r1 = (s1.crossJoin(F.broadcast(nn))
+          .select(F.lit(1).cast("bigint").alias("round"),
+                  F.col("t").alias("threshold"),
+                  F.col("pol").cast("bigint").alias("polarity"),
+                  F.col("eps").alias("werr"), "alpha",
+                  F.round((F.col("n") - F.col("ec")) * 1.0 / F.col("n"), 9)
+                  .alias("ens_acc")))
+    r2 = (s2.crossJoin(F.broadcast(ens)).crossJoin(F.broadcast(nn))
+          .select(F.lit(2).cast("bigint").alias("round"),
+                  F.col("t").alias("threshold"),
+                  F.col("pol").cast("bigint").alias("polarity"),
+                  F.col("eps").alias("werr"), "alpha",
+                  F.round(F.col("nok") * 1.0 / F.col("n"), 9)
+                  .alias("ens_acc")))
+    return r1.unionByName(r2)

@@ -663,3 +663,117 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("m") * F.col("lr")), 6).alias("logw"),
                  F.round(F.sum(F.col("m") * F.col("lr")) / F.sum("m"), 6)
                  .alias("logw_per_feat")))
+
+
+# Gopher rule thresholds (Rae et al. 2021, Appendix A) — word-count
+# bounds, mean-word-length band, minimum alphabetic-word fraction,
+# maximum symbol-word ratio, minimum stopword hits.
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MAX_SYMBOL = 0.1
+_GOPHER_MIN_STOP = 2
+
+from .text import STOPWORDS, _STOP_SQL  # noqa: E402
+
+
+@query("corpus_gopher_quality_rules", oracle=f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_filter(w, x -> x = '#' OR x = '...')) AS n_symbol,
+         len(list_filter(w, x -> x IN {_STOP_SQL})) AS n_stop
+  FROM t)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(sum_len * 1.0 / n_words, 6) AS mean_word_len,
+       round(n_alpha * 1.0 / n_words, 6) AS alpha_frac,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                  AND n_words <= {_GOPHER_MAX_WORDS} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_words,
+       CAST(CASE WHEN sum_len * 1.0 / n_words >= {_GOPHER_MIN_MWL}
+                  AND sum_len * 1.0 / n_words <= {_GOPHER_MAX_MWL}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_wordlen,
+       CAST(CASE WHEN n_alpha * 1.0 / n_words >= {_GOPHER_MIN_ALPHA}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_alpha,
+       CAST(CASE WHEN n_symbol * 1.0 / n_words <= {_GOPHER_MAX_SYMBOL}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_symbol,
+       CAST(CASE WHEN n_stop >= {_GOPHER_MIN_STOP} THEN 1 ELSE 0 END
+            AS BIGINT) AS pass_stop,
+       CAST(CASE WHEN n_words >= {_GOPHER_MIN_WORDS}
+                  AND n_words <= {_GOPHER_MAX_WORDS}
+                  AND sum_len * 1.0 / n_words >= {_GOPHER_MIN_MWL}
+                  AND sum_len * 1.0 / n_words <= {_GOPHER_MAX_MWL}
+                  AND n_alpha * 1.0 / n_words >= {_GOPHER_MIN_ALPHA}
+                  AND n_symbol * 1.0 / n_words <= {_GOPHER_MAX_SYMBOL}
+                  AND n_stop >= {_GOPHER_MIN_STOP}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+""")
+def corpus_gopher_quality_rules(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A) as one
+    narrow scan: per document — word-count bounds
+    [{_GOPHER_MIN_WORDS}, {_GOPHER_MAX_WORDS}], mean-word-length band
+    [{_GOPHER_MIN_MWL}, {_GOPHER_MAX_MWL}], >= {_GOPHER_MIN_ALPHA}
+    alphabetic-word fraction, <= {_GOPHER_MAX_SYMBOL} symbol-word
+    ratio ('#'/'...'), >= {_GOPHER_MIN_STOP} stopword hits — each rule
+    a flag plus the conjunctive keep bit, so downstream mixes can both
+    FILTER on keep and AUDIT which rule rejects what (the reporting
+    shape every production quality pipeline needs; text_quality_score
+    is the continuous-score sibling, this is the hard-rule sibling).
+
+    Rule predicates compare INTEGER counts (n_words, sum_len, n_alpha,
+    n_symbol, n_stop) cross-multiplied against rational thresholds —
+    sum_len * 1.0 / n_words >= 3.0 is exact for the values either
+    engine produces (a ratio of bigints vs a short decimal); reported
+    ratios round to the 6-digit grid for display only, never feeding a
+    predicate. Scale shape: ZERO shuffles — one whole-stage-codegen
+    projection over the documents scan (split once at a projection
+    boundary, five array folds); at 100 TB this runs at scan bandwidth
+    and partitions trivially."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    m = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .select(
+             "doc_id",
+             F.size("w").alias("n_words"),
+             F.aggregate(F.transform("w", F.length),
+                         F.lit(0), lambda a, x: a + x).alias("sum_len"),
+             F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]")))
+             .alias("n_alpha"),
+             F.size(F.filter("w", lambda x: (x == "#") | (x == "...")))
+             .alias("n_symbol"),
+             F.size(F.filter("w", lambda x: x.isin(STOPWORDS)))
+             .alias("n_stop")))
+    nw = F.col("n_words").cast("double")
+    p_words = ((F.col("n_words") >= _GOPHER_MIN_WORDS)
+               & (F.col("n_words") <= _GOPHER_MAX_WORDS))
+    mwl = F.col("sum_len") * 1.0 / nw
+    p_wordlen = (mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)
+    p_alpha = F.col("n_alpha") * 1.0 / nw >= _GOPHER_MIN_ALPHA
+    p_symbol = F.col("n_symbol") * 1.0 / nw <= _GOPHER_MAX_SYMBOL
+    p_stop = F.col("n_stop") >= _GOPHER_MIN_STOP
+
+    def bit(c):
+        return F.when(c, 1).otherwise(0).cast("bigint")
+
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(F.col("sum_len") / nw, 6).alias("mean_word_len"),
+        F.round(F.col("n_alpha") / nw, 6).alias("alpha_frac"),
+        F.col("n_stop").cast("bigint").alias("n_stop"),
+        bit(p_words).alias("pass_words"),
+        bit(p_wordlen).alias("pass_wordlen"),
+        bit(p_alpha).alias("pass_alpha"),
+        bit(p_symbol).alias("pass_symbol"),
+        bit(p_stop).alias("pass_stop"),
+        bit(p_words & p_wordlen & p_alpha & p_symbol & p_stop)
+        .alias("keep"))

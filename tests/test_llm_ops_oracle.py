@@ -94,6 +94,7 @@ LLM_QUERIES = [
     "text_kn_perplexity_filter", "corpus_dsir_importance",
     "corpus_weighted_reservoir", "graph_clustering_coefficient",
     "dedup_minhash_lsh_capped", "sim_mmr_rerank",
+    "corpus_gopher_quality_rules", "ml_adaboost_stumps",
 ]
 
 

@@ -1523,3 +1523,66 @@ def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_nll",
                     F.round(F.exp("avg_nll"), 3).alias("ppl"),
                     tier.alias("tier")))
+
+
+@query("text_zipf_fit", oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT unnest(w) AS word FROM t),
+cnt AS (SELECT word, count(*) AS f FROM tok GROUP BY word),
+r AS (SELECT word, f,
+             row_number() OVER (ORDER BY f DESC, word) AS rk
+      FROM cnt),
+pts AS (SELECT ln(rk) AS x, ln(f) AS y FROM r),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy,
+             sum(y * y) AS syy
+      FROM pts)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""")
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS of
+    ln(freq) on ln(rank) — slope ~ -s estimates the Zipf exponent, and
+    r2 measures how Zipfian the corpus is. The standard corpus-health
+    diagnostic for a training mix: synthetic/templated data shows up as
+    a FLAT head (|slope| << 1, low r2 — this fixture's 31-word uniform
+    vocabulary reads exactly so), scraped boilerplate as an over-steep
+    head; production pipelines chart this per source/snapshot.
+
+    One (word)-keyed count with map-side partial aggregation, a
+    vocabulary-sized rank window, then a single 6-sum OLS aggregate
+    (ml_ols_two_feature's closed-form precedent — slope, intercept and
+    r2 all from one moment row, no second pass). Summation order drift
+    on the ln() moments is ~1e-15 relative against a 6-digit output
+    grid. At 100 TB the only corpus-wide stage is the word count; the
+    window runs over |vocab| rows — if a single-task vocab rank ever
+    binds, the two-phase sharded top-M rank (dedup_semdedup_capped)
+    drops in unchanged."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    cnt = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("f")))
+    from pyspark.sql import Window as W
+    r = cnt.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("f"), F.asc("word"))))
+    pts = r.select(F.log("rk").alias("x"), F.log("f").alias("y"))
+    x, y = F.col("x"), F.col("y")
+    s = pts.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+                F.sum(y * y).alias("syy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(F.pow(n * sxy - sx * sy, F.lit(2))
+                / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        .alias("r2"))

@@ -95,6 +95,7 @@ LLM_QUERIES = [
     "corpus_weighted_reservoir", "graph_clustering_coefficient",
     "dedup_minhash_lsh_capped", "sim_mmr_rerank",
     "corpus_gopher_quality_rules", "ml_adaboost_stumps",
+    "text_zipf_fit",
 ]
 
 

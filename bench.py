@@ -88,6 +88,10 @@ TAIL = [
     # round-7 addition: adaptive-plane kNN graph (count -> planes -> bucket
     # self-join; the count makes it eager, so cold billing applies).
     "sim_knn_graph_adaptive",
+    # round-7 addition: width-capped LSH (the sf10 mega-bucket guard) —
+    # billed cold so the number includes its own signature pass, directly
+    # comparable to the headline dedup_minhash_lsh row.
+    "dedup_minhash_lsh_capped",
 ]
 
 

@@ -267,3 +267,98 @@ def temporal_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.year(orders.o_orderdate).cast("bigint").alias("yr"))
             .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
                  F.count(F.lit(1)).alias("n_orders")))
+
+
+# Deterministic key-space split for the upsert demo: the target
+# dimension holds users with user_id % 5 != 0 (the rest are "not yet
+# onboarded" -> INSERT candidates), and the change stream carries users
+# with user_id % 3 != 0 (the rest have no changes -> KEEP rows).
+_UPSERT_CUTOVER = "2024-01-08"
+
+
+@query("merge_dedup_upsert", oracle=f"""
+WITH tgt0 AS (
+  SELECT user_id, event_type, value, ts, event_id
+  FROM events
+  WHERE ts < TIMESTAMP '{_UPSERT_CUTOVER}' AND user_id % 5 != 0),
+tgt AS (
+  SELECT user_id, event_type, value, ts FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM tgt0) WHERE rn = 1),
+src0 AS (
+  SELECT user_id, event_type, value, ts, event_id
+  FROM events
+  WHERE ts >= TIMESTAMP '{_UPSERT_CUTOVER}' AND user_id % 3 != 0),
+src AS (
+  SELECT user_id, event_type, value, ts, n_changes FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_changes
+    FROM src0) WHERE rn = 1)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN t.user_id IS NULL THEN 'INSERT'
+            WHEN s.user_id IS NULL THEN 'KEEP'
+            ELSE 'UPDATE' END AS action,
+       coalesce(s.event_type, t.event_type) AS event_type,
+       coalesce(s.value, t.value) AS value,
+       coalesce(s.ts, t.ts) AS updated_at,
+       CAST(coalesce(s.n_changes, 0) AS BIGINT) AS n_changes
+FROM tgt t FULL OUTER JOIN src s ON s.user_id = t.user_id
+""")
+def merge_dedup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC batch compaction + latest-wins upsert — the other half of
+    MERGE INTO that merge_scd2_dimension doesn't cover: a raw change
+    stream carries MANY rows per key, so the batch is first COMPACTED
+    to one latest row per key (ts desc, event_id desc tie-break, with
+    the collapsed change count kept for audit), and only then merged —
+    matched keys UPDATE, unmatched source keys INSERT, untouched target
+    keys KEEP. Every Delta/Iceberg/Hudi upsert pipeline runs exactly
+    this compact-then-merge shape; skipping the compaction makes the
+    merge join multiply target rows by per-key change counts (the
+    classic "MERGE found duplicate source rows" failure).
+
+    The target is the pre-cutover latest state of users with
+    user_id % 5 != 0; the change stream is post-cutover events of users
+    with user_id % 3 != 0 — a deterministic key-space split that makes
+    all three actions non-empty on the fixture. Scale shape: two
+    user-keyed row_number windows (partial nothing — windows, but each
+    key's partition is its event history, never global) and ONE
+    user-keyed full-outer join of two 1-row-per-key tables; at 100 TB
+    the compaction bounds the join input to |keys| rows per side
+    regardless of change volume, and AQE broadcasts the batch side when
+    it fits. Cites reference semantics: none (reference has no merge
+    operator; §2.5 extension)."""
+    from pyspark.sql import Window as W
+
+    events = load(spark, sf_dir, "events")
+    cut = F.lit(_UPSERT_CUTOVER).cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    tgt = (events.filter((F.col("ts") < cut) & (F.col("user_id") % 5 != 0))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("user_id", "event_type", "value", "ts"))
+    src = (events.filter((F.col("ts") >= cut) & (F.col("user_id") % 3 != 0))
+           .withColumn("rn", F.row_number().over(w))
+           .withColumn("n_changes",
+                       F.count(F.lit(1)).over(W.partitionBy("user_id")))
+           .filter(F.col("rn") == 1)
+           .select("user_id", "event_type", "value", "ts", "n_changes"))
+
+    t = tgt.alias("t")
+    s = src.alias("s")
+    tu, su = F.col("t.user_id"), F.col("s.user_id")
+    return (t.join(s, tu == su, "full_outer")
+            .select(
+                F.coalesce(tu, su).alias("user_id"),
+                F.when(tu.isNull(), "INSERT")
+                .when(su.isNull(), "KEEP")
+                .otherwise("UPDATE").alias("action"),
+                F.coalesce(F.col("s.event_type"), F.col("t.event_type"))
+                .alias("event_type"),
+                F.coalesce(F.col("s.value"), F.col("t.value"))
+                .alias("value"),
+                F.coalesce(F.col("s.ts"), F.col("t.ts")).alias("updated_at"),
+                F.coalesce(F.col("s.n_changes"), F.lit(0)).cast("bigint")
+                .alias("n_changes")))

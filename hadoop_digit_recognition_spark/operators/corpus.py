@@ -992,7 +992,7 @@ _WRES_K = 5
 WITH d AS (
   SELECT doc_id, lang, n_chars,
          ('0x' || substr(md5(doc_id || ':wres'), 1, 8))::BIGINT AS h
-  FROM documents),
+  FROM documents WHERE n_chars > 0),
 keyed AS (
   SELECT doc_id, lang, n_chars,
          round(ln((h + 1) / 4294967297.0) / n_chars, 9) AS k
@@ -1025,7 +1025,11 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent) caps any single task at k x shards rows. A full-corpus
     A-ES reservoir is the same query with one global group."""
     from ..functions.vector import det_hash64
-    docs = load_parallel(spark, sf_dir, "documents")
+    # zero-weight docs (empty text) can never be drawn by A-ES (u^(1/w)
+    # undefined at w=0) and would ANSI-crash the key division — excluded
+    # identically in both engines (degenerate-documents sweep).
+    docs = load_parallel(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0)
     h = det_hash64(F.concat(F.col("doc_id").cast("string"),
                             F.lit(":wres")))
     keyed = docs.select(

@@ -579,7 +579,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "corpus_decontamination", "text_word_entropy",
                  "text_token_stats", "dedup_boilerplate_ngrams",
                  "multimodal_histogram_equalize",
-                 "multimodal_laplacian_sharpness", "multimodal_meta"):
+                 "multimodal_laplacian_sharpness", "multimodal_meta",
+                 "dedup_minhash_lsh_capped", "text_kn_perplexity_filter",
+                 "corpus_gopher_quality_rules", "corpus_dsir_importance",
+                 "corpus_weighted_reservoir", "text_zipf_fit",
+                 "graph_clustering_coefficient"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 
@@ -625,7 +629,7 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "dedup_embedding_lsh", "sim_graph_greedy_search",
                  "ml_knn_classifier_eval", "ml_label_noise_knn",
                  "sim_knn_graph_adaptive",
-                 "pipeline_embedding_dedup"):
+                 "pipeline_embedding_dedup", "sim_mmr_rerank"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

@@ -223,3 +223,92 @@ def grouped_quantile_normalize_pandas(spark: SparkSession,
 
     return ev.groupBy("user_id").applyInPandas(
         qnorm, "event_id bigint, user_id bigint, rnk bigint, pct double")
+
+
+@query("grouped_ols_residuals_pandas", oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents),
+s AS (
+  SELECT source, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM t GROUP BY source
+  HAVING count(*) >= 2 AND count(*) * sum(x * x) - sum(x) * sum(x) != 0),
+fit AS (
+  SELECT source,
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+         n, sx, sy
+  FROM s),
+fit2 AS (
+  SELECT source, b,
+         (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS a
+  FROM fit)
+SELECT t.doc_id, t.source, t.x, t.y,
+       round(f.b, 6) AS slope, round(f.a, 6) AS intercept,
+       round(CAST(t.y AS DOUBLE) - (f.a + f.b * CAST(t.x AS DOUBLE)), 6)
+         AS resid
+FROM t JOIN fit2 f USING (source)
+""")
+def grouped_ols_residuals_pandas(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-SOURCE regression residuals via applyInPandas (grouped map):
+    each source gets its own OLS fit of distinct-word count on word
+    count, and every document is scored by its residual — the
+    per-entity model-then-score pattern (anomaly = a doc far off its
+    OWN source's trend, not the global trend; a source whose docs run
+    repetitive has a flatter line, and judging its docs by the global
+    fit would flag the whole source instead of its outliers).
+
+    The numpy fit inside the pandas group uses EXACT int64 moment sums
+    (word counts are integers < 2^53), then the identical double
+    expression tree as the oracle's closed form — slope, intercept and
+    residuals are bit-stable without grid snapping (ml_ols_two_feature's
+    argument, here once per group). Groups too degenerate to fit
+    (n < 2 or zero x-variance, an INTEGER test) return empty frames and
+    the oracle HAVING drops the same groups.
+
+    Scale: applyInPandas ships each source's docs to one task — right
+    when per-source model state must see the whole group; a source too
+    large for one task distributes as the oracle's pure-SQL form (one
+    grouped moment aggregate + a broadcast fit join), same numbers."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint")
+        .alias("y"))
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        x = pdf["x"].astype("int64")
+        y = pdf["y"].astype("int64")
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        den_i = n * sxx - sx * sx            # exact integer test
+        if n < 2 or den_i == 0:
+            return pdf.iloc[0:0].assign(slope=0.0, intercept=0.0,
+                                        resid=0.0)
+        b = (float(n) * float(sxy) - float(sx) * float(sy)) \
+            / (float(n) * float(sxx) - float(sx) * float(sx))
+        a = (float(sy) - b * float(sx)) / float(n)
+        resid = y.astype("float64") - (a + b * x.astype("float64"))
+        return pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "source": pdf["source"],
+            "x": x, "y": y,
+            "slope": round(b, 6), "intercept": round(a, 6),
+            "resid": resid.round(6),
+        })
+
+    return t.groupBy("source").applyInPandas(
+        fit_group,
+        "doc_id bigint, source string, x bigint, y bigint, "
+        "slope double, intercept double, resid double")

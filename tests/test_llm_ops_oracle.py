@@ -95,7 +95,7 @@ LLM_QUERIES = [
     "corpus_weighted_reservoir", "graph_clustering_coefficient",
     "dedup_minhash_lsh_capped", "sim_mmr_rerank",
     "corpus_gopher_quality_rules", "ml_adaboost_stumps",
-    "text_zipf_fit",
+    "text_zipf_fit", "grouped_ols_residuals_pandas",
 ]
 
 

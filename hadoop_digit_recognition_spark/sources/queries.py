@@ -614,3 +614,116 @@ def source_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                  F.sum("n_chars").cast("bigint").alias("chars")))
+
+
+from ..operators.similarity import (  # noqa: E402
+    K_CELLS as _IVF_K_CELLS, NPROBE as _IVF_NPROBE,
+    N_QUERIES as _IVF_N_QUERIES, TOP_K as _IVF_TOP_K)
+
+
+@query("source_ivf_partitioned_probe", oracle=f"""
+WITH nz AS (SELECT vec_id, embedding FROM embeddings
+            WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum') > 0),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding)::DOUBLE AS x FROM nz),
+seed AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {_IVF_K_CELLS}),
+d1 AS (SELECT e.vec_id, s.cid,
+              round(sum((e.x - s.x) * (e.x - s.x)), 9) AS d2
+       FROM e JOIN seed s ON s.i = e.i GROUP BY e.vec_id, s.cid),
+assign AS (SELECT vec_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) AS rn
+             FROM d1) WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d1 WHERE vec_id < {_IVF_N_QUERIES})
+          WHERE rn <= {_IVF_NPROBE}),
+emb2 AS (SELECT n.vec_id, n.embedding::DOUBLE[] AS emb, a.cell
+         FROM nz n JOIN assign a ON a.vec_id = n.vec_id),
+scored AS (
+  SELECT p.qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.emb, c.emb), 6) AS cos
+  FROM probe p
+  JOIN emb2 c ON c.cell = p.cell AND c.vec_id != p.qid
+  JOIN emb2 q ON q.vec_id = p.qid
+)
+SELECT qid, cid, cos, rnk FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid) AS rnk
+  FROM scored) WHERE rnk <= {_IVF_TOP_K}
+""")
+def source_ivf_partitioned_probe(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The IVF index as a PHYSICAL LAYOUT: vectors are written to
+    parquet PARTITIONED BY their coarse cell (one directory per cell —
+    at 100 TB, the FAISS inverted lists become the lakehouse partition
+    scheme), and the probe reads the index back with the query-cell
+    table broadcast onto the partition column, so Spark's DYNAMIC
+    PARTITION PRUNING skips every unprobed cell's files at scan time —
+    serving reads NPROBE/K_CELLS of the index, enforced by the storage
+    layout rather than a post-scan filter. This is the missing physical
+    half of sim_ivf_det_topk (same assignment, same search semantics —
+    there the index is a column, here it is the directory structure).
+
+    Stage path is FIXED per sf_dir with mode('overwrite') (the ADVICE
+    r06 stage-dir lesson — no unbounded temp accumulation across bench
+    repeats). Assignment = nearest of the first-K seeds on the 9-digit
+    distance grid with cid tie-break; parquet roundtrips float32
+    embeddings bit-exactly, so the DuckDB oracle (which replays
+    assignment + probe relationally, no files) hash-matches. The probe
+    plan's pruning is asserted by tests/test_sources.py::
+    test_ivf_partitioned_probe_prunes."""
+    import hashlib
+
+    from ..operators.similarity import (
+        K_CELLS, NPROBE, N_QUERIES, TOP_K, l2norm_col)
+    from ..functions.vector import dot_col
+
+    emb = (load(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    v = F.col("embedding").cast("array<double>")
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < K_CELLS)
+             .select("vec_id", v.alias("e")).collect()}
+    ranked = F.transform(
+        F.array_sort(F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"))
+            for cid, cvec in sorted(seeds.items())])),
+        lambda s: s["c"])
+
+    stage = os.path.join(tempfile.gettempdir(), "hdr_ivf_stage",
+                         hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    (emb.withColumn("cell", F.element_at(ranked, 1))
+     .select("vec_id", "embedding", "cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(stage))
+
+    probe = (emb.filter(F.col("vec_id") < N_QUERIES)
+             .select(F.col("vec_id").alias("qid"),
+                     F.col("embedding").alias("qe"),
+                     F.col("nrm").alias("qn"),
+                     F.explode(F.slice(ranked, 1, NPROBE)).alias("cell")))
+    index = (spark.read.parquet(stage)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce"),
+                     l2norm_col(F.col("embedding")).alias("cn"), "cell"))
+    scored = (index.join(F.broadcast(probe), "cell")
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("cos")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K))

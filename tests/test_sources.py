@@ -276,3 +276,30 @@ def test_dataset_tag_tracks_content(tmp_path):
     t2 = dataset_tag(str(d), "events")
     assert t1 != t2
     assert dataset_tag("/root/testdata/sf0.001", "events") != t2
+
+
+def test_ivf_partitioned_probe_vs_duckdb(spark, duck):
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .conftest import SF_ORACLE
+    from .oracle_harness import compare
+
+    df = SPARK_QUERIES["source_ivf_partitioned_probe"](spark, SF_ORACLE)
+    compare(df, duck, ORACLE_SQL["source_ivf_partitioned_probe"],
+            "source_ivf_partitioned_probe")
+
+
+def test_ivf_partitioned_probe_prunes(spark):
+    """The point of the partitioned-IVF layout is that the probe scan
+    SKIPS unprobed cells at the file level: the index-side parquet scan
+    must carry a dynamic-pruning partition filter on `cell` (Spark DPP
+    against the broadcast probe side), not a post-scan filter."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from .conftest import SF_ORACLE
+
+    df = SPARK_QUERIES["source_ivf_partitioned_probe"](spark, SF_ORACLE)
+    txt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "dynamicpruning" in txt, "probe scan lost dynamic partition pruning"
+    assert "PartitionFilters" in txt

@@ -474,3 +474,95 @@ def streaming_dedup_then_tumbling(spark: SparkSession,
            .agg(F.count(F.lit(1)).alias("n"))
            .select(_ntz("w.start").alias("ws"), "n"))
     return run_to_memory(agg, "append")
+
+
+# Streaming PSI monitor: fixed bucket domain (10 value bins of width
+# 50, capped), baseline = the first calendar week, Laplace smoothing
+# (n + 1) / (N + 10) — the streaming twin of dq_psi_distribution_drift.
+_PSI_STREAM_CUT = "2024-01-08"
+
+
+@query("streaming_psi_drift", oracle=f"""
+WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+                   least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+            FROM events),
+cur AS (SELECT day, bin, count(*) AS n FROM ev GROUP BY 1, 2),
+days AS (SELECT DISTINCT day FROM ev),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+grid AS (SELECT d.day, b.bin FROM days d CROSS JOIN bins b),
+base AS (SELECT bin, count(*) AS n FROM ev
+         WHERE day < DATE '{_PSI_STREAM_CUT}' GROUP BY 1),
+tb AS (SELECT sum(n) AS t FROM base),
+tc AS (SELECT day, sum(n) AS t FROM cur GROUP BY 1),
+terms AS (
+  SELECT g.day, g.bin,
+         coalesce(b.n, 0) AS n_base, coalesce(c.n, 0) AS n_cur,
+         (coalesce(b.n, 0) + 1.0) / (tb.t + 10) AS p_base,
+         (coalesce(c.n, 0) + 1.0) / (tc.t + 10) AS p_cur
+  FROM grid g
+  LEFT JOIN base b USING (bin)
+  LEFT JOIN cur c ON c.day = g.day AND c.bin = g.bin
+  CROSS JOIN tb
+  JOIN tc ON tc.day = g.day)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(bin AS BIGINT) AS bin,
+       CAST(n_base AS BIGINT) AS n_base, CAST(n_cur AS BIGINT) AS n_cur,
+       round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+       round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+FROM terms
+""")
+def streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: per-day value-distribution bucket counts
+    accumulate in a real Structured Streaming aggregate (tumbling 1-day
+    event-time windows, complete mode), and the sink joins against the
+    STATIC first-week baseline to emit per-(day, bin) PSI terms — the
+    production model-monitoring loop (dq_psi_distribution_drift is the
+    batch audit; this is the always-on version that pages before the
+    batch job would have run). Streaming state is days x 10 bins rows —
+    bounded by the calendar, not the stream.
+
+    The bucket domain is FIXED (10 width-50 bins, capped) so the
+    day x bin grid completes with zero-count bins and Laplace smoothing
+    (n + 1) / (N + 10) keeps empty bins finite — same formula, same
+    6-digit grid as the batch PSI. floor(value / 50) not CAST (DuckDB
+    CAST rounds, Spark truncates — the one cross-engine integer trap in
+    this query). The epilogue (grid completion, baseline join, PSI
+    arithmetic) is batch work over the day x bin sink — dimension-sized,
+    broadcast everywhere."""
+    from ..tables import load
+
+    bin_col = F.least(F.floor(F.col("value") / 50), F.lit(9)) \
+        .cast("bigint").alias("bin")
+    ev = events_stream(spark, sf_dir).select("ts", bin_col)
+    agg = (ev.groupBy(F.window("ts", "1 day").alias("w"), "bin")
+           .agg(F.count(F.lit(1)).alias("n")))
+    sink = run_to_memory(agg, "complete").select(
+        F.col("w.start").cast("date").alias("day"), "bin", "n")
+
+    batch = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), bin_col)
+    base = (batch.filter(F.col("day") < F.lit(_PSI_STREAM_CUT).cast("date"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n_b")))
+    days = sink.select("day").distinct()
+    bins = spark.range(0, 10).select(F.col("id").cast("bigint").alias("bin"))
+    grid = days.crossJoin(F.broadcast(bins))
+    tb = base.agg(F.sum("n_b").alias("t_b"))
+    tc = sink.groupBy("day").agg(F.sum("n").alias("t_c"))
+    terms = (grid
+             .join(base, "bin", "left")
+             .join(sink.withColumnRenamed("n", "n_c"), ["day", "bin"],
+                   "left")
+             .crossJoin(F.broadcast(tb))
+             .join(tc, "day"))
+    n_base = F.coalesce(F.col("n_b"), F.lit(0))
+    n_cur = F.coalesce(F.col("n_c"), F.lit(0))
+    p_base = (n_base + 1.0) / (F.col("t_b") + 10)
+    p_cur = (n_cur + 1.0) / (F.col("t_c") + 10)
+    return terms.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("bin").cast("bigint").alias("bin"),
+        n_base.cast("bigint").alias("n_base"),
+        n_cur.cast("bigint").alias("n_cur"),
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6)
+        .alias("psi_term"))

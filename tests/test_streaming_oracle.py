@@ -21,6 +21,7 @@ STREAMING_QUERIES = [
     "streaming_dedup_dropduplicates",
     "streaming_dedup_watermark",
     "streaming_dedup_then_tumbling",
+    "streaming_psi_drift",
     "streaming_static_join",
     "streaming_stream_stream_left_outer",
     "streaming_restart_recovery",

@@ -788,3 +788,101 @@ def multimodal_histogram_equalize(spark: SparkSession,
     return mm.select("doc_id", "payload").mapInPandas(
         hist_batches,
         "doc_id bigint, bin bigint, n_px bigint, cdf_px bigint")
+
+
+# Brightness/contrast culling thresholds as EXACT INTEGER predicates on
+# the raster's (sum, sum-of-squares): dark = mean < 0.2*255, bright =
+# mean > 0.8*255, low-contrast = variance < 20^2. N_PX * those bounds:
+_BC_NPX = RASTER_H * RASTER_W                     # 256 pixels
+_BC_DARK_S1 = int(0.2 * 255 * _BC_NPX)            # 13056
+_BC_BRIGHT_S1 = int(0.8 * 255 * _BC_NPX)          # 52224
+_BC_LOWC = 400 * _BC_NPX * _BC_NPX                # var*NPX^2 bound
+
+
+@query("multimodal_brightness_contrast_filter", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({_BC_NPX}) r(i)
+),
+s AS (SELECT doc_id, sum(v) AS s1, sum(v * v) AS s2
+      FROM px GROUP BY doc_id)
+SELECT doc_id,
+       round(s1 / {255 * _BC_NPX}.0, 6) AS brightness,
+       round(sqrt(s2 / {_BC_NPX}.0
+                  - (s1 / {_BC_NPX}.0) * (s1 / {_BC_NPX}.0)), 6)
+         AS rms_contrast,
+       CAST(CASE WHEN s1 >= {_BC_DARK_S1} THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_dark,
+       CAST(CASE WHEN s1 <= {_BC_BRIGHT_S1} THEN 1 ELSE 0 END AS BIGINT)
+         AS pass_bright,
+       CAST(CASE WHEN s2 * {_BC_NPX} - s1 * s1 >= {_BC_LOWC}
+            THEN 1 ELSE 0 END AS BIGINT) AS pass_contrast,
+       CAST(CASE WHEN s1 >= {_BC_DARK_S1} AND s1 <= {_BC_BRIGHT_S1}
+                  AND s2 * {_BC_NPX} - s1 * s1 >= {_BC_LOWC}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""")
+def multimodal_brightness_contrast_filter(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """Image-hygiene culling: per-image BRIGHTNESS (mean pixel) and RMS
+    CONTRAST (pixel standard deviation) from the decoded raster, with
+    keep flags for the three standard multimodal-corpus culls — too
+    dark, too bright (blown-out), too flat (near-uniform images carry
+    no training signal; solid-color placeholders and tracking pixels
+    die here). The vision-pipeline sibling of
+    corpus_gopher_quality_rules: per-rule audit bits plus the
+    conjunctive keep.
+
+    The decode (payload -> 16x16 uint8 raster, zero-padded) happens in
+    the same Arrow mapInPandas path as the rest of the decode family,
+    emitting only the per-image INTEGER moments (Σv, Σv²); every cull
+    predicate compares those exact integers against precomputed integer
+    bounds (mean < 0.2*255 ⟺ Σv < {_BC_DARK_S1}; var < 400 ⟺
+    Σv²·N − (Σv)² < {_BC_LOWC}) — no float ever decides a flag, the
+    reported brightness/contrast are display-rounded derivations.
+    Scale: one scan, two bigints per image out of Python, zero
+    shuffles; swapping the raster decode for Image.open changes no
+    plumbing (extract_features' argument)."""
+    from ..shipping import ensure_shipped
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    ensure_shipped(spark)
+
+    import numpy as np
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, s1s, s2s = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b)[:_BC_NPX], dtype=np.uint8)
+                if raw.size < _BC_NPX:
+                    raw = np.pad(raw, (0, _BC_NPX - raw.size))
+                v = raw.astype(np.int64)
+                ids.append(did)
+                s1s.append(int(v.sum()))
+                s2s.append(int((v * v).sum()))
+            yield pd.DataFrame({"doc_id": ids, "s1": s1s, "s2": s2s})
+
+    s = mm.mapInPandas(moments, "doc_id bigint, s1 bigint, s2 bigint")
+    s1, s2 = F.col("s1"), F.col("s2")
+    npx = float(_BC_NPX)
+    p_dark = s1 >= _BC_DARK_S1
+    p_bright = s1 <= _BC_BRIGHT_S1
+    p_contrast = s2 * _BC_NPX - s1 * s1 >= _BC_LOWC
+
+    def bit(c):
+        return F.when(c, 1).otherwise(0).cast("bigint")
+
+    return s.select(
+        "doc_id",
+        F.round(s1 / (255.0 * npx), 6).alias("brightness"),
+        F.round(F.sqrt(s2 / npx - (s1 / npx) * (s1 / npx)), 6)
+        .alias("rms_contrast"),
+        bit(p_dark).alias("pass_dark"),
+        bit(p_bright).alias("pass_bright"),
+        bit(p_contrast).alias("pass_contrast"),
+        bit(p_dark & p_bright & p_contrast).alias("keep"))

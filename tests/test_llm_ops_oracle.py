@@ -96,6 +96,7 @@ LLM_QUERIES = [
     "dedup_minhash_lsh_capped", "sim_mmr_rerank",
     "corpus_gopher_quality_rules", "ml_adaboost_stumps",
     "text_zipf_fit", "grouped_ols_residuals_pandas",
+    "multimodal_brightness_contrast_filter",
 ]
 
 

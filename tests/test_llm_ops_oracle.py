@@ -808,3 +808,41 @@ def test_minhash_cap_composes_with_exact(spark, tmp_path):
     # the planted near-dup pairs survive the cap
     planted = {(a, a + 1) for a in range(n_clique, n_clique + 20, 2)}
     assert planted <= capped
+
+
+def test_adaboost_round2_never_repicks_round1(spark):
+    """Textbook AdaBoost invariant: after reweighting, round 1's chosen
+    stump has weighted error EXACTLY 1/2 (the reweight is constructed
+    to make it useless), so round 2 must select a different (t, pol) —
+    and both rounds' weighted errors stay strictly below 1/2 (a stump
+    grid closed under polarity flip always beats random)."""
+    rows = {r["round"]: r for r in
+            SPARK_QUERIES["ml_adaboost_stumps"](spark, SF_ORACLE).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1["threshold"], r1["polarity"]) != \
+        (r2["threshold"], r2["polarity"])
+    assert r1["werr"] < 0.5 and r2["werr"] < 0.5
+    assert r1["alpha"] > 0 and r2["alpha"] > 0
+    assert 0.0 <= r1["ens_acc"] <= 1.0 and 0.0 <= r2["ens_acc"] <= 1.0
+
+
+def test_mmr_selection_invariants(spark):
+    """MMR structure: rank-1 is the pure-relevance argmax of its pool;
+    the K picks per query are distinct; and every later pick's rel is
+    <= the rank-1 rel (rank 1 maximizes rel by construction)."""
+    from collections import defaultdict
+
+    by_q = defaultdict(dict)
+    for r in SPARK_QUERIES["sim_mmr_rerank"](spark, SF_ORACLE).collect():
+        by_q[r["qid"]][r["rnk"]] = r
+    top = {r["qid"]: r for r in
+           SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE).collect()
+           if r["rnk"] == 1}
+    for qid, picks in by_q.items():
+        assert set(picks) == {1, 2, 3}
+        cids = [picks[k]["cid"] for k in (1, 2, 3)]
+        assert len(set(cids)) == 3
+        # rank-1 == exact top-1 by relevance (same rounding, same ties)
+        assert picks[1]["cid"] == top[qid]["cid"]
+        assert all(picks[k]["rel"] <= picks[1]["rel"] + 1e-12
+                   for k in (2, 3))

@@ -596,14 +596,17 @@ tots AS (SELECT (SELECT sum(n_raw) FROM raw) AS t_raw,
 model AS (
   SELECT r.b, CAST(r.n_raw AS BIGINT) AS n_raw,
          CAST(coalesce(g.n_tgt, 0) AS BIGINT) AS n_tgt,
-         round(ln((coalesce(g.n_tgt, 0) + 1.0) / (s.t_tgt + {_DSIR_B}))
-               - ln((r.n_raw + 1.0) / (s.t_raw + {_DSIR_B})), 9) AS lr
+         CAST(round((ln((coalesce(g.n_tgt, 0) + 1.0)
+                         / (s.t_tgt + {_DSIR_B}))
+                     - ln((r.n_raw + 1.0) / (s.t_raw + {_DSIR_B})))
+                    * 1000000000) AS BIGINT) AS lr_n
   FROM raw r LEFT JOIN tgt g USING (b) CROSS JOIN tots s),
 dcount AS (SELECT doc_id, b, count(*) AS m FROM feats GROUP BY doc_id, b)
 SELECT d.doc_id,
        CAST(sum(d.m) AS BIGINT) AS n_feats,
-       round(sum(d.m * mo.lr), 6) AS logw,
-       round(sum(d.m * mo.lr) / sum(d.m), 6) AS logw_per_feat
+       round(sum(d.m * mo.lr_n) / 1000000000.0, 6) AS logw,
+       round(sum(d.m * mo.lr_n) / 1000000000.0 / sum(d.m), 6)
+         AS logw_per_feat
 FROM dcount d JOIN model mo USING (b)
 GROUP BY d.doc_id
 """)
@@ -649,19 +652,25 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("n_tgt", F.coalesce("n_tgt", F.lit(0))))
     tots = model.agg(F.sum("n_raw").alias("t_raw"),
                      F.sum("n_tgt").alias("t_tgt"))
-    lr = F.round(
-        F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + _DSIR_B))
-        - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + _DSIR_B)), 9)
+    # log-ratios live on an exact INTEGER nano-unit grid: summing
+    # m * (9-digit double) is order-sensitive in the last ulp and one
+    # sf0.1 doc landed exactly on the 6-digit rounding half-boundary
+    # (0.0186705) — bigint sums cannot drift (MMR's micro-unit idiom).
+    lr_n = F.round(
+        (F.log((F.col("n_tgt") + 1.0) / (F.col("t_tgt") + _DSIR_B))
+         - F.log((F.col("n_raw") + 1.0) / (F.col("t_raw") + _DSIR_B)))
+        * 1000000000).cast("bigint")
     model = (model.crossJoin(F.broadcast(tots))
              .select("b", F.col("n_raw").cast("bigint").alias("n_raw"),
                      F.col("n_tgt").cast("bigint").alias("n_tgt"),
-                     lr.alias("lr")))
+                     lr_n.alias("lr_n")))
     dcount = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    s_n = F.sum(F.col("m") * F.col("lr_n"))
     return (dcount.join(F.broadcast(model), "b")
             .groupBy("doc_id")
             .agg(F.sum("m").cast("bigint").alias("n_feats"),
-                 F.round(F.sum(F.col("m") * F.col("lr")), 6).alias("logw"),
-                 F.round(F.sum(F.col("m") * F.col("lr")) / F.sum("m"), 6)
+                 F.round(s_n / 1000000000.0, 6).alias("logw"),
+                 F.round(s_n / 1000000000.0 / F.sum("m"), 6)
                  .alias("logw_per_feat")))
 
 

@@ -312,7 +312,7 @@ WITH base AS (
          stacked.dim, stacked.bin
   FROM orders CROSS JOIN LATERAL (
     SELECT 'price_bin' AS dim,
-           CAST(least(CAST(o_totalprice AS BIGINT) // {_PSI_BIN_W},
+           CAST(least(CAST(floor(o_totalprice / {_PSI_BIN_W}) AS BIGINT),
                       {_PSI_BIN_CAP}) AS VARCHAR) AS bin
     UNION ALL SELECT 'priority', o_orderpriority
   ) stacked
@@ -360,9 +360,12 @@ def dq_psi_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     snap = F.when(F.col("o_orderdate") < F.lit(_DRIFT_CUT).cast("date"),
                   "baseline").otherwise("current")
+    # floor(x / W), never CAST(x AS BIGINT): DuckDB's double->int CAST
+    # ROUNDS while Spark's truncates, and an order priced at a bin
+    # boundary flips bins between engines (caught by the sf0.1 sweep).
     price_bin = F.least(
-        (F.col("o_totalprice").cast("bigint") / F.lit(_PSI_BIN_W))
-        .cast("bigint"), F.lit(_PSI_BIN_CAP)).cast("string")
+        F.floor(F.col("o_totalprice") / F.lit(_PSI_BIN_W)).cast("bigint"),
+        F.lit(_PSI_BIN_CAP)).cast("string")
     feats = (orders
              .select(snap.alias("snapshot"), F.explode(F.array(
                  F.struct(F.lit("price_bin").alias("dim"),

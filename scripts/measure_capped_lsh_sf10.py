@@ -27,6 +27,8 @@ def main() -> None:
              .config("spark.driver.memory", "24g")
              .config("spark.ui.enabled", "false")
              .config("spark.eventLog.enabled", "true")
+             .config("spark.eventLog.compress", "false")
+             .config("spark.eventLog.rolling.enabled", "false")
              .config("spark.eventLog.dir", f"file://{EVLOG}")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,9 +51,14 @@ def main() -> None:
         if not os.path.isfile(path) or path.endswith(".crc") \
                 or "appstatus" in os.path.basename(path):
             continue
-        with open(path) as f:
+        with open(path, errors="ignore") as f:
             for line in f:
-                ev = json.loads(line)
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                if not isinstance(ev, dict):
+                    continue
                 if ev.get("Event") == "SparkListenerJobStart":
                     grp = (ev.get("Properties") or {}).get("spark.jobGroup.id")
                     for sid in ev.get("Stage IDs", []):

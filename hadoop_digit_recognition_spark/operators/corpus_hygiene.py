@@ -786,3 +786,79 @@ def corpus_gopher_quality_rules(spark: SparkSession,
         bit(p_stop).alias("pass_stop"),
         bit(p_words & p_wordlen & p_alpha & p_symbol & p_stop)
         .alias("keep"))
+
+
+# Semantic decontamination: eval slice + cosine threshold. The eval
+# stand-in reuses corpus_decontamination's doc_id % 97 convention on
+# vec_ids so the two passes audit the same held-out identity space.
+_SEMDECON_MOD = 97
+_SEMDECON_TAU = "0.4"   # exact decimal literal, both engines
+
+
+@query("corpus_decontamination_semantic", oracle=f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+ev AS (SELECT * FROM e WHERE vec_id % {_SEMDECON_MOD} = 0),
+tr AS (SELECT * FROM e WHERE vec_id % {_SEMDECON_MOD} <> 0),
+scored AS (
+  SELECT tr.vec_id, ev.vec_id AS eval_id,
+         round(list_cosine_similarity(tr.emb, ev.emb), 6) AS cos
+  FROM tr JOIN ev ON true),
+best AS (
+  SELECT vec_id, eval_id, cos FROM (
+    SELECT vec_id, eval_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, eval_id) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
+       cos >= {_SEMDECON_TAU} AS contaminated
+FROM best
+""")
+def corpus_decontamination_semantic(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: flag training vectors whose embedding
+    sits within cosine {_SEMDECON_TAU} of ANY held-out eval vector
+    (vec_id % {_SEMDECON_MOD} == 0 stands in for the benchmark, the
+    same held-out convention as the n-gram pass). N-gram
+    decontamination (corpus_decontamination) catches verbatim leakage;
+    paraphrased or translated eval items share no n-grams and only the
+    embedding-space pass catches them — production pipelines run BOTH,
+    and this pair is that audit. Output keeps the nearest eval id and
+    score so a flagged doc is reviewable, not just dropped.
+
+    Physical shape is the exact brute-force eval sweep: the EVAL side
+    is benchmark-sized, so it BROADCASTS (sim_topk_cosine's posture)
+    and cost is |train| x |eval| dot products in one narrow pass —
+    at 100 TB, the same banded sign-LSH that powers
+    dedup_embedding_lsh drops in as the candidate generator when
+    |eval| outgrows the broadcast budget (equi-join on band buckets,
+    union of tables, exact rerank — machinery already in this repo).
+    Zero-norm vectors are excluded fleet-wide per the degenerate-
+    embeddings convention; ranking compares ROUNDED cosines with
+    eval-id tie-break, so the nearest-eval attribution is
+    engine-stable."""
+    from ..functions.vector import dot_col, l2norm_col
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    ev = (emb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+          .select(F.col("vec_id").alias("eval_id"),
+                  F.col("embedding").alias("ee"), F.col("nrm").alias("en")))
+    tr = (emb.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+          .select("vec_id", F.col("embedding").alias("te"),
+                  F.col("nrm").alias("tn")))
+    scored = (tr.crossJoin(F.broadcast(ev))
+              .select("vec_id", "eval_id",
+                      F.round(dot_col(F.col("te"), F.col("ee"))
+                              / (F.col("tn") * F.col("en")), 6)
+                      .alias("cos")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("eval_id").alias("nearest_eval_id"),
+                    F.col("cos").alias("max_cos"),
+                    (F.col("cos") >= float(_SEMDECON_TAU))
+                    .alias("contaminated")))

@@ -97,6 +97,7 @@ LLM_QUERIES = [
     "corpus_gopher_quality_rules", "ml_adaboost_stumps",
     "text_zipf_fit", "grouped_ols_residuals_pandas",
     "multimodal_brightness_contrast_filter",
+    "corpus_decontamination_semantic",
 ]
 
 

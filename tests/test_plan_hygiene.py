@@ -67,6 +67,10 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # declared twin of the bucketed ANN paths (sim_topk_cosine
                 # precedent)
                 "sim_matryoshka_truncation_eval",
+                # broadcast benchmark-sized eval side x training stream —
+                # the semantic-decontamination exact sweep (banded LSH is
+                # the documented scale path when |eval| outgrows broadcast)
+                "corpus_decontamination_semantic",
                 # 1-ROW SCALAR broadcast cross joins (divisor cardinality /
                 # overall mean / reference instant) — model state crossed
                 # into the stream, never data x data

@@ -629,7 +629,8 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "dedup_embedding_lsh", "sim_graph_greedy_search",
                  "ml_knn_classifier_eval", "ml_label_noise_knn",
                  "sim_knn_graph_adaptive",
-                 "pipeline_embedding_dedup", "sim_mmr_rerank"):
+                 "pipeline_embedding_dedup", "sim_mmr_rerank",
+                 "corpus_decontamination_semantic"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

@@ -489,3 +489,53 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      / (F.col("n1") + F.col("n2"))), 6)
                     .alias("ks_scaled"),
                     "at_value"))
+
+
+@query("dq_observe_inflight_metrics", oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+""")
+def dq_observe_inflight_metrics(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """IN-FLIGHT data-quality metrics via Spark's Observation API
+    (df.observe): the row count, integer-cents money total, null
+    count, and key range are collected AS A SIDE CHANNEL of the same
+    single pass that processes the data — the Delta-Live-Tables
+    "expectations" pattern, and the only way to audit a 100 TB pipeline
+    run without paying a second full scan for the audit. The observed
+    metrics are accumulator-backed (exactly-once per row for
+    deterministic actions), so they are the numbers the RUN actually
+    saw, not a later re-read that a concurrent writer could skew.
+
+    The pass itself is a noop-sink write (the pipeline stand-in); the
+    returned one-row frame is the observation, and the DuckDB oracle
+    recomputes the same five aggregates from the source — money sums in
+    exact integer cents (round(x*100) per row, bigint addition: the
+    fixed-width source's float-ulp lesson). Scale: ONE scan, metrics
+    combine map-side in the accumulator tree, zero extra shuffles."""
+    from pyspark.sql import Observation
+
+    orders = load(spark, sf_dir, "orders")
+    obs = Observation("dq_inflight")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("sum_cents"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .alias("n_null_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"))
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_null_price"]),
+          int(m["min_key"]), int(m["max_key"]))],
+        "n_rows bigint, sum_cents bigint, n_null_price bigint, "
+        "min_key bigint, max_key bigint")

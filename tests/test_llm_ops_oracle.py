@@ -98,6 +98,7 @@ LLM_QUERIES = [
     "text_zipf_fit", "grouped_ols_residuals_pandas",
     "multimodal_brightness_contrast_filter",
     "corpus_decontamination_semantic",
+    "dq_observe_inflight_metrics",
 ]
 
 

@@ -29,7 +29,10 @@ _SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
                       "text_quality_filter_approx", "timeseries_gapfill",
                       "rbm_cd1_two_epochs",
                       # eager peel loop (persist+count per round, CC-style)
-                      "graph_kcore_dup_clusters"}
+                      "graph_kcore_dup_clusters",
+                      # Observation side-channel: the one-pass noop write
+                      # runs at query-construction time by design
+                      "dq_observe_inflight_metrics"}
 
 # declared all-pairs / nested-loop queries (test-SF ground truth or
 # intentionally non-equi): the only places cartesian-family joins may appear

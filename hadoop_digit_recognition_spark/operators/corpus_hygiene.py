@@ -862,3 +862,55 @@ def corpus_decontamination_semantic(spark: SparkSession,
                     F.col("cos").alias("max_cos"),
                     (F.col("cos") >= float(_SEMDECON_TAU))
                     .alias("contaminated")))
+
+
+# Composed contamination audit: both oracles are reused VERBATIM as
+# CTE bodies, so the report can never drift from its two constituent
+# passes (the EMB_BAND_BUCKETS_SQL single-source precedent).
+from ..registry import ORACLE_SQL as _OSQL  # noqa: E402
+
+_CONTAM_REPORT_ORACLE = f"""
+WITH ng AS ({_OSQL["corpus_decontamination"]}),
+sem AS ({_OSQL["corpus_decontamination_semantic"]})
+SELECT ng.doc_id, ng.n_hits, sem.max_cos,
+       CASE WHEN ng.contaminated AND coalesce(sem.contaminated, false)
+              THEN 'both'
+            WHEN ng.contaminated THEN 'ngram'
+            WHEN coalesce(sem.contaminated, false) THEN 'semantic'
+            ELSE 'clean' END AS flagged_by
+FROM ng LEFT JOIN sem ON sem.vec_id = ng.doc_id
+"""
+
+
+@query("corpus_contamination_report", oracle=_CONTAM_REPORT_ORACLE)
+def corpus_contamination_report(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The UNIFIED decontamination verdict: every training document
+    audited in BOTH spaces at once — verbatim n-gram overlap with the
+    eval set (corpus_decontamination) and embedding-space proximity to
+    it (corpus_decontamination_semantic, vec_id == doc_id row
+    alignment, the corpus_dedup_cascade convention) — with a per-doc
+    flagged_by verdict (ngram / semantic / both / clean). This is the
+    table a data-governance review actually reads: verbatim leaks and
+    paraphrase leaks have different remediations (span removal vs doc
+    drop), so the pipeline needs to know WHICH detector fired.
+
+    Pure composition: both constituent queries are invoked as
+    registered callables and their ORACLES are embedded verbatim as
+    CTEs, so the report is definitionally consistent with its parts.
+    The join keys doc_id == vec_id (LEFT join — docs without a usable
+    embedding, e.g. zero-norm, keep their n-gram verdict with a NULL
+    max_cos). At 100 TB: one doc-keyed equi-join of two audit outputs,
+    each already scale-disciplined in its own right."""
+    ng = corpus_decontamination(spark, sf_dir).select(
+        "doc_id", "n_hits", F.col("contaminated").alias("ng_c"))
+    sem = corpus_decontamination_semantic(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "max_cos",
+        F.col("contaminated").alias("sem_c"))
+    sem_c = F.coalesce(F.col("sem_c"), F.lit(False))
+    return (ng.join(sem, "doc_id", "left")
+            .select("doc_id", "n_hits", "max_cos",
+                    F.when(F.col("ng_c") & sem_c, "both")
+                    .when(F.col("ng_c"), "ngram")
+                    .when(sem_c, "semantic")
+                    .otherwise("clean").alias("flagged_by")))

@@ -74,6 +74,8 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # the semantic-decontamination exact sweep (banded LSH is
                 # the documented scale path when |eval| outgrows broadcast)
                 "corpus_decontamination_semantic",
+                # composes the semantic sweep above — same broadcast
+                "corpus_contamination_report",
                 # 1-ROW SCALAR broadcast cross joins (divisor cardinality /
                 # overall mean / reference instant) — model state crossed
                 # into the stream, never data x data

@@ -874,3 +874,95 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id",
                     F.sum("first_seen").over(w2).cast("bigint")
                     .alias("cum_distinct_types")))
+
+
+@query("asof_join_interpolate", oracle="""
+WITH c0 AS (
+  SELECT user_id, epoch_us(ts) AS us, value, event_id,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'),
+c AS (SELECT user_id, us, value FROM c0 WHERE rn = 1),
+p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'),
+prev AS (
+  SELECT p.purchase_id, c.us AS prev_us, c.value AS v_prev
+  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us),
+nxt AS (
+  SELECT p.purchase_id, c.us AS next_us, c.value AS v_next
+  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us <= c.us)
+SELECT p.purchase_id, p.user_id, p.us,
+       prev.prev_us, nxt.next_us,
+       round(CASE
+         WHEN prev.prev_us IS NULL THEN nxt.v_next
+         WHEN nxt.next_us IS NULL THEN prev.v_prev
+         WHEN nxt.next_us = prev.prev_us THEN prev.v_prev
+         ELSE prev.v_prev + (nxt.v_next - prev.v_prev)
+              * (p.us - prev.prev_us) * 1.0 / (nxt.next_us - prev.prev_us)
+       END, 6) AS interp_value
+FROM p
+LEFT JOIN prev USING (purchase_id)
+LEFT JOIN nxt USING (purchase_id)
+WHERE prev.prev_us IS NOT NULL OR nxt.next_us IS NOT NULL
+""")
+def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATING as-of join — the missing fourth as-of semantic
+    next to backward / forward / nearest: each purchase gets a value
+    LINEARLY INTERPOLATED between the bracketing clicks of the same
+    user (v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)),
+    falling back to hold-last / hold-next at the series edges — how a
+    timeseries store (kdb, InfluxDB, pandas interpolate) samples a
+    quote curve at trade times instead of snapping to one side.
+
+    Determinism: the click stream is first deduped to ONE row per
+    (user, instant) (max event_id wins — an integer rule), so neither
+    engine ever chooses between equal-timestamp quotes; timestamps are
+    exact epoch micros, the interpolation weight is a single double
+    division of integer deltas (identical IEEE result), and the output
+    rounds to the 6-digit grid. Exact-hit purchases (a click at the
+    same instant) bracket themselves (prev_us == next_us) and take
+    v_prev. Spark side is two union+ordered-window passes (the
+    native-ASOF-less decomposition asof_join documents) on one
+    user-keyed shuffle; DuckDB replays with its native ASOF JOIN in
+    both directions — two engines, two idioms, one answer. At 100 TB:
+    one shuffle on user_id, two window passes, no range explosion."""
+    ev = load(spark, sf_dir, "events")
+    dedup_w = W.partitionBy("user_id", "ts_us").orderBy(F.desc("event_id"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .withColumn("rn", F.row_number().over(dedup_w))
+         .filter(F.col("rn") == 1)
+         .select("user_id", F.col("ts_us").alias("us"), "value"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts_us").alias("us")))
+
+    clicks = c.select("user_id", "us", F.lit(0).alias("kind"),
+                      F.lit(None).cast("long").alias("purchase_id"),
+                      F.struct(F.col("us").alias("cus"),
+                               F.col("value").alias("cv")).alias("cs"))
+    purch = p.select("user_id", "us", F.lit(1).alias("kind"), "purchase_id",
+                     F.lit(None).cast(
+                         "struct<cus:long,cv:double>").alias("cs"))
+    merged = clicks.unionByName(purch)
+    # backward: clicks sort BEFORE purchases at equal us (kind 0 < 1)
+    wb = (W.partitionBy("user_id").orderBy("us", "kind")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # forward: purchases first at equal us, so same-instant clicks are
+    # still eligible as "next"
+    wf = (W.partitionBy("user_id").orderBy("us", F.desc("kind"))
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    both = (merged
+            .withColumn("prev", F.last("cs", ignorenulls=True).over(wb))
+            .withColumn("nxt", F.first("cs", ignorenulls=True).over(wf))
+            .filter(F.col("kind") == 1))
+    pus, pv = F.col("prev.cus"), F.col("prev.cv")
+    nus, nv = F.col("nxt.cus"), F.col("nxt.cv")
+    interp = (F.when(pus.isNull(), nv)
+              .when(nus.isNull(), pv)
+              .when(nus == pus, pv)
+              .otherwise(pv + (nv - pv) * (F.col("us") - pus) * 1.0
+                         / (nus - pus)))
+    return (both.filter(pus.isNotNull() | nus.isNotNull())
+            .select("purchase_id", "user_id", "us",
+                    pus.alias("prev_us"), nus.alias("next_us"),
+                    F.round(interp, 6).alias("interp_value")))

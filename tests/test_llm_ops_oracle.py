@@ -99,7 +99,7 @@ LLM_QUERIES = [
     "multimodal_brightness_contrast_filter",
     "corpus_decontamination_semantic",
     "dq_observe_inflight_metrics",
-    "corpus_contamination_report",
+    "corpus_contamination_report", "asof_join_interpolate",
 ]
 
 

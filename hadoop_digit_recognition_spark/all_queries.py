@@ -103,7 +103,18 @@ def _rotate_for_driver_coverage() -> None:
         "hadoop_digit_recognition_spark.operators.physical": 6,
     }
 
+    # Queries added AFTER the round-7 window was curated (mid-round
+    # additions): hold them behind every longer-waiting zero-seen query so
+    # the curated first-50 window is undisturbed; they enter the window in
+    # later rounds through the same zero-seen-first rotation.
+    _ADDED_LATE = {
+        "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
+        "dedup_record_linkage_fs", "sketch_kmv_intersection",
+    }
+
     def _family(n: str) -> int:
+        if n in _ADDED_LATE:
+            return 10
         if n in _NAME_PRIORITY:
             return 0
         return _FAMILY_PRIORITY.get(

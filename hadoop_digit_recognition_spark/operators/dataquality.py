@@ -539,3 +539,71 @@ def dq_observe_inflight_metrics(spark: SparkSession,
           int(m["min_key"]), int(m["max_key"]))],
         "n_rows bigint, sum_cents bigint, n_null_price bigint, "
         "min_key bigint, max_key bigint")
+
+
+# l-diversity threshold and its (coarser-than-k-anonymity) QI bucket:
+# wider classes make the sensitive-value distribution the interesting
+# part, which is exactly what l-diversity audits.
+L_DIV, LDIV_BUCKET = 3, 64
+
+
+@query("dq_l_diversity", oracle=f"""
+WITH cnt AS (
+  SELECT source, n_chars // {LDIV_BUCKET} AS size_bucket, lang,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+w AS (
+  SELECT source, size_bucket, lang, n,
+         sum(n) OVER (PARTITION BY source, size_bucket) AS gs,
+         count(*) OVER (PARTITION BY source, size_bucket) AS n_langs
+  FROM cnt)
+SELECT source, CAST(size_bucket AS BIGINT) AS size_bucket,
+       CAST(gs AS BIGINT) AS group_size,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       round(-sum((n * 1.0 / gs) * log2(n * 1.0 / gs)), 6) AS entropy_l,
+       n_langs < {L_DIV} AS violates_l
+FROM w GROUP BY source, size_bucket, gs, n_langs
+""")
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit (Machanavajjhala et al. 2007) — the privacy
+    gate k-anonymity misses: a class can satisfy k and still leak the
+    sensitive attribute when every member SHARES it (the homogeneity
+    attack). Group the corpus by its quasi-identifier tuple
+    (source, coarse length bucket), treat `lang` as the sensitive
+    attribute, and report per-class distinct-l (how many sensitive
+    values appear) plus Shannon entropy of the sensitive distribution
+    (the entropy-l-diversity refinement); classes with fewer than l=3
+    distinct values are flagged for suppression/generalization.
+    Composes with dq_k_anonymity (class SIZE) the way the paper layers
+    the two definitions.
+
+    The violation FLAG is an integer distinct-count test — never the
+    float entropy (a p=1/3-uniform class lands exactly on the log2(l)
+    boundary, where cross-engine ulp would flip it); entropy is
+    reported as a metric only, on the text_word_entropy precedent.
+
+    Scale shape: one combiner'd count over (QI, sensitive) — sensitive-
+    cardinality × class-count rows, corpus-independent state — then a
+    window + re-aggregate on the CLASS key only. At 100 TB the only
+    corpus-wide work is the first grouped count; the entropy stage
+    runs on model-sized state."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.groupBy(
+               "source",
+               F.floor(F.col("n_chars") / LDIV_BUCKET).cast("bigint")
+                .alias("size_bucket"),
+               "lang")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = W.partitionBy("source", "size_bucket")
+    e = (cnt.withColumn("gs", F.sum("n").over(w))
+         .withColumn("n_langs", F.count(F.lit(1)).over(w)))
+    p = F.col("n") * 1.0 / F.col("gs")
+    return (e.groupBy("source", "size_bucket",
+                      F.col("gs").cast("bigint").alias("group_size"),
+                      F.col("n_langs").cast("bigint").alias("n_langs"))
+            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_l"))
+            .select("source", "size_bucket", "group_size", "n_langs",
+                    "entropy_l",
+                    (F.col("n_langs") < L_DIV).alias("violates_l")))

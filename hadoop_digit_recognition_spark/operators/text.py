@@ -1244,6 +1244,18 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the next round's pair counts); production trains thousands
     of rounds with this exact per-round plan."""
     docs = load_parallel(spark, sf_dir, "documents")
+    _, outs = _bpe_train_states(docs)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _bpe_train_states(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared BPE training loop (text_bpe_merge_train's plan, factored so
+    text_bpe_encode applies the IDENTICAL learned merges): returns the
+    final word state after _BPE_ROUNDS merges plus the per-round
+    best-pair frames."""
     wf = (docs.select(F.explode(F.split("text", " ")).alias("word"))
           .filter(F.col("word") != "")
           .groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("freq")))
@@ -1281,10 +1293,80 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.col("r"), F.lit(",")),
                              F.concat(F.lit(" "), F.col("l"), F.col("r"),
                                       F.lit(","))).alias("repr")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return state, outs
+
+
+# Report size for text_bpe_encode: the most frequent words, where the
+# learned merges actually bind.
+_BPE_ENC_TOP = 40
+
+
+@query("text_bpe_encode", oracle=f"""
+WITH wf AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+s0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1),
+                          i -> word[CAST(i AS INTEGER)] || ','), ' ')
+           AS repr
+  FROM wf),
+{",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))},
+enc AS (
+  SELECT word, freq,
+         list_transform(
+           list_filter(string_split(repr, ' '), x -> x != ''),
+           x -> rtrim(x, ',')) AS toks
+  FROM s{_BPE_ROUNDS}),
+ranked AS (
+  SELECT word, freq,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         array_to_string(toks, ' ') AS tokens,
+         row_number() OVER (ORDER BY freq DESC, word) AS rnk
+  FROM enc)
+SELECT word, freq, n_tokens, tokens, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_BPE_ENC_TOP}
+""")
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — apply the learned merge table (Sennrich et al.
+    2016, the inference half of text_bpe_merge_train): after the
+    {_BPE_ROUNDS} trained merges, each word's symbol state IS its
+    tokenization, so encoding falls out of replaying the training
+    replace chain on the word-frequency table. Reports the
+    top-{_BPE_ENC_TOP} words by frequency (deterministic ties by word)
+    with their token sequence and token count — the
+    compression-per-word artifact a tokenizer evaluation ships
+    (frequent words should fuse to few tokens; rare words stay
+    character-split).
+
+    Training is the SAME factored loop as text_bpe_merge_train
+    (_bpe_train_states), so the merges here are bit-identical to the
+    published merge table — the pair a real tokenizer must guarantee
+    (train/encode skew is a production bug class).
+
+    Scale shape: identical to the trainer — one corpus-wide word count,
+    then vocabulary-sized state per round with 1-row broadcast best-pair
+    scalars; the encode step adds only a projection over the final
+    state plus a report-sized top-k sort. Encoding a NEW corpus with a
+    SHIPPED merge table is the same replace chain seeded from the
+    published merges instead of the per-round best computation."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    state, _ = _bpe_train_states(docs)
+    toks = F.transform(
+        F.filter(F.split("repr", " "), lambda x: x != ""),
+        lambda x: F.rtrim(x, F.lit(",")))
+    enc = state.select(
+        "word", "freq",
+        F.size(F.filter(F.split("repr", " "), lambda x: x != ""))
+        .cast("bigint").alias("n_tokens"),
+        F.array_join(toks, " ").alias("tokens"))
+    wr = W.orderBy(F.desc("freq"), F.asc("word"))
+    return (enc.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+            .filter(F.col("rnk") <= _BPE_ENC_TOP))
 
 
 # Kneser-Ney: absolute discount and report size.

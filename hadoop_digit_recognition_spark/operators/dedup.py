@@ -1844,3 +1844,120 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_dup_words"),
                     F.round(F.coalesce("n_dup_words", F.lit(0)) * 1.0 / F.col("n_words"), 6)
                      .alias("dup_frac")))
+
+
+# Fellegi-Sunter field weights in integer MICRO-BITS: agreement weight
+# log2(m/u) and disagreement weight log2((1-m)/(1-u)) per field, with
+# (m, u) = P(agree | match), P(agree | non-match). Precomputed in Python
+# and embedded as the SAME integer literals in both engines, so the pair
+# score is pure int64 arithmetic — no float argmax anywhere.
+import math as _math
+
+_FS_FIELDS = {
+    # field            (m,    u)      u ~ chance agreement cardinality
+    "bal_bucket":       (0.90, 0.09),  # ~11 thousand-dollar buckets
+    "name_last":        (0.95, 0.10),  # 10 trailing digits
+    "neg_flag":         (0.98, 0.82),  # ~0.9^2 + 0.1^2 chance agreement
+}
+_FS_W = {f: (round(_math.log2(m / u) * 1e6),
+             round(_math.log2((1 - m) / (1 - u)) * 1e6))
+         for f, (m, u) in _FS_FIELDS.items()}
+_FS_MATCH, _FS_POSSIBLE = 6_000_000, 0  # micro-bit decision thresholds
+
+
+@query("dedup_record_linkage_fs", oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+         substr(c_name, length(c_name), 1) AS name_last,
+         c_acctbal < 0 AS neg_flag
+  FROM customer),
+p AS (
+  SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+         CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END AS ag_bal,
+         CASE WHEN a.name_last = b.name_last THEN 1 ELSE 0 END AS ag_name,
+         CASE WHEN a.neg_flag = b.neg_flag THEN 1 ELSE 0 END AS ag_neg
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+s AS (
+  SELECT custkey_a, custkey_b, ag_bal, ag_name, ag_neg,
+         CAST(CASE WHEN ag_bal = 1 THEN {_FS_W['bal_bucket'][0]}
+                   ELSE {_FS_W['bal_bucket'][1]} END
+            + CASE WHEN ag_name = 1 THEN {_FS_W['name_last'][0]}
+                   ELSE {_FS_W['name_last'][1]} END
+            + CASE WHEN ag_neg = 1 THEN {_FS_W['neg_flag'][0]}
+                   ELSE {_FS_W['neg_flag'][1]} END AS BIGINT)
+           AS weight_micro
+  FROM p)
+SELECT custkey_a, custkey_b,
+       CAST(ag_bal AS BIGINT) AS ag_bal,
+       CAST(ag_name AS BIGINT) AS ag_name,
+       CAST(ag_neg AS BIGINT) AS ag_neg,
+       weight_micro,
+       CASE WHEN weight_micro >= {_FS_MATCH} THEN 'match'
+            ELSE 'possible' END AS decision
+FROM s WHERE weight_micro >= {_FS_POSSIBLE}
+""")
+def dedup_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI-SUNTER probabilistic record linkage (Fellegi & Sunter
+    1969 — the entity-resolution model behind Splink/RecordLinkage):
+    candidate pairs from BLOCKING on (nation, market segment), a
+    field-agreement vector per pair (thousand-dollar balance bucket in
+    exact integer cents, trailing name digit, negative-balance flag),
+    and the log-likelihood-ratio match weight sum(log2(m/u) | agree,
+    log2((1-m)/(1-u)) | disagree) with decision bands match/possible —
+    the linkage rule the paper proves optimal at fixed error rates.
+    Distinct from dedup_fuzzy_levenshtein (string distance on one
+    field): FS fuses MANY weak fields with per-field error rates, which
+    is how census/CRM linkage actually decides.
+
+    Determinism: weights are integer micro-bits precomputed in Python
+    and embedded as identical literals in both engines (_FS_W), the
+    balance bucket goes through round(x*100)::bigint cents (the
+    fixed-width source's float-ulp lesson), so pair scoring and both
+    thresholds are pure int64 — no float comparison anywhere.
+
+    Scale shape: blocking bounds the quadratic — the self-join shuffles
+    once on the block key and each block compares internally (the
+    LSH-band pattern with a domain key instead of a hash band). Block
+    sizes here are corpus/|blocks|; production blocks on higher-
+    cardinality keys (phonetic name + zip) and the EM-estimated m/u
+    step is one grouped aggregate over a labeled sample of THESE
+    weights. Output is the above-threshold pairs only (review queue +
+    auto-links), a small fraction of candidates."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") / 100000)
+        .cast("bigint").alias("bal_bucket"),
+        F.substring(F.col("c_name"), -1, 1).alias("name_last"),
+        (F.col("c_acctbal") < 0).alias("neg_flag"))
+    a, b = c.alias("a"), c.alias("b")
+    p = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+         .select(F.col("a.c_custkey").alias("custkey_a"),
+                 F.col("b.c_custkey").alias("custkey_b"),
+                 F.when(F.col("a.bal_bucket") == F.col("b.bal_bucket"), 1)
+                 .otherwise(0).alias("ag_bal"),
+                 F.when(F.col("a.name_last") == F.col("b.name_last"), 1)
+                 .otherwise(0).alias("ag_name"),
+                 F.when(F.col("a.neg_flag") == F.col("b.neg_flag"), 1)
+                 .otherwise(0).alias("ag_neg")))
+    w = (F.when(F.col("ag_bal") == 1, F.lit(_FS_W["bal_bucket"][0]))
+         .otherwise(F.lit(_FS_W["bal_bucket"][1]))
+         + F.when(F.col("ag_name") == 1, F.lit(_FS_W["name_last"][0]))
+         .otherwise(F.lit(_FS_W["name_last"][1]))
+         + F.when(F.col("ag_neg") == 1, F.lit(_FS_W["neg_flag"][0]))
+         .otherwise(F.lit(_FS_W["neg_flag"][1])))
+    s = p.withColumn("weight_micro", w.cast("bigint"))
+    return (s.filter(F.col("weight_micro") >= _FS_POSSIBLE)
+            .select("custkey_a", "custkey_b",
+                    F.col("ag_bal").cast("bigint").alias("ag_bal"),
+                    F.col("ag_name").cast("bigint").alias("ag_name"),
+                    F.col("ag_neg").cast("bigint").alias("ag_neg"),
+                    "weight_micro",
+                    F.when(F.col("weight_micro") >= _FS_MATCH, "match")
+                    .otherwise("possible").alias("decision")))

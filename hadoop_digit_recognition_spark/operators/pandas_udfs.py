@@ -312,3 +312,105 @@ def grouped_ols_residuals_pandas(spark: SparkSession,
         fit_group,
         "doc_id bigint, source string, x bigint, y bigint, "
         "slope double, intercept double, resid double")
+
+
+# Holt's linear-trend smoothing constants. BINARY fractions on purpose:
+# with integer monthly counts as input, every level/trend value is a
+# dyadic rational, so the Python loop and the oracle's recursive CTE
+# produce bit-identical doubles as long as the expression trees match
+# (and once 2^-k precision exhausts, both engines round the SAME ops the
+# same way). A decimal alpha like 0.3 would work too — it is the same
+# float64 in both engines — but dyadic constants also keep early values
+# off round(,6) half-boundaries (a dyadic can never equal a *.xxxxxx5
+# decimal, which needs a factor 5^7 in the denominator).
+_HOLT_A, _HOLT_B = 0.5, 0.25
+
+
+@query("timeseries_holt_linear", oracle=f"""
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority AS grp,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT grp, month, CAST(y AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t
+  FROM m),
+rec AS (
+  SELECT s1.grp, s1.month, CAST(1 AS BIGINT) AS t, s1.y,
+         s1.y AS level, s2.y - s1.y AS trend,
+         CAST(NULL AS DOUBLE) AS fitted
+  FROM s s1 JOIN s s2 ON s1.grp = s2.grp AND s1.t = 1 AND s2.t = 2
+  UNION ALL
+  SELECT s.grp, s.month, s.t, s.y,
+         {_HOLT_A} * s.y + {1 - _HOLT_A} * (r.level + r.trend),
+         {_HOLT_B} * (({_HOLT_A} * s.y
+                       + {1 - _HOLT_A} * (r.level + r.trend)) - r.level)
+           + {1 - _HOLT_B} * r.trend,
+         r.level + r.trend
+  FROM rec r JOIN s ON s.grp = r.grp AND s.t = r.t + 1)
+SELECT grp AS o_orderpriority, CAST(month AS VARCHAR) AS month, t,
+       CAST(y AS BIGINT) AS y,
+       round(level, 6) AS level, round(trend, 6) AS trend,
+       round(fitted, 6) AS fitted
+FROM rec
+""")
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT'S LINEAR-TREND double exponential smoothing (Holt 1957 —
+    the level+trend forecaster demand planning runs per SKU): per
+    order-priority monthly series, l_t = a*y_t + (1-a)(l_(t-1)+b_(t-1)),
+    b_t = b*(l_t - l_(t-1)) + (1-b)*b_(t-1), seeded l_1=y_1,
+    b_1=y_2-y_1, with the one-step-ahead forecast l+b as the fitted
+    value. A RECURRENCE, not a windowed sum — EWMA (timeseries_ewma)
+    flattens to a weighted window sum, but the trend term makes Holt a
+    2-state linear recurrence that SQL windows cannot express, which is
+    exactly the per-series stateful shape applyInPandas exists for.
+    Oracle: the same recurrence as a recursive CTE joining the month
+    index (the dedup connected-components precedent).
+
+    Cross-engine determinism: see _HOLT_A — identical float64 expression
+    trees over dyadic constants and integer inputs; the Python loop and
+    the CTE perform the same IEEE ops in the same order, and rounding
+    happens ONCE at the output (Spark-side F.round matches DuckDB round,
+    both half-away-from-zero).
+
+    Scale shape: the monthly pre-aggregate is the only corpus-wide work
+    (one combiner'd shuffle, series-length x group-count rows out);
+    applyInPandas then ships each series to one task — state is two
+    doubles, series fit trivially, and a 100 TB deployment runs one
+    task per series key (SKU/entity), the standard forecasting fan-out.
+    Groups shorter than 2 months drop on both sides (no trend seed)."""
+    orders = load(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+         .agg(F.count(F.lit(1)).alias("y")))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["grp", "month", "t", "y",
+                                         "level", "trend", "fitted"])
+        ys = [float(v) for v in pdf["y"]]
+        lev, tr = ys[0], ys[1] - ys[0]
+        rows = [(pdf["grp"][0], pdf["month"][0], 1, int(pdf["y"][0]),
+                 lev, tr, None)]
+        for i in range(1, len(ys)):
+            fitted = lev + tr
+            l_new = _HOLT_A * ys[i] + (1 - _HOLT_A) * (lev + tr)
+            b_new = _HOLT_B * (l_new - lev) + (1 - _HOLT_B) * tr
+            rows.append((pdf["grp"][0], pdf["month"][i], i + 1,
+                         int(pdf["y"][i]), l_new, b_new, fitted))
+            lev, tr = l_new, b_new
+        return pd.DataFrame(rows, columns=["grp", "month", "t", "y",
+                                           "level", "trend", "fitted"])
+
+    out = m.groupBy("grp").applyInPandas(
+        holt,
+        "grp string, month date, t bigint, y bigint, "
+        "level double, trend double, fitted double")
+    return out.select(F.col("grp").alias("o_orderpriority"),
+                      F.col("month").cast("string").alias("month"), "t",
+                      "y", F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("fitted", 6).alias("fitted"))

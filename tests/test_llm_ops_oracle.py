@@ -100,6 +100,8 @@ LLM_QUERIES = [
     "corpus_decontamination_semantic",
     "dq_observe_inflight_metrics",
     "corpus_contamination_report", "asof_join_interpolate",
+    "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
+    "dedup_record_linkage_fs", "sketch_kmv_intersection",
 ]
 
 

@@ -66,6 +66,12 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # the 5-row TYPE table and 256-row register state — model
                 # state x model state, never data x data
                 "sketch_hll_intersection",
+                # same shape for the KMV/theta algebra: 5-row theta table
+                # x K-row sketch samples — model state x model state
+                "sketch_kmv_intersection",
+                # replays the trainer's six 1-row best-pair scalars
+                # (text_bpe_merge_train precedent, shared loop)
+                "text_bpe_encode",
                 # broadcast-query-side exact all-pairs baseline, the
                 # declared twin of the bucketed ANN paths (sim_topk_cosine
                 # precedent)

@@ -531,7 +531,10 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  "events_power_user_gini", "events_new_vs_returning",
                  "events_hour_dow_heatmap", "agg_hhi_concentration_events"
                  if "agg_hhi_concentration_events" in SPARK_QUERIES
-                 else "events_session_paths"):
+                 else "events_session_paths",
+                 # empty sketch intersections (one-type users) are the
+                 # 0/0 regime for the KMV pair estimates
+                 "sketch_kmv_intersection"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -583,7 +586,8 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "dedup_minhash_lsh_capped", "text_kn_perplexity_filter",
                  "corpus_gopher_quality_rules", "corpus_dsir_importance",
                  "corpus_weighted_reservoir", "text_zipf_fit",
-                 "graph_clustering_coefficient"):
+                 "graph_clustering_coefficient", "text_bpe_encode",
+                 "dq_l_diversity"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -110,6 +110,7 @@ def _rotate_for_driver_coverage() -> None:
     _ADDED_LATE = {
         "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
         "dedup_record_linkage_fs", "sketch_kmv_intersection",
+        "timeseries_theil_sen", "ml_ridge_path",
     }
 
     def _family(n: str) -> int:

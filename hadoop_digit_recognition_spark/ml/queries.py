@@ -1051,3 +1051,120 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.col("nok") * 1.0 / F.col("n"), 9)
                   .alias("ens_acc")))
     return r1.unionByName(r2)
+
+
+# Ridge penalties for ml_ridge_path: integer literals, lambda=0 is the
+# OLS corner of the path.
+_RIDGE_LAMS = (0, 1000, 1000000)
+
+
+@query("ml_ridge_path", oracle=f"""
+WITH t AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+         n_chars AS x2,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+         CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+         CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+         CAST(sum(x2 * y) AS DOUBLE) AS sx2y
+  FROM t),
+p AS (
+  SELECT s.*, CAST(lam AS DOUBLE) AS lam
+  FROM s CROSS JOIN unnest([{", ".join(str(v) for v in _RIDGE_LAMS)}])
+       AS u(lam)),
+d AS (
+  SELECT lam, n, s1, s2, sy, sx1y, sx2y,
+         s11 + lam AS a11, s12 AS a12, s22 + lam AS a22
+  FROM p),
+sol AS (
+  SELECT lam,
+         n * (a11 * a22 - a12 * a12)
+           - s1 * (s1 * a22 - a12 * s2)
+           + s2 * (s1 * a12 - a11 * s2) AS det,
+         sy * (a11 * a22 - a12 * a12)
+           - s1 * (sx1y * a22 - sx2y * a12)
+           + s2 * (sx1y * a12 - sx2y * a11) AS det0,
+         n * (sx1y * a22 - sx2y * a12)
+           - sy * (s1 * a22 - s2 * a12)
+           + s2 * (s1 * sx2y - s2 * sx1y) AS det1,
+         n * (a11 * sx2y - a12 * sx1y)
+           - s1 * (s1 * sx2y - s2 * sx1y)
+           + sy * (s1 * a12 - a11 * s2) AS det2
+  FROM d)
+SELECT CAST(lam AS BIGINT) AS lam,
+       round(det0 / det, 6) AS b0,
+       round(det1 / det, 6) AS b1,
+       round(det2 / det, 6) AS b2,
+       round(sqrt((det1 / det) * (det1 / det)
+                  + (det2 / det) * (det2 / det)), 6) AS coef_l2
+FROM sol
+""")
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE REGRESSION PATH by closed form (Hoerl & Kennard 1970):
+    the two-feature normal equations of ml_ols_two_feature with the L2
+    penalty lam added to the feature diagonal (intercept unpenalized,
+    the standard convention), solved by the same Cramer expansion at
+    THREE penalties {_RIDGE_LAMS} — lam=0 IS the OLS corner, and the
+    coefficient L2 norm column shows the shrinkage monotonically
+    biting. The regularization-path-in-one-aggregate trick: the
+    sufficient statistics (X'X, X'y) are penalty-independent, so the
+    whole path costs ONE scan + a 3-row projection — exactly why
+    production hyperparameter sweeps on huge data precompute moments.
+
+    Determinism: exact integer moments cast to lossless doubles (the
+    OLS argument), penalties are integer literals, both engines
+    evaluate the same determinant expression tree; divisions and the
+    norm round once at output.
+
+    Scale shape: one combiner'd 9-sum aggregate over the corpus; the
+    path explodes a 1-row frame by a 3-element literal array — no
+    join, no second pass, state O(features^2) independent of rows."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    t = docs.select(
+        F.size(w).cast("bigint").alias("x1"),
+        F.col("n_chars").alias("x2"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("y"))
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * y).cast("double").alias("sx1y"),
+        F.sum(x2 * y).cast("double").alias("sx2y"))
+    p = s.select(
+        "*", F.explode(F.array(*[F.lit(float(v)) for v in _RIDGE_LAMS]))
+        .alias("lam"))
+    a11 = F.col("s11") + F.col("lam")
+    a12 = F.col("s12")
+    a22 = F.col("s22") + F.col("lam")
+    c = {k: F.col(k) for k in ("n", "s1", "s2", "sy", "sx1y", "sx2y")}
+    det = (c["n"] * (a11 * a22 - a12 * a12)
+           - c["s1"] * (c["s1"] * a22 - a12 * c["s2"])
+           + c["s2"] * (c["s1"] * a12 - a11 * c["s2"]))
+    det0 = (c["sy"] * (a11 * a22 - a12 * a12)
+            - c["s1"] * (c["sx1y"] * a22 - c["sx2y"] * a12)
+            + c["s2"] * (c["sx1y"] * a12 - c["sx2y"] * a11))
+    det1 = (c["n"] * (c["sx1y"] * a22 - c["sx2y"] * a12)
+            - c["sy"] * (c["s1"] * a22 - c["s2"] * a12)
+            + c["s2"] * (c["s1"] * c["sx2y"] - c["s2"] * c["sx1y"]))
+    det2 = (c["n"] * (a11 * c["sx2y"] - a12 * c["sx1y"])
+            - c["s1"] * (c["s1"] * c["sx2y"] - c["s2"] * c["sx1y"])
+            + c["sy"] * (c["s1"] * a12 - a11 * c["s2"]))
+    b1, b2 = det1 / det, det2 / det
+    return p.select(
+        F.col("lam").cast("bigint").alias("lam"),
+        F.round(det0 / det, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(F.sqrt(b1 * b1 + b2 * b2), 6).alias("coef_l2"))

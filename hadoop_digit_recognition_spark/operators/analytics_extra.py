@@ -2198,3 +2198,99 @@ def agg_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("share_of_region"),
                     (F.col("n_orders") / F.col("grand_total").cast("double"))
                     .alias("share_of_total")))
+
+
+@query("timeseries_theil_sen", oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT grp, CAST(y AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t
+  FROM m),
+pr AS (
+  SELECT a.grp, a.t AS t1, b.t AS t2,
+         (b.y - a.y) * 1.0 / (b.t - a.t) AS slope
+  FROM s a JOIN s b ON a.grp = b.grp AND a.t < b.t),
+rk AS (
+  SELECT grp, slope,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY slope, t1, t2) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_pairs
+  FROM pr),
+sen AS (
+  SELECT grp, slope AS sen_slope, n_pairs FROM rk
+  WHERE rn = (n_pairs + 1) // 2),
+ry AS (
+  SELECT grp, y, t,
+         row_number() OVER (PARTITION BY grp ORDER BY y, t) AS rn,
+         count(*) OVER (PARTITION BY grp) AS n_points
+  FROM s),
+med AS (
+  SELECT grp, CAST(y AS DOUBLE) AS med_y, t AS med_t, n_points FROM ry
+  WHERE rn = (n_points + 1) // 2)
+SELECT sen.grp AS o_orderpriority,
+       CAST(med.n_points AS BIGINT) AS n_points,
+       CAST(sen.n_pairs AS BIGINT) AS n_pairs,
+       round(sen.sen_slope, 6) AS sen_slope,
+       round(med.med_y - sen.sen_slope * med.med_t, 6) AS sen_intercept
+FROM sen JOIN med ON sen.grp = med.grp
+""")
+def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend estimator (Theil 1950; Sen 1968 — the
+    median-of-pairwise-slopes line, 29% breakdown point vs OLS's
+    zero): per order-priority monthly series, every pair (t1<t2)
+    contributes slope (y2-y1)/(t2-t1); the estimate is the LOWER
+    MEDIAN slope with a total order (slope, t1, t2), and the intercept
+    is med(y) - slope*med(t) (Sen's form, lower medians throughout).
+    The robust-regression sibling of timeseries_holt_linear
+    (smoothing) and ml_ols_two_feature (L2 fit): one outlier month
+    (promo spike, logging gap) moves OLS arbitrarily but not this.
+
+    Determinism: slopes are int64-difference ratios — identical
+    doubles cross-engine — and every median is a row_number pick at
+    rank (n+1)//2 under an explicit total order, never an
+    interpolating percentile (whose engine conventions differ).
+
+    Scale shape: the pair join is per-SERIES quadratic, C(len,2) rows
+    for a report-sized len (~80 months) — series-length state, not
+    corpus state; the corpus-wide work is the same monthly
+    pre-aggregate as Holt (one combiner'd shuffle). For very long
+    series production uses the repeated-median or spatial-median
+    refinements; the per-group window picks stay identical."""
+    orders = load(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    s = m.select("grp", "y", F.row_number().over(
+        W.partitionBy("grp").orderBy("month")).alias("t"))
+    a, b = s.alias("a"), s.alias("b")
+    pr = (a.join(b, (F.col("a.grp") == F.col("b.grp"))
+                 & (F.col("a.t") < F.col("b.t")))
+          .select(F.col("a.grp").alias("grp"),
+                  F.col("a.t").alias("t1"), F.col("b.t").alias("t2"),
+                  ((F.col("b.y") - F.col("a.y")) * 1.0
+                   / (F.col("b.t") - F.col("a.t"))).alias("slope")))
+    wr = W.partitionBy("grp").orderBy("slope", "t1", "t2")
+    wall = W.partitionBy("grp")
+    rk = (pr.withColumn("rn", F.row_number().over(wr))
+          .withColumn("n_pairs", F.count(F.lit(1)).over(wall)))
+    sen = (rk.filter(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+           .select("grp", F.col("slope").alias("sen_slope"), "n_pairs"))
+    wy = W.partitionBy("grp").orderBy("y", "t")
+    ry = (s.withColumn("rn", F.row_number().over(wy))
+          .withColumn("n_points", F.count(F.lit(1)).over(wall)))
+    med = (ry.filter(F.col("rn") == F.floor((F.col("n_points") + 1) / 2))
+           .select("grp", F.col("y").cast("double").alias("med_y"),
+                   F.col("t").alias("med_t"), "n_points"))
+    return (sen.join(med, "grp")
+            .select(F.col("grp").alias("o_orderpriority"),
+                    F.col("n_points").cast("bigint").alias("n_points"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.round("sen_slope", 6).alias("sen_slope"),
+                    F.round(F.col("med_y")
+                            - F.col("sen_slope") * F.col("med_t"), 6)
+                    .alias("sen_intercept")))

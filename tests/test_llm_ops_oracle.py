@@ -102,6 +102,7 @@ LLM_QUERIES = [
     "corpus_contamination_report", "asof_join_interpolate",
     "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
     "dedup_record_linkage_fs", "sketch_kmv_intersection",
+    "timeseries_theil_sen", "ml_ridge_path",
 ]
 
 

@@ -80,19 +80,14 @@ def _rotate_for_driver_coverage() -> None:
                         or row.get("err") == "no_oracle")
     if not times_seen:
         return
-    # Tie-break among equally-sampled queries by family urgency: after six
-    # rounds the graph / corpus / merge / data-quality / corpus-hygiene /
-    # physical-join families have zero driver rows, and three of round 6's
-    # four discovered defect classes lived in never-sampled operators, so
-    # those families reach the fixed-size window first (VERDICT r06 ask #1).
-    # A small explicit name list pins the round-6 additions and the queries
-    # the verdict names ahead of the family order. Stable within a family.
+    # The round-7 `_ADDED_LATE` hold-back is dissolved (VERDICT r07 ask #1):
+    # the seven late-round-7 operators are pinned to the FRONT of the round-8
+    # window so each finally earns its official driver row, then zero-seen
+    # rotation fills the remaining slots from the 68 never-sampled names.
     _NAME_PRIORITY = {
-        # round-6 additions still lacking a driver row + verdict-named
-        "dedup_semdedup_capped", "sim_ivfpq_topk", "sim_graph_greedy_search",
-        "text_bpe_merge_train", "text_kneser_ney_bigram", "ml_label_noise_knn",
-        "graph_anf_hll", "source_fixedwidth_roundtrip", "source_json_multiline",
-        "join_dpp_partitioned",
+        "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
+        "dedup_record_linkage_fs", "sketch_kmv_intersection",
+        "timeseries_theil_sen", "ml_ridge_path",
     }
     _FAMILY_PRIORITY = {
         "hadoop_digit_recognition_spark.operators.graph": 1,
@@ -103,14 +98,15 @@ def _rotate_for_driver_coverage() -> None:
         "hadoop_digit_recognition_spark.operators.physical": 6,
     }
 
-    # Queries added AFTER the round-7 window was curated (mid-round
-    # additions): hold them behind every longer-waiting zero-seen query so
-    # the curated first-50 window is undisturbed; they enter the window in
-    # later rounds through the same zero-seen-first rotation.
-    _ADDED_LATE = {
-        "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
-        "dedup_record_linkage_fs", "sketch_kmv_intersection",
-        "timeseries_theil_sen", "ml_ridge_path",
+    # Queries added DURING round 8 (mid-round additions): hold them behind
+    # every longer-waiting zero-seen query so the driver burn-down of the
+    # round-7 backlog is undisturbed; they enter the window in later rounds
+    # through the same zero-seen-first rotation.
+    _ADDED_LATE: set[str] = {
+        "dedup_record_linkage_em", "text_bpe_merge_train_scaled",
+        "timeseries_double_exp_damped", "dq_t_closeness",
+        "sketch_moments_ams", "corpus_influence_tracing",
+        "sim_rrf_fusion", "graph_leiden_refine_step",
     }
 
     def _family(n: str) -> int:

@@ -893,10 +893,14 @@ h1 AS (
 b1 AS (SELECT t, pol, ec FROM h1 ORDER BY ec, t, pol LIMIT 1),
 s1 AS (
   SELECT b1.t, b1.pol, b1.ec,
-         round(b1.ec * 1.0 / nn.n, 9) AS eps,
-         round(0.5 * ln((nn.n - b1.ec) * 1.0 / b1.ec), 9) AS alpha,
-         round(sqrt(b1.ec * 1.0 / (nn.n - b1.ec)), 9) AS wc,
-         round(sqrt((nn.n - b1.ec) * 1.0 / b1.ec), 9) AS wm
+         round(least(greatest(b1.ec, 1), nn.n - 1) * 1.0 / nn.n, 9) AS eps,
+         round(0.5 * ln((nn.n - least(greatest(b1.ec, 1), nn.n - 1)) * 1.0
+                        / least(greatest(b1.ec, 1), nn.n - 1)), 9) AS alpha,
+         round(sqrt(least(greatest(b1.ec, 1), nn.n - 1) * 1.0
+                    / (nn.n - least(greatest(b1.ec, 1), nn.n - 1))), 9)
+           AS wc,
+         round(sqrt((nn.n - least(greatest(b1.ec, 1), nn.n - 1)) * 1.0
+                    / least(greatest(b1.ec, 1), nn.n - 1)), 9) AS wm
   FROM b1 CROSS JOIN nn),
 marked AS (
   SELECT b.event_id, b.value, b.y,
@@ -920,8 +924,11 @@ w2 AS (
 b2 AS (SELECT t, pol, eps FROM w2 ORDER BY eps, t, pol LIMIT 1),
 s2 AS (
   SELECT t, pol, eps,
-         round(0.5 * ln((1.0 - eps) / eps), 9) AS alpha
-  FROM b2),
+         round(0.5 * ln((1.0 - least(greatest(eps, round(1.0 / nn.n, 9)),
+                                     round(1.0 - 1.0 / nn.n, 9)))
+                        / least(greatest(eps, round(1.0 / nn.n, 9)),
+                                round(1.0 - 1.0 / nn.n, 9))), 9) AS alpha
+  FROM b2 CROSS JOIN nn),
 ens AS (
   SELECT count(*) FILTER (WHERE
            (CASE WHEN s1.alpha * (CASE WHEN b.value <= s1.t
@@ -987,7 +994,12 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg(F.sum(F.when(pred1 != F.col("y"), 1).otherwise(0))
                .alias("ec")))
     b1 = h1.orderBy("ec", "t", "pol").limit(1)
-    n_, ec_ = F.col("n"), F.col("ec")
+    # Standard AdaBoost epsilon clamp (ADVICE r07): a perfectly separable
+    # stump (ec=0 or ec=n) would otherwise send alpha/wc/wm to inf/NaN,
+    # where Spark and DuckDB degrade differently. Clamp ec to [1, n-1]
+    # with the IDENTICAL expression in the oracle SQL.
+    n_ = F.col("n")
+    ec_ = F.least(F.greatest(F.col("ec"), F.lit(1)), n_ - 1)
     s1 = (b1.crossJoin(F.broadcast(nn))
           .select("t", "pol", "ec",
                   F.round(ec_ * 1.0 / n_, 9).alias("eps"),
@@ -1020,9 +1032,14 @@ def ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + F.col("wm") * F.col("nwro")), 9)
                   .alias("eps")))
     b2 = w2.orderBy("eps", "t", "pol").limit(1)
-    s2 = (b2.select("t", "pol", "eps",
-                    F.round(0.5 * F.log((1.0 - F.col("eps"))
-                                        / F.col("eps")), 9).alias("alpha"))
+    # Same clamp for the round-2 weighted error (a rounded float in
+    # [0, 1]): pin to [round(1/n, 9), round(1 - 1/n, 9)] before the log.
+    epsc = F.least(F.greatest(F.col("eps"), F.round(1.0 / n_, 9)),
+                   F.round(1.0 - 1.0 / n_, 9))
+    s2 = (b2.crossJoin(F.broadcast(nn))
+          .select("t", "pol", "eps",
+                  F.round(0.5 * F.log((1.0 - epsc) / epsc), 9)
+                  .alias("alpha"))
           .localCheckpoint())
     sel2 = s2.select(F.col("t").alias("t2"), F.col("pol").alias("pol2"),
                      F.col("eps").alias("eps2"), F.col("alpha").alias("a2"))

@@ -500,7 +500,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(o_orderkey) AS BIGINT) AS min_key,
        CAST(max(o_orderkey) AS BIGINT) AS max_key
 FROM orders
-""")
+""", eager=True)
 def dq_observe_inflight_metrics(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """IN-FLIGHT data-quality metrics via Spark's Observation API
@@ -534,9 +534,17 @@ def dq_observe_inflight_metrics(spark: SparkSession,
         F.max("o_orderkey").alias("max_key"))
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
+
+    # On an EMPTY source, sum/min/max observe NULL (and the SQL oracle
+    # returns NULL for the same aggregates) — preserve the NULL instead of
+    # crashing in int(None) or coercing to a 0 the oracle wouldn't emit.
+    def _opt_int(v):
+        return None if v is None else int(v)
+
     return spark.createDataFrame(
-        [(int(m["n_rows"]), int(m["sum_cents"]), int(m["n_null_price"]),
-          int(m["min_key"]), int(m["max_key"]))],
+        [(int(m["n_rows"]), _opt_int(m["sum_cents"]),
+          _opt_int(m["n_null_price"]), _opt_int(m["min_key"]),
+          _opt_int(m["max_key"]))],
         "n_rows bigint, sum_cents bigint, n_null_price bigint, "
         "min_key bigint, max_key bigint")
 

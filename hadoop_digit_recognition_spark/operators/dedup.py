@@ -372,17 +372,21 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbor systems (graph_jaccard_link_prediction's documented
     knob, here enforced).
 
-    What the cap can lose — and why the loss is ALREADY handled: a doc
-    pair colliding ONLY in over-cap buckets. Near-identical docs
-    collide in all bands (identical docs deterministically so), so the
-    affected pairs are precisely the mega-clique members — and the
-    standard pipeline (pipeline_llm_corpus's ordering) runs EXACT
-    hash dedup first, which removes identical-text cliques before LSH
-    ever sees them. tests/test_llm_ops_oracle.py::
-    test_minhash_cap_composes_with_exact proves the composition covers
-    every uncapped pair on a forced mega-clique fixture. The width
-    window shuffles on the same (g, key) the candidate join needs —
-    one extra pass over the band table, no new shuffle key."""
+    What the cap can lose: a doc pair colliding ONLY in over-cap
+    buckets. IDENTICAL-text docs collide in all bands deterministically,
+    so mega-cliques of exact duplicates are fully recovered by running
+    EXACT hash dedup first (pipeline_llm_corpus's ordering) —
+    tests/test_llm_ops_oracle.py::test_minhash_cap_composes_with_exact
+    proves that composition covers every uncapped pair on a forced
+    mega-clique fixture. For a GENUINE near-dup pair (similar, not
+    identical) the guarantee is probabilistic, not universal: such a
+    pair is lost only if every one of its colliding bands lands in an
+    over-cap bucket, which requires the pair to share all its collision
+    bands with a mega-clique — possible, so the cap trades a bounded
+    recall loss in mega-clique neighborhoods for the Σ|bucket|² bound
+    (the sf10 rehearsal's measured 8x wall / 3x shuffle-row win). The
+    width window shuffles on the same (g, key) the candidate join
+    needs — one extra pass over the band table, no new shuffle key."""
     sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
     n_bands = NUM_HASHES // BAND_ROWS
     band_keys = F.array(*[

@@ -675,8 +675,8 @@ est AS (
   SELECT p.type_a, p.type_b, p.theta,
          COALESCE(c.common, 0) AS common,
          u.union_below,
-         COALESCE(c.common, 0) * 1.0 / u.union_below AS jc,
-         (u.union_below - 1) * 4294967296.0 / p.theta AS ue
+         COALESCE(c.common, 0) * 1.0 / NULLIF(u.union_below, 0) AS jc,
+         (u.union_below - 1) * 4294967296.0 / NULLIF(p.theta, 0) AS ue
   FROM pr p
   LEFT JOIN cm c ON c.type_a = p.type_a AND c.type_b = p.type_b
   JOIN ub u ON u.type_a = p.type_a AND u.type_b = p.type_b)
@@ -758,9 +758,14 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (pr.join(cm, ["type_a", "type_b"], "left")
            .join(ub, ["type_a", "type_b"])
            .withColumn("common", F.coalesce("common", F.lit(0)))
-           .withColumn("jc", F.col("common") * 1.0 / F.col("union_below"))
+           # NULLIF guards (ADVICE r07): theta==0 (a key whose only member
+           # hashes to md5-prefix 0) or an empty union sample would divide
+           # by zero, and the two engines disagree on 0/0. Mirrored NULLIF
+           # in the oracle keeps the degenerate case NULL on both sides.
+           .withColumn("jc", F.col("common") * 1.0
+                       / F.nullif(F.col("union_below"), F.lit(0)))
            .withColumn("ue", (F.col("union_below") - 1) * 4294967296.0
-                       / F.col("theta")))
+                       / F.nullif(F.col("theta"), F.lit(0))))
     return (est.join(ex, ["type_a", "type_b"], "left")
             .select("type_a", "type_b",
                     F.col("theta").cast("bigint").alias("theta"),

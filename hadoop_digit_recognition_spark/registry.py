@@ -26,12 +26,20 @@ ORACLE_SQL: dict[str, str] = {}
 # REQUIRED for every oracle=None registration (tests enforce it), so each
 # rows-only row in QUERIES.md carries its justification + bounding test.
 ROWS_ONLY: dict[str, tuple[str, str]] = {}
+# Queries that EXECUTE a Spark job at construction time (before the caller
+# acts on the returned frame) — e.g. the Observation-API audit, whose
+# metrics only exist after its noop-sink pass runs. Registry-level metadata
+# (ADVICE r07) so callers that only want the lazy plan know they will pay a
+# scan; the plan-hygiene test derives its exemption from this set.
+EAGER_QUERIES: set[str] = set()
 
 
 def query(name: str, oracle: str | None = None,
-          rows_only: tuple[str, str] | None = None):
+          rows_only: tuple[str, str] | None = None,
+          eager: bool = False):
     """Register a query; `oracle=None` marks it rows-only (non-SQL-expressible)
-    and then requires `rows_only=(reason, bounding_test_name)`."""
+    and then requires `rows_only=(reason, bounding_test_name)`. `eager=True`
+    declares that CALLING the query runs a Spark job before returning."""
     def deco(fn):
         from functools import wraps
 
@@ -43,6 +51,8 @@ def query(name: str, oracle: str | None = None,
             return fn(spark, sf_dir)
 
         SPARK_QUERIES[name] = wrapped
+        if eager:
+            EAGER_QUERIES.add(name)
         if oracle is not None:
             ORACLE_SQL[name] = oracle
         elif rows_only is not None:

@@ -23,10 +23,14 @@ import hashlib as _hashlib
 
 
 def _dataset_stage_key(sf_dir: str) -> str:
-    """Stable stage subdirectory per dataset: fixed across runs (reuse +
-    overwrite, no unbounded accumulation), distinct across SF dirs (two
-    sessions on different fixtures cannot interleave write/read)."""
-    return _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    """Stable stage subdirectory per (dataset, process): fixed across runs
+    WITHIN a process (reuse + overwrite, no unbounded accumulation over a
+    bench's min-of-3 loop), distinct across SF dirs AND across concurrent
+    processes. The PID component closes the ADVICE r07 race: without it a
+    bench session's mode('overwrite') could clobber a concurrently running
+    test session's staged files for the same dataset mid-read."""
+    return "%s_p%d" % (_hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+                       os.getpid())
 
 
 

@@ -29,10 +29,13 @@ _SIDE_EFFECT_NAMES = {"sim_ivf_topk", "dedup_connected_components",
                       "text_quality_filter_approx", "timeseries_gapfill",
                       "rbm_cd1_two_epochs",
                       # eager peel loop (persist+count per round, CC-style)
-                      "graph_kcore_dup_clusters",
-                      # Observation side-channel: the one-pass noop write
-                      # runs at query-construction time by design
-                      "dq_observe_inflight_metrics"}
+                      "graph_kcore_dup_clusters"}
+
+# Registry-declared eager queries (run a job at construction time) are
+# exempt via metadata, not a hand-kept name list (ADVICE r07).
+from hadoop_digit_recognition_spark.registry import EAGER_QUERIES  # noqa: E402
+
+_SIDE_EFFECT_NAMES |= EAGER_QUERIES
 
 # declared all-pairs / nested-loop queries (test-SF ground truth or
 # intentionally non-equi): the only places cartesian-family joins may appear

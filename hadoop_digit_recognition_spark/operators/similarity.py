@@ -168,30 +168,6 @@ def _bucket_df(spark: SparkSession, sf_dir: str,
     return emb.select("vec_id", "embedding", bkt.alias("bkt"))
 
 
-# Second independent bucket table (frequencies N_PLANES+1 .. 2*N_PLANES),
-# appended after _BUCKETS (reuses its nz/v CTEs). Two independent
-# partitions of the corpus: a pair split by table A has an independent
-# chance to collide in table B — the multi-table trick that keeps
-# bucketed kNN graphs CONNECTED (in-bucket-only edges make the graph a
-# disjoint union of per-bucket components, which strands a graph walk).
-_BUCKETS_B = f"""
-pl_b AS (SELECT p.p, i.i,
-                sin(CAST(p.p + 1 + {N_PLANES} AS DOUBLE)
-                    * (CAST(i.i AS DOUBLE) + 0.5)) AS w
-         FROM range({N_PLANES}) p(p), range(64) i(i)),
-dots_b AS (
-  SELECT v.vec_id, pl_b.p, sum(v.x * pl_b.w) AS d
-  FROM v JOIN pl_b ON v.i = pl_b.i GROUP BY v.vec_id, pl_b.p
-),
-bucket_b AS (
-  SELECT vec_id,
-         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
-           AS bkt
-  FROM dots_b GROUP BY vec_id
-)
-"""
-
-
 # Banded multi-table sign-LSH for NEAR-DUP PAIR RECALL. The kNN-graph
 # family above wants every vector to land in exactly one (reasonably
 # small) bucket per table — top-k inside the bucket does the rest. The
@@ -373,10 +349,45 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 
+# TWO-table ADAPTIVE bucket family (round-8 convergence, VERDICT r07
+# ask #2): the default kNN-graph build now combines BOTH production
+# fixes in one path — adaptive plane count (planes ~ log2 n so the
+# bucket self-join stays Σ|bucket|² ≈ n·BUCKET_TARGET, linear) AND two
+# independent plane tables (table B at frequencies planes+1 .. 2·planes,
+# the connectivity trick that rescued NSW recall from 0.013). Emits the
+# same `bucket` / `bucket_b` CTE names the fixed family used, so every
+# two-table consumer oracle swaps preamble without touching its body.
+_BUCKETS_2T = f"""
+nz AS (SELECT vec_id, embedding FROM embeddings
+       WHERE list_aggregate(list_transform(embedding::DOUBLE[],
+                                           x -> x * x), 'sum') > 0),
+np AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nz),
+pc AS (SELECT coalesce(min(p), {PLANES_MAX}) AS planes
+       FROM generate_series({PLANES_MIN}, {PLANES_MAX}) g(p), np
+       WHERE np.cnt <= ({BUCKET_TARGET}::BIGINT << p)),
+v AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM nz),
+pl2 AS (SELECT t.tbl, g.p, i.i,
+               sin(CAST(g.p + 1 + t.tbl * pc.planes AS DOUBLE)
+                   * (CAST(i.i AS DOUBLE) + 0.5)) AS w
+        FROM generate_series(0, {PLANES_MAX} - 1) g(p),
+             generate_series(0, 63) i(i),
+             (SELECT unnest([0, 1]) AS tbl) t, pc
+        WHERE g.p < pc.planes),
+dots2 AS (SELECT v.vec_id, pl2.tbl, pl2.p, sum(v.x * pl2.w) AS d
+          FROM v JOIN pl2 ON v.i = pl2.i GROUP BY v.vec_id, pl2.tbl, pl2.p),
+bucket2 AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS bkt
+  FROM dots2 GROUP BY vec_id, tbl),
+bucket AS (SELECT vec_id, bkt FROM bucket2 WHERE tbl = 0),
+bucket_b AS (SELECT vec_id, bkt FROM bucket2 WHERE tbl = 1)
+"""
+
 
 @query("sim_knn_graph", oracle=f"""
-WITH {_BUCKETS},
-{_BUCKETS_B},
+WITH {_BUCKETS_2T},
 e AS ({_E}),
 be_a AS (SELECT b.vec_id, b.bkt, e.emb
          FROM bucket b JOIN e ON e.vec_id = b.vec_id),
@@ -404,26 +415,43 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding near-dup clustering and graph-based ANN indexes at corpus
     scale.
 
-    TWO independent LSH tables (frequency sets 1..{N_PLANES} and
-    {N_PLANES + 1}..{2 * N_PLANES}), candidate pairs unioned before the
-    top-k cut. One table alone makes the kNN graph a DISJOINT UNION of
-    per-bucket components (edges never cross a bucket boundary), which
-    strands any graph walk at its entry component — measured NSW
-    recall collapsed 0.09 -> 0.013 when the bucket family was fixed to
-    genuinely partition the space. A pair split by table A collides in
-    table B independently, so the unioned graph is connected with high
-    probability — the same reason HNSW keeps long-range links.
+    TWO independent LSH tables at an ADAPTIVE plane count p ~ log2(n)
+    (frequency sets 1..p and p+1..2p), candidate pairs unioned before
+    the top-k cut — since round 8 the DEFAULT build carries both
+    production fixes at once (VERDICT r07 ask #2; previously the
+    adaptive count lived only in sim_knn_graph_adaptive and the default
+    stayed at the fixed 8 planes measured quadratic-ish at sf1):
 
-    Scale shape: two SELF equi-joins on the bucket keys (no broadcast —
-    both sides are the full corpus, so SMJ/shuffle-hash on `bkt`),
-    exact cosine rerank inside buckets, pair-dedup via UNION distinct,
-    per-vector top-k via window. Cost is 2 x sum over buckets of
-    |bucket|^2 instead of N^2; bucket width is tuned by N_PLANES (see
-    sim_knn_graph_adaptive for the planes ~ log N production form).
-    The exact-all-pairs ground truth twin is dedup_embedding_cosine
+    * ADAPTIVE planes: one combiner'd count of the nonzero-norm corpus
+      picks the smallest p with n <= {BUCKET_TARGET} * 2^p (integer
+      comparison, clamped to [{PLANES_MIN}, {PLANES_MAX}]), pinning the
+      expected bucket width into ({BUCKET_TARGET // 2}, {BUCKET_TARGET}]
+      at every corpus size — the self-join cost Σ|bucket|² stays
+      LINEAR in n (measured 0.84x of the n*{BUCKET_TARGET} model at
+      200k vectors, SCALE.md round 7).
+    * TWO tables: one table alone makes the kNN graph a DISJOINT UNION
+      of per-bucket components (edges never cross a bucket boundary),
+      which strands any graph walk at its entry component — measured
+      NSW recall collapsed 0.09 -> 0.013 on the single-table graph. A
+      pair split by table A collides in table B independently, so the
+      unioned graph is connected with high probability — the same
+      reason HNSW keeps long-range links.
+
+    The DuckDB oracle derives the SAME plane count from the SAME count
+    with the same integer comparison (_BUCKETS_2T's pc CTE), so the
+    adaptivity itself is hash-graded. Scale shape: two SELF equi-joins
+    on the bucket keys (no broadcast — both sides are the full corpus,
+    so SMJ/shuffle-hash on `bkt`), exact cosine rerank inside buckets,
+    pair-dedup via UNION distinct, per-vector top-k via window. The
+    exact-all-pairs ground truth twin is dedup_embedding_cosine
     (operators/dedup.py)."""
+    n = (load_parallel(spark, sf_dir, "embeddings")
+         .filter(l2norm_col(F.col("embedding")) > 0).count())
+    n_planes = _adaptive_n_planes(n)
+
     def in_bucket_pairs(freq_offset: int) -> DataFrame:
-        be = _bucket_df(spark, sf_dir, freq_offset=freq_offset).withColumn(
+        be = _bucket_df(spark, sf_dir, n_planes=n_planes,
+                        freq_offset=freq_offset).withColumn(
             "nrm", l2norm_col(F.col("embedding")))
         q = be.select(F.col("vec_id").alias("qid"),
                       F.col("bkt").alias("qbkt"),
@@ -441,7 +469,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("cos")))
 
     scored = (in_bucket_pairs(0)
-              .unionByName(in_bucket_pairs(N_PLANES))
+              .unionByName(in_bucket_pairs(n_planes))
               .distinct())
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
@@ -510,8 +538,10 @@ def sim_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     1M buckets), which is exactly the "planes ~ log N" posture the
     fixed-plane query's docstring documents as its tuning knob. The
     extra count() is one combiner'd scan returning a single scalar.
-    sim_knn_graph keeps the FIXED plane count so its oracle (and the
-    NSW walk built on its edges) stays byte-stable across rounds."""
+    Since round 8 the DEFAULT sim_knn_graph carries this adaptive count
+    too (plus the two-table connectivity union); this single-table
+    query remains as the minimal oracle-graded demonstration of the
+    adaptive mechanism itself."""
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .filter(l2norm_col(F.col("embedding")) > 0))
     n_planes = _adaptive_n_planes(emb.count())
@@ -1032,8 +1062,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query("ml_knn_classifier_eval", oracle=f"""
-WITH {_BUCKETS},
-{_BUCKETS_B},
+WITH {_BUCKETS_2T},
 e AS ({_E}),
 be_a AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
          FROM bucket b
@@ -1103,8 +1132,7 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ml_label_noise_knn", oracle=f"""
-WITH {_BUCKETS},
-{_BUCKETS_B},
+WITH {_BUCKETS_2T},
 e AS ({_E}),
 be_a AS (SELECT b.vec_id, b.bkt, e.emb, e2.label
          FROM bucket b
@@ -1618,8 +1646,7 @@ f{h} AS (SELECT qid, node FROM (
 
 
 @query("sim_graph_greedy_search", oracle=f"""
-WITH {_BUCKETS},
-{_BUCKETS_B},
+WITH {_BUCKETS_2T},
 e0 AS ({_E}),
 e AS (SELECT * FROM e0
       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),

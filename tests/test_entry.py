@@ -109,3 +109,28 @@ def test_driver_window_rotation_order():
         first_unseen = next((i for i, n in enumerate(names)
                              if n not in times_seen), len(names))
         assert last_red_idx < first_unseen
+
+
+def test_queries_md_fresh():
+    """QUERIES.md must be regenerated whenever the registry changes
+    (VERDICT r07 ask #3 found it stale by 2 entries): the generated
+    header count and the per-query rows must match the live registry
+    exactly — both directions."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "QUERIES.md")).read()
+    m = re.search(r"^(\d+) registered queries, (\d+) with DuckDB oracles",
+                  text, re.M)
+    assert m, "QUERIES.md header missing"
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    assert int(m.group(1)) == len(SPARK_QUERIES), (
+        "QUERIES.md stale: rerun scripts/gen_query_index.py")
+    assert int(m.group(2)) == len(ORACLE_SQL), (
+        "QUERIES.md stale: rerun scripts/gen_query_index.py")
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    missing = set(SPARK_QUERIES) - listed
+    extra = listed - set(SPARK_QUERIES)
+    assert not missing, f"QUERIES.md missing rows: {sorted(missing)[:5]}"
+    assert not extra, f"QUERIES.md has unregistered rows: {sorted(extra)[:5]}"

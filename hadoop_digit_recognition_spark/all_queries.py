@@ -104,9 +104,9 @@ def _rotate_for_driver_coverage() -> None:
     # through the same zero-seen-first rotation.
     _ADDED_LATE: set[str] = {
         "dedup_record_linkage_em", "text_bpe_merge_train_scaled",
-        "timeseries_double_exp_damped", "dq_t_closeness",
-        "sketch_moments_ams", "corpus_influence_tracing",
-        "sim_rrf_fusion", "graph_leiden_refine_step",
+        "dq_t_closeness", "sketch_moments_ams",
+        "corpus_influence_tracing", "graph_harmonic_centrality",
+        "timeseries_croston_intermittent", "ml_isotonic_pav",
     }
 
     def _family(n: str) -> int:

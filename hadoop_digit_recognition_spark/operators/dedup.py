@@ -1965,3 +1965,224 @@ def dedup_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "weight_micro",
                     F.when(F.col("weight_micro") >= _FS_MATCH, "match")
                     .otherwise("possible").alias("decision")))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM parameter estimation (VERDICT r07 ask #7): the m/u
+# step the fixed-weight query's docstring deferred. Two EM rounds
+# UNROLLED (the AdaBoost/BPE precedent), operating on the 8-row
+# agreement-CLASS table, never per pair: with 3 binary comparison
+# fields every candidate pair collapses into one of 2^3 classes, so
+# the E-step posterior is computed 8 times per round regardless of
+# corpus size (Winkler 1988's classic observation; Splink's
+# `estimate_parameters_using_expectation_maximisation` does the same).
+# Determinism: the per-class posterior is snapped to integer
+# NANO-units (round(p*1e9) as bigint) before any summation, so the
+# M-step ratios divide exact int64 sums — identical in both engines —
+# and each round's (m, u, lambda) land on the 9-digit grid before
+# feeding the next round.
+_FS_EM_FIELDS = ("bal", "name", "neg")
+_FS_EM_OUT = {"bal": "bal_bucket", "name": "name_last", "neg": "neg_flag"}
+_FS_EM_INIT = {"bal": _FS_FIELDS["bal_bucket"],
+               "name": _FS_FIELDS["name_last"],
+               "neg": _FS_FIELDS["neg_flag"]}
+_FS_EM_LAM0 = 0.05
+_FS_NANO = 1_000_000_000
+
+
+def _fs_em_estep_sql(lam: str, mm: dict[str, str], uu: dict[str, str]) -> str:
+    """One E-step posterior as SQL: P(match | class) in integer nano-units.
+    `lam`/`mm`/`uu` are SQL expressions (literals for round 1, est-table
+    columns for round 2) — the SAME factored template builds both rounds,
+    so train-time and replay-time skew is structurally impossible."""
+    pm, pu = lam, f"(1.0 - {lam})"
+    for f in _FS_EM_FIELDS:
+        pm += (f" * (CASE WHEN ag_{f} = 1 THEN {mm[f]} "
+               f"ELSE 1.0 - {mm[f]} END)")
+        pu += (f" * (CASE WHEN ag_{f} = 1 THEN {uu[f]} "
+               f"ELSE 1.0 - {uu[f]} END)")
+    return (f"CAST(round(({pm}) / (({pm}) + ({pu})) * {_FS_NANO}.0) "
+            f"AS BIGINT)")
+
+
+def _fs_em_mstep_sql(src: str) -> str:
+    """One M-step as SQL aggregates over the class table `src` (which has
+    cnt + p_micro): per-field m/u and the match prevalence lambda, all
+    int64-sum ratios rounded once to the 9-digit grid."""
+    cols = []
+    for f in _FS_EM_FIELDS:
+        cols.append(
+            f"round(CAST(sum(cnt * p_micro * ag_{f}) AS DOUBLE)"
+            f" / NULLIF(sum(cnt * p_micro), 0), 9) AS m_{f}")
+        cols.append(
+            f"round(CAST(sum(cnt * ({_FS_NANO} - p_micro) * ag_{f}) "
+            f"AS DOUBLE) / NULLIF(sum(cnt * ({_FS_NANO} - p_micro)), 0), 9)"
+            f" AS u_{f}")
+    cols.append(f"round(CAST(sum(cnt * p_micro) AS DOUBLE)"
+                f" / ({_FS_NANO}.0 * sum(cnt)), 9) AS lam")
+    return f"SELECT {', '.join(cols)} FROM {src}"
+
+
+def _fs_em_out_sql(rnd: int, est: str) -> str:
+    arms = []
+    for f in _FS_EM_FIELDS:
+        arms.append(f"""
+SELECT CAST({rnd} AS BIGINT) AS round, '{_FS_EM_OUT[f]}' AS field,
+       m_{f} AS m_est, u_{f} AS u_est, lam AS lambda_est,
+       CAST(round(log2(m_{f} / u_{f}) * 1000000.0) AS BIGINT)
+         AS w_agree_micro,
+       CAST(round(log2((1.0 - m_{f}) / (1.0 - u_{f})) * 1000000.0)
+            AS BIGINT) AS w_disagree_micro
+FROM {est}""")
+    return " UNION ALL ".join(arms)
+
+
+_FS_EM_M0 = {f: repr(_FS_EM_INIT[f][0]) for f in _FS_EM_FIELDS}
+_FS_EM_U0 = {f: repr(_FS_EM_INIT[f][1]) for f in _FS_EM_FIELDS}
+
+
+@query("dedup_record_linkage_em", oracle=f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
+         substr(c_name, length(c_name), 1) AS name_last,
+         c_acctbal < 0 AS neg_flag
+  FROM customer),
+p AS (
+  SELECT CASE WHEN a.bal_bucket = b.bal_bucket THEN 1 ELSE 0 END AS ag_bal,
+         CASE WHEN a.name_last = b.name_last THEN 1 ELSE 0 END AS ag_name,
+         CASE WHEN a.neg_flag = b.neg_flag THEN 1 ELSE 0 END AS ag_neg
+  FROM c a JOIN c b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey),
+cls AS (SELECT ag_bal, ag_name, ag_neg, count(*) AS cnt
+        FROM p GROUP BY 1, 2, 3),
+r1 AS (SELECT *, {_fs_em_estep_sql(repr(_FS_EM_LAM0), _FS_EM_M0,
+                                   _FS_EM_U0)} AS p_micro FROM cls),
+est1 AS ({_fs_em_mstep_sql("r1")}),
+r2 AS (SELECT cls.*,
+              {_fs_em_estep_sql("est1.lam",
+                                {f: f"est1.m_{f}" for f in _FS_EM_FIELDS},
+                                {f: f"est1.u_{f}" for f in _FS_EM_FIELDS})}
+                AS p_micro
+       FROM cls, est1),
+est2 AS ({_fs_em_mstep_sql("r2")})
+{_fs_em_out_sql(1, "est1")} UNION ALL {_fs_em_out_sql(2, "est2")}
+""")
+def dedup_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM estimation of the Fellegi-Sunter m/u parameters (Winkler 1988;
+    the unsupervised step Splink runs before scoring) — completes
+    dedup_record_linkage_fs, whose docstring deferred m/u estimation.
+    Blocked candidate pairs (same blocking as the scoring query) are
+    first collapsed to their 2^3 = 8 agreement CLASSES with exact
+    counts; two EM rounds then run entirely on that 8-row table:
+    E-step computes P(match | class) from the current (lambda, m, u)
+    — initialised at the fixed-weight query's published assumptions —
+    and M-step re-estimates each field's m (P(agree | match)) and u
+    (P(agree | non-match)) plus the prevalence lambda as posterior-
+    weighted class averages. Output: per round x field, the estimates
+    and the implied integer micro-bit log2 weights (the values a third
+    EM round or the scoring query would use).
+
+    Determinism: posteriors snap to integer nano-units per class
+    BEFORE summation (the M-step divides exact int64 sums — no float
+    accumulation order anywhere); each round's estimates land on the
+    9-digit grid before feeding the next round; both engines build
+    round 1 and round 2 from the SAME factored E/M templates
+    (_fs_em_estep_sql/_fs_em_mstep_sql on the oracle side, the mirrored
+    column expressions here), the BPE shared-loop precedent.
+
+    Scale shape: ONE blocked self-join shuffle (shared with the scoring
+    query) feeding an 8-row aggregate; every EM round after that is
+    algebra on 8 rows + a 1-row scalar broadcast — at 100 TB the EM
+    cost is the candidate-pair scan, and ADDITIONAL rounds are free
+    relative to it. Reference: the repo's linkage gap (README promises
+    no dedup at all); Fellegi & Sunter 1969 §5 for the model."""
+    cust = load(spark, sf_dir, "customer")
+    c = cust.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") / 100000)
+        .cast("bigint").alias("bal_bucket"),
+        F.substring(F.col("c_name"), -1, 1).alias("name_last"),
+        (F.col("c_acctbal") < 0).alias("neg_flag"))
+    a, b = c.alias("a"), c.alias("b")
+    p = (a.join(b, (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+                & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+                & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+         .select(*[F.when(F.col(f"a.{_FS_EM_OUT[f]}")
+                          == F.col(f"b.{_FS_EM_OUT[f]}"), 1)
+                   .otherwise(0).alias(f"ag_{f}")
+                   for f in _FS_EM_FIELDS]))
+    cls = (p.groupBy(*[f"ag_{f}" for f in _FS_EM_FIELDS])
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    return fs_em_two_rounds(cls)
+
+
+def fs_em_two_rounds(cls: DataFrame) -> DataFrame:
+    """Two unrolled EM rounds over an agreement-class DataFrame
+    (ag_bal, ag_name, ag_neg, cnt) -> the 6-row estimates frame.
+    Factored out so the planted-duplicates bounding test
+    (tests/test_llm_ops_oracle.py::test_fs_em_agrees_with_fixed_weights)
+    drives the IDENTICAL code path on a fixture with known matches."""
+    def estep(lam, mm, uu):
+        if isinstance(lam, float):
+            pm, pu = F.lit(lam), F.lit(1.0 - lam)
+        else:
+            pm, pu = lam, 1.0 - lam
+        for f in _FS_EM_FIELDS:
+            ag = F.col(f"ag_{f}")
+            mf = F.lit(mm[f]) if isinstance(mm[f], float) else mm[f]
+            uf = F.lit(uu[f]) if isinstance(uu[f], float) else uu[f]
+            pm = pm * F.when(ag == 1, mf).otherwise(1.0 - mf)
+            pu = pu * F.when(ag == 1, uf).otherwise(1.0 - uf)
+        return F.round(pm / (pm + pu) * float(_FS_NANO), 0).cast("bigint")
+
+    def mstep(rdf: DataFrame) -> DataFrame:
+        aggs = []
+        pm = F.col("p_micro")
+        for f in _FS_EM_FIELDS:
+            ag = F.col(f"ag_{f}")
+            aggs.append(F.round(
+                F.sum(F.col("cnt") * pm * ag).cast("double")
+                / F.nullif(F.sum(F.col("cnt") * pm), F.lit(0)), 9)
+                .alias(f"m_{f}"))
+            aggs.append(F.round(
+                F.sum(F.col("cnt") * (_FS_NANO - pm) * ag).cast("double")
+                / F.nullif(F.sum(F.col("cnt") * (_FS_NANO - pm)), F.lit(0)),
+                9).alias(f"u_{f}"))
+        aggs.append(F.round(
+            F.sum(F.col("cnt") * pm).cast("double")
+            / (float(_FS_NANO) * F.sum("cnt")), 9).alias("lam"))
+        return rdf.agg(*aggs)
+
+    def out_rows(rnd: int, est: DataFrame) -> DataFrame:
+        arms = []
+        for f in _FS_EM_FIELDS:
+            m_, u_ = F.col(f"m_{f}"), F.col(f"u_{f}")
+            arms.append(est.select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.lit(_FS_EM_OUT[f]).alias("field"),
+                m_.alias("m_est"), u_.alias("u_est"),
+                F.col("lam").alias("lambda_est"),
+                F.round(F.log2(m_ / u_) * 1000000.0, 0).cast("bigint")
+                .alias("w_agree_micro"),
+                F.round(F.log2((1.0 - m_) / (1.0 - u_)) * 1000000.0, 0)
+                .cast("bigint").alias("w_disagree_micro")))
+        res = arms[0]
+        for x in arms[1:]:
+            res = res.unionByName(x)
+        return res
+
+    m0 = {f: _FS_EM_INIT[f][0] for f in _FS_EM_FIELDS}
+    u0 = {f: _FS_EM_INIT[f][1] for f in _FS_EM_FIELDS}
+    r1 = cls.withColumn("p_micro", estep(_FS_EM_LAM0, m0, u0))
+    est1 = mstep(r1).localCheckpoint()
+    e1 = F.broadcast(est1)
+    r2 = (cls.crossJoin(e1)
+          .withColumn("p_micro",
+                      estep(F.col("lam"),
+                            {f: F.col(f"m_{f}") for f in _FS_EM_FIELDS},
+                            {f: F.col(f"u_{f}") for f in _FS_EM_FIELDS})))
+    est2 = mstep(r2)
+    return out_rows(1, est1).unionByName(out_rows(2, est2))

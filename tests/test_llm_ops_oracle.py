@@ -103,6 +103,7 @@ LLM_QUERIES = [
     "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
     "dedup_record_linkage_fs", "sketch_kmv_intersection",
     "timeseries_theil_sen", "ml_ridge_path",
+    "dedup_record_linkage_em",
 ]
 
 
@@ -852,3 +853,44 @@ def test_mmr_selection_invariants(spark):
         assert picks[1]["cid"] == top[qid]["cid"]
         assert all(picks[k]["rel"] <= picks[1]["rel"] + 1e-12
                    for k in (2, 3))
+
+
+def test_fs_em_agrees_with_fixed_weights(spark):
+    """Planted-duplicates bound for the EM step (VERDICT r07 ask #7):
+    on a fixture whose candidate classes mix ~1000 chance-agreement
+    non-matches with 100 planted high-agreement matches, two EM rounds
+    (the registered query's exact code path, fs_em_two_rounds) must
+    (a) pull every field's m above its u, (b) estimate a prevalence in
+    the planted ballpark, and (c) land the extreme agreement classes on
+    the SAME decisions the fixed-weight query makes: all-agree scores
+    >= the match threshold, all-disagree scores negative."""
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        _FS_MATCH, fs_em_two_rounds)
+
+    # chance-agreement non-matches (u ~ .1/.1/.8) + planted matches
+    classes = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for c in (0, 1):
+                pa = 0.1 if a else 0.9
+                pb = 0.1 if b else 0.9
+                pc = 0.8 if c else 0.2
+                classes.append((a, b, c, int(round(1000 * pa * pb * pc))))
+    planted = {(1, 1, 1): 80, (0, 1, 1): 10, (1, 0, 1): 10}
+    classes = [(a, b, c, n + planted.get((a, b, c), 0))
+               for a, b, c, n in classes]
+    cls = spark.createDataFrame(
+        classes, "ag_bal int, ag_name int, ag_neg int, cnt bigint")
+    out = {(r["round"], r["field"]): r
+           for r in fs_em_two_rounds(cls).collect()}
+    for f in ("bal_bucket", "name_last", "neg_flag"):
+        r2 = out[(2, f)]
+        assert r2["m_est"] > r2["u_est"], (f, r2)
+    lam2 = out[(2, "bal_bucket")]["lambda_est"]
+    assert 0.02 < lam2 < 0.5, lam2
+    all_agree = sum(out[(2, f)]["w_agree_micro"]
+                    for f in ("bal_bucket", "name_last", "neg_flag"))
+    all_disagree = sum(out[(2, f)]["w_disagree_micro"]
+                       for f in ("bal_bucket", "name_last", "neg_flag"))
+    assert all_agree >= _FS_MATCH, all_agree
+    assert all_disagree < 0, all_disagree

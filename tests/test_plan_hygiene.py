@@ -110,7 +110,11 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "agg_theil_decomposition", "agg_ratio_to_report",
                 # 7-row literal lag grid crossed into the days-count
                 # frame (threshold-sweep / gemm literal-grid class)
-                "timeseries_autocorrelation"}
+                "timeseries_autocorrelation",
+                # 1-row EM-estimate scalar (m/u/lambda from round 1)
+                # crossed into the 8-row agreement-class table — model
+                # state x model state (AdaBoost round-state class)
+                "dedup_record_linkage_em"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

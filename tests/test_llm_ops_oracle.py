@@ -894,3 +894,33 @@ def test_fs_em_agrees_with_fixed_weights(spark):
                        for f in ("bal_bucket", "name_last", "neg_flag"))
     assert all_agree >= _FS_MATCH, all_agree
     assert all_disagree < 0, all_disagree
+
+
+def test_bpe_scaled_prefix_and_replay(spark):
+    """Bounds for the production-depth BPE trainer (rows-only): (a) its
+    first 6 merges are BIT-IDENTICAL to the oracle-graded unrolled
+    trainer's (same factored pair-count stage, so any divergence is a
+    selection/merge bug), and (b) replaying the learned merge list with
+    _bpe_apply_merges reproduces the trainer's own final word state
+    exactly — train/encode skew is the production tokenizer bug class
+    this pins down."""
+    from hadoop_digit_recognition_spark.operators.text import (
+        _BPE_ROUNDS, _bpe_apply_merges, _bpe_train_scaled,
+        _bpe_train_states, _bpe_word_state)
+    from hadoop_digit_recognition_spark.tables import load
+
+    docs = load(spark, SF_ORACLE, "documents")
+    merges, final_state = _bpe_train_scaled(docs, rounds=_BPE_ROUNDS + 2)
+    assert len(merges) == _BPE_ROUNDS + 2   # no early stop on real data
+
+    _, outs = _bpe_train_states(docs)
+    oracle_rows = [o.collect()[0] for o in outs]
+    for i, row in enumerate(oracle_rows):
+        assert merges[i] == (row["round"], row["lhs"], row["rhs"],
+                             row["pair_count"]), (i, merges[i], row)
+
+    replayed = _bpe_apply_merges(_bpe_word_state(docs),
+                                 [(l, r) for _, l, r, _ in merges])
+    diff = (replayed.exceptAll(final_state).count()
+            + final_state.exceptAll(replayed).count())
+    assert diff == 0, f"replay diverged on {diff} word states"

@@ -1185,3 +1185,95 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1, 6).alias("b1"),
         F.round(b2, 6).alias("b2"),
         F.round(F.sqrt(b1 * b1 + b2 * b2), 6).alias("coef_l2"))
+
+
+# Isotonic calibration: value-decile score bins, noisy-threshold target
+# (the AdaBoost fixture recipe at a different threshold/modulus).
+_ISO_BINS, _ISO_THRESH, _ISO_NOISE_MOD = 9, 40.0, 11
+
+
+@query("ml_isotonic_pav", oracle=f"""
+WITH b AS (
+  SELECT least(CAST(floor(value / 10) AS BIGINT), {_ISO_BINS}) AS bin,
+         CASE WHEN (value >= {_ISO_THRESH}) != (event_id % {_ISO_NOISE_MOD} = 0)
+              THEN 1 ELSE 0 END AS y
+  FROM events),
+s AS (SELECT bin, count(*) AS n, sum(y) AS sy FROM b GROUP BY bin),
+c AS (SELECT bin, n, sy,
+             sum(n) OVER (ORDER BY bin) AS wn,
+             sum(sy) OVER (ORDER BY bin) AS ws
+      FROM s),
+a AS (
+  SELECT i.bin AS i, j.bin AS j,
+         round((j.ws - (i.ws - i.sy)) * 1.0
+               / (j.wn - (i.wn - i.n)), 9) AS avgij
+  FROM c i JOIN c j ON i.bin <= j.bin),
+im AS (
+  SELECT k.bin AS k, a.i, min(a.avgij) AS mn
+  FROM c k JOIN a ON a.i <= k.bin AND a.j >= k.bin
+  GROUP BY k.bin, a.i),
+fit AS (SELECT k, max(mn) AS iso FROM im GROUP BY k)
+SELECT s.bin, CAST(s.n AS BIGINT) AS n,
+       round(s.sy * 1.0 / s.n, 6) AS raw_rate,
+       round(f.iso, 6) AS iso_rate
+FROM s JOIN fit f ON f.k = s.bin
+""")
+def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION over score bins — probability calibration by
+    pool-adjacent-violators (Barlow et al. 1972; Zadrozny & Elkan 2002
+    made it the standard classifier-calibration step, and MLlib ships
+    it as IsotonicRegression). Bins events by value decile, targets the
+    noisy threshold concept (value >= {_ISO_THRESH}) xor (event_id %
+    {_ISO_NOISE_MOD} == 0), and fits the best NON-DECREASING rate per
+    bin. Instead of the sequential PAV pooling loop, this uses the
+    minimax identity — iso[k] = max_(i<=k) min_(j>=k) avg(y[i..j]) —
+    which turns the fit into pure relational algebra over prefix sums
+    (Robertson/Wright/Dykstra eq. 1.9: the solution to every isotonic
+    regression is this minimax of interval means), so the oracle
+    replays it exactly; the PAV loop and the minimax formula provably
+    coincide.
+
+    Determinism: interval means divide exact int64 prefix sums and snap
+    to the 9-digit grid BEFORE the min/max lattice (identical doubles
+    both engines -> identical order statistics); the output rounds
+    once more for display.
+
+    Scale shape: one corpus scan to (bin, n, sum_y) — {_ISO_BINS + 1}
+    rows of sufficient statistics — then the whole minimax lattice is
+    O(bins^3) algebra on model-sized state (the AdaBoost
+    sufficient-statistic pattern). At 100 TB: one combiner'd shuffle,
+    nothing else grows."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.least(F.floor(F.col("value") / 10).cast("bigint"),
+                F.lit(_ISO_BINS)).alias("bin"),
+        F.when((F.col("value") >= _ISO_THRESH)
+               != (F.col("event_id") % _ISO_NOISE_MOD == 0), 1)
+        .otherwise(0).alias("y"))
+    s = (b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"),
+                              F.sum("y").alias("sy"))
+         .localCheckpoint())
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = (s.withColumn("wn", F.sum("n").over(wcum))
+         .withColumn("ws", F.sum("sy").over(wcum)))
+    ci = c.select(F.col("bin").alias("i"), F.col("n").alias("ni"),
+                  F.col("sy").alias("si"), F.col("wn").alias("wni"),
+                  F.col("ws").alias("wsi"))
+    cj = c.select(F.col("bin").alias("j"), F.col("wn").alias("wnj"),
+                  F.col("ws").alias("wsj"))
+    a = (ci.join(cj, F.col("i") <= F.col("j"))
+         .select("i", "j",
+                 F.round((F.col("wsj") - (F.col("wsi") - F.col("si"))) * 1.0
+                         / (F.col("wnj") - (F.col("wni") - F.col("ni"))), 9)
+                 .alias("avgij")))
+    k = c.select(F.col("bin").alias("k"))
+    im = (k.join(a, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+          .groupBy("k", "i").agg(F.min("avgij").alias("mn")))
+    fit = im.groupBy("k").agg(F.max("mn").alias("iso"))
+    return (s.join(fit, s.bin == fit.k)
+            .select("bin", F.col("n").cast("bigint").alias("n"),
+                    F.round(F.col("sy") * 1.0 / F.col("n"), 6)
+                    .alias("raw_rate"),
+                    F.round("iso", 6).alias("iso_rate")))

@@ -914,3 +914,89 @@ def corpus_contamination_report(spark: SparkSession,
                     .when(F.col("ng_c"), "ngram")
                     .when(sem_c, "semantic")
                     .otherwise("clean").alias("flagged_by")))
+
+
+# Influence tracing: stop-gram df cap (the winnowing/_WIN_DF_CAP
+# precedent) and report width.
+_INFL_DF_CAP, _INFL_TOP = 50, 3
+
+
+@query("corpus_influence_tracing", oracle=f"""
+WITH {_G_SQL},
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+tr AS (SELECT doc_id, gram FROM gd WHERE doc_id % {_BENCH_MOD} <> 0),
+ev AS (SELECT doc_id, gram FROM gd WHERE doc_id % {_BENCH_MOD} = 0),
+nt AS (SELECT count(DISTINCT doc_id) AS n FROM tr),
+dfc AS (SELECT gram, count(*) AS df FROM tr GROUP BY gram
+        HAVING count(*) <= {_INFL_DF_CAP}),
+w AS (SELECT dfc.gram,
+             CAST(round(log2(nt.n * 1.0 / dfc.df) * 1000000.0) AS BIGINT)
+               AS idf_micro
+      FROM dfc CROSS JOIN nt),
+sc AS (
+  SELECT ev.doc_id AS eval_doc, tr.doc_id AS train_doc,
+         count(*) AS n_shared, sum(w.idf_micro) AS score_micro
+  FROM ev JOIN w USING (gram) JOIN tr USING (gram)
+  GROUP BY ev.doc_id, tr.doc_id),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY eval_doc
+                               ORDER BY score_micro DESC, train_doc) AS rnk
+  FROM sc)
+SELECT eval_doc, train_doc, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(score_micro AS BIGINT) AS score_micro, CAST(rnk AS BIGINT) AS rnk
+FROM rk WHERE rnk <= {_INFL_TOP}
+""")
+def corpus_influence_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-DATA INFLUENCE TRACING by n-gram provenance — the
+    attribution question ("WHICH training documents does this eval
+    item's content come from?") that decontamination's binary flag
+    doesn't answer; the n-gram/suffix-array overlap flavor of data
+    attribution used for memorization forensics (Lee et al. 2022's
+    dedup-memorization link; Carlini et al. 2023 extraction audits
+    trace memorized spans to their source docs the same way). For each
+    benchmark doc (doc_id % {_BENCH_MOD} == 0, the decontamination
+    stand-in), every training doc sharing distinct {_NGRAM_N}-grams is
+    scored by the sum of IDF weights of the shared grams (rare shared
+    grams = strong provenance; common ones say nothing), and the
+    top-{_INFL_TOP} sources per eval item ship with their shared-gram
+    counts — the review queue a memorization audit hands to humans.
+
+    Determinism: IDF = log2(n_train/df) snapped to integer MICRO-units
+    per gram; pair scores are int64 sums of those micro-weights
+    (summation order free), and the ranking breaks ties on train_doc.
+
+    Scale shape: distinct (doc, gram) both sides, df aggregate, then a
+    gram-keyed equi-join whose fan-out is bounded by the
+    {_INFL_DF_CAP}-doc stop-gram cap (dropping high-df grams is the
+    winnowing/_WIN_DF_CAP guard AND better attribution — boilerplate
+    carries no provenance signal): per eval gram at most
+    {_INFL_DF_CAP} candidate rows, so the join is |eval grams| x
+    bounded-df, never |eval| x |corpus|. The idf table broadcasts
+    (<= distinct-gram rows after the cap)."""
+    gd = _doc_grams(spark, sf_dir).distinct()
+    tr = gd.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    ev = (gd.filter(F.col("doc_id") % _BENCH_MOD == 0)
+          .select(F.col("doc_id").alias("eval_doc"), "gram"))
+    tr = tr.localCheckpoint()
+    nt = tr.select("doc_id").distinct().count()
+    w = (tr.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+         .filter(F.col("df") <= _INFL_DF_CAP)
+         .select("gram",
+                 F.round(F.log2(F.lit(float(nt)) * 1.0 / F.col("df"))
+                         * 1000000.0, 0).cast("bigint").alias("idf_micro")))
+    sc = (ev.join(w, "gram")
+          .join(tr.select(F.col("doc_id").alias("train_doc"), "gram"),
+                "gram")
+          .groupBy("eval_doc", "train_doc")
+          .agg(F.count(F.lit(1)).alias("n_shared"),
+               F.sum("idf_micro").alias("score_micro")))
+    from pyspark.sql import Window as W
+    rnk = F.row_number().over(
+        W.partitionBy("eval_doc").orderBy(F.desc("score_micro"),
+                                          F.asc("train_doc")))
+    return (sc.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= _INFL_TOP)
+            .select("eval_doc", "train_doc",
+                    F.col("n_shared").cast("bigint").alias("n_shared"),
+                    F.col("score_micro").cast("bigint").alias("score_micro"),
+                    "rnk"))

@@ -615,3 +615,100 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", "size_bucket", "group_size", "n_langs",
                     "entropy_l",
                     (F.col("n_langs") < L_DIV).alias("violates_l")))
+
+
+# t-closeness threshold as an exact rational (T_NUM/T_DEN = 0.4): the
+# violation test multiplies through to integers, so no float distance
+# ever feeds the flag. Same QI bucketing as l-diversity (the paper's
+# own layering: k bounds class SIZE, l bounds sensitive VARIETY, t
+# bounds sensitive SKEW vs the global distribution).
+TCLOSE_NUM, TCLOSE_DEN = 2, 5
+
+
+@query("dq_t_closeness", oracle=f"""
+WITH cnt AS (
+  SELECT source, n_chars // {LDIV_BUCKET} AS size_bucket, lang,
+         count(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+gl AS (SELECT lang, sum(n) AS gn FROM cnt GROUP BY lang),
+tot AS (SELECT sum(n) AS nn FROM cnt),
+gs AS (SELECT source, size_bucket, sum(n) AS gs
+       FROM cnt GROUP BY source, size_bucket),
+dev AS (
+  SELECT g.source, g.size_bucket, g.gs,
+         sum(abs(COALESCE(c.n, 0) * tot.nn - gl.gn * g.gs)) AS s_present,
+         sum(gl.gn) AS gn_present
+  FROM gs g
+  CROSS JOIN tot
+  JOIN gl ON 1 = 1
+  LEFT JOIN cnt c ON c.source = g.source
+                 AND c.size_bucket = g.size_bucket
+                 AND c.lang = gl.lang
+  GROUP BY g.source, g.size_bucket, g.gs, tot.nn),
+scored AS (
+  SELECT source, size_bucket, gs,
+         s_present AS tvd_num,
+         (SELECT nn FROM tot) AS nn
+  FROM dev)
+SELECT source, CAST(size_bucket AS BIGINT) AS size_bucket,
+       CAST(gs AS BIGINT) AS group_size,
+       CAST(tvd_num AS BIGINT) AS tvd_numerator,
+       round(tvd_num / (2.0 * gs * nn), 6) AS tvd,
+       tvd_num * {TCLOSE_DEN} > {TCLOSE_NUM} * 2 * gs * nn AS violates_t
+FROM scored
+""")
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the privacy-audit ladder after dq_k_anonymity (class size)
+    and dq_l_diversity (sensitive variety): a class can be large AND
+    diverse yet still leak if its sensitive-value DISTRIBUTION deviates
+    from the global one (the skewness attack — a class that is 90% one
+    lang in a 20%-prevalence corpus reveals plenty). Per QI class
+    (source, coarse length bucket) this computes the variational
+    distance between the class's `lang` distribution and the corpus
+    distribution — for categorical attributes with unit ground
+    distance, the Earth Mover's Distance the paper specifies IS the
+    total variation distance — and flags classes with TVD > t = 0.4.
+
+    Exact-integer discipline: TVD = sum_v |n_cv/gs - n_v/N| / 2 is
+    computed on the COMMON DENOMINATOR as sum_v |n_cv*N - n_v*gs| (a
+    pure int64 numerator, including absent-value terms via the LEFT
+    join's COALESCE), and the violation test cross-multiplies the
+    rational threshold (num*DEN > t_num*2*gs*N) so the FLAG never
+    touches a float — the dq_l_diversity integer-flag discipline. The
+    float tvd column is metric-only.
+
+    Scale shape: one combiner'd count over (QI, sensitive) — class x
+    sensitive-cardinality model-sized state — then a broadcast of the
+    |langs|-row global table against it and a class-keyed re-aggregate.
+    At 100 TB the corpus is touched once; the audit algebra runs on
+    model-sized state (the l-diversity plan plus one tiny broadcast)."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = (docs.groupBy(
+               "source",
+               F.floor(F.col("n_chars") / LDIV_BUCKET).cast("bigint")
+                .alias("size_bucket"),
+               "lang")
+           .agg(F.count(F.lit(1)).alias("n")))
+    cnt = cnt.localCheckpoint()
+    gl = cnt.groupBy("lang").agg(F.sum("n").alias("gn"))
+    tot = cnt.agg(F.sum("n").alias("nn"))
+    gs = (cnt.groupBy("source", "size_bucket")
+          .agg(F.sum("n").alias("gs")))
+    # every (class x global-lang) cell, absent cells at n=0
+    cells = (gs.crossJoin(F.broadcast(gl))
+             .join(cnt, ["source", "size_bucket", "lang"], "left")
+             .withColumn("n", F.coalesce("n", F.lit(0))))
+    dev = (cells.crossJoin(F.broadcast(tot))
+           .groupBy("source", "size_bucket", "gs", "nn")
+           .agg(F.sum(F.abs(F.col("n") * F.col("nn")
+                            - F.col("gn") * F.col("gs")))
+                .alias("tvd_num")))
+    return dev.select(
+        "source", F.col("size_bucket").cast("bigint").alias("size_bucket"),
+        F.col("gs").cast("bigint").alias("group_size"),
+        F.col("tvd_num").cast("bigint").alias("tvd_numerator"),
+        F.round(F.col("tvd_num") / (2.0 * F.col("gs") * F.col("nn")), 6)
+        .alias("tvd"),
+        (F.col("tvd_num") * TCLOSE_DEN
+         > TCLOSE_NUM * 2 * F.col("gs") * F.col("nn")).alias("violates_t"))

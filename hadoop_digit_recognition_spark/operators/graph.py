@@ -818,3 +818,118 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (top.withColumn("rnk", rnk.cast("bigint"))
             .select("c1", "c2", F.col("common").cast("bigint")
                     .alias("common"), "aa", "rnk"))
+
+
+# Harmonic centrality: hop bound + the BFS sparsification (top-K
+# strongest out-edges per node). 1/d contributions in exact micro-units
+# (round(1e6/d) is the same integer in both engines for every d).
+_HARM_MAXD = 4
+
+
+@query("graph_harmonic_centrality", oracle=f"""
+WITH RECURSIVE ew AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY s.s_nationkey, c.c_nationkey
+),
+e AS (SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM ew) WHERE rn <= {_BFS_K}),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+bfs(src, node, d) AS (
+  SELECT node, node, 0 FROM nodes
+  UNION
+  SELECT bfs.src, e.dst, bfs.d + 1 FROM bfs JOIN e ON e.src = bfs.node
+  WHERE bfs.d < {_HARM_MAXD}
+),
+dist AS (SELECT src, node, min(d) AS d FROM bfs GROUP BY src, node),
+h AS (
+  SELECT src,
+         count(*) FILTER (WHERE node <> src) AS n_reached,
+         COALESCE(sum(CASE WHEN node <> src
+                      THEN CAST(round(1000000.0 / d) AS BIGINT) END), 0)
+           AS harmonic_micro
+  FROM dist GROUP BY src)
+SELECT n.node, CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+       CAST(COALESCE(h.harmonic_micro, 0) AS BIGINT) AS harmonic_micro,
+       round(COALESCE(h.harmonic_micro, 0) / 1000000.0, 6) AS harmonic
+FROM nodes n LEFT JOIN h ON h.src = n.node
+""")
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CENTRALITY, bounded-hop (Marchiori & Latora 2000;
+    Boldi & Vigna 2014 argue it is the closeness variant that behaves
+    on DISCONNECTED graphs, since unreachable nodes contribute 0 rather
+    than poisoning the mean): per node u, sum of 1/d(u,v) over nodes
+    reached within {_HARM_MAXD} hops of the sparsified trade graph
+    (graph_bfs_hops' top-{_BFS_K} out-edges). The multi-source frontier
+    loop is graph_bfs_hops' single-source loop with the source id
+    carried in the state key — the textbook way an all-sources BFS
+    rides the same Pregel-on-relational machinery.
+
+    Determinism: 1/d contributions are EXACT integer micro-units
+    (round(1e6/d) — the same integer in both engines for every integer
+    d), so the centrality sum is pure int64 and the float column is a
+    display projection — the grid discipline (SCALE.md watch #4) for a
+    sum that would otherwise accumulate 0.333... in engine-dependent
+    order.
+
+    Scale shape: state is (src, node, hops) pairs — at most V^2 rows,
+    here 25^2; each of the {_HARM_MAXD} rounds is one equi-join against
+    the sparse edge list + a min-aggregate, localCheckpointed like BFS.
+    At web scale all-sources exact harmonic is V x BFS (the reason
+    production systems sample sources or use HyperBall — the
+    graph_anf_hll sketch is exactly that neighborhood-function
+    machinery); the bounded-hop relational form here IS HyperBall's
+    exact small-radius base case."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    from pyspark.sql import Window as W
+    ew = spark.sql("""
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey""")
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
+         .select("src", "dst"))
+    e.persist()
+    e.count()
+
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").cast("bigint").alias("node"))
+    dist = nodes.select(F.col("node").alias("src"), "node",
+                        F.lit(0).cast("bigint").alias("d"))
+    for _ in range(_HARM_MAXD):
+        nxt = (dist.alias("s").join(e.alias("g"),
+                                    F.col("s.node") == F.col("g.src"))
+               .select(F.col("s.src").alias("src"),
+                       F.col("g.dst").cast("bigint").alias("node"),
+                       (F.col("s.d") + 1).alias("d")))
+        dist = (dist.union(nxt).groupBy("src", "node")
+                .agg(F.min("d").alias("d"))
+                .coalesce(1).localCheckpoint())
+    contrib = F.when(
+        F.col("node") != F.col("src"),
+        F.round(1000000.0 / F.col("d"), 0).cast("bigint"))
+    h = (dist.groupBy("src")
+         .agg(F.sum(F.when(F.col("node") != F.col("src"), 1).otherwise(0))
+              .alias("n_reached"),
+              F.coalesce(F.sum(contrib), F.lit(0)).alias("harmonic_micro")))
+    return (nodes.join(h, nodes.node == h.src, "left")
+            .select("node",
+                    F.coalesce("n_reached", F.lit(0)).cast("bigint")
+                    .alias("n_reached"),
+                    F.coalesce("harmonic_micro", F.lit(0)).cast("bigint")
+                    .alias("harmonic_micro"),
+                    F.round(F.coalesce("harmonic_micro", F.lit(0))
+                            / 1000000.0, 6).alias("harmonic")))

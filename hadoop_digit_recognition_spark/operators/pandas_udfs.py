@@ -414,3 +414,108 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "y", F.round("level", 6).alias("level"),
                       F.round("trend", 6).alias("trend"),
                       F.round("fitted", 6).alias("fitted"))
+
+
+# Croston smoothing constant — dyadic for the same bit-identical-
+# recurrence reason as _HOLT_A (see that comment); demand threshold
+# picked so the per-type daily series is genuinely intermittent
+# (7-14 demand days out of 30 at sf0.01).
+_CROSTON_A, _CROSTON_THRESH = 0.25, 250.0
+
+
+@query("timeseries_croston_intermittent", oracle=f"""
+WITH RECURSIVE pts0 AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS q
+  FROM events WHERE value >= {_CROSTON_THRESH}
+  GROUP BY event_type, CAST(ts AS DATE)),
+s AS (
+  SELECT event_type, day, CAST(q AS DOUBLE) AS q,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         CAST(date_diff('day',
+              lag(day) OVER (PARTITION BY event_type ORDER BY day), day)
+           AS DOUBLE) AS gap
+  FROM pts0),
+rec AS (
+  SELECT s1.event_type, s1.day, CAST(1 AS BIGINT) AS k, s1.q,
+         CAST(NULL AS DOUBLE) AS gap,
+         s1.q AS z, s2.gap AS p, CAST(NULL AS DOUBLE) AS fitted
+  FROM s s1 JOIN s s2 ON s1.event_type = s2.event_type
+                     AND s1.k = 1 AND s2.k = 2
+  UNION ALL
+  SELECT s.event_type, s.day, s.k, s.q, s.gap,
+         {_CROSTON_A} * s.q + {1 - _CROSTON_A} * r.z,
+         {_CROSTON_A} * s.gap + {1 - _CROSTON_A} * r.p,
+         r.z / r.p
+  FROM rec r JOIN s ON s.event_type = r.event_type AND s.k = r.k + 1)
+SELECT event_type, CAST(day AS VARCHAR) AS day, k,
+       CAST(q AS BIGINT) AS q, CAST(gap AS BIGINT) AS gap,
+       round(z, 6) AS z, round(p, 6) AS p,
+       round(fitted, 6) AS fitted,
+       round(z / p, 6) AS forecast
+FROM rec
+""")
+def timeseries_croston_intermittent(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand (Croston 1972 — the
+    spare-parts/slow-mover forecaster every supply-chain system ships
+    next to Holt): when most periods have ZERO demand, smoothing the
+    raw series biases toward zero, so Croston runs TWO exponential
+    recurrences updated only at demand points — demand SIZE z and
+    inter-demand INTERVAL p — and forecasts demand-per-period as z/p.
+    Series: per event type, daily counts of value >= {_CROSTON_THRESH}
+    events (7-14 demand days of 30 at sf0.01 — genuinely intermittent).
+    Seeds z_1 = q_1 and p_1 = the first observed interval (the Holt
+    trend-seed convention); both update with the dyadic alpha
+    {_CROSTON_A} at each subsequent demand point; `fitted` is the
+    pre-update forecast z/p carried into point k (one-step-ahead),
+    `forecast` the post-update rate.
+
+    Cross-engine determinism: the timeseries_holt_linear contract —
+    identical float64 expression trees over dyadic constants and
+    integer day-gaps/counts, Python loop and recursive CTE performing
+    the same IEEE ops in the same order, rounding once at output.
+
+    Scale shape: the demand-point pre-aggregate is the only corpus-wide
+    work (one combiner'd shuffle emitting demand-days x types rows —
+    sparser than Holt's dense monthly series by the intermittency);
+    applyInPandas ships each series to one task with two doubles of
+    state. Types with < 2 demand points drop on both sides (no
+    interval seed)."""
+    ev = load(spark, sf_dir, "events")
+    pts = (ev.filter(F.col("value") >= _CROSTON_THRESH)
+           .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+           .agg(F.count(F.lit(1)).alias("q")))
+
+    def croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["event_type", "day", "k", "q",
+                                         "gap", "z", "p", "fitted",
+                                         "forecast"])
+        days = list(pdf["day"])
+        qs = [float(v) for v in pdf["q"]]
+        gaps = [None] + [float((days[i] - days[i - 1]).days)
+                         for i in range(1, len(days))]
+        et = pdf["event_type"][0]
+        z, p = qs[0], gaps[1]
+        rows = [(et, days[0], 1, int(qs[0]), None, z, p, None, z / p)]
+        for k in range(1, len(qs)):
+            fitted = z / p
+            z = _CROSTON_A * qs[k] + (1 - _CROSTON_A) * z
+            p = _CROSTON_A * gaps[k] + (1 - _CROSTON_A) * p
+            rows.append((et, days[k], k + 1, int(qs[k]), int(gaps[k]),
+                         z, p, fitted, z / p))
+        return pd.DataFrame(rows, columns=["event_type", "day", "k", "q",
+                                           "gap", "z", "p", "fitted",
+                                           "forecast"])
+
+    out = pts.groupBy("event_type").applyInPandas(
+        croston,
+        "event_type string, day date, k bigint, q bigint, gap bigint, "
+        "z double, p double, fitted double, forecast double")
+    return out.select("event_type",
+                      F.col("day").cast("string").alias("day"), "k", "q",
+                      "gap", F.round("z", 6).alias("z"),
+                      F.round("p", 6).alias("p"),
+                      F.round("fitted", 6).alias("fitted"),
+                      F.round("forecast", 6).alias("forecast"))

@@ -776,3 +776,103 @@ def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("jc") * F.col("ue"), 6).alias("inter_est"),
                     F.coalesce("exact_common", F.lit(0)).cast("bigint")
                     .alias("exact_common")))
+
+
+# AMS tug-of-war F2 sketch: 40 sign counters in 5 groups of 8 — the
+# median-of-means layout from the paper. 5 groups give a TRUE median
+# (3rd order statistic, no averaging of middle elements), and means
+# over 8 are exact dyadic doubles, so the estimate is deterministic
+# integer algebra until the single output rounding.
+_AMS_GROUPS, _AMS_PER_GROUP = 5, 8
+_AMS_K = _AMS_GROUPS * _AMS_PER_GROUP
+
+
+@query("sketch_moments_ams", oracle=f"""
+WITH f AS (
+  SELECT event_type, user_id, count(*) AS fv
+  FROM events GROUP BY event_type, user_id),
+sgn AS (
+  SELECT f.event_type, f.fv, j.j,
+         CASE WHEN ('0x' || substr(md5(CAST(f.user_id AS VARCHAR)
+                                        || ':' || CAST(j.j AS VARCHAR)),
+                    1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM f CROSS JOIN generate_series(0, {_AMS_K - 1}) j(j)),
+x AS (SELECT event_type, j, sum(fv * s) AS xj
+      FROM sgn GROUP BY event_type, j),
+gm AS (SELECT event_type, j // {_AMS_PER_GROUP} AS g,
+              CAST(sum(xj * xj) AS DOUBLE) / {_AMS_PER_GROUP} AS mean2
+       FROM x GROUP BY event_type, j // {_AMS_PER_GROUP}),
+med AS (
+  SELECT event_type, mean2 AS f2_est FROM (
+    SELECT event_type, mean2,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY mean2, g) AS rn
+    FROM gm) WHERE rn = {_AMS_GROUPS // 2 + 1}),
+ex AS (SELECT event_type, sum(fv * fv) AS f2_exact FROM f
+       GROUP BY event_type)
+SELECT e.event_type, CAST(e.f2_exact AS BIGINT) AS f2_exact,
+       round(m.f2_est, 6) AS f2_est,
+       round(abs(m.f2_est - e.f2_exact) / e.f2_exact, 6) AS rel_err
+FROM ex e JOIN med m USING (event_type)
+""")
+def sketch_moments_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS "tug-of-war" SECOND-MOMENT sketch (Alon, Matias & Szegedy
+    1996 — the Godel-prize streaming result): estimate F2 = sum_v f_v^2
+    (self-join size / repeat-rate, the quantity a join optimizer and a
+    skew detector both want) from {_AMS_K} integer counters per key
+    instead of a value-frequency table. Each counter X_j = sum_v f_v *
+    s_j(v) with deterministic +/-1 hashes; E[X_j^2] = F2, and the
+    median of {_AMS_GROUPS} means of {_AMS_PER_GROUP} squares gives the
+    paper's (eps, delta) guarantee. The exact F2 rides along as the
+    demonstration column (production drops it — it is the full
+    frequency aggregation the sketch replaces).
+
+    Determinism: signs come from det_hash64(user:counter) parity (the
+    KMV/minhash hash family), counters are exact int64 sums, squares
+    and group sums are int64, the mean divides by the power-of-two
+    {_AMS_PER_GROUP} (exact in float64), and the median is an order
+    statistic on those exact doubles with a group-id tiebreak — both
+    engines pick the same row; rounding happens once at output.
+
+    Scale shape: one grouped count to f_v (combiner'd), one explode by
+    {_AMS_K} (narrow), one (key, counter) aggregate whose output is
+    {_AMS_K} x |keys| rows — model-sized sketch state, mergeable across
+    shards/days by ADDITION like every linear sketch (the HLL-rollup
+    argument); the estimate algebra never touches corpus-sized data
+    again. At 100 TB: same two shuffles as a plain count, plus
+    constant-factor fan-out."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    f = (ev.groupBy("event_type", "user_id")
+         .agg(F.count(F.lit(1)).alias("fv")))
+    j = spark.range(_AMS_K).select(F.col("id").cast("int").alias("j"))
+    sgn = (f.crossJoin(F.broadcast(j))
+           .withColumn(
+               "s", F.when(
+                   det_hash64(F.concat(F.col("user_id").cast("string"),
+                                       F.lit(":"),
+                                       F.col("j").cast("string"))) % 2 == 0,
+                   1).otherwise(-1)))
+    x = (sgn.groupBy("event_type", "j")
+         .agg(F.sum(F.col("fv") * F.col("s")).alias("xj")))
+    gm = (x.groupBy("event_type",
+                    (F.col("j") / _AMS_PER_GROUP).cast("int").alias("g"))
+          .agg((F.sum(F.col("xj") * F.col("xj")).cast("double")
+                / _AMS_PER_GROUP).alias("mean2")))
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy("mean2", "g"))
+    med = (gm.withColumn("rn", rn)
+           .filter(F.col("rn") == _AMS_GROUPS // 2 + 1)
+           .select("event_type", F.col("mean2").alias("f2_est")))
+    ex = (f.groupBy("event_type")
+          .agg(F.sum(F.col("fv") * F.col("fv")).alias("f2_exact")))
+    return (ex.join(med, "event_type")
+            .select("event_type",
+                    F.col("f2_exact").cast("bigint").alias("f2_exact"),
+                    F.round("f2_est", 6).alias("f2_est"),
+                    F.round(F.abs(F.col("f2_est") - F.col("f2_exact"))
+                            / F.col("f2_exact"), 6).alias("rel_err")))

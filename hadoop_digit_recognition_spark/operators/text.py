@@ -1447,7 +1447,7 @@ def _bpe_train_scaled(docs: DataFrame,
     f"the 6-round text_bpe_merge_train IS this loop's oracle-graded "
     f"prefix and the bounding test asserts exact prefix agreement plus "
     f"merge-replay agreement on the final state",
-    "tests/test_llm_ops_oracle.py::test_bpe_scaled_prefix_and_replay"),
+    "test_bpe_scaled_prefix_and_replay"),
     eager=True)
 def text_bpe_merge_train_scaled(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

@@ -103,7 +103,9 @@ LLM_QUERIES = [
     "dq_l_diversity", "text_bpe_encode", "timeseries_holt_linear",
     "dedup_record_linkage_fs", "sketch_kmv_intersection",
     "timeseries_theil_sen", "ml_ridge_path",
-    "dedup_record_linkage_em",
+    "dedup_record_linkage_em", "dq_t_closeness", "sketch_moments_ams",
+    "ml_isotonic_pav", "timeseries_croston_intermittent",
+    "corpus_influence_tracing",
 ]
 
 

@@ -114,7 +114,14 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # 1-row EM-estimate scalar (m/u/lambda from round 1)
                 # crossed into the 8-row agreement-class table — model
                 # state x model state (AdaBoost round-state class)
-                "dedup_record_linkage_em"}
+                "dedup_record_linkage_em",
+                # |langs|-row global distribution + 1-row corpus-total
+                # scalar crossed into class-sized audit state (the
+                # dq_benford/ks scalar-broadcast class)
+                "dq_t_closeness",
+                # 40-row literal counter grid crossed into the
+                # frequency stream (threshold-sweep / gemm grid class)
+                "sketch_moments_ams"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -568,7 +568,12 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  else "events_session_paths",
                  # empty sketch intersections (one-type users) are the
                  # 0/0 regime for the KMV pair estimates
-                 "sketch_kmv_intersection"):
+                 "sketch_kmv_intersection",
+                 # round 8: single-bin isotonic fit, zero demand points
+                 # (value < threshold everywhere -> empty on both
+                 # sides), and tiny-frequency AMS counters
+                 "ml_isotonic_pav", "timeseries_croston_intermittent",
+                 "sketch_moments_ams"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -621,7 +626,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "corpus_gopher_quality_rules", "corpus_dsir_importance",
                  "corpus_weighted_reservoir", "text_zipf_fit",
                  "graph_clustering_coefficient", "text_bpe_encode",
-                 "dq_l_diversity"):
+                 "dq_l_diversity",
+                 # round 8: single-language TVD (exact zero), and an
+                 # EMPTY eval doc in influence tracing (doc 0 is the
+                 # only %97 hit and has no grams -> empty both sides)
+                 "dq_t_closeness", "corpus_influence_tracing"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

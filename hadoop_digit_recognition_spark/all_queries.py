@@ -107,6 +107,8 @@ def _rotate_for_driver_coverage() -> None:
         "dq_t_closeness", "sketch_moments_ams",
         "corpus_influence_tracing", "graph_harmonic_centrality",
         "timeseries_croston_intermittent", "ml_isotonic_pav",
+        "corpus_span_corruption_plan", "graph_betweenness_bounded",
+        "dedup_minhash_bbit", "ml_gbm_ls_stumps",
     }
 
     def _family(n: str) -> int:

@@ -1277,3 +1277,213 @@ def ml_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("sy") * 1.0 / F.col("n"), 6)
                     .alias("raw_rate"),
                     F.round("iso", 6).alias("iso_rate")))
+
+
+# LS gradient boosting: stump grid (the AdaBoost thresholds), dyadic
+# learning rate, money target in exact integer cents.
+_GBM_NU = 0.5
+_GBM_T_SQL = "[" + ", ".join(str(t) for t in _ADA_THRESHOLDS) + "]"
+
+
+@query("ml_gbm_ls_stumps", oracle=f"""
+WITH base AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS y, value FROM events),
+nn AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM base),
+f0t AS (SELECT n, sy, syy, round(sy * 1.0 / n, 6) AS f0 FROM nn),
+cand AS (SELECT unnest({_GBM_T_SQL}) AS t),
+h1 AS (
+  SELECT c.t,
+         count(*) FILTER (WHERE b.value <= c.t) AS nl,
+         COALESCE(sum(b.y) FILTER (WHERE b.value <= c.t), 0) AS syl
+  FROM base b CROSS JOIN cand c GROUP BY c.t),
+g1 AS (
+  SELECT h1.t, h1.nl, f.n - h1.nl AS nr, h1.syl, f.sy - h1.syl AS syr,
+         h1.syl - h1.nl * f.f0 AS rl, (f.sy - h1.syl) - (f.n - h1.nl) * f.f0 AS rr
+  FROM h1 CROSS JOIN f0t f
+  WHERE h1.nl > 0 AND f.n - h1.nl > 0),
+b1 AS (SELECT * FROM g1
+       ORDER BY rl * rl / nl + rr * rr / nr DESC, t LIMIT 1),
+s1 AS (
+  SELECT t AS t1, nl AS n1l, nr AS n1r, syl AS sy1l, syr AS sy1r,
+         round(rl / nl, 9) AS lo1, round(rr / nr, 9) AS hi1
+  FROM b1),
+fs AS (SELECT s1.*, f.n, f.sy, f.syy, f.f0,
+              f.f0 + {_GBM_NU} * s1.lo1 AS f1l,
+              f.f0 + {_GBM_NU} * s1.hi1 AS f1r
+       FROM s1 CROSS JOIN f0t f),
+h2 AS (
+  SELECT c.t,
+         count(*) FILTER (WHERE b.value <= fs.t1 AND b.value <= c.t) AS nll,
+         COALESCE(sum(b.y) FILTER (WHERE b.value <= fs.t1
+                                     AND b.value <= c.t), 0) AS syll,
+         count(*) FILTER (WHERE b.value > fs.t1 AND b.value <= c.t) AS nrl,
+         COALESCE(sum(b.y) FILTER (WHERE b.value > fs.t1
+                                     AND b.value <= c.t), 0) AS syrl
+  FROM base b CROSS JOIN cand c CROSS JOIN fs GROUP BY c.t),
+g2 AS (
+  SELECT h2.t, h2.nll + h2.nrl AS n2l, fs.n - h2.nll - h2.nrl AS n2r,
+         (h2.syll - h2.nll * fs.f1l) + (h2.syrl - h2.nrl * fs.f1r) AS rl,
+         ((fs.sy1l - h2.syll) - (fs.n1l - h2.nll) * fs.f1l)
+           + ((fs.sy1r - h2.syrl) - (fs.n1r - h2.nrl) * fs.f1r) AS rr
+  FROM h2 CROSS JOIN fs
+  WHERE h2.nll + h2.nrl > 0 AND fs.n - h2.nll - h2.nrl > 0),
+b2 AS (SELECT * FROM g2
+       ORDER BY rl * rl / n2l + rr * rr / n2r DESC, t LIMIT 1),
+s2 AS (
+  SELECT t AS t2, n2l, n2r,
+         round(rl / n2l, 9) AS lo2, round(rr / n2r, 9) AS hi2
+  FROM b2),
+cells AS (
+  SELECT b.value <= fs.t1 AS s1side, b.value <= s2.t2 AS s2side,
+         count(*) AS nc, sum(b.y) AS syc, sum(b.y * b.y) AS syyc
+  FROM base b CROSS JOIN fs CROSS JOIN s2 GROUP BY 1, 2),
+r1sse AS (
+  SELECT sum(syyc - 2 * (CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END) * syc
+             + nc * (CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END)
+                  * (CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END)) AS sse1
+  FROM cells CROSS JOIN fs),
+r2sse AS (
+  SELECT sum(syyc
+             - 2 * ((CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END)
+                    + {_GBM_NU} * (CASE WHEN s2side THEN s2.lo2
+                                        ELSE s2.hi2 END)) * syc
+             + nc * ((CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END)
+                     + {_GBM_NU} * (CASE WHEN s2side THEN s2.lo2
+                                         ELSE s2.hi2 END))
+                  * ((CASE WHEN s1side THEN fs.f1l ELSE fs.f1r END)
+                     + {_GBM_NU} * (CASE WHEN s2side THEN s2.lo2
+                                         ELSE s2.hi2 END))) AS sse2
+  FROM cells CROSS JOIN fs CROSS JOIN s2)
+SELECT CAST(1 AS BIGINT) AS round, CAST(fs.t1 AS DOUBLE) AS threshold,
+       CAST(fs.n1l AS BIGINT) AS n_lo, CAST(fs.n1r AS BIGINT) AS n_hi,
+       fs.lo1 AS leaf_lo, fs.hi1 AS leaf_hi,
+       round(sqrt(r1sse.sse1 / fs.n), 6) AS rmse_after
+FROM fs CROSS JOIN r1sse
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(s2.t2 AS DOUBLE),
+       CAST(s2.n2l AS BIGINT), CAST(s2.n2r AS BIGINT),
+       s2.lo2, s2.hi2,
+       round(sqrt(r2sse.sse2 / fs.n), 6)
+FROM s2 CROSS JOIN r2sse CROSS JOIN fs
+""")
+def ml_gbm_ls_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAST-SQUARES GRADIENT BOOSTING with decision stumps, two rounds
+    unrolled (Friedman 2001's L2Boost special case — the loop inside
+    every GBDT library, expressed as sufficient-statistic relational
+    algebra like ml_adaboost_stumps): F0 = mean(y); each round fits a
+    stump to the RESIDUALS and steps F <- F + nu * stump with the
+    dyadic learning rate nu = {_GBM_NU}. The relational trick mirrors
+    AdaBoost's: after round 1 the model F1 is piecewise-constant over
+    TWO cells, so every round-2 candidate's residual sums are linear
+    combinations of INTEGER (count, sum-y) statistics per (round-1
+    side x candidate side) cell — no per-row residual column ever
+    materializes, and the train-RMSE ledger falls out of per-cell
+    (n, sum y, sum y^2) via sum((y-c)^2) = syy - 2c*sy + n*c^2.
+    Target: o_totalprice-style money in exact integer cents
+    (round(value*100)); on the events fixture round 1 splits at 80,
+    round 2 refines at 40, RMSE 4910 -> 3520 -> 2790 cents — real
+    boosting dynamics (each round must pick a DIFFERENT split to gain).
+
+    Determinism: every data aggregate is integer (counts, cent sums,
+    cent-square sums — the no-float-accumulation rule); leaf values and
+    F-constants are scalars snapped to the 9/6-digit grids, and the
+    argmax compares gains computed by the IDENTICAL expression tree
+    over identical inputs in both engines, tie-broken on t.
+
+    Scale shape: two corpus scans (one conditional-aggregate shuffle
+    each, grid-sized output) + one 4-cell scan for the ledger;
+    everything else is 1-row scalar broadcasts — the exact per-level
+    cost envelope of MLlib's GBTRegressor with maxDepth=1."""
+    events = load(spark, sf_dir, "events")
+    base = events.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("y"), "value")
+    nn = base.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+                  F.sum(F.col("y") * F.col("y")).alias("syy"))
+    f0t = nn.select("n", "sy", "syy",
+                    F.round(F.col("sy") * 1.0 / F.col("n"), 6).alias("f0"))
+    cand = spark.createDataFrame([(t,) for t in _ADA_THRESHOLDS],
+                                 "t double")
+    inl = F.col("value") <= F.col("t")
+    h1 = (base.crossJoin(F.broadcast(cand))
+          .groupBy("t")
+          .agg(F.sum(F.when(inl, 1).otherwise(0)).alias("nl"),
+               F.coalesce(F.sum(F.when(inl, F.col("y"))), F.lit(0))
+               .alias("syl")))
+    g1 = (h1.crossJoin(F.broadcast(f0t))
+          .withColumn("nr", F.col("n") - F.col("nl"))
+          .withColumn("syr", F.col("sy") - F.col("syl"))
+          .withColumn("rl", F.col("syl") - F.col("nl") * F.col("f0"))
+          .withColumn("rr", F.col("syr") - F.col("nr") * F.col("f0"))
+          .filter((F.col("nl") > 0) & (F.col("nr") > 0)))
+    gain = (F.col("rl") * F.col("rl") / F.col("nl")
+            + F.col("rr") * F.col("rr") / F.col("nr"))
+    b1 = g1.orderBy(gain.desc(), F.asc("t")).limit(1)
+    s1 = b1.select(F.col("t").alias("t1"), F.col("nl").alias("n1l"),
+                   F.col("nr").alias("n1r"), F.col("syl").alias("sy1l"),
+                   F.col("syr").alias("sy1r"),
+                   F.round(F.col("rl") / F.col("nl"), 9).alias("lo1"),
+                   F.round(F.col("rr") / F.col("nr"), 9).alias("hi1"))
+    fs = (s1.crossJoin(F.broadcast(f0t))
+          .withColumn("f1l", F.col("f0") + _GBM_NU * F.col("lo1"))
+          .withColumn("f1r", F.col("f0") + _GBM_NU * F.col("hi1"))
+          .localCheckpoint())
+    in1 = F.col("value") <= F.col("t1")
+    h2 = (base.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(fs))
+          .groupBy("t")
+          .agg(F.sum(F.when(in1 & inl, 1).otherwise(0)).alias("nll"),
+               F.coalesce(F.sum(F.when(in1 & inl, F.col("y"))), F.lit(0))
+               .alias("syll"),
+               F.sum(F.when(~in1 & inl, 1).otherwise(0)).alias("nrl"),
+               F.coalesce(F.sum(F.when(~in1 & inl, F.col("y"))), F.lit(0))
+               .alias("syrl")))
+    g2 = (h2.crossJoin(F.broadcast(fs))
+          .withColumn("n2l", F.col("nll") + F.col("nrl"))
+          .withColumn("n2r", F.col("n") - F.col("nll") - F.col("nrl"))
+          .withColumn("rl", (F.col("syll") - F.col("nll") * F.col("f1l"))
+                      + (F.col("syrl") - F.col("nrl") * F.col("f1r")))
+          .withColumn("rr",
+                      ((F.col("sy1l") - F.col("syll"))
+                       - (F.col("n1l") - F.col("nll")) * F.col("f1l"))
+                      + ((F.col("sy1r") - F.col("syrl"))
+                         - (F.col("n1r") - F.col("nrl")) * F.col("f1r")))
+          .filter((F.col("n2l") > 0) & (F.col("n2r") > 0)))
+    gain2 = (F.col("rl") * F.col("rl") / F.col("n2l")
+             + F.col("rr") * F.col("rr") / F.col("n2r"))
+    b2 = g2.orderBy(gain2.desc(), F.asc("t")).limit(1)
+    s2 = (b2.select(F.col("t").alias("t2"), "n2l", "n2r",
+                    F.round(F.col("rl") / F.col("n2l"), 9).alias("lo2"),
+                    F.round(F.col("rr") / F.col("n2r"), 9).alias("hi2"))
+          .localCheckpoint())
+    cells = (base.crossJoin(F.broadcast(fs)).crossJoin(F.broadcast(s2))
+             .groupBy(in1.alias("s1side"),
+                      (F.col("value") <= F.col("t2")).alias("s2side"))
+             .agg(F.count(F.lit(1)).alias("nc"), F.sum("y").alias("syc"),
+                  F.sum(F.col("y") * F.col("y")).alias("syyc")))
+    c1 = F.when(F.col("s1side"), F.col("f1l")).otherwise(F.col("f1r"))
+    c2 = c1 + _GBM_NU * F.when(F.col("s2side"), F.col("lo2")) \
+        .otherwise(F.col("hi2"))
+    r1sse = (cells.crossJoin(F.broadcast(fs))
+             .agg(F.sum(F.col("syyc") - 2 * c1 * F.col("syc")
+                        + F.col("nc") * c1 * c1).alias("sse1")))
+    r2sse = (cells.crossJoin(F.broadcast(fs)).crossJoin(F.broadcast(s2))
+             .agg(F.sum(F.col("syyc") - 2 * c2 * F.col("syc")
+                        + F.col("nc") * c2 * c2).alias("sse2")))
+    out1 = (fs.crossJoin(F.broadcast(r1sse))
+            .select(F.lit(1).cast("bigint").alias("round"),
+                    F.col("t1").alias("threshold"),
+                    F.col("n1l").cast("bigint").alias("n_lo"),
+                    F.col("n1r").cast("bigint").alias("n_hi"),
+                    F.col("lo1").alias("leaf_lo"),
+                    F.col("hi1").alias("leaf_hi"),
+                    F.round(F.sqrt(F.col("sse1") / F.col("n")), 6)
+                    .alias("rmse_after")))
+    out2 = (s2.crossJoin(F.broadcast(r2sse)).crossJoin(F.broadcast(fs))
+            .select(F.lit(2).cast("bigint").alias("round"),
+                    F.col("t2").alias("threshold"),
+                    F.col("n2l").cast("bigint").alias("n_lo"),
+                    F.col("n2r").cast("bigint").alias("n_hi"),
+                    F.col("lo2").alias("leaf_lo"),
+                    F.col("hi2").alias("leaf_hi"),
+                    F.round(F.sqrt(F.col("sse2") / F.col("n")), 6)
+                    .alias("rmse_after")))
+    return out1.unionByName(out2)

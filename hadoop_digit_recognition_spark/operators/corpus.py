@@ -1043,3 +1043,112 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lang", "rk", "doc_id",
                     F.col("n_chars").cast("bigint").alias("weight"),
                     F.col("k").alias("res_key")))
+
+
+# T5 span corruption: 5% of positions start a span, hash-drawn span
+# length 1..5 (mean 3) -> ~15% expected token corruption, the T5 paper's
+# operating point. Same det_hash64(doc:pos) plumbing as the MLM plan.
+_SPAN_START_PM = 50    # per-mille span-start rate
+_SPAN_LEN_MOD = 5      # span length = 1 + (hv//1000) % 5
+
+
+@query("corpus_span_corruption_plan", oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, len(toks) AS n FROM w),
+pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS p FROM w),
+h AS (
+  SELECT doc_id, p,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(p AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM pos),
+st AS (
+  SELECT h.doc_id, h.p AS s,
+         1 + (hv // 1000) % {_SPAN_LEN_MOD} AS len
+  FROM h WHERE hv % 1000 < {_SPAN_START_PM}),
+cov AS (
+  SELECT DISTINCT st.doc_id,
+         unnest(generate_series(st.s,
+                least(st.s + st.len - 1, n.n))) AS p
+  FROM st JOIN n USING (doc_id)),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM cov),
+spans AS (
+  SELECT doc_id, count(*) AS n_spans_merged, sum(slen) AS n_corrupted
+  FROM (SELECT doc_id, grp, count(*) AS slen
+        FROM isl GROUP BY doc_id, grp)
+  GROUP BY doc_id),
+raw AS (SELECT doc_id, count(*) AS n_spans_raw FROM st GROUP BY doc_id)
+SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(raw.n_spans_raw, 0) AS BIGINT) AS n_spans_raw,
+       CAST(COALESCE(s.n_spans_merged, 0) AS BIGINT) AS n_sentinels,
+       CAST(COALESCE(s.n_corrupted, 0) AS BIGINT) AS n_corrupted,
+       round(COALESCE(s.n_corrupted, 0) * 1.0 / n.n, 6) AS corruption_rate
+FROM n LEFT JOIN spans s USING (doc_id) LEFT JOIN raw USING (doc_id)
+""")
+def corpus_span_corruption_plan(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """T5 SPAN-CORRUPTION plan (Raffel et al. 2020 §3.1.4) — the
+    encoder-decoder sibling of corpus_mlm_mask_plan, whose docstring
+    promised exactly this swap: span STARTS are a per-position hash
+    Bernoulli ({_SPAN_START_PM}/1000), span LENGTH is a hash lookup
+    (1..{_SPAN_LEN_MOD}, mean 3 -> ~15% expected corruption), and
+    overlapping or adjacent spans MERGE — each merged run of corrupted
+    positions is replaced by ONE sentinel token in T5, so the merged
+    count IS the sentinel budget the batch builder must reserve. The
+    merge is the gaps-and-islands idiom (p - row_number over covered
+    positions), the streaks_gaps_islands machinery at token grain.
+
+    Both draws come from one det_hash64(doc_id:position) — no RNG, so
+    the plan is identical on any engine/partitioning/rerun (the
+    corpus_split determinism contract); everything is integer hash
+    arithmetic and counts, the only float is the display rate.
+
+    Scale shape: posexplode + md5 per token (narrow), span-start
+    selection cuts to ~5% of positions, the covered-position explode
+    fans each start to at most {_SPAN_LEN_MOD} rows, and the island
+    window shuffles once on doc_id — the same doc-keyed single
+    shuffle as every per-doc plan. Nothing corpus-global."""
+    from ..functions.vector import det_hash64
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    n = w.select("doc_id", F.size("toks").alias("n"))
+    pos = w.select("doc_id",
+                   F.posexplode("toks").alias("p0", "tok"))
+    h = pos.select("doc_id", (F.col("p0") + 1).alias("p"),
+                   det_hash64(F.concat_ws(
+                       ":", F.col("doc_id"), (F.col("p0") + 1)))
+                   .alias("hv"))
+    st = (h.filter(F.col("hv") % 1000 < _SPAN_START_PM)
+          .select("doc_id", F.col("p").alias("s"),
+                  (1 + (F.col("hv") / 1000).cast("bigint")
+                   % _SPAN_LEN_MOD).alias("len")))
+    cov = (st.join(n, "doc_id")
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.col("s"),
+                       F.least(F.col("s") + F.col("len") - 1,
+                               F.col("n").cast("bigint")))).alias("p"))
+           .distinct())
+    isl = cov.withColumn(
+        "grp", F.col("p") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("p")))
+    spans = (isl.groupBy("doc_id", "grp")
+             .agg(F.count(F.lit(1)).alias("slen"))
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_spans_merged"),
+                  F.sum("slen").alias("n_corrupted")))
+    raw = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans_raw"))
+    return (n.join(spans, "doc_id", "left").join(raw, "doc_id", "left")
+            .select("doc_id", F.col("n").cast("bigint").alias("n_tokens"),
+                    F.coalesce("n_spans_raw", F.lit(0)).cast("bigint")
+                    .alias("n_spans_raw"),
+                    F.coalesce("n_spans_merged", F.lit(0)).cast("bigint")
+                    .alias("n_sentinels"),
+                    F.coalesce("n_corrupted", F.lit(0)).cast("bigint")
+                    .alias("n_corrupted"),
+                    F.round(F.coalesce("n_corrupted", F.lit(0)) * 1.0
+                            / F.col("n"), 6).alias("corruption_rate")))

@@ -2186,3 +2186,120 @@ def fs_em_two_rounds(cls: DataFrame) -> DataFrame:
                             {f: F.col(f"u_{f}") for f in _FS_EM_FIELDS})))
     est2 = mstep(r2)
     return out_rows(1, est1).unionByName(out_rows(2, est2))
+
+
+# b-bit minwise hashing: keep only the lowest _BBIT bits of each of the
+# NUM_HASHES minhash values. C = 2^-b is the chance-collision floor the
+# estimator subtracts (the small-set approximation of Li & Konig's r1/r2
+# correction, documented in the query).
+_BBIT = 2
+_BBIT_MOD = 1 << _BBIT
+
+
+@query("dedup_minhash_bbit", oracle=f"""
+WITH {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, b // {BAND_ROWS} AS g,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY b) AS key
+  FROM mh GROUP BY doc_id, b // {BAND_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.g = b.g AND a.key = b.key
+                            AND a.doc_id < b.doc_id
+),
+mm AS (
+  SELECT c.doc_a, c.doc_b,
+         count(*) FILTER (WHERE ma.mh = mb.mh) AS eq_full,
+         count(*) FILTER (WHERE ma.mh % {_BBIT_MOD} = mb.mh % {_BBIT_MOD})
+           AS eq_bbit
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.b = ma.b
+  GROUP BY c.doc_a, c.doc_b),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.eq_full AS BIGINT) AS eq_full,
+       CAST(m.eq_bbit AS BIGINT) AS eq_bbit,
+       round(m.eq_full * 1.0 / {NUM_HASHES}, 6) AS jaccard_minhash,
+       round((m.eq_bbit * 1.0 / {NUM_HASHES} - 1.0 / {_BBIT_MOD})
+             / (1.0 - 1.0 / {_BBIT_MOD}), 6) AS jaccard_bbit,
+       round(COALESCE(i.i, 0) * 1.0
+             / (x.n + y.n - COALESCE(i.i, 0)), 6) AS jaccard_exact
+FROM mm m
+LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN sz x ON x.doc_id = m.doc_a
+JOIN sz y ON y.doc_id = m.doc_b
+""")
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-BIT MINWISE HASHING (Li & Konig 2010) — the storage-side
+    compression of the minhash sketch: keep only the LOWEST {_BBIT}
+    bits of each of the {NUM_HASHES} minhash values (a {_BBIT * NUM_HASHES}-bit
+    signature instead of {64 * NUM_HASHES} bits — the 64/b-fold
+    shrink is why production near-dup stores, most famously Google's
+    simhash-adjacent web dedup and today's web-scale corpus pipelines,
+    ship b in {{1, 2}}). Collisions now happen by CHANCE at rate
+    C = 2^-{_BBIT} even for unrelated sets, so the estimator debiases:
+    J_b = (collision_rate - C) / (1 - C) — the paper's estimator in its
+    small-set form (the full r1/r2 correction reduces to C = 2^-b when
+    set sizes are small relative to the hash universe, which holds at
+    1e-5 occupancy here). Per LSH candidate pair, the full-width
+    estimate, the b-bit estimate, and the exact Jaccard ship together —
+    the calibration triple an engineer uses to pick b.
+
+    Determinism: collision counts are integer comparisons on exact
+    int64 minhash values; the estimates are ratios of those integers
+    over literal constants, rounded once.
+
+    Scale shape: identical to dedup_minhash_lsh (the band join bounds
+    candidates; the signature table is memoized) plus one
+    {NUM_HASHES}-row-per-pair positional compare — the b-bit compare
+    itself is the CHEAP part, which is the method's whole point: the
+    sketch store shrinks 32x at b=2 while the join plan is unchanged."""
+    sig = minhash_sig_arrays(spark, sf_dir)  # memoized + persisted
+    n_bands = NUM_HASHES // BAND_ROWS
+    band_keys = F.array(*[
+        F.array_join(F.transform(
+            F.slice("sig", g * BAND_ROWS + 1, BAND_ROWS),
+            lambda m: m.cast("string")), "-")
+        for g in range(n_bands)
+    ])
+    bands = sig.select("doc_id", F.posexplode(band_keys).alias("g", "key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    arrs = sig.select("doc_id", "sig", "sh", "n")
+    pairs = (cand
+             .join(arrs.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sig").alias("siga"),
+                               F.col("sh").alias("sha"),
+                               F.col("n").alias("na")), "doc_a")
+             .join(arrs.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sig").alias("sigb"),
+                               F.col("sh").alias("shb"),
+                               F.col("n").alias("nb")), "doc_b"))
+    eq_full = F.size(F.filter(
+        F.zip_with("siga", "sigb", lambda x, y: x == y), lambda t: t))
+    eq_bbit = F.size(F.filter(
+        F.zip_with("siga", "sigb",
+                   lambda x, y: x % _BBIT_MOD == y % _BBIT_MOD),
+        lambda t: t))
+    i = F.size(F.array_intersect("sha", "shb"))
+    return pairs.select(
+        "doc_a", "doc_b",
+        eq_full.cast("bigint").alias("eq_full"),
+        eq_bbit.cast("bigint").alias("eq_bbit"),
+        F.round(eq_full * 1.0 / NUM_HASHES, 6).alias("jaccard_minhash"),
+        F.round((eq_bbit * 1.0 / NUM_HASHES - 1.0 / _BBIT_MOD)
+                / (1.0 - 1.0 / _BBIT_MOD), 6).alias("jaccard_bbit"),
+        F.round(i * 1.0 / (F.col("na") + F.col("nb") - i), 6)
+        .alias("jaccard_exact"))

@@ -15,7 +15,7 @@ NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_degree_distribution", "mv_incremental_refresh",
          "temporal_scd2_lookup", "graph_jaccard_link_prediction",
          "graph_anf_hll", "merge_dedup_upsert", "graph_adamic_adar",
-         "graph_harmonic_centrality"]
+         "graph_harmonic_centrality", "graph_betweenness_bounded"]
 
 
 @pytest.mark.parametrize("name", NAMES)

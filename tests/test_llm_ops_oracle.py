@@ -105,7 +105,8 @@ LLM_QUERIES = [
     "timeseries_theil_sen", "ml_ridge_path",
     "dedup_record_linkage_em", "dq_t_closeness", "sketch_moments_ams",
     "ml_isotonic_pav", "timeseries_croston_intermittent",
-    "corpus_influence_tracing",
+    "corpus_influence_tracing", "corpus_span_corruption_plan",
+    "dedup_minhash_bbit", "ml_gbm_ls_stumps",
 ]
 
 

@@ -108,7 +108,7 @@ def _rotate_for_driver_coverage() -> None:
         "corpus_influence_tracing", "graph_harmonic_centrality",
         "timeseries_croston_intermittent", "ml_isotonic_pav",
         "corpus_span_corruption_plan", "graph_betweenness_bounded",
-        "dedup_minhash_bbit", "ml_gbm_ls_stumps",
+        "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
     }
 
     def _family(n: str) -> int:

@@ -712,3 +712,67 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tvd"),
         (F.col("tvd_num") * TCLOSE_DEN
          > TCLOSE_NUM * 2 * F.col("gs") * F.col("nn")).alias("violates_t"))
+
+
+# Functional-dependency probe list: (table, determinant, dependent).
+# Chosen so both outcomes appear on real data (key FDs hold, attribute
+# FDs fail with measurable violation counts).
+_FD_PROBES = [
+    ("nation", "n_nationkey", "n_name"),
+    ("nation", "n_name", "n_nationkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+
+@query("dq_fd_discovery", oracle=" UNION ALL ".join(f"""
+SELECT '{t}' AS tbl, '{a}' AS determinant, '{b}' AS dependent,
+       CAST(count(DISTINCT {a}) AS BIGINT) AS n_lhs,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       count(*) = count(DISTINCT {a}) AS holds,
+       CAST(count(*) - count(DISTINCT {a}) AS BIGINT) AS n_violating_combos
+FROM (SELECT DISTINCT {a}, {b} FROM {t})""" for t, a, b in _FD_PROBES))
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery/validation (the Metanome /
+    HoloClean profiling primitive; Papenbrock et al. 2015 survey the
+    FD-discovery family this is the verification core of): A -> B
+    holds iff the distinct (A, B) combination count equals the
+    distinct A count — each determinant value maps to exactly one
+    dependent value. Probes a fixed schema-driven candidate list (key
+    FDs that must hold; attribute FDs that demonstrably fail) and
+    reports the violation magnitude (extra combinations per
+    determinant) — the number a repair system (HoloClean-style) uses
+    to rank which FDs are real rules with noise vs not rules at all.
+    The audit any warehouse runs before trusting a "natural key".
+
+    Determinism: pure integer distinct counts and equality — no float
+    anywhere. Column pairs are compile-time literals in both engines
+    (generated from the same _FD_PROBES list — the unrolled-oracle
+    convention).
+
+    Scale shape: one DISTINCT (A, B) shuffle per probe — each keyed,
+    combiner'd, and independent (they run as parallel stages); the
+    per-probe state after the distinct is pair-cardinality-sized.
+    Production FD discovery over p columns prunes the O(2^p) lattice
+    but its leaf test is EXACTLY this query; at 100 TB each probe is
+    one distinct at most as wide as the table's own key shuffle."""
+    outs = []
+    for t, a, b in _FD_PROBES:
+        d = load(spark, sf_dir, t).select(a, b).distinct()
+        outs.append(d.agg(
+            F.countDistinct(a).alias("n_lhs"),
+            F.count(F.lit(1)).alias("n_pairs"))
+            .select(F.lit(t).alias("tbl"),
+                    F.lit(a).alias("determinant"),
+                    F.lit(b).alias("dependent"),
+                    F.col("n_lhs").cast("bigint").alias("n_lhs"),
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+                    (F.col("n_pairs") - F.col("n_lhs")).cast("bigint")
+                    .alias("n_violating_combos")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -106,7 +106,7 @@ LLM_QUERIES = [
     "dedup_record_linkage_em", "dq_t_closeness", "sketch_moments_ams",
     "ml_isotonic_pav", "timeseries_croston_intermittent",
     "corpus_influence_tracing", "corpus_span_corruption_plan",
-    "dedup_minhash_bbit", "ml_gbm_ls_stumps",
+    "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
 ]
 
 

@@ -109,6 +109,7 @@ def _rotate_for_driver_coverage() -> None:
         "timeseries_croston_intermittent", "ml_isotonic_pav",
         "corpus_span_corruption_plan", "graph_betweenness_bounded",
         "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
+        "source_tar_shard_ingest",
     }
 
     def _family(n: str) -> int:

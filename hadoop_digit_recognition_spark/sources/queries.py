@@ -758,3 +758,116 @@ def source_ivf_partitioned_probe(spark: SparkSession,
     w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))
+
+
+_TAR_SHARD_DOCS = 50     # samples per tar shard (WebDataset shard sizing)
+
+
+@query("source_tar_shard_ingest", oracle=f"""
+SELECT doc_id,
+       doc_id // {_TAR_SHARD_DOCS} AS shard,
+       lang,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents WHERE doc_id % 4 = 1
+""")
+def source_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBDATASET-STYLE TAR SHARD ingestion — the de-facto container
+    format of large-scale multimodal training (WebDataset/LAION
+    pipelines ship billions of samples as POSIX tar shards, one
+    key-grouped member set per sample), built end-to-end on stdlib
+    tarfile + Spark's binaryFile source. Sink: a 25% doc slice groups
+    into {_TAR_SHARD_DOCS}-sample shards and `applyInPandas` writes
+    ONE tar per shard EXECUTOR-SIDE (a shard is exactly one group, so
+    it can never split across tasks — the atomicity WebDataset
+    requires); each sample contributes `{{key}}.json` (metadata) and
+    `{{key}}.txt` (payload) members, the paired-member convention.
+    Scan: binaryFile over `*.tar` (one task per shard — the format's
+    unit of parallelism BY DESIGN), an Arrow-batched mapInPandas
+    parses members with tarfile, regroups the pair by key, and emits
+    (doc_id, shard, metadata lang, payload length, payload md5). The
+    oracle recomputes everything from the source table, so member
+    framing, key grouping, and payload integrity are all under test.
+
+    At 100 TB: shards are the I/O unit — sequential tar reads (the
+    reason the format exists: object stores and spinning disks both
+    hate small files), listing prunes by glob, and maxPartitionBytes
+    never splits a shard because binaryFile tasks are whole-file.
+    Python touches bytes only inside Arrow batches (the multimodal
+    decode rule); the md5 is hashlib on exact payload bytes."""
+    import hashlib as _hl
+    import io as _io
+    import tarfile as _tar
+
+    from ..shipping import ensure_shipped
+    from ..tables import dataset_tag
+
+    tag = dataset_tag(sf_dir, "documents")
+    stage = os.path.join(tempfile.gettempdir(), "hdr_tarshards", tag)
+    marker = os.path.join(stage, "_STAGED")
+    ensure_shipped(spark)
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        docs = (load(spark, sf_dir, "documents")
+                .filter("doc_id % 4 = 1")
+                .select("doc_id", "lang", "text",
+                        (F.col("doc_id") / _TAR_SHARD_DOCS).cast("bigint")
+                        .alias("shard")))
+
+        def write_shard(pdf):
+            import json as _json
+
+            import pandas as pd
+            shard = int(pdf["shard"].iloc[0])
+            tmp = os.path.join(stage, f".shard-{shard:05d}.tmp")
+            with _tar.open(tmp, "w") as tf:
+                for did, lang, txt in zip(pdf["doc_id"], pdf["lang"],
+                                          pdf["text"]):
+                    for ext, payload in (
+                            (".json", _json.dumps(
+                                {"doc_id": int(did), "lang": lang}
+                            ).encode()),
+                            (".txt", txt.encode("utf-8"))):
+                        info = _tar.TarInfo(name=f"{did}{ext}")
+                        info.size = len(payload)
+                        info.mtime = 0
+                        tf.addfile(info, _io.BytesIO(payload))
+            os.replace(tmp, os.path.join(stage, f"shard-{shard:05d}.tar"))
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        (docs.groupBy("shard")
+         .applyInPandas(write_shard, "shard bigint, n bigint")
+         .agg(F.sum("n")).collect())
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    binf = (spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.tar").load(stage))
+
+    def parse_shards(batches):
+        import json as _json
+        import re as _re
+
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(_re.search(r"shard-(\d+)\.tar$", path).group(1))
+                samples: dict = {}
+                with _tar.open(fileobj=_io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        key, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(key, {})[ext] = \
+                            tf.extractfile(m).read()
+                for key, mem in samples.items():
+                    meta = _json.loads(mem["json"])
+                    rows.append((int(key), shard, meta["lang"],
+                                 len(mem["txt"]),
+                                 _hl.md5(mem["txt"]).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "shard", "lang", "payload_len", "payload_md5"])
+
+    return binf.select("path", "content").mapInPandas(
+        parse_shards,
+        "doc_id bigint, shard bigint, lang string, payload_len bigint, "
+        "payload_md5 string")

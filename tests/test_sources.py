@@ -92,7 +92,8 @@ def test_weights_text_arity_guard():
                                   "source_orc_roundtrip",
                                   "source_jsonl_malformed_permissive",
                                   "source_fixedwidth_roundtrip",
-                                  "source_json_multiline"])
+                                  "source_json_multiline",
+                                  "source_tar_shard_ingest"])
 def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)

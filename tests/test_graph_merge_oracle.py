@@ -156,3 +156,38 @@ def test_anf_estimate_tracks_exact_balls(spark):
         if (node, radius - 1) in prev:
             assert est >= prev[(node, radius - 1)] - 1e-9
         prev[(node, radius)] = est
+
+
+def test_betweenness_consistent_with_bfs_distances(spark):
+    """Cross-operator invariant: a node with zero in-degree in the
+    sparsified graph can lie on no s->..->v path as an INTERIOR node
+    from any other source, so its betweenness must be 0; and total
+    betweenness mass must be positive (paths of length >= 2 exist
+    within the hop bound)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    bt = {r["node"]: r["betweenness_micro"]
+          for r in SPARK_QUERIES["graph_betweenness_bounded"](
+              spark, SF_ORACLE).collect()}
+    assert sum(bt.values()) > 0
+    # recompute the sparsified edge list exactly as the query does
+    # (temp views were registered by the query call above)
+    from pyspark.sql import Window as W
+    ew = spark.sql("""
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey""")
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= 3)
+         .select("src", "dst"))
+    has_in = {r["dst"] for r in e.select("dst").distinct().collect()}
+    for node, v in bt.items():
+        if node not in has_in:
+            assert v == 0, (node, v)

@@ -189,3 +189,38 @@ def test_ml_kfold_partitions_corpus(spark):
         assert 0 < r.n_test
         assert 0.0 <= r.accuracy <= 1.0
         assert r.n_correct <= r.n_test
+
+
+def test_isotonic_fit_is_monotone_and_pools(spark):
+    """The PAV minimax fit must be (a) non-decreasing across bins by
+    construction and (b) a genuine pooling: at least one adjacent-bin
+    violation in the raw rates gets flattened to a shared fitted value
+    on the events fixture (bins 1-3 and 4-9 pool there)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = sorted(SPARK_QUERIES["ml_isotonic_pav"](spark, SF_ORACLE)
+                  .collect(), key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in rows]
+    raw = [r["raw_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:])), iso
+    assert any(a > b for a, b in zip(raw, raw[1:])), "fixture not noisy"
+    assert len(set(iso)) < len(iso), "no pooling happened"
+
+
+def test_gbm_rounds_improve_training_rmse(spark):
+    """L2Boost sanity: each boosting round must strictly reduce the
+    train RMSE, and round 2 must pick a DIFFERENT split than round 1
+    (a re-picked split would mean the residual algebra is broken —
+    round 1's split has zero residual signal left at its own
+    threshold)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = {r["round"]: r
+            for r in SPARK_QUERIES["ml_gbm_ls_stumps"](
+                spark, SF_ORACLE).collect()}
+    assert rows[2]["rmse_after"] < rows[1]["rmse_after"]
+    assert rows[1]["threshold"] != rows[2]["threshold"]

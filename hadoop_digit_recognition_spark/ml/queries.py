@@ -1192,7 +1192,7 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ISO_BINS, _ISO_THRESH, _ISO_NOISE_MOD = 9, 40.0, 11
 
 
-@query("ml_isotonic_pav", oracle=f"""
+@query("ml_isotonic_pav", eager=True, oracle=f"""
 WITH b AS (
   SELECT least(CAST(floor(value / 10) AS BIGINT), {_ISO_BINS}) AS bin,
          CASE WHEN (value >= {_ISO_THRESH}) != (event_id % {_ISO_NOISE_MOD} = 0)
@@ -1285,7 +1285,7 @@ _GBM_NU = 0.5
 _GBM_T_SQL = "[" + ", ".join(str(t) for t in _ADA_THRESHOLDS) + "]"
 
 
-@query("ml_gbm_ls_stumps", oracle=f"""
+@query("ml_gbm_ls_stumps", eager=True, oracle=f"""
 WITH base AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS y, value FROM events),
 nn AS (SELECT count(*) AS n, sum(y) AS sy, sum(y * y) AS syy FROM base),

@@ -921,7 +921,7 @@ def corpus_contamination_report(spark: SparkSession,
 _INFL_DF_CAP, _INFL_TOP = 50, 3
 
 
-@query("corpus_influence_tracing", oracle=f"""
+@query("corpus_influence_tracing", eager=True, oracle=f"""
 WITH {_G_SQL},
 gd AS (SELECT DISTINCT doc_id, gram FROM g),
 tr AS (SELECT doc_id, gram FROM gd WHERE doc_id % {_BENCH_MOD} <> 0),

@@ -625,37 +625,33 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 TCLOSE_NUM, TCLOSE_DEN = 2, 5
 
 
-@query("dq_t_closeness", oracle=f"""
+@query("dq_t_closeness", eager=True, oracle=f"""
 WITH cnt AS (
   SELECT source, n_chars // {LDIV_BUCKET} AS size_bucket, lang,
          count(*) AS n
   FROM documents GROUP BY 1, 2, 3),
-gl AS (SELECT lang, sum(n) AS gn FROM cnt GROUP BY lang),
 tot AS (SELECT sum(n) AS nn FROM cnt),
+gl AS (SELECT lang, CAST(round(sum(n) * 1000000.0 / tot.nn) AS BIGINT)
+              AS pg_micro
+       FROM cnt CROSS JOIN tot GROUP BY lang, tot.nn),
 gs AS (SELECT source, size_bucket, sum(n) AS gs
        FROM cnt GROUP BY source, size_bucket),
 dev AS (
   SELECT g.source, g.size_bucket, g.gs,
-         sum(abs(COALESCE(c.n, 0) * tot.nn - gl.gn * g.gs)) AS s_present,
-         sum(gl.gn) AS gn_present
+         sum(abs(CAST(round(COALESCE(c.n, 0) * 1000000.0 / g.gs) AS BIGINT)
+                 - gl.pg_micro)) AS tvd2_micro
   FROM gs g
-  CROSS JOIN tot
   JOIN gl ON 1 = 1
   LEFT JOIN cnt c ON c.source = g.source
                  AND c.size_bucket = g.size_bucket
                  AND c.lang = gl.lang
-  GROUP BY g.source, g.size_bucket, g.gs, tot.nn),
-scored AS (
-  SELECT source, size_bucket, gs,
-         s_present AS tvd_num,
-         (SELECT nn FROM tot) AS nn
-  FROM dev)
+  GROUP BY g.source, g.size_bucket, g.gs)
 SELECT source, CAST(size_bucket AS BIGINT) AS size_bucket,
        CAST(gs AS BIGINT) AS group_size,
-       CAST(tvd_num AS BIGINT) AS tvd_numerator,
-       round(tvd_num / (2.0 * gs * nn), 6) AS tvd,
-       tvd_num * {TCLOSE_DEN} > {TCLOSE_NUM} * 2 * gs * nn AS violates_t
-FROM scored
+       CAST(tvd2_micro AS BIGINT) AS tvd2_micro,
+       round(tvd2_micro / 2000000.0, 6) AS tvd,
+       tvd2_micro * {TCLOSE_DEN} > {TCLOSE_NUM} * 2 * 1000000 AS violates_t
+FROM dev
 """)
 def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
@@ -670,13 +666,16 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, the Earth Mover's Distance the paper specifies IS the
     total variation distance — and flags classes with TVD > t = 0.4.
 
-    Exact-integer discipline: TVD = sum_v |n_cv/gs - n_v/N| / 2 is
-    computed on the COMMON DENOMINATOR as sum_v |n_cv*N - n_v*gs| (a
-    pure int64 numerator, including absent-value terms via the LEFT
-    join's COALESCE), and the violation test cross-multiplies the
-    rational threshold (num*DEN > t_num*2*gs*N) so the FLAG never
-    touches a float — the dq_l_diversity integer-flag discipline. The
-    float tvd column is metric-only.
+    Integer discipline, overflow-proof: both distributions snap to
+    integer MICRO-probabilities (round(n*1e6/denominator) — identical
+    double division over <2^53 integers in both engines), so the TVD
+    numerator sum_v |p_c - p_g| is bounded by 2e6 regardless of corpus
+    size — a common-denominator form (|n_cv*N - n_v*gs|) would
+    overflow int64 near N ~ 3e9 rows, well inside the 100 TB posture.
+    The violation flag cross-multiplies the rational threshold on
+    those micro-ints, never a float; quantization moves the effective
+    threshold by at most |langs|*5e-7, documented here. The float tvd
+    column is metric-only.
 
     Scale shape: one combiner'd count over (QI, sensitive) — class x
     sensitive-cardinality model-sized state — then a broadcast of the
@@ -691,27 +690,30 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                "lang")
            .agg(F.count(F.lit(1)).alias("n")))
     cnt = cnt.localCheckpoint()
-    gl = cnt.groupBy("lang").agg(F.sum("n").alias("gn"))
     tot = cnt.agg(F.sum("n").alias("nn"))
+    gl = (cnt.groupBy("lang").agg(F.sum("n").alias("gn"))
+          .crossJoin(F.broadcast(tot))
+          .select("lang",
+                  F.round(F.col("gn") * 1000000.0 / F.col("nn"), 0)
+                  .cast("bigint").alias("pg_micro")))
     gs = (cnt.groupBy("source", "size_bucket")
           .agg(F.sum("n").alias("gs")))
     # every (class x global-lang) cell, absent cells at n=0
     cells = (gs.crossJoin(F.broadcast(gl))
              .join(cnt, ["source", "size_bucket", "lang"], "left")
              .withColumn("n", F.coalesce("n", F.lit(0))))
-    dev = (cells.crossJoin(F.broadcast(tot))
-           .groupBy("source", "size_bucket", "gs", "nn")
-           .agg(F.sum(F.abs(F.col("n") * F.col("nn")
-                            - F.col("gn") * F.col("gs")))
-                .alias("tvd_num")))
+    pc_micro = F.round(F.col("n") * 1000000.0 / F.col("gs"), 0) \
+        .cast("bigint")
+    dev = (cells.groupBy("source", "size_bucket", "gs")
+           .agg(F.sum(F.abs(pc_micro - F.col("pg_micro")))
+                .alias("tvd2_micro")))
     return dev.select(
         "source", F.col("size_bucket").cast("bigint").alias("size_bucket"),
         F.col("gs").cast("bigint").alias("group_size"),
-        F.col("tvd_num").cast("bigint").alias("tvd_numerator"),
-        F.round(F.col("tvd_num") / (2.0 * F.col("gs") * F.col("nn")), 6)
-        .alias("tvd"),
-        (F.col("tvd_num") * TCLOSE_DEN
-         > TCLOSE_NUM * 2 * F.col("gs") * F.col("nn")).alias("violates_t"))
+        F.col("tvd2_micro").cast("bigint").alias("tvd2_micro"),
+        F.round(F.col("tvd2_micro") / 2000000.0, 6).alias("tvd"),
+        (F.col("tvd2_micro") * TCLOSE_DEN
+         > TCLOSE_NUM * 2 * 1000000).alias("violates_t"))
 
 
 # Functional-dependency probe list: (table, determinant, dependent).

@@ -1977,21 +1977,26 @@ def dedup_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus size (Winkler 1988's classic observation; Splink's
 # `estimate_parameters_using_expectation_maximisation` does the same).
 # Determinism: the per-class posterior is snapped to integer
-# NANO-units (round(p*1e9) as bigint) before any summation, so the
+# MICRO-units (round(p*1e6) as bigint) before any summation, so the
 # M-step ratios divide exact int64 sums — identical in both engines —
 # and each round's (m, u, lambda) land on the 9-digit grid before
-# feeding the next round.
+# feeding the next round. Micro (not nano): the M-step sums are
+# bounded by total_pairs * 1e6, which stays inside int64 up to ~9e12
+# blocked candidate pairs — the blocking bound (SIGMA |block|^2) is
+# what keeps pairs below that at 100 TB, and was ALREADY load-bearing
+# for the join itself (nano-units would overflow at ~9e9 pairs, a
+# scale the query's own posture claims to survive).
 _FS_EM_FIELDS = ("bal", "name", "neg")
 _FS_EM_OUT = {"bal": "bal_bucket", "name": "name_last", "neg": "neg_flag"}
 _FS_EM_INIT = {"bal": _FS_FIELDS["bal_bucket"],
                "name": _FS_FIELDS["name_last"],
                "neg": _FS_FIELDS["neg_flag"]}
 _FS_EM_LAM0 = 0.05
-_FS_NANO = 1_000_000_000
+_FS_PSCALE = 1_000_000
 
 
 def _fs_em_estep_sql(lam: str, mm: dict[str, str], uu: dict[str, str]) -> str:
-    """One E-step posterior as SQL: P(match | class) in integer nano-units.
+    """One E-step posterior as SQL: P(match | class) in integer micro-units.
     `lam`/`mm`/`uu` are SQL expressions (literals for round 1, est-table
     columns for round 2) — the SAME factored template builds both rounds,
     so train-time and replay-time skew is structurally impossible."""
@@ -2001,7 +2006,7 @@ def _fs_em_estep_sql(lam: str, mm: dict[str, str], uu: dict[str, str]) -> str:
                f"ELSE 1.0 - {mm[f]} END)")
         pu += (f" * (CASE WHEN ag_{f} = 1 THEN {uu[f]} "
                f"ELSE 1.0 - {uu[f]} END)")
-    return (f"CAST(round(({pm}) / (({pm}) + ({pu})) * {_FS_NANO}.0) "
+    return (f"CAST(round(({pm}) / (({pm}) + ({pu})) * {_FS_PSCALE}.0) "
             f"AS BIGINT)")
 
 
@@ -2015,11 +2020,11 @@ def _fs_em_mstep_sql(src: str) -> str:
             f"round(CAST(sum(cnt * p_micro * ag_{f}) AS DOUBLE)"
             f" / NULLIF(sum(cnt * p_micro), 0), 9) AS m_{f}")
         cols.append(
-            f"round(CAST(sum(cnt * ({_FS_NANO} - p_micro) * ag_{f}) "
-            f"AS DOUBLE) / NULLIF(sum(cnt * ({_FS_NANO} - p_micro)), 0), 9)"
+            f"round(CAST(sum(cnt * ({_FS_PSCALE} - p_micro) * ag_{f}) "
+            f"AS DOUBLE) / NULLIF(sum(cnt * ({_FS_PSCALE} - p_micro)), 0), 9)"
             f" AS u_{f}")
     cols.append(f"round(CAST(sum(cnt * p_micro) AS DOUBLE)"
-                f" / ({_FS_NANO}.0 * sum(cnt)), 9) AS lam")
+                f" / ({_FS_PSCALE}.0 * sum(cnt)), 9) AS lam")
     return f"SELECT {', '.join(cols)} FROM {src}"
 
 
@@ -2041,7 +2046,7 @@ _FS_EM_M0 = {f: repr(_FS_EM_INIT[f][0]) for f in _FS_EM_FIELDS}
 _FS_EM_U0 = {f: repr(_FS_EM_INIT[f][1]) for f in _FS_EM_FIELDS}
 
 
-@query("dedup_record_linkage_em", oracle=f"""
+@query("dedup_record_linkage_em", eager=True, oracle=f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey, c_mktsegment,
          CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bucket,
@@ -2085,7 +2090,7 @@ def dedup_record_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the implied integer micro-bit log2 weights (the values a third
     EM round or the scoring query would use).
 
-    Determinism: posteriors snap to integer nano-units per class
+    Determinism: posteriors snap to integer micro-units per class
     BEFORE summation (the M-step divides exact int64 sums — no float
     accumulation order anywhere); each round's estimates land on the
     9-digit grid before feeding the next round; both engines build
@@ -2136,7 +2141,7 @@ def fs_em_two_rounds(cls: DataFrame) -> DataFrame:
             uf = F.lit(uu[f]) if isinstance(uu[f], float) else uu[f]
             pm = pm * F.when(ag == 1, mf).otherwise(1.0 - mf)
             pu = pu * F.when(ag == 1, uf).otherwise(1.0 - uf)
-        return F.round(pm / (pm + pu) * float(_FS_NANO), 0).cast("bigint")
+        return F.round(pm / (pm + pu) * float(_FS_PSCALE), 0).cast("bigint")
 
     def mstep(rdf: DataFrame) -> DataFrame:
         aggs = []
@@ -2148,12 +2153,12 @@ def fs_em_two_rounds(cls: DataFrame) -> DataFrame:
                 / F.nullif(F.sum(F.col("cnt") * pm), F.lit(0)), 9)
                 .alias(f"m_{f}"))
             aggs.append(F.round(
-                F.sum(F.col("cnt") * (_FS_NANO - pm) * ag).cast("double")
-                / F.nullif(F.sum(F.col("cnt") * (_FS_NANO - pm)), F.lit(0)),
+                F.sum(F.col("cnt") * (_FS_PSCALE - pm) * ag).cast("double")
+                / F.nullif(F.sum(F.col("cnt") * (_FS_PSCALE - pm)), F.lit(0)),
                 9).alias(f"u_{f}"))
         aggs.append(F.round(
             F.sum(F.col("cnt") * pm).cast("double")
-            / (float(_FS_NANO) * F.sum("cnt")), 9).alias("lam"))
+            / (float(_FS_PSCALE) * F.sum("cnt")), 9).alias("lam"))
         return rdf.agg(*aggs)
 
     def out_rows(rnd: int, est: DataFrame) -> DataFrame:

@@ -127,8 +127,11 @@ _BFS_K = 3       # keep each node's top-K strongest outgoing edges
 _BFS_MAXD = 6    # hop bound (both engines stop here -> deterministic)
 _BFS_SRC = 0     # BFS source nation
 
-_BFS_ORACLE = f"""
-WITH RECURSIVE ew AS (
+# Shared sparsified trade-graph derivation (top-_BFS_K strongest
+# out-edges per nation) — ONE definition for the BFS / harmonic /
+# betweenness family in BOTH engines, so the edge recipe cannot drift
+# between an operator and its oracle (the _BUCKETS_2T precedent).
+_SPARSE_EDGES_CTES = f"""ew AS (
   SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -140,7 +143,33 @@ WITH RECURSIVE ew AS (
 e AS (SELECT src, dst FROM (
         SELECT src, dst,
                row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-        FROM ew) WHERE rn <= {_BFS_K}),
+        FROM ew) WHERE rn <= {_BFS_K}),"""
+
+
+def _sparsified_edges(spark: SparkSession) -> DataFrame:
+    """(src, dst) top-_BFS_K out-edges, persisted + materialized — the
+    Spark twin of _SPARSE_EDGES_CTES; callers must have registered the
+    lineitem/orders/customer/supplier temp views."""
+    from pyspark.sql import Window as W
+    ew = spark.sql("""
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey""")
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
+    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
+         .select("src", "dst"))
+    e.persist()
+    e.count()
+    return e
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE {_SPARSE_EDGES_CTES}
 bfs(node, d) AS (
   SELECT {_BFS_SRC}, 0
   UNION
@@ -173,21 +202,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
-    from pyspark.sql import Window as W
-    ew = spark.sql("""
-      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY s.s_nationkey, c.c_nationkey""")
-    rn = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
-    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
-         .select("src", "dst"))
-    e.persist()
-    e.count()  # materialize once; the loop re-reads it _BFS_MAXD times
+    e = _sparsified_edges(spark)  # persisted once; the loop re-reads it
 
     dist = spark.createDataFrame([(_BFS_SRC, 0)], "node bigint, hops bigint")
     for _ in range(_BFS_MAXD):
@@ -826,20 +841,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HARM_MAXD = 4
 
 
-@query("graph_harmonic_centrality", oracle=f"""
-WITH RECURSIVE ew AS (
-  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE s.s_nationkey <> c.c_nationkey
-  GROUP BY s.s_nationkey, c.c_nationkey
-),
-e AS (SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-        FROM ew) WHERE rn <= {_BFS_K}),
+@query("graph_harmonic_centrality", eager=True, oracle=f"""
+WITH RECURSIVE {_SPARSE_EDGES_CTES}
 nodes AS (SELECT n_nationkey AS node FROM nation),
 bfs(src, node, d) AS (
   SELECT node, node, 0 FROM nodes
@@ -889,21 +892,7 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
-    from pyspark.sql import Window as W
-    ew = spark.sql("""
-      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY s.s_nationkey, c.c_nationkey""")
-    rn = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
-    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
-         .select("src", "dst"))
-    e.persist()
-    e.count()
+    e = _sparsified_edges(spark)
 
     nodes = spark.table("nation").select(
         F.col("n_nationkey").cast("bigint").alias("node"))
@@ -935,20 +924,8 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / 1000000.0, 6).alias("harmonic")))
 
 
-@query("graph_betweenness_bounded", oracle=f"""
-WITH RECURSIVE ew AS (
-  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-  FROM lineitem l
-  JOIN orders o ON o.o_orderkey = l.l_orderkey
-  JOIN customer c ON c.c_custkey = o.o_custkey
-  JOIN supplier s ON s.s_suppkey = l.l_suppkey
-  WHERE s.s_nationkey <> c.c_nationkey
-  GROUP BY s.s_nationkey, c.c_nationkey
-),
-e AS (SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
-        FROM ew) WHERE rn <= {_BFS_K}),
+@query("graph_betweenness_bounded", eager=True, oracle=f"""
+WITH RECURSIVE {_SPARSE_EDGES_CTES}
 nodes AS (SELECT n_nationkey AS node FROM nation),
 walks(s, v, d) AS (
   SELECT node, node, 0 FROM nodes
@@ -1008,21 +985,7 @@ def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
-    from pyspark.sql import Window as W
-    ew = spark.sql("""
-      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY s.s_nationkey, c.c_nationkey""")
-    rn = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
-    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= _BFS_K)
-         .select("src", "dst"))
-    e.persist()
-    e.count()
+    e = _sparsified_edges(spark)
 
     nodes = spark.table("nation").select(
         F.col("n_nationkey").cast("bigint").alias("node"))

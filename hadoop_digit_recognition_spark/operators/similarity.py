@@ -144,7 +144,8 @@ def sim_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_df(spark: SparkSession, sf_dir: str,
-               n_planes: int = N_PLANES, freq_offset: int = 0) -> DataFrame:
+               n_planes: int = N_PLANES, freq_offset: int = 0,
+               emb: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, bkt): sign-bit bucket of each vector.
 
     Plane dots ride zip_with/aggregate over a broadcast plane array —
@@ -152,9 +153,12 @@ def _bucket_df(spark: SparkSession, sf_dir: str,
     a per-row array fold. Zero-norm vectors are excluded from the index
     (cosine-undefined; the oracle's nz CTE is the identical guard).
     freq_offset selects an INDEPENDENT plane table (frequencies
-    offset+1 .. offset+n_planes) — the multi-table LSH building block."""
-    emb = (load_parallel(spark, sf_dir, "embeddings")
-           .filter(l2norm_col(F.col("embedding")) > 0))
+    offset+1 .. offset+n_planes) — the multi-table LSH building block.
+    `emb` lets a caller that already loaded+filtered (or persisted) the
+    corpus pass it in, so multi-table builds don't rescan per table."""
+    if emb is None:
+        emb = (load_parallel(spark, sf_dir, "embeddings")
+               .filter(l2norm_col(F.col("embedding")) > 0))
     planes = [
         F.array(*[F.sin(F.lit(float(p + 1 + freq_offset) * (float(i) + 0.5)))
                   for i in range(64)])
@@ -386,7 +390,7 @@ bucket_b AS (SELECT vec_id, bkt FROM bucket2 WHERE tbl = 1)
 """
 
 
-@query("sim_knn_graph", oracle=f"""
+@query("sim_knn_graph", eager=True, oracle=f"""
 WITH {_BUCKETS_2T},
 e AS ({_E}),
 be_a AS (SELECT b.vec_id, b.bkt, e.emb
@@ -445,13 +449,20 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-dedup via UNION distinct, per-vector top-k via window. The
     exact-all-pairs ground truth twin is dedup_embedding_cosine
     (operators/dedup.py)."""
-    n = (load_parallel(spark, sf_dir, "embeddings")
-         .filter(l2norm_col(F.col("embedding")) > 0).count())
-    n_planes = _adaptive_n_planes(n)
+    # ONE corpus load+filter frame shared by the adaptive count and
+    # both plane tables. Deliberately NOT persisted: caching the scan
+    # was MEASURED 3x slower for downstream consumers (19.6s -> 7.1s
+    # for ml_knn_classifier_eval on a plain session) — the
+    # InMemoryRelation boundary costs more than re-running a pruned
+    # columnar parquet scan, the classic cache-vs-rescan trade at
+    # small-to-mid scan sizes.
+    emb0 = (load_parallel(spark, sf_dir, "embeddings")
+            .filter(l2norm_col(F.col("embedding")) > 0))
+    n_planes = _adaptive_n_planes(emb0.count())
 
     def in_bucket_pairs(freq_offset: int) -> DataFrame:
         be = _bucket_df(spark, sf_dir, n_planes=n_planes,
-                        freq_offset=freq_offset).withColumn(
+                        freq_offset=freq_offset, emb=emb0).withColumn(
             "nrm", l2norm_col(F.col("embedding")))
         q = be.select(F.col("vec_id").alias("qid"),
                       F.col("bkt").alias("qbkt"),
@@ -476,7 +487,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= KNN_K))
 
 
-@query("sim_knn_graph_adaptive", oracle=f"""
+@query("sim_knn_graph_adaptive", eager=True, oracle=f"""
 WITH nz AS (SELECT vec_id, embedding FROM embeddings
             WHERE list_aggregate(list_transform(embedding::DOUBLE[],
                                                 x -> x * x), 'sum') > 0),
@@ -545,7 +556,7 @@ def sim_knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .filter(l2norm_col(F.col("embedding")) > 0))
     n_planes = _adaptive_n_planes(emb.count())
-    be = _bucket_df(spark, sf_dir, n_planes=n_planes).withColumn(
+    be = _bucket_df(spark, sf_dir, n_planes=n_planes, emb=emb).withColumn(
         "nrm", l2norm_col(F.col("embedding")))
     q = be.select(F.col("vec_id").alias("qid"), F.col("bkt").alias("qbkt"),
                   F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))

@@ -33,6 +33,41 @@ def _dataset_stage_key(sf_dir: str) -> str:
                        os.getpid())
 
 
+def _cleanup_process_stage_dirs() -> None:
+    """Remove THIS process's staged source data at interpreter exit.
+
+    The `_p{pid}` key component isolates concurrent sessions (the
+    ADVICE r07 race fix) but would otherwise trade the old design's
+    'no unbounded accumulation' property for one stage tree per
+    process ever run; deleting our own suffix-matched dirs on exit
+    restores the bound while keeping the isolation. Other processes'
+    trees are untouched (their own atexit owns them)."""
+    import shutil
+
+    suffix = f"_p{os.getpid()}"
+    root = tempfile.gettempdir()
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for d in entries:
+        top = os.path.join(root, d)
+        if not (d.startswith("hdr_") and os.path.isdir(top)):
+            continue
+        try:
+            subs = os.listdir(top)
+        except OSError:
+            continue
+        for sub in subs:
+            if sub.endswith(suffix):
+                shutil.rmtree(os.path.join(top, sub), ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_process_stage_dirs)
+
+
 
 @query("source_text_roundtrip", oracle="""
 SELECT vec_id,
@@ -458,7 +493,8 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..tables import dataset_tag
     tag = dataset_tag(sf_dir, "documents")
-    stage = os.path.join(tempfile.gettempdir(), "hdr_binfiles", tag)
+    stage = os.path.join(tempfile.gettempdir(), "hdr_binfiles",
+                         f"{tag}_p{os.getpid()}")
     marker = os.path.join(stage, "_STAGED")
     if not os.path.exists(marker):
         os.makedirs(stage, exist_ok=True)
@@ -802,8 +838,12 @@ def source_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..shipping import ensure_shipped
     from ..tables import dataset_tag
 
+    # per-process stage (the _dataset_stage_key isolation + atexit
+    # cleanup contract): two concurrent sessions must never share a
+    # marker-guarded shard directory mid-write.
     tag = dataset_tag(sf_dir, "documents")
-    stage = os.path.join(tempfile.gettempdir(), "hdr_tarshards", tag)
+    stage = os.path.join(tempfile.gettempdir(), "hdr_tarshards",
+                         f"{tag}_p{os.getpid()}")
     marker = os.path.join(stage, "_STAGED")
     ensure_shipped(spark)
     if not os.path.exists(marker):

@@ -172,21 +172,12 @@ def test_betweenness_consistent_with_bfs_distances(spark):
           for r in SPARK_QUERIES["graph_betweenness_bounded"](
               spark, SF_ORACLE).collect()}
     assert sum(bt.values()) > 0
-    # recompute the sparsified edge list exactly as the query does
-    # (temp views were registered by the query call above)
-    from pyspark.sql import Window as W
-    ew = spark.sql("""
-      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
-      FROM lineitem l
-      JOIN orders o ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      WHERE s.s_nationkey <> c.c_nationkey
-      GROUP BY s.s_nationkey, c.c_nationkey""")
-    rn = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst")))
-    e = (ew.withColumn("rn", rn).filter(F.col("rn") <= 3)
-         .select("src", "dst"))
+    # the SAME sparsified edge list the query uses (shared helper —
+    # temp views were registered by the query call above)
+    from hadoop_digit_recognition_spark.operators.graph import (
+        _sparsified_edges)
+
+    e = _sparsified_edges(spark)
     has_in = {r["dst"] for r in e.select("dst").distinct().collect()}
     for node, v in bt.items():
         if node not in has_in:

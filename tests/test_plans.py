@@ -253,3 +253,19 @@ def test_distribute_sort_by_plan(spark):
     assert "hashpartitioning(l_suppkey" in plan, plan[:2000]
     assert "rangepartitioning" not in plan.lower(), plan[:2000]
     assert "Sort [l_suppkey" in plan and "false, 0" in plan, plan[:2000]
+
+
+def test_knn_graph_plan_stays_bucketed(spark):
+    """The converged default kNN-graph build is exempt from the generic
+    plan-hygiene sweep (it runs its adaptive count at construction —
+    registry EAGER_QUERIES), so its join-shape guarantees are asserted
+    here directly: the returned plan must contain NO cartesian product
+    or broadcast-nested-loop join (the bucket self-joins are equi-joins
+    on `bkt`), and no row-at-a-time Python."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    txt = explain_formatted(
+        SPARK_QUERIES["sim_knn_graph"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "BatchEvalPython" not in txt

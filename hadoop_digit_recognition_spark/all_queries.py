@@ -110,6 +110,11 @@ def _rotate_for_driver_coverage() -> None:
         "corpus_span_corruption_plan", "graph_betweenness_bounded",
         "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
         "source_tar_shard_ingest",
+        # round-8 continuation session (third batch)
+        "graph_hits_hubs_authorities", "graph_scc_forward_backward",
+        "graph_personalized_pagerank", "timeseries_dtw_pairs",
+        "ml_random_forest_stumps", "dq_mutual_information",
+        "dq_dp_noisy_counts",
     }
 
     def _family(n: str) -> int:

@@ -1487,3 +1487,204 @@ def ml_gbm_ls_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.sqrt(F.col("sse2") / F.col("n")), 6)
                     .alias("rmse_after")))
     return out1.unionByName(out2)
+
+
+# Random-forest configuration: T trees, Poisson(1) bootstrap per tree
+# (the ab_bootstrap_ci_poisson inverse-CDF thresholds — integer
+# literals, bit-identical in any engine), candidate stumps drawn from a
+# fixed (feature, threshold) grid with per-tree HASH-PARITY feature
+# bagging (candidate kept for tree t iff md5-hash parity of "ft:t:f:thr"
+# is even — the deterministic stand-in for per-tree feature sampling).
+_RF_T = 5
+_RF_POIS_T = (1580030168, 3160060337, 3950075421,
+              4213413783, 4279248373, 4292415291)
+_RF_GRID = ([("value", t) for t in
+             (10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0)]
+            + [("hour", t) for t in (4.0, 8.0, 12.0, 16.0, 20.0)])
+_RF_NOISE_MOD = 7
+
+
+def _rf_oracle() -> str:
+    grid_rows = " UNION ALL ".join(
+        f"SELECT '{f}' AS feature, CAST({t} AS DOUBLE) AS thr"
+        for f, t in _RF_GRID)
+    pois = " ".join(f"WHEN h < {v} THEN {k}"
+                    for k, v in enumerate(_RF_POIS_T))
+    return f"""
+WITH base AS (
+  SELECT event_id, value,
+         CAST(datepart('hour', ts) AS DOUBLE) AS hour,
+         CASE WHEN (value >= 40.0) != (event_id % {_RF_NOISE_MOD} = 0)
+              THEN 1 ELSE -1 END AS y
+  FROM events),
+nn AS (SELECT count(*) AS n FROM base),
+grid AS ({grid_rows}),
+cand AS (
+  SELECT t.tree, g.feature, g.thr, p.pol
+  FROM range(1, {_RF_T} + 1) t(tree)
+  CROSS JOIN grid g
+  CROSS JOIN (SELECT unnest([1, -1]) AS pol) p
+  WHERE ('0x' || substr(md5('ft:' || CAST(t.tree AS VARCHAR) || ':' ||
+                            g.feature || ':' ||
+                            CAST(CAST(g.thr AS BIGINT) AS VARCHAR)),
+                        1, 8))::BIGINT % 2 = 0),
+rep AS (
+  SELECT b.*, t.tree,
+         ('0x' || substr(md5(CAST(b.event_id AS VARCHAR) || ':' ||
+                             CAST(t.tree AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM base b CROSS JOIN range(1, {_RF_T} + 1) t(tree)),
+w AS (SELECT event_id, value, hour, y, tree,
+             CASE {pois} ELSE 6 END AS wt FROM rep),
+errs AS (
+  SELECT c.tree, c.feature, c.thr, c.pol,
+         sum(CASE WHEN (CASE WHEN (CASE c.feature WHEN 'value'
+                                   THEN w.value ELSE w.hour END) <= c.thr
+                        THEN -c.pol ELSE c.pol END) != w.y
+                  THEN w.wt ELSE 0 END) AS werr,
+         sum(w.wt) AS wtot
+  FROM w JOIN cand c ON c.tree = w.tree
+  GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT tree, feature, thr, pol, werr, wtot FROM (
+    SELECT *, row_number() OVER (PARTITION BY tree
+              ORDER BY werr, feature, thr, pol) AS rn FROM errs)
+  WHERE rn = 1),
+oob AS (
+  SELECT b.tree,
+         count(*) AS oob_n,
+         sum(CASE WHEN (CASE WHEN (CASE b2.feature WHEN 'value'
+                                   THEN w.value ELSE w.hour END) <= b2.thr
+                        THEN -b2.pol ELSE b2.pol END) != w.y
+                  THEN 1 ELSE 0 END) AS oob_err
+  FROM w JOIN best b ON b.tree = w.tree
+  JOIN best b2 ON b2.tree = w.tree
+  WHERE w.wt = 0 GROUP BY 1),
+votes AS (
+  SELECT r.event_id, r.y,
+         sum(CASE WHEN (CASE r.feature WHEN 'value' THEN r.value
+                        ELSE r.hour END) <= r.thr
+                  THEN -r.pol ELSE r.pol END) AS v
+  FROM (SELECT b.event_id, b.value, b.hour, b.y,
+               bs.feature, bs.thr, bs.pol
+        FROM base b CROSS JOIN best bs) r
+  GROUP BY 1, 2),
+ens AS (
+  SELECT count(*) FILTER (
+           WHERE (CASE WHEN v >= 0 THEN 1 ELSE -1 END) = y) AS nok
+  FROM votes)
+SELECT b.tree, b.feature, b.thr AS threshold,
+       CAST(b.pol AS BIGINT) AS polarity,
+       CAST(b.werr AS BIGINT) AS werr, CAST(b.wtot AS BIGINT) AS wtot,
+       CAST(o.oob_n AS BIGINT) AS oob_n,
+       CAST(o.oob_err AS BIGINT) AS oob_err,
+       round((o.oob_n - o.oob_err) * 1.0 / o.oob_n, 9) AS oob_acc,
+       round(ens.nok * 1.0 / nn.n, 9) AS ens_acc
+FROM best b JOIN oob o ON o.tree = b.tree
+CROSS JOIN ens CROSS JOIN nn
+"""
+
+
+@query("ml_random_forest_stumps", eager=True, oracle=_rf_oracle())
+def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM FOREST of decision stumps (Breiman 2001), fully
+    relational and fully deterministic: {_RF_T} trees, each trained on
+    a POISSON(1) BOOTSTRAP of the events table (per-row weight = the
+    ab_bootstrap_ci_poisson inverse-CDF lookup of a content hash — the
+    one-pass bootstrap that scales, no global resample) over a
+    hash-parity-bagged subset of a fixed (feature, threshold, polarity)
+    stump grid (value + hour-of-day features, the
+    ml_decision_stump_gain bit-exact-constants guard). Per tree the
+    report carries the chosen stump, its INTEGER weighted error, and
+    the OUT-OF-BAG accuracy (rows whose bootstrap weight is 0 — the
+    free validation set Breiman made famous); the ensemble column is
+    the unweighted majority vote of all {_RF_T} stumps (odd T, so no
+    tie rule is ever exercised).
+
+    Unlike boosting (ml_adaboost_stumps / ml_gbm_ls_stumps) the trees
+    have NO sequential dependency, so the whole forest trains in ONE
+    aggregation pass: fan out rows x trees (a narrow generator, the
+    bootstrap precedent), join the broadcast candidate grid, and take
+    one grid-sized argmin per tree — weighted errors are pure int64
+    (Poisson weights are integers), so the argmin is exact with the
+    (werr, feature, thr, pol) tiebreak and no float enters until the
+    two display accuracies round at 9 digits.
+
+    Scale shape: one corpus scan fanned x{_RF_T} map-side, collapsed by
+    the combiner into (tree x grid)-sized sufficient statistics; OOB
+    and the vote are one more broadcast-join pass. At 100 TB with T
+    trees and a G-candidate grid the shuffle is T x G rows — the same
+    envelope as MLlib's RandomForest per depth level, minus its
+    per-partition reservoirs."""
+    events = load(spark, sf_dir, "events")
+    from ..functions.vector import det_hash64
+
+    base = events.select(
+        "event_id", "value",
+        F.hour("ts").cast("double").alias("hour"),
+        F.when((F.col("value") >= 40.0)
+               != (F.col("event_id") % _RF_NOISE_MOD == 0), 1)
+        .otherwise(-1).alias("y"))
+    nn = base.agg(F.count(F.lit(1)).alias("n"))
+    trees = spark.range(1, _RF_T + 1).select(
+        F.col("id").cast("int").alias("tree"))
+    grid = spark.createDataFrame(_RF_GRID, "feature string, thr double")
+    pols = spark.createDataFrame([(1,), (-1,)], "pol int")
+    cand = (trees.crossJoin(grid).crossJoin(pols)
+            .filter(det_hash64(F.concat_ws(
+                ":", F.lit("ft"), F.col("tree"), F.col("feature"),
+                F.col("thr").cast("bigint"))) % 2 == 0))
+    cand.persist()
+
+    rep = base.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_RF_T))).alias("tree"))
+    h = det_hash64(F.concat_ws(":", F.col("event_id"), F.col("tree")))
+    wt = F.lit(6)
+    for k in range(len(_RF_POIS_T) - 1, -1, -1):
+        wt = F.when(h < _RF_POIS_T[k], k).otherwise(wt)
+    w = rep.withColumn("wt", wt)
+
+    fval = F.when(F.col("feature") == "value",
+                  F.col("value")).otherwise(F.col("hour"))
+    pred = F.when(fval <= F.col("thr"), -F.col("pol")).otherwise(F.col("pol"))
+    errs = (w.join(F.broadcast(cand), "tree")
+            .groupBy("tree", "feature", "thr", "pol")
+            .agg(F.sum(F.when(pred != F.col("y"), F.col("wt")).otherwise(0))
+                 .alias("werr"),
+                 F.sum("wt").alias("wtot")))
+    from pyspark.sql import Window as W2
+    rn = F.row_number().over(
+        W2.partitionBy("tree").orderBy("werr", "feature", "thr", "pol"))
+    best = (errs.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .drop("rn").localCheckpoint())
+
+    bsel = best.select("tree", F.col("feature").alias("bf"),
+                       F.col("thr").alias("bt"), F.col("pol").alias("bp"))
+    bfval = F.when(F.col("bf") == "value",
+                   F.col("value")).otherwise(F.col("hour"))
+    bpred = F.when(bfval <= F.col("bt"),
+                   -F.col("bp")).otherwise(F.col("bp"))
+    oob = (w.filter(F.col("wt") == 0)
+           .join(F.broadcast(bsel), "tree")
+           .groupBy("tree")
+           .agg(F.count(F.lit(1)).alias("oob_n"),
+                F.sum(F.when(bpred != F.col("y"), 1).otherwise(0))
+                .alias("oob_err")))
+    votes = (base.crossJoin(F.broadcast(bsel))
+             .groupBy("event_id", "y")
+             .agg(F.sum(bpred).alias("v")))
+    ens = votes.agg(F.sum(
+        F.when((F.when(F.col("v") >= 0, 1).otherwise(-1))
+               == F.col("y"), 1).otherwise(0)).alias("nok"))
+    return (best.join(oob, "tree")
+            .crossJoin(F.broadcast(ens)).crossJoin(F.broadcast(nn))
+            .select(F.col("tree").cast("bigint").alias("tree"),
+                    "feature", F.col("thr").alias("threshold"),
+                    F.col("pol").cast("bigint").alias("polarity"),
+                    F.col("werr").cast("bigint").alias("werr"),
+                    F.col("wtot").cast("bigint").alias("wtot"),
+                    F.col("oob_n").cast("bigint").alias("oob_n"),
+                    F.col("oob_err").cast("bigint").alias("oob_err"),
+                    F.round((F.col("oob_n") - F.col("oob_err")) * 1.0
+                            / F.col("oob_n"), 9).alias("oob_acc"),
+                    F.round(F.col("nok") * 1.0 / F.col("n"), 9)
+                    .alias("ens_acc")))

@@ -778,3 +778,133 @@ def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@query("dq_mutual_information", oracle="""
+WITH cells AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(count(*) AS BIGINT) AS c
+  FROM customer GROUP BY 1, 2),
+tots AS (
+  SELECT seg, nat, c,
+         sum(c) OVER () AS n,
+         sum(c) OVER (PARTITION BY seg) AS rc,
+         sum(c) OVER (PARTITION BY nat) AS cc
+  FROM cells),
+mi AS (
+  SELECT sum((c * 1.0 / n) * ln((c * 1.0 * n) / (rc * 1.0 * cc))) AS mi,
+         -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS h_joint,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(max(n) AS BIGINT) AS n_rows
+  FROM tots)
+SELECT round(mi, 6) AS mutual_info,
+       round(h_joint, 6) AS h_joint,
+       round(CASE WHEN h_joint > 0 THEN mi / h_joint ELSE 0.0 END, 6)
+         AS redundancy,
+       n_cells, n_rows
+FROM mi
+""")
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between two categorical columns (market
+    segment x nation over customers) — the dependency profiler behind
+    feature-redundancy pruning and the soft generalization of
+    dq_fd_discovery: MI == H(joint) means one column determines the
+    other (a functional dependency); MI == 0 means independent, safe to
+    model separately. The normalized `redundancy` column (MI / joint
+    entropy) is the scale-free gauge data-quality suites threshold.
+
+    Determinism: cell/marginal counts are exact bigints; the ln-sum
+    follows the text_word_entropy float posture (sums over ~125 cells,
+    rounded once at 6 digits — far above cross-engine libm ULP noise).
+
+    Scale shape: ONE combiner'd groupBy to (cardinality_a x
+    cardinality_b) cells; the marginals are windows over the
+    cell-sized frame, never the data. MI over a petabyte is exactly one
+    scan + algebra on a cells-sized table — the reason MI-based feature
+    selection scales where wrapper methods do not."""
+    from pyspark.sql import Window as W2
+
+    cust = load(spark, sf_dir, "customer")
+    cells = (cust.groupBy(F.col("c_mktsegment").alias("seg"),
+                          F.col("c_nationkey").alias("nat"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tots = cells.select(
+        "c",
+        F.sum("c").over(W2.partitionBy()).alias("n"),
+        F.sum("c").over(W2.partitionBy("seg")).alias("rc"),
+        F.sum("c").over(W2.partitionBy("nat")).alias("cc"))
+    p = F.col("c") * 1.0 / F.col("n")
+    mi = F.sum(p * F.log((F.col("c") * 1.0 * F.col("n"))
+                         / (F.col("rc") * 1.0 * F.col("cc"))))
+    hj = -F.sum(p * F.log(p))
+    agg = tots.agg(mi.alias("mi"), hj.alias("h_joint"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+                   F.max("n").cast("bigint").alias("n_rows"))
+    return agg.select(
+        F.round("mi", 6).alias("mutual_info"),
+        F.round("h_joint", 6).alias("h_joint"),
+        F.round(F.when(F.col("h_joint") > 0,
+                       F.col("mi") / F.col("h_joint"))
+                .otherwise(0.0), 6).alias("redundancy"),
+        "n_cells", "n_rows")
+
+
+# Laplace mechanism: epsilon and the per-count L1 sensitivity (adding or
+# removing one customer changes one segment count by 1).
+_DP_EPS = 0.5
+
+
+@query("dq_dp_noisy_counts", oracle=f"""
+WITH g AS (
+  SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY 1),
+u AS (
+  SELECT seg, true_count,
+         (('0x' || substr(md5('dp:' || seg), 1, 8))::BIGINT
+          / 4294967296.0) - 0.5 AS uu
+  FROM g)
+SELECT seg, true_count,
+       round(CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END
+             * (1.0 / {_DP_EPS}) * ln(1.0 - 2.0 * abs(uu)), 6) AS noise,
+       round(true_count + (CASE WHEN uu >= 0 THEN -1.0 ELSE 1.0 END
+             * (1.0 / {_DP_EPS}) * ln(1.0 - 2.0 * abs(uu))), 6)
+         AS noisy_count,
+       round(1.0 / {_DP_EPS}, 6) AS laplace_scale
+FROM u
+""")
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY noisy counts (Dwork et al. 2006, the
+    Laplace mechanism): per-segment customer counts released with
+    Laplace(sensitivity/epsilon) noise, sensitivity 1 (one customer
+    moves one count by 1), epsilon {_DP_EPS}. The private-release
+    sibling of dq_k_anonymity / dq_l_diversity / dq_t_closeness —
+    those audit a quasi-identifier table, this perturbs the published
+    aggregate itself.
+
+    Determinism: the Laplace draw is the INVERSE CDF
+    -(1/eps)*sign(u)*ln(1-2|u|) of a uniform derived from a 32-bit
+    content hash of the group key (the engine's no-RNG rule:
+    ab_bootstrap / rbm Bernoulli precedent), so both engines compute
+    the identical noise; in production the hash input would be a
+    per-release secret salt — swapping the literal 'dp:' prefix for a
+    config value changes nothing structural. true_count is emitted here
+    for oracle verification only; a real release ships noisy_count
+    alone.
+
+    Scale shape: one combiner'd groupBy to segment-sized counts, then
+    row-local math — DP release of a petabyte aggregate costs exactly
+    the aggregate."""
+    from ..functions.vector import det_hash64
+
+    g = (load(spark, sf_dir, "customer")
+         .groupBy(F.col("c_mktsegment").alias("seg"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("true_count")))
+    uu = (det_hash64(F.concat(F.lit("dp:"), F.col("seg")))
+          / F.lit(4294967296.0)) - 0.5
+    noise = (F.when(uu >= 0, -1.0).otherwise(1.0)
+             * (1.0 / _DP_EPS) * F.log(1.0 - 2.0 * F.abs(uu)))
+    return g.select(
+        "seg", "true_count",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.round(F.lit(1.0 / _DP_EPS), 6).alias("laplace_scale"))

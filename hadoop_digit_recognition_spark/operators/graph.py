@@ -1031,3 +1031,247 @@ def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("betweenness_micro"),
                     F.round(F.coalesce("betweenness_micro", F.lit(0))
                             / 1000000.0, 6).alias("betweenness")))
+
+
+_HITS_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+a1 AS (SELECT dst AS node, sum(w) AS auth FROM edges GROUP BY dst),
+h1 AS (
+  SELECT e.src AS node, sum(e.w * a1.auth) AS hub
+  FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+mx AS (SELECT (SELECT max(auth) FROM a1) AS ma,
+              (SELECT max(hub) FROM h1) AS mh)
+SELECT n.node,
+       CAST(COALESCE(a1.auth, 0) AS BIGINT) AS auth_exact,
+       CAST(COALESCE(h1.hub, 0) AS BIGINT) AS hub_exact,
+       round(COALESCE(a1.auth, 0) / mx.ma, 6) AS auth_norm,
+       round(COALESCE(h1.hub, 0) / mx.mh, 6) AS hub_norm
+FROM nodes n CROSS JOIN mx
+LEFT JOIN a1 ON a1.node = n.node
+LEFT JOIN h1 ON h1.node = n.node
+"""
+
+
+@query("graph_hits_hubs_authorities", oracle=_HITS_ORACLE)
+def graph_hits_hubs_authorities(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the weighted
+    nation->nation trade graph — one full mutual-reinforcement
+    iteration on an EXACT INTEGER grid: with hub_0 = 1 everywhere,
+    auth_1(v) = sum of in-edge weights and hub_1(u) = sum over
+    out-edges of w * auth_1, both pure int64 (edge weights are bigint
+    lineitem counts), so the scores are order-free exact sums; the only
+    float arithmetic is the max-normalized display column, a single
+    bigint/bigint IEEE division identical in both engines (the
+    harmonic-centrality grid discipline, SCALE.md watch #4).
+
+    Iteration depth is bounded by int64 range, not by choice: a second
+    exact full iteration multiplies magnitudes to ~sum(w)^4 (overflow
+    past sf100); production HITS max-normalizes each half-step, which
+    costs exactness but keeps values in [0,1] forever — the same
+    round-then-sum compromise PageRank makes, with rounding bounding
+    the drift.
+
+    Scale shape: the fact-sized work is the one edge aggregation
+    (shared with PageRank); each half-step is one node-keyed
+    join + sum over the node^2-bounded edge list with the node-sized
+    score vector on the broadcast side. Reference analog: the keyed-sum
+    reduce of reducer.java:31-47, run twice with swapped key roles."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    edges = spark.sql(_EDGES_SQL)
+    a1 = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.sum("w").alias("auth"))
+    h1 = (edges.join(a1, edges.dst == a1.node)
+          .groupBy(F.col("src").alias("hnode"))
+          .agg(F.sum(F.col("w") * F.col("auth")).alias("hub")))
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").alias("node"))
+    scored = (nodes.join(a1, "node", "left")
+              .join(h1, nodes.node == h1.hnode, "left")
+              .select("node",
+                      F.coalesce("auth", F.lit(0)).cast("bigint")
+                      .alias("auth_exact"),
+                      F.coalesce("hub", F.lit(0)).cast("bigint")
+                      .alias("hub_exact")))
+    mx = scored.agg(F.max("auth_exact").alias("ma"),
+                    F.max("hub_exact").alias("mh"))
+    return (scored.crossJoin(F.broadcast(mx))
+            .select("node", "auth_exact", "hub_exact",
+                    F.round(F.col("auth_exact") / F.col("ma"), 6)
+                    .alias("auth_norm"),
+                    F.round(F.col("hub_exact") / F.col("mh"), 6)
+                    .alias("hub_norm")))
+
+
+# SCC pivot: nation 3 sits inside a 9-node strongly connected core of
+# the top-{_BFS_K} sparsified trade graph at sf0.01 (nation 0, the BFS
+# source, has NO in-edges that survive sparsification — its SCC is the
+# trivial singleton, which would demonstrate nothing).
+_SCC_PIVOT = 3
+
+_SCC_ORACLE = f"""
+WITH RECURSIVE {_SPARSE_EDGES_CTES}
+fwd(node, d) AS (
+  SELECT {_SCC_PIVOT}, 0
+  UNION
+  SELECT e.dst, fwd.d + 1 FROM fwd JOIN e ON e.src = fwd.node
+  WHERE fwd.d < {_BFS_MAXD}
+),
+bwd(node, d) AS (
+  SELECT {_SCC_PIVOT}, 0
+  UNION
+  SELECT e.src, bwd.d + 1 FROM bwd JOIN e ON e.dst = bwd.node
+  WHERE bwd.d < {_BFS_MAXD}
+),
+f AS (SELECT node, min(d) AS fwd_hops FROM fwd GROUP BY node),
+b AS (SELECT node, min(d) AS bwd_hops FROM bwd GROUP BY node)
+SELECT CAST(f.node AS BIGINT) AS node,
+       CAST(f.fwd_hops AS BIGINT) AS fwd_hops,
+       CAST(b.bwd_hops AS BIGINT) AS bwd_hops
+FROM f JOIN b ON b.node = f.node
+"""
+
+
+@query("graph_scc_forward_backward", eager=True, oracle=_SCC_ORACLE)
+def graph_scc_forward_backward(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """STRONGLY CONNECTED COMPONENT of a pivot by FORWARD-BACKWARD
+    reachability (Fleischer, Hendrickson & Pinar 2000 — the SCC
+    algorithm that parallelizes, unlike Tarjan's stack): the SCC
+    containing the pivot is exactly (nodes reachable FROM the pivot)
+    intersect (nodes that REACH the pivot). Both reachability sets are
+    the graph_bfs_hops frontier loop — the backward pass runs the SAME
+    loop on the reversed edge list — and the intersection is one
+    node-keyed inner join. Hop-bounded at {_BFS_MAXD} in BOTH engines
+    so the result is deterministic on graphs with longer paths
+    (diameter of the sparsified trade graph is < {_BFS_MAXD}).
+
+    Scale shape: two BFS loops (each round = one equi-join against the
+    sparse edge list + min-aggregate over node-sized state, local-
+    checkpointed) + one node-sized join. Full FW-BW recurses on the
+    three remainder partitions with fresh pivots — each recursion is
+    this query on a filtered edge list; production systems cap the
+    recursion and hand small remainders to a single task, so the
+    distributed kernel IS this pivot step."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    e = _sparsified_edges(spark)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    def reach(edges: DataFrame, out: str) -> DataFrame:
+        dist = spark.createDataFrame([(_SCC_PIVOT, 0)],
+                                     "node bigint, hops bigint")
+        for _ in range(_BFS_MAXD):
+            nxt = (dist.alias("d").join(edges.alias("g"),
+                                        F.col("d.node") == F.col("g.src"))
+                   .select(F.col("g.dst").cast("bigint").alias("node"),
+                           (F.col("d.hops") + 1).alias("hops")))
+            dist = (dist.union(nxt).groupBy("node")
+                    .agg(F.min("hops").alias("hops"))
+                    .coalesce(1).localCheckpoint())
+        return dist.withColumnRenamed("hops", out)
+
+    return (reach(e, "fwd_hops")
+            .join(reach(rev, "bwd_hops"), "node")
+            .select("node", "fwd_hops", "bwd_hops"))
+
+
+_PPR_SEED_REGION = 0
+
+
+def _ppr_oracle() -> str:
+    step = """
+r{k} AS (
+  SELECT nodes.node,
+         (1 - {d}) * s.sw
+         + {d} * coalesce(sum(r{p}.pr * e.w / outw.ow), 0) AS pr
+  FROM nodes
+  JOIN seeds_w s ON s.node = nodes.node
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN r{p} ON r{p}.node = e.src
+  LEFT JOIN outw ON outw.src = e.src
+  GROUP BY nodes.node, s.sw
+)"""
+    steps = ",".join(step.format(k=k, p=k - 1, d=_DAMP)
+                     for k in range(1, _NITER + 1))
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+seeds AS (SELECT n_nationkey AS node FROM nation
+          WHERE n_regionkey = {_PPR_SEED_REGION}),
+ns AS (SELECT cast(count(*) AS DOUBLE) AS n FROM seeds),
+seeds_w AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS sw
+  FROM nodes CROSS JOIN ns LEFT JOIN seeds ON seeds.node = nodes.node),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, sw AS pr FROM seeds_w),
+{steps}
+SELECT r.node,
+       CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_seed,
+       round(r.pr, 6) AS ppr
+FROM r{_NITER} r LEFT JOIN seeds s ON s.node = r.node
+"""
+
+
+@query("graph_personalized_pagerank", eager=True,
+       oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK / random walk with restart (Jeh & Widom
+    2003 — the topic-sensitive ranking behind "similar items" and graph
+    recommendations): the PageRank teleport jumps back to a SEED SET
+    (nations of region {_PPR_SEED_REGION}) instead of the uniform
+    vector, so mass concentrates around the seeds' neighborhoods.
+    Same unrolled {_NITER}-iteration loop, damping {_DAMP}, weighted
+    transitions, and float posture as graph_pagerank_nations (rank
+    propagation is the only float path; rounded once at the output).
+
+    Scale shape: identical to PageRank — the fact-sized edge
+    aggregation runs once, each iteration is one keyed join + sum with
+    the node-sized rank vector broadcast. At web scale PPR from many
+    seed sets shares the edge list across seed-set columns (a rank
+    MATRIX node x seed-sets) — same plan, wider value."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    edges = spark.sql(_EDGES_SQL)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    trans = (edges.join(outw, "src")
+             .select("src", "dst", (F.col("w") / F.col("ow")).alias("p")))
+    trans.persist()
+    trans.count()
+    nation = spark.table("nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    seeds = (nation.filter(F.col("n_regionkey") == _PPR_SEED_REGION)
+             .select(F.col("n_nationkey").alias("node")))
+    n_seeds = seeds.count()
+    seeds_w = (nodes.join(seeds.withColumn("sw", F.lit(1.0 / n_seeds)),
+                          "node", "left")
+               .select("node", F.coalesce("sw", F.lit(0.0)).alias("sw")))
+    seeds_w.persist()
+
+    ranks = seeds_w.select("node", F.col("sw").alias("pr"))
+    for _ in range(_NITER):
+        contrib = (trans.join(ranks, trans.src == ranks.node)
+                   .select(trans.dst.alias("node"),
+                           (F.col("pr") * F.col("p")).alias("c")))
+        ranks = (seeds_w.join(
+                    contrib.groupBy("node").agg(F.sum("c").alias("s")),
+                    "node", "left")
+                 .select("node",
+                         (F.lit(1 - _DAMP) * F.col("sw")
+                          + F.lit(_DAMP) * F.coalesce(F.col("s"),
+                                                      F.lit(0.0))
+                          ).alias("pr")))
+    return (ranks.join(seeds.withColumn("is_seed", F.lit(1)),
+                       "node", "left")
+            .select("node",
+                    F.coalesce("is_seed", F.lit(0)).cast("bigint")
+                    .alias("is_seed"),
+                    F.round("pr", 6).alias("ppr")))

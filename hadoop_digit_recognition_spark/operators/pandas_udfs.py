@@ -519,3 +519,148 @@ def timeseries_croston_intermittent(spark: SparkSession,
                       F.round("p", 6).alias("p"),
                       F.round("fitted", 6).alias("fitted"),
                       F.round("forecast", 6).alias("forecast"))
+
+
+_DTW_N = 12  # month-of-year profile length (calendar-fixed, SF-free)
+
+
+def _dtw_oracle() -> str:
+    """Unrolled DTW dynamic program. The intra-row recurrence
+    D(i,j) = c(i,j) + min(D(i-1,j), D(i-1,j-1), D(i,j-1)) unrolls to
+    D(i,j) = cum_i(j) + min_{k<=j} (M(k) - cum_i(k-1)) with
+    M(k) = min(D(i-1,k), D(i-1,k-1)) and cum_i the row-i cost prefix
+    sum — a RUNNING-MIN WINDOW, so each DP row is one windowed CTE and
+    the whole 12x12 grid is 12 generated CTEs (the BPE unrolled-round
+    precedent, mechanically emitted). Every stage references its
+    predecessor TWICE (the M(k) min needs d at both k and k-1), so the
+    CTEs must be AS MATERIALIZED — DuckDB re-inlines multiply-
+    referenced CTEs (the LPA lesson, SCALE.md round 3) and an inlined
+    chain here would expand 2^12 scans."""
+    rows = ["""
+d1 AS MATERIALIZED (
+  SELECT ra, rb, j, sum(c) OVER (PARTITION BY ra, rb ORDER BY j) AS d
+  FROM cost WHERE i = 1)"""]
+    for i in range(2, _DTW_N + 1):
+        rows.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT ra, rb, j, cum + mn AS d FROM (
+    SELECT ra, rb, j, cum,
+           min(mk - cumprev) OVER (PARTITION BY ra, rb ORDER BY j) AS mn
+    FROM (
+      SELECT c.ra, c.rb, c.j,
+             sum(c.c) OVER (PARTITION BY c.ra, c.rb ORDER BY c.j) AS cum,
+             coalesce(sum(c.c) OVER (PARTITION BY c.ra, c.rb ORDER BY c.j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cumprev,
+             CASE WHEN p0.d IS NULL THEN p.d
+                  ELSE least(p.d, p0.d) END AS mk
+      FROM cost c
+      JOIN d{i - 1} p ON p.ra = c.ra AND p.rb = c.rb AND p.j = c.j
+      LEFT JOIN d{i - 1} p0 ON p0.ra = c.ra AND p0.rb = c.rb
+                           AND p0.j = c.j - 1
+      WHERE c.i = {i})))"""[1:])
+    return f"""
+WITH prof AS MATERIALIZED (
+  SELECT r.r_regionkey AS rk, CAST(month(o.o_orderdate) AS BIGINT) AS m,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS y
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2),
+cost AS MATERIALIZED (
+  SELECT a.rk AS ra, b.rk AS rb, a.m AS i, b.m AS j,
+         abs(a.y - b.y) AS c
+  FROM prof a JOIN prof b ON a.rk < b.rk),
+{",".join(rows)},
+l1 AS (
+  SELECT a.rk AS ra, b.rk AS rb, sum(abs(a.y - b.y)) AS l1_cost
+  FROM prof a JOIN prof b ON a.rk < b.rk AND a.m = b.m
+  GROUP BY 1, 2)
+SELECT d.ra AS region_a, d.rb AS region_b,
+       CAST(d.d AS BIGINT) AS dtw_cost,
+       CAST(l1.l1_cost AS BIGINT) AS l1_cost
+FROM d{_DTW_N} d JOIN l1 ON l1.ra = d.ra AND l1.rb = d.rb
+WHERE d.j = {_DTW_N}
+"""
+
+
+@query("timeseries_dtw_pairs", oracle=_dtw_oracle())
+def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance between entity seasonal profiles
+    (Sakoe & Chiba 1978; Berndt & Clifford 1994 for the data-mining
+    form) — the time-series similarity primitive that tolerates phase
+    shift, which plain L1/L2 cannot: for every region pair, the minimal
+    alignment cost of their 12-point month-of-year revenue profiles
+    under the step set {{right, down, diagonal}}. The l1_cost column is
+    the diagonal-only alignment, so dtw_cost <= l1_cost is a structural
+    invariant the tests pin.
+
+    Determinism: profiles are exact bigint cent sums, costs are bigint
+    |differences|, and the DP is pure int64 min/plus — no float enters
+    either engine, the grid discipline (SCALE.md watch #4) applied to
+    an entire dynamic program.
+
+    Scale shape: the corpus-sized work is the ONE combiner'd
+    pre-aggregate to (entity, month) profiles — everything after is
+    algebra on model state (pairs x 144 DP cells). The Spark side ships
+    each pair's two profile vectors through a scalar Arrow-batched
+    pandas UDF running the classic O(n*m) NumPy loop (the per-series
+    stateful shape SQL windows cannot express); the oracle unrolls the
+    DP into {_DTW_N} windowed CTEs via the running-min identity (see
+    _dtw_oracle). At 100 TB: profiles are entity-count-sized; all-pairs
+    DTW over many entities is bounded the way similarity families here
+    always are — LSH/cluster-bucket candidate pairs first
+    (dedup_embedding_lsh), exact DTW only within buckets."""
+    import numpy as np
+
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    prof = spark.sql("""
+      SELECT r.r_regionkey AS rk, CAST(month(o.o_orderdate) AS BIGINT) AS m,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS y
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2""")
+    vec = (prof.groupBy("rk")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("m", "y"))),
+               lambda s: s["y"]).alias("ys")))
+
+    @F.pandas_udf("long")
+    def dtw(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for xs, ys in zip(a, b):
+            x = np.asarray(xs, dtype=np.int64)
+            y = np.asarray(ys, dtype=np.int64)
+            n, m = len(x), len(y)
+            big = np.iinfo(np.int64).max // 4
+            D = np.full((n + 1, m + 1), big, dtype=np.int64)
+            D[0, 0] = 0
+            for i in range(1, n + 1):
+                for j in range(1, m + 1):
+                    c = abs(int(x[i - 1]) - int(y[j - 1]))
+                    D[i, j] = c + min(D[i - 1, j], D[i, j - 1],
+                                      D[i - 1, j - 1])
+            out.append(int(D[n, m]))
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def l1(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(np.abs(np.asarray(xs, dtype=np.int64)
+                        - np.asarray(ys, dtype=np.int64)).sum())
+             for xs, ys in zip(a, b)])
+
+    va = vec.select(F.col("rk").alias("region_a"), F.col("ys").alias("ya"))
+    vb = vec.select(F.col("rk").alias("region_b"), F.col("ys").alias("yb"))
+    pairs = va.join(vb, F.col("region_a") < F.col("region_b"))
+    return pairs.select(
+        "region_a", "region_b",
+        dtw(F.col("ya"), F.col("yb")).alias("dtw_cost"),
+        l1(F.col("ya"), F.col("yb")).alias("l1_cost"))

@@ -15,7 +15,9 @@ NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_degree_distribution", "mv_incremental_refresh",
          "temporal_scd2_lookup", "graph_jaccard_link_prediction",
          "graph_anf_hll", "merge_dedup_upsert", "graph_adamic_adar",
-         "graph_harmonic_centrality", "graph_betweenness_bounded"]
+         "graph_harmonic_centrality", "graph_betweenness_bounded",
+         "graph_hits_hubs_authorities", "graph_scc_forward_backward",
+         "graph_personalized_pagerank"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -182,3 +184,62 @@ def test_betweenness_consistent_with_bfs_distances(spark):
     for node, v in bt.items():
         if node not in has_in:
             assert v == 0, (node, v)
+
+
+def test_hits_mass_conservation(spark):
+    """auth_1 sums in-edge weights, so total authority == total edge
+    weight; norms peak at exactly 1.0 (the argmax node)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.operators.graph import _EDGES_SQL
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["graph_hits_hubs_authorities"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    assert max(r.auth_norm for r in rows) == 1.0
+    assert max(r.hub_norm for r in rows) == 1.0
+    total_w = spark.sql(_EDGES_SQL).agg(F.sum("w")).collect()[0][0]
+    assert sum(r.auth_exact for r in rows) == total_w
+
+
+def test_scc_is_strongly_connected(spark):
+    """Independent check: restricted to the returned members, every
+    member reaches every other via the sparsified edges (plain Python
+    BFS over the collected node-sized edge list)."""
+    from hadoop_digit_recognition_spark.operators.graph import (
+        _sparsified_edges)
+    from hadoop_digit_recognition_spark.tables import load
+
+    members = {r.node for r in SPARK_QUERIES["graph_scc_forward_backward"](
+        spark, SF_ORACLE).collect()}
+    assert len(members) >= 2
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, SF_ORACLE, t).createOrReplaceTempView(t)
+    adj: dict = {m: set() for m in members}
+    for e in _sparsified_edges(spark).collect():
+        if e.src in members and e.dst in members:
+            adj[e.src].add(e.dst)
+    for s in members:
+        seen, frontier = {s}, [s]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u] - seen:
+                    seen.add(v)
+                    nxt.append(v)
+            frontier = nxt
+        assert seen == members, (s, seen)
+
+
+def test_ppr_concentrates_on_seed_region(spark):
+    """Mass conserves (~1, no dangling nodes) and the mean seed rank
+    strictly exceeds the mean non-seed rank — the personalization."""
+    rows = SPARK_QUERIES["graph_personalized_pagerank"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    assert abs(sum(r.ppr for r in rows) - 1.0) < 1e-3
+    seed = [r.ppr for r in rows if r.is_seed == 1]
+    rest = [r.ppr for r in rows if r.is_seed == 0]
+    assert len(seed) == 5
+    assert sum(seed) / len(seed) > sum(rest) / len(rest)

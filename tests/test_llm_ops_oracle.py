@@ -107,6 +107,8 @@ LLM_QUERIES = [
     "ml_isotonic_pav", "timeseries_croston_intermittent",
     "corpus_influence_tracing", "corpus_span_corruption_plan",
     "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
+    "timeseries_dtw_pairs", "ml_random_forest_stumps",
+    "dq_mutual_information", "dq_dp_noisy_counts",
 ]
 
 
@@ -927,3 +929,42 @@ def test_bpe_scaled_prefix_and_replay(spark):
     diff = (replayed.exceptAll(final_state).count()
             + final_state.exceptAll(replayed).count())
     assert diff == 0, f"replay diverged on {diff} word states"
+
+
+def test_dtw_bounded_by_l1(spark):
+    """DTW relaxes the diagonal alignment, so dtw_cost <= l1_cost on
+    every pair; costs are positive on real profiles."""
+    rows = SPARK_QUERIES["timeseries_dtw_pairs"](spark, SF_ORACLE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 < r.dtw_cost <= r.l1_cost, r
+
+
+def test_random_forest_beats_chance_with_oob(spark):
+    """5 trees, every tree has out-of-bag rows (Poisson(1) leaves ~1/e
+    of rows unsampled), ensemble beats the 50% base rate comfortably on
+    the XOR-noise target."""
+    rows = SPARK_QUERIES["ml_random_forest_stumps"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.oob_n > 0 and 0.0 <= r.oob_acc <= 1.0
+        assert r.werr <= r.wtot
+    assert rows[0].ens_acc > 0.7
+
+
+def test_mutual_information_bounds(spark):
+    """0 <= MI <= H(joint); redundancy is the normalized ratio."""
+    r = SPARK_QUERIES["dq_mutual_information"](spark, SF_ORACLE).collect()[0]
+    assert 0.0 <= r.mutual_info <= r.h_joint
+    assert 0.0 <= r.redundancy <= 1.0
+
+
+def test_dp_noise_is_laplace_shaped(spark):
+    """Noise values are deterministic, nonzero, and bounded by the
+    inverse-CDF tail at 32-bit resolution; noisy = true + noise."""
+    rows = SPARK_QUERIES["dq_dp_noisy_counts"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r.noisy_count - (r.true_count + r.noise)) < 1e-6
+        assert abs(r.noise) < 70.0  # scale 2 * ln(2^32) ~ 44

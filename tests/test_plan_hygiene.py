@@ -121,7 +121,14 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "dq_t_closeness",
                 # 40-row literal counter grid crossed into the
                 # frequency stream (threshold-sweep / gemm grid class)
-                "sketch_moments_ams"}
+                "sketch_moments_ams",
+                # 5-row region profile-vector table x itself (non-equi
+                # a < b pairing) — model state x model state; DTW's
+                # corpus-sized work is the profile pre-aggregate
+                "timeseries_dtw_pairs",
+                # 1-row max-score scalar crossed into the 25-node score
+                # table (HITS normalization epilogue)
+                "graph_hits_hubs_authorities"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

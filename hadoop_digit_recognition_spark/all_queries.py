@@ -114,7 +114,9 @@ def _rotate_for_driver_coverage() -> None:
         "graph_hits_hubs_authorities", "graph_scc_forward_backward",
         "graph_personalized_pagerank", "timeseries_dtw_pairs",
         "ml_random_forest_stumps", "dq_mutual_information",
-        "dq_dp_noisy_counts",
+        "dq_dp_noisy_counts", "multimodal_vit_patch_plan",
+        "text_rake_keywords", "source_txnlog_snapshot_replay",
+        "timeseries_holt_winters",
     }
 
     def _family(n: str) -> int:

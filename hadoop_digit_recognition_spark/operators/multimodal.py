@@ -886,3 +886,108 @@ def multimodal_brightness_contrast_filter(spark: SparkSession,
         bit(p_bright).alias("pass_bright"),
         bit(p_contrast).alias("pass_contrast"),
         bit(p_dark & p_bright & p_contrast).alias("keep"))
+
+
+# ViT patchify geometry: the 16x16 raster splits into PATCH x PATCH
+# non-overlapping patches (4x4 of them), each serialized row-major into
+# a token string whose 32-bit hash quantizes to a _VIT_VOCAB-entry
+# patch vocabulary (the discrete-VAE/BEiT-style token id).
+_VIT_PATCH = 4
+_VIT_VOCAB = 4096
+
+
+@query("multimodal_vit_patch_plan", oracle=f"""
+WITH px AS (
+  SELECT d.doc_id, r.i,
+         CASE WHEN r.i < octet_length(encode(d.text))
+              THEN ascii(substr(d.text, CAST(r.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM documents d CROSS JOIN range({RASTER_H * RASTER_W}) r(i)
+),
+cells AS (
+  SELECT doc_id, i, v,
+         (i // {RASTER_W}) // {_VIT_PATCH} AS pr,
+         (i % {RASTER_W}) // {_VIT_PATCH} AS pc
+  FROM px
+),
+patches AS (
+  SELECT doc_id, pr, pc,
+         CAST(pr * {RASTER_W // _VIT_PATCH} + pc AS BIGINT) AS patch_idx,
+         CAST(sum(v) AS BIGINT) AS patch_sum,
+         string_agg(CAST(v AS VARCHAR), ':' ORDER BY i) AS s
+  FROM cells GROUP BY doc_id, pr, pc
+)
+SELECT doc_id, patch_idx, CAST(pr AS BIGINT) AS pos_row,
+       CAST(pc AS BIGINT) AS pos_col, patch_sum,
+       ('0x' || substr(md5(s), 1, 8))::BIGINT % {_VIT_VOCAB}
+         AS patch_token
+FROM patches
+""")
+def multimodal_vit_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-STYLE PATCHIFY PLAN (Dosovitskiy et al. 2020 "an image is
+    worth 16x16 words"; token ids per patch are the BEiT/discrete-VAE
+    variant): decode the binary payload as the headerless
+    {RASTER_H}x{RASTER_W} raster (multimodal_decode_pool's geometry),
+    split it into {_VIT_PATCH}x{_VIT_PATCH} non-overlapping patches,
+    and emit per patch the SEQUENCE PLAN a vision-transformer training
+    pipeline materializes: row-major patch index, 2-D position
+    (pos_row, pos_col — the position-embedding key), the exact integer
+    pixel sum, and a {_VIT_VOCAB}-entry patch-vocabulary token id
+    (32-bit content hash of the serialized patch bytes — swapping the
+    hash for a learned dVAE codebook lookup changes no plumbing).
+
+    Determinism: patch sums are pure int64; the token id hashes a
+    canonical ':'-joined decimal serialization of the patch bytes (NOT
+    the raw bytes — NUL padding has no portable VARCHAR form), identical
+    in both engines by construction.
+
+    Scale shape: one narrow mapInPandas pass, {RASTER_H * RASTER_W //
+    (_VIT_PATCH * _VIT_PATCH)} rows out per image, zero shuffles — the
+    patchify stage of a 100 TB image corpus is embarrassingly parallel
+    and this plan keeps it that way (the downstream groupBy/pack steps
+    are corpus_sequence_pack's problem, already bounded)."""
+    import hashlib
+
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    n_px = RASTER_H * RASTER_W
+    hp, wp = RASTER_H // _VIT_PATCH, RASTER_W // _VIT_PATCH
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, prs, pcs, sums, toks = [], [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b)[:n_px], dtype=np.uint8)
+                if raw.size < n_px:
+                    raw = np.pad(raw, (0, n_px - raw.size))
+                img = raw.reshape(RASTER_H, RASTER_W).astype(np.int64)
+                for pr in range(hp):
+                    for pc in range(wp):
+                        patch = img[pr * _VIT_PATCH:(pr + 1) * _VIT_PATCH,
+                                    pc * _VIT_PATCH:(pc + 1) * _VIT_PATCH]
+                        flat = patch.ravel()
+                        s = ":".join(str(int(v)) for v in flat)
+                        h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                        ids.append(did)
+                        prs.append(pr)
+                        pcs.append(pc)
+                        sums.append(int(flat.sum()))
+                        toks.append(h % _VIT_VOCAB)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "pos_row": pd.Series(prs, dtype="int64"),
+                "pos_col": pd.Series(pcs, dtype="int64"),
+                "patch_sum": pd.Series(sums, dtype="int64"),
+                "patch_token": pd.Series(toks, dtype="int64"),
+            })
+
+    out = mm.mapInPandas(
+        patchify,
+        "doc_id bigint, pos_row bigint, pos_col bigint, "
+        "patch_sum bigint, patch_token bigint")
+    return out.select(
+        "doc_id",
+        (F.col("pos_row") * wp + F.col("pos_col")).alias("patch_idx"),
+        "pos_row", "pos_col", "patch_sum", "patch_token")

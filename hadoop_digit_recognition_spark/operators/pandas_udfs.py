@@ -664,3 +664,137 @@ def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region_a", "region_b",
         dtw(F.col("ya"), F.col("yb")).alias("dtw_cost"),
         l1(F.col("ya"), F.col("yb")).alias("l1_cost"))
+
+
+# Holt-Winters constants: dyadic for the bit-identical-recurrence
+# contract (_HOLT_A comment); season length = 12 months (the calendar).
+_HW_A, _HW_B, _HW_G, _HW_M = 0.5, 0.25, 0.25, 12
+
+# The level recurrence inlined once as an SQL fragment — the trend and
+# seasonal updates reference l_new, and BOTH engines must compute it
+# with this exact expression tree (the recursive CTE cannot bind a
+# local, so the fragment substitutes textually).
+_HW_LNEW = (f"{_HW_A} * (s.y - r.seas[1]) "
+            f"+ {1 - _HW_A} * (r.level + r.trend)")
+
+
+@query("timeseries_holt_winters", oracle=f"""
+WITH RECURSIVE m AS (
+  SELECT o_orderpriority AS grp,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT grp, month, CAST(y AS DOUBLE) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t
+  FROM m),
+seed AS (
+  SELECT grp,
+         sum(y) FILTER (WHERE t <= {_HW_M}) AS sum1,
+         sum(y) FILTER (WHERE t > {_HW_M} AND t <= {2 * _HW_M}) AS sum2,
+         max(t) AS n
+  FROM s GROUP BY grp),
+seas0 AS (
+  SELECT s.grp, list(s.y - d.sum1 / {_HW_M}.0 ORDER BY s.t) AS seas0
+  FROM s JOIN seed d ON d.grp = s.grp
+  WHERE s.t <= {_HW_M} GROUP BY s.grp),
+rec AS (
+  SELECT d.grp, CAST({_HW_M} AS BIGINT) AS t,
+         d.sum1 / {_HW_M}.0 AS level,
+         (d.sum2 / {_HW_M}.0 - d.sum1 / {_HW_M}.0) / {_HW_M}.0 AS trend,
+         z.seas0 AS seas,
+         CAST(NULL AS DOUBLE) AS seasonal,
+         CAST(NULL AS DOUBLE) AS fitted,
+         CAST(NULL AS DOUBLE) AS y
+  FROM seed d JOIN seas0 z ON z.grp = d.grp
+  WHERE d.n >= {2 * _HW_M + 1}
+  UNION ALL
+  SELECT r.grp, s.t,
+         {_HW_LNEW},
+         {_HW_B} * (({_HW_LNEW}) - r.level) + {1 - _HW_B} * r.trend,
+         list_append(r.seas[2:],
+                     {_HW_G} * (s.y - r.level - r.trend)
+                     + {1 - _HW_G} * r.seas[1]),
+         {_HW_G} * (s.y - r.level - r.trend) + {1 - _HW_G} * r.seas[1],
+         r.level + r.trend + r.seas[1],
+         s.y
+  FROM rec r JOIN s ON s.grp = r.grp AND s.t = r.t + 1)
+SELECT rec.grp AS o_orderpriority, CAST(s.month AS VARCHAR) AS month,
+       rec.t, CAST(rec.y AS BIGINT) AS y,
+       round(rec.level, 6) AS level, round(rec.trend, 6) AS trend,
+       round(rec.seasonal, 6) AS seasonal, round(rec.fitted, 6) AS fitted
+FROM rec JOIN s ON s.grp = rec.grp AND s.t = rec.t
+WHERE rec.t > {_HW_M}
+""")
+def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS additive TRIPLE exponential smoothing (Winters
+    1960) — the seasonal member of the smoothing family
+    (timeseries_ewma = single, timeseries_holt_linear = double): per
+    order-priority monthly series, level/trend/seasonal recurrences
+      l_t = a(y_t - s_(t-m)) + (1-a)(l_(t-1) + b_(t-1))
+      b_t = B(l_t - l_(t-1)) + (1-B) b_(t-1)
+      s_t = G(y_t - l_(t-1) - b_(t-1)) + (1-G) s_(t-m)
+    with the classic two-window seed (l = first-year mean, b =
+    year-over-year mean change / m, s_i = first-year deviations) and
+    the one-step forecast l+b+s_(t-m) as `fitted`. A THREE-state
+    recurrence with a 12-deep seasonal buffer — even further from
+    window-SQL expressibility than Holt (see that docstring); the
+    oracle carries the seasonal buffer as a LIST column in the
+    recursive CTE (shift-and-append per step), which is exactly the
+    ring buffer the Python loop keeps.
+
+    Cross-engine determinism: the _HOLT_A contract — dyadic constants,
+    integer inputs, and ONE textual definition of the level update
+    (_HW_LNEW) substituted into both the trend expression and the
+    Python loop, so both engines execute identical float64 op
+    sequences. Groups shorter than 2m+1 months drop on both sides (no
+    seed window).
+
+    Scale shape: identical to Holt — the monthly pre-aggregate is the
+    only corpus-sized work; each series then ships to one task with
+    m+2 doubles of state. 100 TB = one task per series key."""
+    orders = load(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+         .agg(F.count(F.lit(1)).alias("y")))
+
+    M = _HW_M
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["grp", "month", "t", "y", "level", "trend", "seasonal",
+                "fitted"]
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        if len(pdf) < 2 * M + 1:
+            return pd.DataFrame(columns=cols)
+        ys = [float(v) for v in pdf["y"]]
+        sum1 = sum(int(v) for v in pdf["y"][:M])
+        sum2 = sum(int(v) for v in pdf["y"][M:2 * M])
+        lev = sum1 / float(M)
+        tr = (sum2 / float(M) - sum1 / float(M)) / float(M)
+        seas = [ys[i] - sum1 / float(M) for i in range(M)]
+        rows = []
+        g = pdf["grp"][0]
+        for t in range(M, len(ys)):
+            y = ys[t]
+            s_used = seas[0]
+            fitted = lev + tr + s_used
+            l_new = _HW_A * (y - s_used) + (1 - _HW_A) * (lev + tr)
+            b_new = _HW_B * (l_new - lev) + (1 - _HW_B) * tr
+            s_new = _HW_G * (y - lev - tr) + (1 - _HW_G) * s_used
+            seas = seas[1:] + [s_new]
+            lev, tr = l_new, b_new
+            rows.append((g, pdf["month"][t], t + 1, int(pdf["y"][t]),
+                         lev, tr, s_new, fitted))
+        return pd.DataFrame(rows, columns=cols)
+
+    out = m.groupBy("grp").applyInPandas(
+        hw,
+        "grp string, month date, t bigint, y bigint, level double, "
+        "trend double, seasonal double, fitted double")
+    return out.select(F.col("grp").alias("o_orderpriority"),
+                      F.col("month").cast("string").alias("month"), "t",
+                      "y", F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("seasonal", 6).alias("seasonal"),
+                      F.round("fitted", 6).alias("fitted"))

@@ -1779,3 +1779,114 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(n * sxy - sx * sy, F.lit(2))
                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
         .alias("r2"))
+
+
+# RAKE candidate-phrase cap (standard practice: drop runs longer than
+# _RAKE_MAXLEN words — degree scores saturate on long runs) and the
+# report size.
+_RAKE_MAXLEN = 4
+_RAKE_TOPK = 25
+
+
+@query("text_rake_keywords", oracle=f"""
+WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+tok AS (SELECT doc_id, generate_subscripts(w, 1) AS i, unnest(w) AS word
+        FROM t0),
+ns AS (
+  SELECT doc_id, i, word,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM tok WHERE word <> '' AND word NOT IN {_STOP_SQL}),
+occ AS (
+  SELECT doc_id, isl, i, word,
+         count(*) OVER (PARTITION BY doc_id, isl) AS plen
+  FROM ns),
+capped AS (SELECT * FROM occ WHERE plen <= {_RAKE_MAXLEN}),
+wst AS (
+  SELECT word,
+         CAST(round(1000000.0 * sum(plen) / count(*)) AS BIGINT)
+           AS score_micro
+  FROM capped GROUP BY word),
+pocc AS (
+  SELECT doc_id, isl,
+         string_agg(word, ' ' ORDER BY i) AS phrase
+  FROM capped GROUP BY doc_id, isl),
+msc AS (
+  SELECT c.doc_id, c.isl, sum(w.score_micro) AS psc
+  FROM capped c JOIN wst w ON w.word = c.word
+  GROUP BY c.doc_id, c.isl),
+phr AS (
+  SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(max(m.psc) AS BIGINT) AS score_micro
+  FROM pocc p JOIN msc m ON m.doc_id = p.doc_id AND m.isl = p.isl
+  GROUP BY p.phrase),
+ranked AS (
+  SELECT phrase, n_occ, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, phrase) AS rnk
+  FROM phr)
+SELECT CAST(rnk AS BIGINT) AS rnk, phrase,
+       CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+       n_occ, score_micro,
+       round(score_micro / 1000000.0, 6) AS score
+FROM ranked WHERE rnk <= {_RAKE_TOPK}
+""")
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic
+    Keyword Extraction, the unsupervised keyphrase baseline every
+    corpus-exploration pipeline starts with): candidate phrases are
+    maximal stopword-free token runs (gaps-and-islands over the token
+    stream, capped at {_RAKE_MAXLEN} words), each word scores
+    degree/frequency over the candidate set (degree = total length of
+    phrases containing it — co-occurrence reach; frequency = raw
+    count), and a phrase scores the sum of its member word scores.
+    Top-{_RAKE_TOPK} distinct phrases corpus-wide, deterministic
+    (score, phrase) order.
+
+    Determinism: word scores snap to integer micro-units BEFORE the
+    phrase sum (CAST(round(1e6*deg/freq)) — both engines divide the
+    same exact int64 pair, and a representable-half quotient rounds
+    half-away identically), so phrase scores are order-free int64 sums
+    — the MMR/AdaBoost grid discipline (SCALE.md watch #4).
+
+    Scale shape: tokenize -> one windowed island pass partitioned by
+    doc (never global), then two vocabulary-sized keyed aggregates and
+    a phrase-sized rollup; the top-K is a single limit over the
+    distinct-phrase table. No all-pairs anywhere; at 100 TB the cost is
+    the token explode, which partial aggregation collapses map-side."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("i", "word"))
+    ns = (tok.filter((F.col("word") != "")
+                     & ~F.col("word").isin(STOPWORDS))
+          .withColumn("isl", F.col("i") - F.row_number().over(
+              W.partitionBy("doc_id").orderBy("i"))))
+    occ = ns.withColumn(
+        "plen", F.count(F.lit(1)).over(W.partitionBy("doc_id", "isl")))
+    capped = occ.filter(F.col("plen") <= _RAKE_MAXLEN)
+    wst = (capped.groupBy("word")
+           .agg(F.round(1000000.0 * F.sum("plen") / F.count(F.lit(1)))
+                .cast("bigint").alias("score_micro")))
+    pocc = (capped.groupBy("doc_id", "isl")
+            .agg(F.concat_ws(" ", F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "word"))),
+                lambda s: s["word"])).alias("phrase")))
+    msc = (capped.join(wst, "word")
+           .groupBy("doc_id", "isl")
+           .agg(F.sum("score_micro").alias("psc")))
+    phr = (pocc.join(msc, ["doc_id", "isl"])
+           .groupBy("phrase")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+                F.max("psc").cast("bigint").alias("score_micro")))
+    ranked = phr.withColumn(
+        "rnk", F.row_number().over(
+            W.orderBy(F.desc("score_micro"), F.asc("phrase"))))
+    return (ranked.filter(F.col("rnk") <= _RAKE_TOPK)
+            .select(F.col("rnk").cast("bigint").alias("rnk"), "phrase",
+                    F.size(F.split("phrase", " ")).cast("bigint")
+                    .alias("n_words"),
+                    "n_occ", "score_micro",
+                    F.round(F.col("score_micro") / 1000000.0, 6)
+                    .alias("score")))

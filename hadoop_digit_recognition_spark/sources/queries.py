@@ -911,3 +911,109 @@ def source_tar_shard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_shards,
         "doc_id bigint, shard bigint, lang string, payload_len bigint, "
         "payload_md5 string")
+
+
+@query("source_txnlog_snapshot_replay", eager=True, oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events WHERE event_type <> 'view'
+GROUP BY event_type
+""")
+def source_txnlog_snapshot_replay(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TRANSACTION-LOG SNAPSHOT REPLAY — the lakehouse-table protocol
+    (the Delta Lake / Iceberg commit-log shape): a table is parquet
+    data files plus an ordered JSON action log; the current snapshot is
+    the REPLAY of add/remove actions, newest action per file wins.
+    Staged here as three commits over the events table:
+      v0  initial write (one parquet file set per event_type),
+      v1  COMPACTION of the 'click' partition (remove the old files,
+          add one rewritten file — same rows, different layout),
+      v2  DELETE of the 'view' partition (remove-only commit).
+    The scan reads ONLY the log (spark.read.json over the commit
+    files, version parsed from the filename), resolves the live file
+    set relationally (latest action per path = add), and reads exactly
+    those parquet files. The oracle aggregates the source table minus
+    the deleted partition — so a replay that double-counts compacted
+    files or resurrects removed ones breaks the match.
+
+    Scale shape: the action log is METADATA (file-granular, millions of
+    rows at worst) — resolving it is a single keyed window over
+    log-sized data, and the file list legitimately collects to the
+    driver (this is exactly what a Delta/Iceberg reader does before
+    planning the scan). The data files themselves are never listed by
+    directory walk — the log IS the listing, which is why the protocol
+    scales where Hive-style partition discovery does not."""
+    import json as _json
+
+    from ..tables import dataset_tag
+
+    tag = dataset_tag(sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(), "hdr_txnlog",
+                         f"{tag}_p{os.getpid()}")
+    logdir = os.path.join(stage, "_txn_log")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(logdir, exist_ok=True)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        types = [r["event_type"] for r in
+                 ev.select("event_type").distinct().collect()]
+
+        def data_files(d: str) -> list[str]:
+            return sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet"))
+
+        def commit(version: int, actions: list[dict]) -> None:
+            path = os.path.join(logdir, f"{version:05d}.json")
+            with open(path + ".tmp", "w") as f:
+                for a in actions:
+                    f.write(_json.dumps(a) + "\n")
+            os.replace(path + ".tmp", path)
+
+        # v0: initial write, one directory per event_type
+        acts0 = []
+        for t in sorted(types):
+            d = os.path.join(stage, f"t={t}", "v0")
+            ev.filter(F.col("event_type") == t).write.mode(
+                "overwrite").parquet(d)
+            acts0 += [{"action": "add", "path": p, "part": t}
+                      for p in data_files(d)]
+        commit(0, acts0)
+        # v1: compact the 'click' partition into one file
+        d0 = os.path.join(stage, "t=click", "v0")
+        d1 = os.path.join(stage, "t=click", "v1")
+        spark.read.parquet(d0).coalesce(1).write.mode(
+            "overwrite").parquet(d1)
+        commit(1, [{"action": "remove", "path": p, "part": "click"}
+                   for p in data_files(d0)]
+                  + [{"action": "add", "path": p, "part": "click"}
+                     for p in data_files(d1)])
+        # v2: delete the 'view' partition (remove-only)
+        dv = os.path.join(stage, "t=view", "v0")
+        commit(2, [{"action": "remove", "path": p, "part": "view"}
+                   for p in data_files(dv)])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    log = (spark.read
+           .schema("action string, path string, part string")
+           .json(os.path.join(logdir, "*.json"))
+           .withColumn("version",
+                       F.regexp_extract(F.input_file_name(),
+                                        r"(\d{5})\.json", 1)
+                       .cast("bigint")))
+    from pyspark.sql import Window as W
+    last = F.row_number().over(
+        W.partitionBy("path").orderBy(F.desc("version")))
+    live = (log.withColumn("rn", last).filter("rn = 1")
+            .filter(F.col("action") == "add")
+            .select("path").collect())
+    snap = spark.read.parquet(*[r["path"] for r in live])
+    return (snap.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("cents").cast("bigint").alias("total_cents")))

@@ -109,6 +109,8 @@ LLM_QUERIES = [
     "dedup_minhash_bbit", "ml_gbm_ls_stumps", "dq_fd_discovery",
     "timeseries_dtw_pairs", "ml_random_forest_stumps",
     "dq_mutual_information", "dq_dp_noisy_counts",
+    "multimodal_vit_patch_plan", "text_rake_keywords",
+    "timeseries_holt_winters",
 ]
 
 
@@ -968,3 +970,59 @@ def test_dp_noise_is_laplace_shaped(spark):
     for r in rows:
         assert abs(r.noisy_count - (r.true_count + r.noise)) < 1e-6
         assert abs(r.noise) < 70.0  # scale 2 * ln(2^32) ~ 44
+
+
+def test_vit_patches_consistent_with_decode_pool(spark):
+    """Cross-operator invariant: the ViT patch grid shares
+    multimodal_decode_pool's 4x4-on-16x16 geometry, so each patch_sum
+    must equal pooled * (POOL*POOL*255) exactly (pooled is the block
+    sum over the same cells, divided by that constant)."""
+    from hadoop_digit_recognition_spark.operators.multimodal import POOL
+
+    k = POOL * POOL * 255
+    pooled = {(r.doc_id, r.pr, r.pc): r.pooled
+              for r in SPARK_QUERIES["multimodal_decode_pool"](
+                  spark, SF_ORACLE).collect()}
+    patches = SPARK_QUERIES["multimodal_vit_patch_plan"](
+        spark, SF_ORACLE).collect()
+    assert len(patches) == len(pooled)
+    for p in patches:
+        assert p.patch_sum == round(pooled[(p.doc_id, p.pos_row,
+                                            p.pos_col)] * k), p
+
+
+def test_rake_phrases_well_formed(spark):
+    """Candidate phrases contain no stopwords, respect the length cap,
+    and the report is rank-ordered by score with positive scores."""
+    from hadoop_digit_recognition_spark.operators.text import (
+        _RAKE_MAXLEN, STOPWORDS)
+
+    rows = sorted(SPARK_QUERIES["text_rake_keywords"](
+        spark, SF_ORACLE).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r.score_micro for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= _RAKE_MAXLEN
+        assert not set(words) & set(STOPWORDS), r.phrase
+        assert r.score_micro > 0 and r.n_occ >= 1
+
+
+def test_holt_winters_smoothing_state_sane(spark):
+    """Every emitted row is past the 2-season seed window, level stays
+    positive on a positive series, and the seasonal buffer keeps its
+    12-month cadence (t strictly consecutive within each group)."""
+    from collections import defaultdict
+
+    rows = SPARK_QUERIES["timeseries_holt_winters"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    per_g = defaultdict(list)
+    for r in rows:
+        assert r.t > 12
+        assert r.level > 0
+        per_g[r.o_orderpriority].append(r.t)
+    for g, ts in per_g.items():
+        ts = sorted(ts)
+        assert ts == list(range(ts[0], ts[0] + len(ts))), g

@@ -630,7 +630,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 8: single-language TVD (exact zero), and an
                  # EMPTY eval doc in influence tracing (doc 0 is the
                  # only %97 hit and has no grams -> empty both sides)
-                 "dq_t_closeness", "corpus_influence_tracing"):
+                 "dq_t_closeness", "corpus_influence_tracing",
+                 # round 8 continuation: empty text -> zero candidate
+                 # phrases (split('') island edge) for RAKE; zero-pad
+                 # raster + identical-doc token collisions for ViT
+                 "text_rake_keywords", "multimodal_vit_patch_plan"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

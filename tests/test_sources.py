@@ -93,7 +93,8 @@ def test_weights_text_arity_guard():
                                   "source_jsonl_malformed_permissive",
                                   "source_fixedwidth_roundtrip",
                                   "source_json_multiline",
-                                  "source_tar_shard_ingest"])
+                                  "source_tar_shard_ingest",
+                                  "source_txnlog_snapshot_replay"])
 def test_csv_json_roundtrip_vs_duckdb(spark, duck, name):
     df = SPARK_QUERIES[name](spark, SF_ORACLE)
     compare(df, duck, ORACLE_SQL[name], name)
@@ -304,3 +305,23 @@ def test_ivf_partitioned_probe_prunes(spark):
         .fromString("formatted"))
     assert "dynamicpruning" in txt, "probe scan lost dynamic partition pruning"
     assert "PartitionFilters" in txt
+
+
+def test_txnlog_replay_excludes_removed_partition(spark):
+    """Snapshot semantics: the replayed table must contain no rows from
+    the v2-removed 'view' partition and must NOT double-count the
+    v1-compacted 'click' partition (counts equal a direct recompute)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    snap = {r.event_type: r.n_events
+            for r in SPARK_QUERIES["source_txnlog_snapshot_replay"](
+                spark, SF_ORACLE).collect()}
+    assert "view" not in snap
+    direct = {r["event_type"]: r["n"]
+              for r in load(spark, SF_ORACLE, "events")
+              .filter("event_type <> 'view'")
+              .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert snap == direct

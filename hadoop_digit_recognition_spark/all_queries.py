@@ -116,7 +116,8 @@ def _rotate_for_driver_coverage() -> None:
         "ml_random_forest_stumps", "dq_mutual_information",
         "dq_dp_noisy_counts", "multimodal_vit_patch_plan",
         "text_rake_keywords", "source_txnlog_snapshot_replay",
-        "timeseries_holt_winters",
+        "timeseries_holt_winters", "graph_walk_corpus",
+        "sketch_bitmap_distinct", "events_prefixspan_topk",
     }
 
     def _family(n: str) -> int:

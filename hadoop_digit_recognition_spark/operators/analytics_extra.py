@@ -2294,3 +2294,101 @@ def timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("med_y")
                             - F.col("sen_slope") * F.col("med_t"), 6)
                     .alias("sen_intercept")))
+
+
+_SEQ_TOPK = 10  # patterns reported per length
+
+
+@query("events_prefixspan_topk", oracle=f"""
+WITH tok AS (
+  SELECT user_id AS u, event_type AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos
+  FROM events),
+fa AS (SELECT u, t AS a, min(pos) AS pa FROM tok GROUP BY u, t),
+ep AS (
+  SELECT fa.u, fa.a, b.t AS b, min(b.pos) AS pb
+  FROM fa JOIN tok b ON b.u = fa.u AND b.pos > fa.pa
+  GROUP BY fa.u, fa.a, b.t),
+sup2 AS (
+  SELECT a || '->' || b AS pattern, CAST(count(*) AS BIGINT) AS support
+  FROM ep GROUP BY a, b),
+tri AS (
+  SELECT DISTINCT ep.u, ep.a, ep.b, c.t AS c
+  FROM ep JOIN tok c ON c.u = ep.u AND c.pos > ep.pb),
+sup3 AS (
+  SELECT a || '->' || b || '->' || c AS pattern,
+         CAST(count(*) AS BIGINT) AS support
+  FROM tri GROUP BY a, b, c),
+ranked AS (
+  SELECT CAST(2 AS BIGINT) AS length, pattern, support,
+         row_number() OVER (ORDER BY support DESC, pattern) AS rnk
+  FROM sup2
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), pattern, support,
+         row_number() OVER (ORDER BY support DESC, pattern) AS rnk
+  FROM sup3)
+SELECT length, CAST(rnk AS BIGINT) AS rnk, pattern, support
+FROM ranked WHERE rnk <= {_SEQ_TOPK}
+""")
+def events_prefixspan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING, PrefixSpan-style (Pei et al. 2001) —
+    the DISCOVERY twin of events_pattern_match_sequence (which counts
+    occurrences of patterns you already know): top-{_SEQ_TOPK}
+    length-2 and length-3 event-type subsequences by user support
+    (support = number of users whose ordered history contains the
+    pattern as a subsequence, any gaps). Existence uses the
+    EARLIEST-OCCURRENCE projection PrefixSpan is built on: a user
+    matches a->b->c iff scanning greedily (first a, first b after it,
+    any c after that) succeeds — so each extension is one keyed join
+    against the position table followed by a min-aggregate, which is
+    literally PrefixSpan's projected-database step spelled
+    relationally.
+
+    Determinism: positions tiebreak on (ts, event_id); supports are
+    exact bigints; ranking orders (support DESC, pattern).
+
+    Scale shape: one user-keyed shuffle to build positions; each
+    extension joins the (user, prefix) frontier to the token table on
+    the user key — frontier width is users x alphabet^k, bounded by
+    the alphabet (5 types here), NOT history length; per-user work is
+    linear in history per extension. Deep patterns prune by support
+    (the a-priori property) exactly as PrefixSpan does."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    tok = ev.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("t"),
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("pos"))
+    tok.persist()
+    fa = tok.groupBy("u", F.col("t").alias("a")).agg(F.min("pos").alias("pa"))
+    b = tok.select(F.col("u").alias("ub"), F.col("t").alias("b"),
+                   F.col("pos").alias("posb"))
+    ep = (fa.join(b, (F.col("u") == F.col("ub"))
+                  & (F.col("posb") > F.col("pa")))
+          .groupBy("u", "a", "b").agg(F.min("posb").alias("pb")))
+    sup2 = (ep.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .select(F.concat_ws("->", "a", "b").alias("pattern"),
+                    "support"))
+    c = tok.select(F.col("u").alias("uc"), F.col("t").alias("c"),
+                   F.col("pos").alias("posc"))
+    tri = (ep.join(c, (F.col("u") == F.col("uc"))
+                   & (F.col("posc") > F.col("pb")))
+           .select("u", "a", "b", "c").distinct())
+    sup3 = (tri.groupBy("a", "b", "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .select(F.concat_ws("->", "a", "b", "c").alias("pattern"),
+                    "support"))
+
+    def rank(df, length):
+        rnk = F.row_number().over(
+            W.orderBy(F.desc("support"), F.asc("pattern")))
+        return (df.withColumn("rnk", rnk.cast("bigint"))
+                .filter(F.col("rnk") <= _SEQ_TOPK)
+                .select(F.lit(length).cast("bigint").alias("length"),
+                        "rnk", "pattern", "support"))
+
+    return rank(sup2, 2).unionByName(rank(sup3, 3))

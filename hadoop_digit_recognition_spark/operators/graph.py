@@ -1275,3 +1275,102 @@ def graph_personalized_pagerank(spark: SparkSession,
                     F.coalesce("is_seed", F.lit(0)).cast("bigint")
                     .alias("is_seed"),
                     F.round("pr", 6).alias("ppr")))
+
+
+# DeepWalk corpus geometry: _WALKS_PER_NODE walks of _WALK_LEN steps
+# from every node over the sparsified trade graph; the next-hop draw is
+# a content hash over (walk, step) mod out-degree — the engine's no-RNG
+# determinism rule (rbm Bernoulli / bootstrap precedent).
+_WALKS_PER_NODE = 2
+_WALK_LEN = 4
+
+
+def _walk_oracle() -> str:
+    step_tpl = """
+w{k} AS (
+  SELECT w.walk_id, w.start_node, CAST({k} AS BIGINT) AS step,
+         e.dst AS node
+  FROM w{p} w
+  JOIN deg d ON d.src = w.node
+  JOIN e2 e ON e.src = w.node
+   AND e.rn = 1 + ('0x' || substr(md5('walk:' ||
+         CAST(w.walk_id AS VARCHAR) || ':' ||
+         CAST({k} AS VARCHAR)), 1, 8))::BIGINT % d.outdeg)"""
+    steps = ",".join(step_tpl.format(k=k, p=k - 1)
+                     for k in range(1, _WALK_LEN + 1))
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, start_node, step, node FROM w{k}"
+        for k in range(_WALK_LEN + 1))
+    return f"""
+WITH {_SPARSE_EDGES_CTES}
+e2 AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+  FROM e),
+deg AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+w0 AS (
+  SELECT CAST(n.node * {_WALKS_PER_NODE} + r.i AS BIGINT) AS walk_id,
+         CAST(n.node AS BIGINT) AS start_node,
+         CAST(0 AS BIGINT) AS step, CAST(n.node AS BIGINT) AS node
+  FROM nodes n CROSS JOIN range({_WALKS_PER_NODE}) r(i)),
+{steps}
+{union}
+"""
+
+
+@query("graph_walk_corpus", eager=True, oracle=_walk_oracle())
+def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEPWALK / node2vec WALK-CORPUS GENERATION (Perozzi et al. 2014;
+    Grover & Leskovec 2016 with p=q=1): the graph-embedding pipeline's
+    first stage — materialize {_WALKS_PER_NODE} truncated random walks
+    of length {_WALK_LEN} from every node; the walk corpus then feeds a
+    skip-gram trainer exactly like a text corpus (corpus_sequence_pack
+    / corpus_mlm_mask_plan downstream). The next hop draws uniformly
+    over the node's sparsified out-edges via a 32-bit content hash of
+    (walk_id, step) mod out-degree — deterministic, engine-neutral, and
+    exactly the per-step categorical draw production walkers make with
+    a seeded RNG. Walks stop early at sinks (no out-edges) in BOTH
+    engines.
+
+    Scale shape: each step is ONE equi-join of the walk frontier
+    against the (rank-indexed) edge list — frontier size is walks x 1
+    rows, never fan-out, so a billion-walk corpus costs L keyed joins
+    over walk-sized state with the edge list shuffled once (or
+    broadcast when node-sized). This join-per-step shape is exactly how
+    distributed node2vec implementations schedule walks; the alias-
+    table trick replaces mod-outdeg when edges are weighted."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    from ..functions.vector import det_hash64
+
+    e = _sparsified_edges(spark)
+    from pyspark.sql import Window as W
+    e2 = e.withColumn("rn", F.row_number().over(
+        W.partitionBy("src").orderBy("dst")))
+    deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e2.join(deg, "src")
+    e2.persist()
+    e2.count()
+
+    nodes = spark.table("nation").select(
+        F.col("n_nationkey").cast("bigint").alias("node"))
+    w0 = (nodes.crossJoin(
+            spark.range(_WALKS_PER_NODE).select(F.col("id").alias("i")))
+          .select((F.col("node") * _WALKS_PER_NODE + F.col("i"))
+                  .cast("bigint").alias("walk_id"),
+                  F.col("node").alias("start_node"),
+                  F.lit(0).cast("bigint").alias("step"),
+                  F.col("node")))
+    frontier, out = w0, w0
+    for k in range(1, _WALK_LEN + 1):
+        pick = 1 + det_hash64(F.concat_ws(
+            ":", F.lit("walk"), F.col("walk_id"),
+            F.lit(k))) % F.col("outdeg")
+        frontier = (frontier.join(e2, frontier.node == e2.src)
+                    .filter(F.col("rn") == pick)
+                    .select("walk_id", "start_node",
+                            F.lit(k).cast("bigint").alias("step"),
+                            F.col("dst").cast("bigint").alias("node")))
+        out = out.unionByName(frontier)
+    return out

@@ -876,3 +876,63 @@ def sketch_moments_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("f2_est", 6).alias("f2_est"),
                     F.round(F.abs(F.col("f2_est") - F.col("f2_exact"))
                             / F.col("f2_exact"), 6).alias("rel_err")))
+
+
+# Bitmap-index distinct counting: 32-bit chunks (user_id >> 5 selects
+# the chunk, bit user_id & 31 within it) — chunk values stay far from
+# BIGINT sign overflow, and bit_count/<<, | semantics agree across
+# engines on non-negative operands.
+_BMP_SHIFT, _BMP_MASK = 5, 31
+
+
+@query("sketch_bitmap_distinct", oracle=f"""
+WITH chunks AS (
+  SELECT event_type, user_id >> {_BMP_SHIFT} AS chunk,
+         bit_or(CAST(1 AS BIGINT) << (user_id & {_BMP_MASK})) AS bits
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       round(sum(bit_count(bits)) * 1.0 / (count(*) * {_BMP_MASK + 1}),
+             6) AS fill_ratio
+FROM chunks GROUP BY event_type
+""")
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via BITMAP INDEXES (the roaring-bitmap
+    technique ClickHouse/Druid/Pinot use for COUNT(DISTINCT user) at
+    scale; Chambi et al. 2016): integer keys partition into 32-bit
+    chunks (key >> {_BMP_SHIFT}), each chunk OR-accumulates a bit per
+    present key, and the distinct count is the popcount sum. Unlike
+    HLL (sketch_hll_distinct, ~2% error) this is EXACT, and unlike
+    count(DISTINCT) the shuffle carries (group, chunk, 8-byte bitmap)
+    rows — for dense key ranges that is 32 keys per 8-byte value,
+    and bit_or partial-aggregates map-side, so re-aggregation across
+    partitions is free union-by-OR (the same merge HLL registers get
+    in sketch_hll_merge_rollup, but lossless).
+
+    Determinism: pure integer bit algebra end-to-end — shift, OR,
+    popcount — identical in any engine; fill_ratio is the one display
+    division.
+
+    Scale shape: one combiner'd groupBy on (group, chunk); state is
+    bounded by key-range/32 per group, the reason bitmap indexes win
+    EXACTLY when key domains are dense (sparse domains -> HLL or
+    dictionary-encode first). Roaring's container switching is this
+    plan with an adaptive chunk encoding."""
+    ev = load(spark, sf_dir, "events")
+    chunks = (ev.groupBy("event_type",
+                         F.shiftright("user_id", _BMP_SHIFT)
+                         .alias("chunk"))
+              # the Python shiftleft() wrapper only takes a literal
+              # shift amount; the SQL function accepts an expression
+              .agg(F.bit_or(F.expr(
+                  f"shiftleft(cast(1 as bigint), "
+                  f"cast(user_id % {_BMP_MASK + 1} as int))"))
+                  .alias("bits")))
+    return (chunks.groupBy("event_type")
+            .agg(F.sum(F.bit_count("bits")).cast("bigint")
+                 .alias("n_distinct"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                 F.round(F.sum(F.bit_count("bits")) * 1.0
+                         / (F.count(F.lit(1)) * (_BMP_MASK + 1)), 6)
+                 .alias("fill_ratio")))

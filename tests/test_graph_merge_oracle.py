@@ -17,7 +17,7 @@ NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_anf_hll", "merge_dedup_upsert", "graph_adamic_adar",
          "graph_harmonic_centrality", "graph_betweenness_bounded",
          "graph_hits_hubs_authorities", "graph_scc_forward_backward",
-         "graph_personalized_pagerank"]
+         "graph_personalized_pagerank", "graph_walk_corpus"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -243,3 +243,29 @@ def test_ppr_concentrates_on_seed_region(spark):
     rest = [r.ppr for r in rows if r.is_seed == 0]
     assert len(seed) == 5
     assert sum(seed) / len(seed) > sum(rest) / len(rest)
+
+
+def test_walk_corpus_steps_are_edges(spark):
+    """Every consecutive (step, step+1) pair in every walk must be an
+    edge of the sparsified graph, walks start at their start_node, and
+    the corpus has the full fan-out (nodes x walks-per-node)."""
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.operators.graph import (
+        _WALKS_PER_NODE, _sparsified_edges)
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["graph_walk_corpus"](spark, SF_ORACLE).collect()
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, SF_ORACLE, t).createOrReplaceTempView(t)
+    edges = {(e.src, e.dst) for e in _sparsified_edges(spark).collect()}
+    walks = defaultdict(dict)
+    for r in rows:
+        walks[r.walk_id][r.step] = (r.start_node, r.node)
+    assert len(walks) == 25 * _WALKS_PER_NODE
+    for wid, steps in walks.items():
+        assert steps[0][1] == steps[0][0]  # step 0 = start node
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))  # no gaps (stops only at sinks)
+        for k in ks[1:]:
+            assert (steps[k - 1][1], steps[k][1]) in edges, (wid, k)

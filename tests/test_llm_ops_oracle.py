@@ -110,7 +110,7 @@ LLM_QUERIES = [
     "timeseries_dtw_pairs", "ml_random_forest_stumps",
     "dq_mutual_information", "dq_dp_noisy_counts",
     "multimodal_vit_patch_plan", "text_rake_keywords",
-    "timeseries_holt_winters",
+    "timeseries_holt_winters", "events_prefixspan_topk",
 ]
 
 
@@ -1026,3 +1026,19 @@ def test_holt_winters_smoothing_state_sane(spark):
     for g, ts in per_g.items():
         ts = sorted(ts)
         assert ts == list(range(ts[0], ts[0] + len(ts))), g
+
+
+def test_prefixspan_apriori_property(spark):
+    """Support is anti-monotone: every reported length-3 pattern's
+    length-2 prefix must have support >= the length-3 support (the
+    a-priori property PrefixSpan prunes with)."""
+    rows = SPARK_QUERIES["events_prefixspan_topk"](
+        spark, SF_ORACLE).collect()
+    sup2 = {r.pattern: r.support for r in rows if r.length == 2}
+    tri = [r for r in rows if r.length == 3]
+    assert tri and sup2
+    for r in tri:
+        prefix = "->".join(r.pattern.split("->")[:2])
+        # prefix may have fallen out of the top-10; when present, check
+        if prefix in sup2:
+            assert sup2[prefix] >= r.support, r

@@ -347,3 +347,23 @@ def test_kmv_estimate_within_bound(spark, duck):
             continue
         est = (_KMV_K - 1) * (2.0 ** 32) / r["kth_min_hash"]
         assert abs(est - n) / n <= 4 * sigma, (k, est, n)
+
+
+def test_bitmap_distinct_is_exact(spark, duck):
+    """The bitmap popcount sum must equal a direct countDistinct — the
+    lossless-sketch property that separates it from HLL."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    compare(SPARK_QUERIES["sketch_bitmap_distinct"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["sketch_bitmap_distinct"],
+            "sketch_bitmap_distinct")
+    got = {r.event_type: r.n_distinct
+           for r in SPARK_QUERIES["sketch_bitmap_distinct"](
+               spark, SF_ORACLE).collect()}
+    want = {r["event_type"]: r["n"]
+            for r in load(spark, SF_ORACLE, "events")
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want

@@ -573,7 +573,11 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # (value < threshold everywhere -> empty on both
                  # sides), and tiny-frequency AMS counters
                  "ml_isotonic_pav", "timeseries_croston_intermittent",
-                 "sketch_moments_ams"):
+                 "sketch_moments_ams",
+                 # round 8 continuation: same-instant positions (the
+                 # event_id tiebreak) for pattern mining; 3-user bitmap
+                 # chunks (mostly-empty 32-bit words)
+                 "events_prefixspan_topk", "sketch_bitmap_distinct"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 

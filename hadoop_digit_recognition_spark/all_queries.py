@@ -118,6 +118,8 @@ def _rotate_for_driver_coverage() -> None:
         "text_rake_keywords", "source_txnlog_snapshot_replay",
         "timeseries_holt_winters", "graph_walk_corpus",
         "sketch_bitmap_distinct", "events_prefixspan_topk",
+        "events_attribution_shapley", "graph_louvain_move_phase",
+        "corpus_curriculum_order",
     }
 
     def _family(n: str) -> int:

@@ -2392,3 +2392,110 @@ def events_prefixspan_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "rnk", "pattern", "support"))
 
     return rank(sup2, 2).unionByName(rank(sup3, 3))
+
+
+# Shapley attribution: the 4 touchpoint channels (purchase is the
+# conversion) and the exact coalition weights |S|!(n-1-|S|)!/n! scaled
+# by n! = 24 so every weight is a small integer.
+_SHAP_CHANNELS = [("click", 1), ("view", 2), ("signup", 4), ("error", 8)]
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}  # 24 * |S|!(3-|S|)!/4!
+
+
+def _shapley_oracle() -> str:
+    bit_case = " ".join(f"WHEN '{c}' THEN {b}" for c, b in _SHAP_CHANNELS)
+    chan_rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, {b} AS bit" for c, b in _SHAP_CHANNELS)
+    w_case = " ".join(f"WHEN {k} THEN {v}" for k, v in _SHAP_W24.items())
+    return f"""
+WITH expo AS (
+  SELECT user_id,
+         coalesce(bit_or(CASE event_type {bit_case} ELSE 0 END), 0)
+           AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id),
+cells AS (
+  SELECT mask, count(*) AS users, sum(converted) AS convs,
+         CAST(round(1000000.0 * sum(converted) / count(*)) AS BIGINT)
+           AS vmicro
+  FROM expo GROUP BY mask),
+chans AS ({chan_rows}),
+subsets AS (
+  SELECT c.channel, c.bit, r.s AS smask,
+         CAST(CASE bit_count(r.s) {w_case} END AS BIGINT) AS w24
+  FROM chans c JOIN range(16) r(s) ON (r.s & c.bit) = 0),
+terms AS (
+  SELECT s.channel,
+         s.w24 * (coalesce(ci.vmicro, 0) - coalesce(cs.vmicro, 0))
+           AS term
+  FROM subsets s
+  LEFT JOIN cells cs ON cs.mask = s.smask
+  LEFT JOIN cells ci ON ci.mask = s.smask | s.bit)
+SELECT channel,
+       CAST(sum(term) AS BIGINT) AS shapley_scaled24_micro,
+       round(sum(term) / 24000000.0, 6) AS shapley
+FROM terms GROUP BY channel
+"""
+
+
+@query("events_attribution_shapley", oracle=_shapley_oracle())
+def events_attribution_shapley(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """SHAPLEY-VALUE marketing attribution (Shapley 1953; the
+    data-driven multi-touch model that replaced last-touch in ad
+    platforms): each touchpoint channel's credit for conversion is its
+    average marginal contribution over all coalition orderings, with
+    the characteristic function v(S) = observed conversion rate of
+    users exposed to EXACTLY channel set S (unobserved cells contribute
+    v = 0; the empty set is the no-exposure baseline). The exact
+    complement of events_attribution_last_touch, which this engine
+    already ships.
+
+    Exactness: coalition weights |S|!(n-1-|S|)!/n! scale by n! = 24 to
+    small INTEGERS; conversion rates snap to integer micro-units; every
+    Shapley value is then an exact int64 sum (watch #4 grid), and the
+    efficiency axiom sum_i phi_i = v(all) - v(empty) holds as an exact
+    integer identity the tests pin.
+
+    Scale shape: one user-keyed aggregate to exposure cells (2^n rows,
+    n = 4 channels), then pure algebra on the cell table — Shapley over
+    a petabyte of touchpoints costs one combiner'd scan. Exact Shapley
+    is exponential in CHANNELS, not data (n <= ~20 is the practical
+    ceiling; beyond that, permutation sampling over the same cell
+    table)."""
+    ev = load(spark, sf_dir, "events")
+    bit = F.lit(0)
+    for c, b in _SHAP_CHANNELS:
+        bit = F.when(F.col("event_type") == c, b).otherwise(bit)
+    expo = (ev.groupBy("user_id")
+            .agg(F.coalesce(F.bit_or(bit), F.lit(0)).alias("mask"),
+                 F.max(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("converted")))
+    cells = (expo.groupBy("mask")
+             .agg(F.round(1000000.0 * F.sum("converted")
+                          / F.count(F.lit(1)))
+                  .cast("bigint").alias("vmicro")))
+    chans = spark.createDataFrame(_SHAP_CHANNELS, "channel string, bit int")
+    subsets = (chans.crossJoin(
+                   spark.range(16).select(F.col("id").cast("int")
+                                          .alias("smask")))
+               .filter(F.expr("smask & bit") == 0)
+               .withColumn("w24", F.coalesce(*[
+                   F.when(F.bit_count(F.col("smask")) == k, F.lit(v))
+                   for k, v in _SHAP_W24.items()]).cast("bigint")))
+    cs = cells.select(F.col("mask").alias("m0"),
+                      F.col("vmicro").alias("v0"))
+    ci = cells.select(F.col("mask").alias("m1"),
+                      F.col("vmicro").alias("v1"))
+    terms = (subsets
+             .join(F.broadcast(cs), F.col("smask") == F.col("m0"), "left")
+             .join(F.broadcast(ci),
+                   F.expr("smask | bit") == F.col("m1"), "left")
+             .select("channel",
+                     (F.col("w24") * (F.coalesce("v1", F.lit(0))
+                                      - F.coalesce("v0", F.lit(0))))
+                     .alias("term")))
+    return (terms.groupBy("channel")
+            .agg(F.sum("term").cast("bigint")
+                 .alias("shapley_scaled24_micro"),
+                 F.round(F.sum("term") / 24000000.0, 6).alias("shapley")))

@@ -1000,3 +1000,95 @@ def corpus_influence_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_shared").cast("bigint").alias("n_shared"),
                     F.col("score_micro").cast("bigint").alias("score_micro"),
                     "rnk"))
+
+
+# Competence-based curriculum: difficulty = rare-token fraction (corpus
+# df <= _CURR_RARE_DF), docs split into _CURR_STAGES ntile stages, and
+# training step k samples from stages 1..k (competence k/STAGES).
+_CURR_RARE_DF, _CURR_STAGES = 20, 5
+
+
+@query("corpus_curriculum_order", oracle=f"""
+WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS word FROM t0),
+tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tk GROUP BY word),
+diff AS (
+  SELECT t.doc_id,
+         CAST(round(1000000.0
+              * sum(CASE WHEN df.df <= {_CURR_RARE_DF} THEN 1 ELSE 0 END)
+              / count(*)) AS BIGINT) AS difficulty_micro
+  FROM tk t JOIN df ON df.word = t.word
+  GROUP BY t.doc_id),
+staged AS (
+  SELECT doc_id, difficulty_micro,
+         ntile({_CURR_STAGES}) OVER (ORDER BY difficulty_micro, doc_id)
+           AS stage
+  FROM diff),
+steps AS (
+  SELECT r.k AS step FROM range(1, {_CURR_STAGES} + 1) r(k))
+SELECT s.step,
+       round(s.step * 1.0 / {_CURR_STAGES}, 6) AS competence,
+       CAST(count(*) FILTER (WHERE st.stage = s.step) AS BIGINT)
+         AS n_new,
+       CAST(count(*) AS BIGINT) AS n_available,
+       round(avg(st.difficulty_micro) / 1000000.0, 6)
+         AS pool_mean_difficulty
+FROM steps s JOIN staged st ON st.stage <= s.step
+GROUP BY s.step
+""")
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPETENCE-BASED CURRICULUM schedule (Bengio et al. 2009
+    curriculum learning; Platanios et al. 2019's competence function):
+    score every document's difficulty as its RARE-TOKEN FRACTION
+    (tokens whose corpus document frequency <= {_CURR_RARE_DF} —
+    rarity is the difficulty signal that needs no trained model), split
+    the corpus into {_CURR_STAGES} ntile stages easiest-first, and emit
+    the schedule: training step k draws from stages 1..k (competence
+    c(k) = k/{_CURR_STAGES}), so the report carries each step's newly
+    admitted and cumulative pool sizes and the pool's mean difficulty —
+    the table a curriculum sampler consumes (the temperature-mix /
+    epoch-schedule siblings reweight BY SOURCE; this orders BY
+    DIFFICULTY).
+
+    Determinism: difficulty snaps to integer micro-units; ntile over
+    (difficulty_micro, doc_id) is a total order, so stage assignment is
+    identical in both engines.
+
+    Scale shape: tokenize -> one df aggregate (vocabulary-sized, the
+    TF-IDF plan) -> one doc-keyed difficulty aggregate -> a global
+    ntile. The ntile's total sort is doc-COUNT-sized (two small
+    columns), and production replaces it with range partitioning on
+    difficulty (sort_global_range_partitioned's recipe) — rank edges
+    then come from a sampled CDF, the standard trade."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    tk = (docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"))
+          .filter(F.col("word") != ""))
+    dfw = tk.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df"))
+    diff = (tk.join(dfw, "word")
+            .groupBy("doc_id")
+            .agg(F.round(1000000.0
+                         * F.sum(F.when(F.col("df") <= _CURR_RARE_DF, 1)
+                                 .otherwise(0)) / F.count(F.lit(1)))
+                 .cast("bigint").alias("difficulty_micro")))
+    staged = diff.withColumn(
+        "stage", F.ntile(_CURR_STAGES).over(
+            W.orderBy("difficulty_micro", "doc_id")))
+    steps = spark.range(1, _CURR_STAGES + 1).select(
+        F.col("id").cast("int").alias("step"))
+    return (steps.join(staged, staged.stage <= steps.step)
+            .groupBy("step")
+            .agg(F.round(F.first("step") * 1.0 / _CURR_STAGES, 6)
+                 .alias("competence"),
+                 F.sum(F.when(F.col("stage") == F.col("step"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_new"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_available"),
+                 F.round(F.avg("difficulty_micro") / 1000000.0, 6)
+                 .alias("pool_mean_difficulty"))
+            .select(F.col("step").cast("bigint").alias("step"),
+                    "competence", "n_new", "n_available",
+                    "pool_mean_difficulty"))

@@ -1374,3 +1374,267 @@ def graph_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("dst").cast("bigint").alias("node")))
         out = out.unionByName(frontier)
     return out
+
+
+# Louvain move-gain formula, directed-modularity form (shared with
+# graph_modularity_regions: Q*m^2 = sum_c [m*win_c - kout_c*kin_c]).
+# Moving node i from A to B changes the scaled modularity by an exact
+# integer: the win/kout/kin updates below. ONE textual definition used
+# by both engines (the _HW_LNEW substitution discipline).
+_LOUVAIN_GAIN = """
+  m.m * ((w.wiA + w.wAi - w.wii) * -1 + (w.wiB + w.wBi + w.wii))
+  - ( (ca.kout - k.kout_i) * (ca.kin - k.kin_i) - ca.kout * ca.kin
+    + (cb.kout + k.kout_i) * (cb.kin + k.kin_i) - cb.kout * cb.kin )
+"""
+
+
+def _louvain_oracle() -> str:
+    masses = """
+  SELECT l.com,
+         coalesce(sum(CASE WHEN ls.com = ld.com AND ls.com = l.com
+                           THEN e.w END), 0) AS win,
+         coalesce(sum(CASE WHEN ls.com = l.com THEN e.w END), 0) AS kout,
+         coalesce(sum(CASE WHEN ld.com = l.com THEN e.w END), 0) AS kin
+  FROM (SELECT DISTINCT com FROM {lbl}) l
+  LEFT JOIN edges e ON TRUE
+  LEFT JOIN {lbl} ls ON ls.node = e.src
+  LEFT JOIN {lbl} ld ON ld.node = e.dst
+  GROUP BY l.com"""
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+lbl AS (SELECT n_nationkey AS node, n_regionkey AS com FROM nation),
+m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM edges),
+ki AS (
+  SELECT l.node,
+         coalesce((SELECT sum(w) FROM edges WHERE src = l.node), 0)
+           AS kout_i,
+         coalesce((SELECT sum(w) FROM edges WHERE dst = l.node), 0)
+           AS kin_i,
+         coalesce((SELECT sum(w) FROM edges
+                   WHERE src = l.node AND dst = l.node), 0) AS wii
+  FROM lbl l),
+wic AS (
+  SELECT e.src AS node, ld.com, sum(e.w) AS w_out
+  FROM edges e JOIN lbl ld ON ld.node = e.dst GROUP BY 1, 2),
+wci AS (
+  SELECT e.dst AS node, ls.com, sum(e.w) AS w_in
+  FROM edges e JOIN lbl ls ON ls.node = e.src GROUP BY 1, 2),
+cm AS ({masses.format(lbl="lbl")}),
+cand AS (
+  SELECT l.node, l.com AS com_a, c.com AS com_b,
+         coalesce(wa.w_out, 0) AS wiA, coalesce(wa2.w_in, 0) AS wAi,
+         coalesce(wb.w_out, 0) AS wiB, coalesce(wb2.w_in, 0) AS wBi,
+         k.kout_i, k.kin_i, k.wii
+  FROM lbl l
+  JOIN ki k ON k.node = l.node
+  JOIN (SELECT DISTINCT com FROM lbl) c ON c.com <> l.com
+  LEFT JOIN wic wa ON wa.node = l.node AND wa.com = l.com
+  LEFT JOIN wci wa2 ON wa2.node = l.node AND wa2.com = l.com
+  LEFT JOIN wic wb ON wb.node = l.node AND wb.com = c.com
+  LEFT JOIN wci wb2 ON wb2.node = l.node AND wb2.com = c.com),
+gains AS (
+  SELECT w.node, w.com_a, w.com_b,
+         CAST({_LOUVAIN_GAIN.replace("k.kout_i", "w.kout_i")
+                             .replace("k.kin_i", "w.kin_i")}
+              AS BIGINT) AS gain
+  FROM cand w
+  JOIN cm ca ON ca.com = w.com_a
+  JOIN cm cb ON cb.com = w.com_b
+  CROSS JOIN m),
+best AS (
+  SELECT node, com_a, com_b, gain FROM (
+    SELECT *, row_number() OVER (PARTITION BY node
+              ORDER BY gain DESC, com_b) AS rn FROM gains)
+  WHERE rn = 1 AND gain > 0),
+applied AS (
+  SELECT node, com_b, gain FROM best
+  ORDER BY gain DESC, node LIMIT 1),
+lbl2 AS (
+  SELECT l.node, coalesce(a.com_b, l.com) AS com
+  FROM lbl l LEFT JOIN applied a ON a.node = l.node),
+cm2 AS ({masses.format(lbl="lbl2")}),
+q AS (
+  SELECT (SELECT sum(m.m * win - kout * kin) FROM cm CROSS JOIN m)
+           AS q_before_scaled,
+         (SELECT sum(m.m * win - kout * kin) FROM cm2 CROSS JOIN m)
+           AS q_after_scaled)
+SELECT l.node, CAST(l.com AS BIGINT) AS com_before,
+       CAST(coalesce(b.com_b, l.com) AS BIGINT) AS best_com,
+       CAST(coalesce(b.gain, 0) AS BIGINT) AS gain_m2,
+       CAST(CASE WHEN a.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS applied,
+       CAST(q.q_before_scaled AS BIGINT) AS q_before_scaled,
+       CAST(q.q_after_scaled AS BIGINT) AS q_after_scaled
+FROM lbl l
+LEFT JOIN best b ON b.node = l.node
+LEFT JOIN applied a ON a.node = l.node
+CROSS JOIN q
+"""
+
+
+@query("graph_louvain_move_phase", eager=True, oracle=_louvain_oracle())
+def graph_louvain_move_phase(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ONE EXACT LOUVAIN MOVE (Blondel et al. 2008, phase-1 kernel) on
+    the directed-modularity grid graph_modularity_regions defines
+    (Q*m^2 = sum_c [m*win_c - kout_c*kin_c], all masses exact bigint
+    edge sums): starting from the region partition, compute every
+    node's best-gain community move (gain in exact m^2-scaled integer
+    units — the full gain table a Louvain sweep consults), then APPLY
+    only the single globally best positive move and report the
+    recomputed before/after scaled modularity. Q_after - Q_before ==
+    the applied gain is an exact integer identity the tests pin —
+    possible only because nothing ever leaves the integer grid.
+
+    Sequentiality note: full Louvain applies moves one at a time
+    (gains interact); distributed implementations (Grappolo,
+    Spark-Louvain) apply non-adjacent batches via graph coloring. This
+    kernel is the per-move arithmetic both schedule; the synchronous
+    all-movers variant is this same gain table with a coloring filter.
+
+    Scale shape: the fact-sized edge aggregation runs once (shared
+    with PageRank/modularity); gains are algebra on (node x adjacent
+    communities) with the community-mass table broadcast — at web
+    scale the gain table is edge-list-sized, the exact cost envelope
+    of one Louvain sweep."""
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    edges = spark.sql(_EDGES_SQL)
+    edges.persist()
+    edges.count()
+    lbl = (spark.table("nation")
+           .select(F.col("n_nationkey").alias("node"),
+                   F.col("n_regionkey").alias("com")))
+    m_val = edges.agg(F.sum("w")).collect()[0][0]  # 1 scalar (model state)
+
+    kout_i = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("kout_i"))
+    kin_i = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.sum("w").alias("kin_i"))
+    wii = (edges.filter(F.col("src") == F.col("dst"))
+           .groupBy(F.col("src").alias("node"))
+           .agg(F.sum("w").alias("wii")))
+    ki = (lbl.select("node")
+          .join(kout_i, "node", "left").join(kin_i, "node", "left")
+          .join(wii, "node", "left")
+          .select("node",
+                  F.coalesce("kout_i", F.lit(0)).alias("kout_i"),
+                  F.coalesce("kin_i", F.lit(0)).alias("kin_i"),
+                  F.coalesce("wii", F.lit(0)).alias("wii")))
+
+    wic = (edges.join(F.broadcast(lbl.withColumnRenamed("node", "dn")),
+                      F.col("dn") == F.col("dst"))
+           .groupBy(F.col("src").alias("node"), "com")
+           .agg(F.sum("w").alias("w_out")))
+    wci = (edges.join(F.broadcast(lbl.withColumnRenamed("node", "sn")),
+                      F.col("sn") == F.col("src"))
+           .groupBy(F.col("dst").alias("node"), "com")
+           .agg(F.sum("w").alias("w_in")))
+
+    def masses(labels: DataFrame) -> DataFrame:
+        e2 = (edges
+              .join(F.broadcast(labels.select(
+                  F.col("node").alias("sn"), F.col("com").alias("com_s"))),
+                  F.col("sn") == F.col("src"))
+              .join(F.broadcast(labels.select(
+                  F.col("node").alias("dn"), F.col("com").alias("com_d"))),
+                  F.col("dn") == F.col("dst")))
+        win = (e2.filter(F.col("com_s") == F.col("com_d"))
+               .groupBy(F.col("com_s").alias("com"))
+               .agg(F.sum("w").alias("win")))
+        ko = e2.groupBy(F.col("com_s").alias("com")).agg(
+            F.sum("w").alias("kout"))
+        kn = e2.groupBy(F.col("com_d").alias("com")).agg(
+            F.sum("w").alias("kin"))
+        return (labels.select("com").distinct()
+                .join(win, "com", "left").join(ko, "com", "left")
+                .join(kn, "com", "left")
+                .select("com",
+                        F.coalesce("win", F.lit(0)).alias("win"),
+                        F.coalesce("kout", F.lit(0)).alias("kout"),
+                        F.coalesce("kin", F.lit(0)).alias("kin")))
+
+    cm = masses(lbl).localCheckpoint()
+    coms = lbl.select("com").distinct()
+    cand = (lbl.join(ki, "node")
+            .join(coms.withColumnRenamed("com", "com_b"),
+                  F.col("com_b") != F.col("com"))
+            .withColumnRenamed("com", "com_a"))
+    wa = wic.select(F.col("node").alias("n1"), F.col("com").alias("c1"),
+                    F.col("w_out").alias("wiA"))
+    wa2 = wci.select(F.col("node").alias("n2"), F.col("com").alias("c2"),
+                     F.col("w_in").alias("wAi"))
+    wb = wic.select(F.col("node").alias("n3"), F.col("com").alias("c3"),
+                    F.col("w_out").alias("wiB"))
+    wb2 = wci.select(F.col("node").alias("n4"), F.col("com").alias("c4"),
+                     F.col("w_in").alias("wBi"))
+    cand = (cand
+            .join(wa, (F.col("n1") == F.col("node"))
+                  & (F.col("c1") == F.col("com_a")), "left")
+            .join(wa2, (F.col("n2") == F.col("node"))
+                  & (F.col("c2") == F.col("com_a")), "left")
+            .join(wb, (F.col("n3") == F.col("node"))
+                  & (F.col("c3") == F.col("com_b")), "left")
+            .join(wb2, (F.col("n4") == F.col("node"))
+                  & (F.col("c4") == F.col("com_b")), "left")
+            .select("node", "com_a", "com_b", "kout_i", "kin_i", "wii",
+                    F.coalesce("wiA", F.lit(0)).alias("wiA"),
+                    F.coalesce("wAi", F.lit(0)).alias("wAi"),
+                    F.coalesce("wiB", F.lit(0)).alias("wiB"),
+                    F.coalesce("wBi", F.lit(0)).alias("wBi")))
+    ca = cm.select(F.col("com").alias("cma"), F.col("kout").alias("koutA"),
+                   F.col("kin").alias("kinA"))
+    cb = cm.select(F.col("com").alias("cmb"), F.col("kout").alias("koutB"),
+                   F.col("kin").alias("kinB"))
+    g = (cand.join(F.broadcast(ca), F.col("cma") == F.col("com_a"))
+         .join(F.broadcast(cb), F.col("cmb") == F.col("com_b")))
+    # the _LOUVAIN_GAIN formula, spelled with this frame's columns
+    gain = (F.lit(m_val)
+            * ((F.col("wiA") + F.col("wAi") - F.col("wii")) * -1
+               + (F.col("wiB") + F.col("wBi") + F.col("wii")))
+            - ((F.col("koutA") - F.col("kout_i"))
+               * (F.col("kinA") - F.col("kin_i"))
+               - F.col("koutA") * F.col("kinA")
+               + (F.col("koutB") + F.col("kout_i"))
+               * (F.col("kinB") + F.col("kin_i"))
+               - F.col("koutB") * F.col("kinB")))
+    gains = g.select("node", "com_a", "com_b",
+                     gain.cast("bigint").alias("gain"))
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("node").orderBy(F.desc("gain"), F.asc("com_b")))
+    best = (gains.withColumn("rn", rn).filter("rn = 1 AND gain > 0")
+            .drop("rn").localCheckpoint())
+    applied = (best.orderBy(F.desc("gain"), F.asc("node")).limit(1)
+               .select(F.col("node").alias("anode"),
+                       F.col("com_b").alias("acom")))
+    lbl2 = (lbl.join(F.broadcast(applied),
+                     F.col("node") == F.col("anode"), "left")
+            .select("node", F.coalesce("acom", F.col("com")).alias("com")))
+    cm2 = masses(lbl2)
+
+    def qscaled(cmx: DataFrame, name: str) -> DataFrame:
+        return cmx.agg(F.sum(F.lit(m_val) * F.col("win")
+                             - F.col("kout") * F.col("kin"))
+                       .cast("bigint").alias(name))
+
+    qb = qscaled(cm, "q_before_scaled")
+    qa = qscaled(cm2, "q_after_scaled")
+    bsel = best.select(F.col("node").alias("bn"),
+                       F.col("com_b").alias("bcom"),
+                       F.col("gain").alias("bgain"))
+    return (lbl.join(F.broadcast(bsel), F.col("bn") == F.col("node"),
+                     "left")
+            .join(F.broadcast(applied), F.col("anode") == F.col("node"),
+                  "left")
+            .crossJoin(F.broadcast(qb)).crossJoin(F.broadcast(qa))
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("com").cast("bigint").alias("com_before"),
+                    F.coalesce("bcom", F.col("com")).cast("bigint")
+                    .alias("best_com"),
+                    F.coalesce("bgain", F.lit(0)).cast("bigint")
+                    .alias("gain_m2"),
+                    F.when(F.col("anode").isNotNull(), 1).otherwise(0)
+                    .cast("bigint").alias("applied"),
+                    "q_before_scaled", "q_after_scaled"))

@@ -17,7 +17,8 @@ NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_anf_hll", "merge_dedup_upsert", "graph_adamic_adar",
          "graph_harmonic_centrality", "graph_betweenness_bounded",
          "graph_hits_hubs_authorities", "graph_scc_forward_backward",
-         "graph_personalized_pagerank", "graph_walk_corpus"]
+         "graph_personalized_pagerank", "graph_walk_corpus",
+         "graph_louvain_move_phase"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -269,3 +270,20 @@ def test_walk_corpus_steps_are_edges(spark):
         assert ks == list(range(len(ks)))  # no gaps (stops only at sinks)
         for k in ks[1:]:
             assert (steps[k - 1][1], steps[k][1]) in edges, (wid, k)
+
+
+def test_louvain_applied_gain_identity(spark):
+    """Exact integer identity: the recomputed scaled modularity change
+    equals the single applied move's gain (0 if no positive move) —
+    the property that certifies the gain formula against the
+    independent before/after mass recomputation."""
+    rows = SPARK_QUERIES["graph_louvain_move_phase"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 25
+    applied = [r for r in rows if r.applied == 1]
+    assert len(applied) <= 1
+    expected = applied[0].gain_m2 if applied else 0
+    assert rows[0].q_after_scaled - rows[0].q_before_scaled == expected
+    for r in rows:
+        if r.gain_m2 > 0:
+            assert r.best_com != r.com_before

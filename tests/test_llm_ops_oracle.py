@@ -111,6 +111,7 @@ LLM_QUERIES = [
     "dq_mutual_information", "dq_dp_noisy_counts",
     "multimodal_vit_patch_plan", "text_rake_keywords",
     "timeseries_holt_winters", "events_prefixspan_topk",
+    "events_attribution_shapley", "corpus_curriculum_order",
 ]
 
 
@@ -1042,3 +1043,50 @@ def test_prefixspan_apriori_property(spark):
         # prefix may have fallen out of the top-10; when present, check
         if prefix in sup2:
             assert sup2[prefix] >= r.support, r
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Exact integer identity: sum of channel Shapley values equals
+    v(all channels) - v(empty set), both in scaled micro units —
+    holds because the weights and rates never leave the integer grid."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.operators.analytics_extra import (
+        _SHAP_CHANNELS)
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["events_attribution_shapley"](
+        spark, SF_ORACLE).collect()
+    total = sum(r.shapley_scaled24_micro for r in rows)
+    bit = F.lit(0)
+    for c, b in _SHAP_CHANNELS:
+        bit = F.when(F.col("event_type") == c, b).otherwise(bit)
+    cells = {r["mask"]: r["v"]
+             for r in load(spark, SF_ORACLE, "events")
+             .groupBy("user_id")
+             .agg(F.coalesce(F.bit_or(bit), F.lit(0)).alias("mask"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("conv"))
+             .groupBy("mask")
+             .agg(F.round(1000000.0 * F.sum("conv") / F.count(F.lit(1)))
+                  .cast("bigint").alias("v")).collect()}
+    full = sum(b for _, b in _SHAP_CHANNELS)
+    assert total == 24 * (cells.get(full, 0) - cells.get(0, 0))
+
+
+def test_curriculum_schedule_monotone(spark):
+    """n_available accumulates n_new, the last step covers the corpus,
+    and mean pool difficulty never decreases as harder stages enter."""
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = sorted(SPARK_QUERIES["corpus_curriculum_order"](
+        spark, SF_ORACLE).collect(), key=lambda r: r.step)
+    n_docs = load(spark, SF_ORACLE, "documents").count()
+    cum = 0
+    prev = -1.0
+    for r in rows:
+        cum += r.n_new
+        assert r.n_available == cum, r
+        assert r.pool_mean_difficulty >= prev
+        prev = r.pool_mean_difficulty
+    assert rows[-1].n_available == n_docs

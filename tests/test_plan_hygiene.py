@@ -128,7 +128,15 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "timeseries_dtw_pairs",
                 # 1-row max-score scalar crossed into the 25-node score
                 # table (HITS normalization epilogue)
-                "graph_hits_hubs_authorities"}
+                "graph_hits_hubs_authorities",
+                # 4-channel x 16-subset literal coalition grid (gemm /
+                # threshold-sweep literal-grid class); exposure cells
+                # join it broadcast
+                "events_attribution_shapley",
+                # 5-row literal step table crossed non-equi (stage <=
+                # step) into the doc-count-sized stage frame — the
+                # timeseries_autocorrelation lag-grid class
+                "corpus_curriculum_order"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -119,7 +119,8 @@ def _rotate_for_driver_coverage() -> None:
         "timeseries_holt_winters", "graph_walk_corpus",
         "sketch_bitmap_distinct", "events_prefixspan_topk",
         "events_attribution_shapley", "graph_louvain_move_phase",
-        "corpus_curriculum_order",
+        "corpus_curriculum_order", "timeseries_matrix_profile_sad",
+        "events_markov_stationary",
     }
 
     def _family(n: str) -> int:

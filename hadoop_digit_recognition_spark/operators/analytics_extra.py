@@ -2499,3 +2499,76 @@ def events_attribution_shapley(spark: SparkSession,
             .agg(F.sum("term").cast("bigint")
                  .alias("shapley_scaled24_micro"),
                  F.round(F.sum("term") / 24000000.0, 6).alias("shapley")))
+
+
+_MKV_ITER = 3  # unrolled power-iteration steps (pagerank's convention)
+
+
+def _markov_stationary_oracle() -> str:
+    step = """
+r{k} AS (
+  SELECT t.nxt AS st, sum(r{p}.pi * t.n * 1.0 / t.tot) AS pi
+  FROM trans t JOIN r{p} ON r{p}.st = t.cur
+  GROUP BY t.nxt)"""
+    steps = ",".join(step.format(k=k, p=k - 1)
+                     for k in range(1, _MKV_ITER + 1))
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+c AS (SELECT cur, nxt, count(*) AS n FROM s
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+trans AS MATERIALIZED (
+  SELECT cur, nxt, n, sum(n) OVER (PARTITION BY cur) AS tot FROM c),
+states AS (SELECT DISTINCT cur AS st FROM trans),
+ns AS (SELECT cast(count(*) AS DOUBLE) AS n FROM states),
+r0 AS (SELECT st, 1.0 / ns.n AS pi FROM states CROSS JOIN ns),
+{steps}
+SELECT st AS event_type, round(pi, 6) AS pi
+FROM r{_MKV_ITER}
+"""
+
+
+@query("events_markov_stationary", oracle=_markov_stationary_oracle())
+def events_markov_stationary(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the user-behavior Markov chain —
+    where the events_markov_transitions matrix sends long-run session
+    mass (the "steady-state intent mix" behind engagement forecasting;
+    also exactly undamped PageRank on the behavior graph): pi_(k+1) =
+    pi_k P, {_MKV_ITER} unrolled power-iteration steps from the
+    uniform vector, on the same (ts, event_id)-ordered transition
+    counts the transition query ships.
+
+    Determinism: transition counts/totals are exact bigints; rank
+    propagation is the one float path (identical expression trees,
+    graph_pagerank_nations' posture) rounded once at the output. The
+    chain here is irreducible (every type follows every type at this
+    corpus size), so the iteration contracts toward the unique
+    stationary point; the test pins mass conservation at exactly the
+    simplex (sum pi ~ 1).
+
+    Scale shape: one user-keyed window pass (shared with the
+    transition query), then all iterations are algebra on the
+    |types|^2 matrix — long-run behavior of a petabyte of events costs
+    one shuffle plus model-state iterations."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(F.col("event_type").alias("cur"),
+                  F.lead("event_type").over(w).alias("nxt"))
+    c = (s.filter(F.col("nxt").isNotNull())
+         .groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n")))
+    trans = c.withColumn("tot", F.sum("n").over(W.partitionBy("cur")))
+    trans.persist()
+    states = trans.select(F.col("cur").alias("st")).distinct()
+    n_states = states.count()
+    pi = states.withColumn("pi", F.lit(1.0 / n_states))
+    for _ in range(_MKV_ITER):
+        pi = (trans.join(pi, trans.cur == pi.st)
+              .groupBy(F.col("nxt").alias("st"))
+              .agg(F.sum(F.col("pi") * F.col("n") * 1.0 / F.col("tot"))
+                   .alias("pi")))
+    return pi.select(F.col("st").alias("event_type"),
+                     F.round("pi", 6).alias("pi"))

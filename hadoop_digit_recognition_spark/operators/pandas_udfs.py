@@ -798,3 +798,105 @@ def timeseries_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("trend", 6).alias("trend"),
                       F.round("seasonal", 6).alias("seasonal"),
                       F.round("fitted", 6).alias("fitted"))
+
+
+# Matrix-profile geometry: subsequence window and the standard
+# trivial-match exclusion zone (|i - j| >= window).
+_MP_W = 6
+
+
+@query("timeseries_matrix_profile_sad", oracle=f"""
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT grp, CAST(y AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t,
+         count(*) OVER (PARTITION BY grp) AS n
+  FROM m),
+idx AS (
+  SELECT DISTINCT grp, t AS i FROM s WHERE t <= n - {_MP_W} + 1),
+pairs AS (
+  SELECT a.grp, a.i, b.i AS j
+  FROM idx a JOIN idx b ON b.grp = a.grp AND abs(b.i - a.i) >= {_MP_W}),
+sad AS (
+  SELECT p.grp, p.i, p.j, sum(abs(sa.y - sb.y)) AS d
+  FROM pairs p
+  CROSS JOIN range({_MP_W}) k(k)
+  JOIN s sa ON sa.grp = p.grp AND sa.t = p.i + k.k
+  JOIN s sb ON sb.grp = p.grp AND sb.t = p.j + k.k
+  GROUP BY p.grp, p.i, p.j),
+prof AS (
+  SELECT grp, i, d, j,
+         row_number() OVER (PARTITION BY grp, i ORDER BY d, j) AS rn
+  FROM sad)
+SELECT grp AS o_orderpriority, CAST(i AS BIGINT) AS i,
+       CAST(d AS BIGINT) AS mp_sad, CAST(j AS BIGINT) AS nn_j
+FROM prof WHERE rn = 1
+""")
+def timeseries_matrix_profile_sad(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (Yeh et al. 2016, the all-subsequence
+    nearest-neighbor profile behind motif discovery, discord/anomaly
+    detection, and time-series segmentation), SAD-distance variant so
+    the entire profile stays on the exact integer grid: per
+    order-priority monthly series, for every length-{_MP_W}
+    subsequence the minimum sum-of-absolute-differences to any other
+    subsequence outside the trivial-match exclusion zone
+    (|i - j| >= {_MP_W}), plus the nearest-neighbor index. Low
+    mp_sad = recurring motif; the profile's maxima are discords
+    (anomalies) — window_outlier_hampel's subsequence-shaped sibling.
+
+    Exactness: monthly counts are bigint, SAD is integer, argmin
+    tiebreaks on smallest j — nothing floats, so the profile is
+    bit-identical across engines by construction (the DTW/grid
+    discipline; production matrix profile uses z-normalized Euclidean
+    + the STOMP O(n^2) recurrence — the SAD form keeps the identical
+    access pattern with exact arithmetic).
+
+    Scale shape: the corpus-sized work is the one combiner'd monthly
+    aggregate; the profile is per-series O(n^2 w) on series-length
+    data inside one applyInPandas task (NumPy), the standard
+    one-task-per-series fan-out. Billion-point single series shard by
+    time with halo overlap (STOMP tiles) — same join-free kernel per
+    tile."""
+    import numpy as np
+
+    orders = load(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+         .agg(F.count(F.lit(1)).alias("y")))
+
+    W = _MP_W
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("month").reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype=np.int64)
+        n = len(y)
+        cols = ["grp", "i", "mp_sad", "nn_j"]
+        if n < 2 * W:
+            return pd.DataFrame(columns=cols)
+        nsub = n - W + 1
+        subs = np.lib.stride_tricks.sliding_window_view(y, W)
+        rows = []
+        g = pdf["grp"][0]
+        for i in range(nsub):
+            d = np.abs(subs - subs[i]).sum(axis=1)
+            mask = np.abs(np.arange(nsub) - i) >= W
+            cand = np.where(mask)[0]
+            if cand.size == 0:
+                # 2W <= n < 3W: a middle subsequence can have an empty
+                # candidate set — the oracle emits no row for it either
+                continue
+            dc = d[cand]
+            k = int(cand[np.lexsort((cand, dc))[0]])
+            rows.append((g, i + 1, int(d[k]), k + 1))
+        return pd.DataFrame(rows, columns=cols)
+
+    out = m.groupBy("grp").applyInPandas(
+        profile, "grp string, i bigint, mp_sad bigint, nn_j bigint")
+    return out.select(F.col("grp").alias("o_orderpriority"),
+                      "i", "mp_sad", "nn_j")

@@ -112,6 +112,7 @@ LLM_QUERIES = [
     "multimodal_vit_patch_plan", "text_rake_keywords",
     "timeseries_holt_winters", "events_prefixspan_topk",
     "events_attribution_shapley", "corpus_curriculum_order",
+    "timeseries_matrix_profile_sad", "events_markov_stationary",
 ]
 
 
@@ -1090,3 +1091,36 @@ def test_curriculum_schedule_monotone(spark):
         assert r.pool_mean_difficulty >= prev
         prev = r.pool_mean_difficulty
     assert rows[-1].n_available == n_docs
+
+
+def test_matrix_profile_motif_symmetry(spark):
+    """Exclusion zone respected everywhere; the global motif is mutual
+    (if (i*, j*) attains the global minimum SAD, then the profile at
+    j* equals that minimum too — d is symmetric)."""
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.operators.pandas_udfs import _MP_W
+
+    rows = SPARK_QUERIES["timeseries_matrix_profile_sad"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    per_g = defaultdict(dict)
+    for r in rows:
+        assert r.mp_sad >= 0
+        assert abs(r.i - r.nn_j) >= _MP_W, r
+        per_g[r.o_orderpriority][r.i] = (r.mp_sad, r.nn_j)
+    for g, prof in per_g.items():
+        i_star = min(prof, key=lambda i: (prof[i][0], i))
+        d_star, j_star = prof[i_star]
+        assert prof[j_star][0] == d_star, (g, i_star, j_star)
+
+
+def test_markov_stationary_on_simplex(spark):
+    """The iterated vector stays a probability distribution (row-
+    stochastic P preserves mass exactly up to float round) and every
+    state keeps positive mass on this irreducible chain."""
+    rows = SPARK_QUERIES["events_markov_stationary"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
+    assert all(r.pi > 0 for r in rows)

@@ -576,8 +576,10 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  "sketch_moments_ams",
                  # round 8 continuation: same-instant positions (the
                  # event_id tiebreak) for pattern mining; 3-user bitmap
-                 # chunks (mostly-empty 32-bit words)
-                 "events_prefixspan_topk", "sketch_bitmap_distinct"):
+                 # chunks (mostly-empty 32-bit words); a single-state
+                 # chain (click->click only) for the stationary solve
+                 "events_prefixspan_topk", "sketch_bitmap_distinct",
+                 "events_markov_stationary"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 

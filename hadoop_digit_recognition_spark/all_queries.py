@@ -120,7 +120,7 @@ def _rotate_for_driver_coverage() -> None:
         "sketch_bitmap_distinct", "events_prefixspan_topk",
         "events_attribution_shapley", "graph_louvain_move_phase",
         "corpus_curriculum_order", "timeseries_matrix_profile_sad",
-        "events_markov_stationary",
+        "events_markov_stationary", "sql_recursive_cte_bfs",
     }
 
     def _family(n: str) -> int:

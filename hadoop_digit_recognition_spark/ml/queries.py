@@ -1637,11 +1637,17 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rep = base.select(
         "*", F.explode(F.sequence(F.lit(1), F.lit(_RF_T))).alias("tree"))
-    h = det_hash64(F.concat_ws(":", F.col("event_id"), F.col("tree")))
+    # materialize the hash at a projection boundary: the inverse-CDF
+    # when-chain references it 7x, and codegen does not CSE an inlined
+    # md5 across those references (the text.py tokenization lesson —
+    # measured 4.5x wall on the sf1 rehearsal before this boundary)
+    rep = rep.withColumn(
+        "h", det_hash64(F.concat_ws(":", F.col("event_id"),
+                                    F.col("tree"))))
     wt = F.lit(6)
     for k in range(len(_RF_POIS_T) - 1, -1, -1):
-        wt = F.when(h < _RF_POIS_T[k], k).otherwise(wt)
-    w = rep.withColumn("wt", wt)
+        wt = F.when(F.col("h") < _RF_POIS_T[k], k).otherwise(wt)
+    w = rep.withColumn("wt", wt).drop("h")
 
     fval = F.when(F.col("feature") == "value",
                   F.col("value")).otherwise(F.col("hour"))

@@ -1638,3 +1638,51 @@ def graph_louvain_move_phase(spark: SparkSession,
                     F.when(F.col("anode").isNotNull(), 1).otherwise(0)
                     .cast("bigint").alias("applied"),
                     "q_before_scaled", "q_after_scaled"))
+
+
+# ONE SQL text, BOTH engines: Spark 4's recursive-CTE support
+# (UnionLoop execution) runs the identical statement DuckDB uses as
+# the oracle — bounded UNION ALL walk enumeration + min-hop rollup
+# (UNION-dedup recursion is not in Spark's dialect; the depth bound
+# keeps the walk table finite on any graph).
+_RECURSIVE_BFS_SQL = f"""
+WITH RECURSIVE {_SPARSE_EDGES_CTES}
+walks(node, d) AS (
+  SELECT CAST({_BFS_SRC} AS BIGINT), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT CAST(e.dst AS BIGINT), walks.d + 1
+  FROM walks JOIN e ON e.src = walks.node
+  WHERE walks.d < {_BFS_MAXD}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+FROM walks GROUP BY node
+"""
+
+
+@query("sql_recursive_cte_bfs", oracle=_RECURSIVE_BFS_SQL)
+def sql_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE executed BY SPARK (the SQL:1999 recursion surface
+    Spark 4 added — Catalyst plans it as a UnionLoop): single-source
+    shortest hops over the sparsified trade graph, expressed as the
+    IDENTICAL SQL text the DuckDB oracle runs — the one query in the
+    registry where both engines execute the same statement, so the
+    comparison grades Spark's recursive execution itself. The
+    declarative twin of graph_bfs_hops' hand-written frontier loop
+    (same source, same hop bound, same sparsification): a test pins
+    that the two strategies return identical hop tables.
+
+    Dialect note: Spark's recursion accepts UNION ALL only (no
+    UNION-dedup fixpoint), so the recursion enumerates bounded WALKS
+    (finite: top-{_BFS_K} out-degree ^ {_BFS_MAXD} paths worst-case)
+    and min-aggregates outside — the same shape the walk-multiplicity
+    betweenness oracle uses.
+
+    Scale shape: each UnionLoop iteration is one equi-join of the
+    frontier against the edge CTE — the engine schedules exactly what
+    graph_bfs_hops does by hand, minus the localCheckpoint control
+    (Spark manages the loop's plan growth internally). For unbounded
+    graphs prefer the explicit loop: the depth bound is the UNION ALL
+    dialect's termination price."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_BFS_SQL)

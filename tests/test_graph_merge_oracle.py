@@ -287,3 +287,18 @@ def test_louvain_applied_gain_identity(spark):
     for r in rows:
         if r.gain_m2 > 0:
             assert r.best_com != r.com_before
+
+
+def test_recursive_cte_matches_iterative_bfs(spark, duck):
+    """Spark's recursive-CTE execution (UnionLoop) must return the
+    SAME hop table as the hand-written frontier loop — two execution
+    strategies, one semantic."""
+    compare(SPARK_QUERIES["sql_recursive_cte_bfs"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["sql_recursive_cte_bfs"],
+            "sql_recursive_cte_bfs")
+    rec = {(r.node, r.hops) for r in
+           SPARK_QUERIES["sql_recursive_cte_bfs"](
+               spark, SF_ORACLE).collect()}
+    it = {(r.node, r.hops) for r in
+          SPARK_QUERIES["graph_bfs_hops"](spark, SF_ORACLE).collect()}
+    assert rec == it

@@ -1496,8 +1496,11 @@ def ml_gbm_ls_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bagging (candidate kept for tree t iff md5-hash parity of "ft:t:f:thr"
 # is even — the deterministic stand-in for per-tree feature sampling).
 _RF_T = 5
-_RF_POIS_T = (1580030168, 3160060337, 3950075421,
-              4213413783, 4279248373, 4292415291)
+# ONE source of truth for the Poisson(1) inverse-CDF thresholds: the
+# bootstrap's table (cross-module private import, the _STOP_SQL
+# precedent) — a re-declared copy would silently diverge if the
+# bootstrap's table is ever retuned.
+from ..operators.analytics_extra import _BOOT_T as _RF_POIS_T  # noqa: E402
 _RF_GRID = ([("value", t) for t in
              (10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0)]
             + [("hour", t) for t in (4.0, 8.0, 12.0, 16.0, 20.0)])

@@ -1880,10 +1880,15 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("phrase")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"),
                 F.max("psc").cast("bigint").alias("score_micro")))
-    ranked = phr.withColumn(
-        "rnk", F.row_number().over(
-            W.orderBy(F.desc("score_micro"), F.asc("phrase"))))
-    return (ranked.filter(F.col("rnk") <= _RAKE_TOPK)
+    # top-K as orderBy().limit() (TakeOrderedAndProject — a per-partition
+    # heap + K-row merge), THEN rank the K survivors: an unpartitioned
+    # row_number window over the full phrase table would sort it on one
+    # executor (the graph_jaccard_link_prediction round-4 lesson)
+    ranked = (phr.orderBy(F.desc("score_micro"), F.asc("phrase"))
+              .limit(_RAKE_TOPK)
+              .withColumn("rnk", F.row_number().over(
+                  W.orderBy(F.desc("score_micro"), F.asc("phrase")))))
+    return (ranked
             .select(F.col("rnk").cast("bigint").alias("rnk"), "phrase",
                     F.size(F.split("phrase", " ")).cast("bigint")
                     .alias("n_words"),

@@ -121,6 +121,7 @@ def _rotate_for_driver_coverage() -> None:
         "events_attribution_shapley", "graph_louvain_move_phase",
         "corpus_curriculum_order", "timeseries_matrix_profile_sad",
         "events_markov_stationary", "sql_recursive_cte_bfs",
+        "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
     }
 
     def _family(n: str) -> int:

@@ -908,3 +908,70 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 6).alias("noise"),
         F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
         F.round(F.lit(1.0 / _DP_EPS), 6).alias("laplace_scale"))
+
+
+# Conditional-FD probes: (table, condition column, determinant expr,
+# dependent expr). The key-determined name dependency holds under
+# every condition (tableau = all segments); the custkey->status /
+# custkey->priority probes fail for multi-order customers in most
+# partitions — the discovery output is WHICH condition values make a
+# rule.
+_CFD_PROBES = [
+    ("orders", "o_orderpriority", "o_custkey", "o_orderstatus"),
+    ("orders", "o_orderstatus", "o_custkey", "o_orderpriority"),
+    ("customer", "c_mktsegment", "c_custkey", "c_name"),
+]
+
+
+@query("dq_cfd_discovery", oracle=" UNION ALL ".join(f"""
+SELECT '{t}' AS tbl, '{c}' AS cond_col,
+       CAST({c} AS VARCHAR) AS cond_val,
+       '{a}' AS determinant, '{b}' AS dependent,
+       CAST(count(DISTINCT lhs) AS BIGINT) AS n_lhs,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       count(*) = count(DISTINCT lhs) AS holds,
+       CAST(count(*) - count(DISTINCT lhs) AS BIGINT)
+         AS n_violating_combos
+FROM (SELECT DISTINCT {c}, {a} AS lhs, {b} AS rhs FROM {t})
+GROUP BY {c}""" for t, c, a, b in _CFD_PROBES))
+def dq_cfd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL FUNCTIONAL DEPENDENCY discovery (Bohannon et al.
+    2007 — the data-cleaning rule language that generalizes FDs with a
+    pattern tableau): for each probe (condition column, A -> B),
+    report PER CONDITION VALUE whether A determines B within that
+    slice — the tableau rows a repair system keeps are exactly the
+    `holds` partitions, and n_violating_combos ranks the near-rules.
+    dq_fd_discovery answers "is A -> B a rule?"; this answers "WHERE
+    is it a rule?" — the difference between discarding a dependency
+    and discovering it holds everywhere except one legacy segment.
+
+    Determinism: distinct counts and equality only (the FD posture);
+    determinant/dependent expressions are compile-time literals shared
+    by both engines, condition values cast to VARCHAR so mixed-type
+    probes union cleanly.
+
+    Scale shape: one DISTINCT (cond, A, B) shuffle per probe, then a
+    condition-keyed rollup of the distinct-triple table — the same
+    envelope as the unconditional FD leaf test, once per probe, all
+    probes as independent parallel stages."""
+    outs = []
+    for t, c, a, b in _CFD_PROBES:
+        d = (load(spark, sf_dir, t)
+             .selectExpr(f"{c} AS cond", f"{a} AS lhs", f"{b} AS rhs")
+             .distinct())
+        g = (d.groupBy("cond")
+             .agg(F.countDistinct("lhs").alias("n_lhs"),
+                  F.count(F.lit(1)).alias("n_pairs")))
+        outs.append(g.select(
+            F.lit(t).alias("tbl"), F.lit(c).alias("cond_col"),
+            F.col("cond").cast("string").alias("cond_val"),
+            F.lit(a).alias("determinant"), F.lit(b).alias("dependent"),
+            F.col("n_lhs").cast("bigint").alias("n_lhs"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (F.col("n_pairs") == F.col("n_lhs")).alias("holds"),
+            (F.col("n_pairs") - F.col("n_lhs")).cast("bigint")
+            .alias("n_violating_combos")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -991,3 +991,132 @@ def multimodal_vit_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("pos_row") * wp + F.col("pos_col")).alias("patch_idx"),
         "pos_row", "pos_col", "patch_sum", "patch_token")
+
+
+# Landmark fingerprinting geometry: frame energies over FRAME-byte
+# windows, local peaks (strict maximum among +-_LM_HALO neighbors),
+# each peak paired with its next _LM_FANOUT peaks, landmark hash
+# quantized to _LM_BITS bits.
+_LM_HALO, _LM_FANOUT, _LM_BITS = 2, 3, 20
+
+
+@query("multimodal_audio_landmark_fingerprint", oracle=f"""
+WITH f AS (
+  SELECT d.doc_id, r.f AS frame_id,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS blen, d.text
+  FROM documents d CROSS JOIN range({_MAX_FRAMES}) r(f)
+  WHERE r.f * {FRAME} < octet_length(encode(d.text))
+),
+px AS (
+  SELECT doc_id, frame_id,
+         CASE WHEN frame_id * {FRAME} + b.i < blen
+              THEN ascii(substr(text,
+                   CAST(frame_id * {FRAME} + b.i + 1 AS INTEGER), 1))
+              ELSE 0 END AS v
+  FROM f CROSS JOIN range({FRAME}) b(i)
+),
+en AS (
+  SELECT doc_id, frame_id, CAST(sum(v) AS BIGINT) AS e
+  FROM px GROUP BY doc_id, frame_id
+),
+pk AS (
+  SELECT doc_id, frame_id, e
+  FROM (
+    SELECT doc_id, frame_id, e,
+           coalesce(lag(e, 1) OVER w, -1) AS l1,
+           coalesce(lag(e, 2) OVER w, -1) AS l2,
+           coalesce(lead(e, 1) OVER w, -1) AS r1,
+           coalesce(lead(e, 2) OVER w, -1) AS r2
+    FROM en
+    WINDOW w AS (PARTITION BY doc_id ORDER BY frame_id))
+  WHERE e > l1 AND e > l2 AND e > r1 AND e > r2
+),
+pairs AS (
+  SELECT a.doc_id, a.frame_id AS f1, b.frame_id AS f2,
+         a.e AS e1, b.e AS e2,
+         row_number() OVER (PARTITION BY a.doc_id, a.frame_id
+                            ORDER BY b.frame_id) AS fan
+  FROM pk a JOIN pk b ON b.doc_id = a.doc_id
+                     AND b.frame_id > a.frame_id
+),
+lm AS (
+  SELECT doc_id, f1, f2, e1, e2 FROM pairs WHERE fan <= {_LM_FANOUT}
+)
+SELECT doc_id, CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+       ('0x' || substr(md5(CAST(e1 AS VARCHAR) || ':' ||
+                           CAST(e2 AS VARCHAR) || ':' ||
+                           CAST(f2 - f1 AS VARCHAR)), 1, 8))::BIGINT
+         % {2 ** _LM_BITS} AS landmark
+FROM lm
+""")
+def multimodal_audio_landmark_fingerprint(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """LANDMARK AUDIO FINGERPRINTING (Wang 2003 — the Shazam
+    constellation scheme): frame the payload into {FRAME}-byte energy
+    frames (the multimodal_audio_energy grid), pick LOCAL PEAKS
+    (strict maximum within +-{_LM_HALO} frames — the constellation
+    points), pair each peak with its next {_LM_FANOUT} peaks, and hash
+    (energy1, energy2, time-delta) into a {_LM_BITS}-bit landmark —
+    the inverted-index key that makes audio lookup a hash join instead
+    of a signal alignment. Production replaces frame energy with STFT
+    peak (frequency, time) pairs; every Spark-side mechanism — framing,
+    peak windows, fan-out pairing, landmark hashing, the downstream
+    hash-join lookup — is identical.
+
+    Determinism: energies are integer byte sums; a peak must be
+    STRICTLY greater than all four halo neighbors (explicit lag/lead
+    comparisons — plateaus yield no peak, so no first-of-ties rule is
+    ever exercised); landmark hashes a canonical decimal
+    serialization.
+
+    Scale shape: framing + energies are one narrow pass; peaks come
+    from a doc-partitioned window (never global); the pair fan-out is
+    bounded at {_LM_FANOUT} per peak by a ranked self-join within the
+    doc key. A petabyte of audio fingerprints in one shuffle on
+    doc_id; the landmark index build is then sketch_bloom_membership's
+    groupBy shape."""
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            ids, fids, es = [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                nfr = (len(raw) + FRAME - 1) // FRAME
+                for fr in range(nfr):
+                    ids.append(did)
+                    fids.append(fr)
+                    es.append(int(raw[fr * FRAME:(fr + 1) * FRAME]
+                                  .astype(np.int64).sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_id": pd.Series(fids, dtype="int64"),
+                "e": pd.Series(es, dtype="int64")})
+
+    en = mm.mapInPandas(energies,
+                        "doc_id bigint, frame_id bigint, e bigint")
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy("frame_id")
+    pk = en
+    for name, off in (("l1", -1), ("l2", -2), ("r1", 1), ("r2", 2)):
+        fn = F.lag("e", -off) if off < 0 else F.lead("e", off)
+        pk = pk.withColumn(name, F.coalesce(fn.over(w), F.lit(-1)))
+    pk = (pk.filter((F.col("e") > F.col("l1")) & (F.col("e") > F.col("l2"))
+                    & (F.col("e") > F.col("r1"))
+                    & (F.col("e") > F.col("r2")))
+          .select("doc_id", "frame_id", "e"))
+    b = pk.select(F.col("doc_id").alias("d2"),
+                  F.col("frame_id").alias("f2"), F.col("e").alias("e2"))
+    fan = F.row_number().over(
+        W.partitionBy("doc_id", "frame_id").orderBy("f2"))
+    pairs = (pk.join(b, (F.col("d2") == F.col("doc_id"))
+                     & (F.col("f2") > F.col("frame_id")))
+             .withColumn("fan", fan).filter(F.col("fan") <= _LM_FANOUT))
+    lmhash = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("e"), F.col("e2"), F.col("f2") - F.col("frame_id"))),
+        1, 8), 16, 10).cast("long") % (2 ** _LM_BITS))
+    return pairs.select("doc_id",
+                        F.col("frame_id").alias("f1"), "f2",
+                        lmhash.alias("landmark"))

@@ -113,6 +113,7 @@ LLM_QUERIES = [
     "timeseries_holt_winters", "events_prefixspan_topk",
     "events_attribution_shapley", "corpus_curriculum_order",
     "timeseries_matrix_profile_sad", "events_markov_stationary",
+    "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
 ]
 
 
@@ -1124,3 +1125,34 @@ def test_markov_stationary_on_simplex(spark):
     assert len(rows) == 5
     assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
     assert all(r.pi > 0 for r in rows)
+
+
+def test_landmark_fingerprints_well_formed(spark):
+    """Landmarks pair forward in time, respect the fan-out cap, and
+    hash into the declared vocabulary."""
+    from collections import Counter
+
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        _LM_BITS, _LM_FANOUT)
+
+    rows = SPARK_QUERIES["multimodal_audio_landmark_fingerprint"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    fan = Counter()
+    for r in rows:
+        assert r.f2 > r.f1
+        assert 0 <= r.landmark < 2 ** _LM_BITS
+        fan[(r.doc_id, r.f1)] += 1
+    assert max(fan.values()) <= _LM_FANOUT
+
+
+def test_cfd_tableau_shapes(spark):
+    """The key-determined probe holds under EVERY condition value (its
+    tableau is the full domain); violation magnitudes are nonnegative
+    and consistent with the holds flag."""
+    rows = SPARK_QUERIES["dq_cfd_discovery"](spark, SF_ORACLE).collect()
+    key_rows = [r for r in rows if r.determinant == "c_custkey"]
+    assert key_rows and all(r.holds for r in key_rows)
+    for r in rows:
+        assert r.n_violating_combos >= 0
+        assert r.holds == (r.n_violating_combos == 0)

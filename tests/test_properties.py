@@ -639,8 +639,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "dq_t_closeness", "corpus_influence_tracing",
                  # round 8 continuation: empty text -> zero candidate
                  # phrases (split('') island edge) for RAKE; zero-pad
-                 # raster + identical-doc token collisions for ViT
-                 "text_rake_keywords", "multimodal_vit_patch_plan"):
+                 # raster + identical-doc token collisions for ViT;
+                 # zero-frame docs and all-equal-energy plateaus (no
+                 # strict peak -> empty) for landmarks
+                 "text_rake_keywords", "multimodal_vit_patch_plan",
+                 "multimodal_audio_landmark_fingerprint"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -1948,3 +1948,119 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", F.col("rnk").cast("bigint").alias("rnk"),
                       "cid", "rel",
                       (F.col("mmr_m") / F.lit(_MMR_GRID)).alias("mmr"))
+
+
+# Binary quantization: sign-bit codes packed into two 32-bit words
+# (bigint-safe — a single 64-bit word would put dim 64 on the sign
+# bit), Hamming shortlist of _BQ_M candidates, exact-cosine rerank.
+_BQ_M = 40
+
+
+@query("sim_binary_quantization_hamming", oracle=f"""
+WITH e0 AS ({{E}}),
+e AS (SELECT * FROM e0
+      WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+codes AS (
+  SELECT vec_id, emb,
+         list_aggregate(list_transform(range(1, 33),
+           i -> CASE WHEN emb[CAST(i AS INTEGER)] > 0
+                THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END),
+           'sum') AS w0,
+         list_aggregate(list_transform(range(33, 65),
+           i -> CASE WHEN emb[CAST(i AS INTEGER)] > 0
+                THEN CAST(2 ** (i - 33) AS BIGINT) ELSE 0 END),
+           'sum') AS w1
+  FROM e),
+q AS (SELECT * FROM codes WHERE vec_id < {N_QUERIES}),
+ham AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         CAST(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+              AS BIGINT) AS hamming,
+         q.emb AS qe, c.emb AS ce,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY bit_count(xor(q.w0, c.w0))
+                                   + bit_count(xor(q.w1, c.w1)),
+                                     c.vec_id) AS hrnk
+  FROM q JOIN codes c ON c.vec_id != q.vec_id),
+short AS (SELECT * FROM ham WHERE hrnk <= {_BQ_M}),
+rerank AS (
+  SELECT qid, cid, hamming,
+         round(list_cosine_similarity(qe, ce), 6) AS cos
+  FROM short),
+ranked AS (
+  SELECT qid, cid, hamming, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, cid) AS rnk
+  FROM rerank)
+SELECT qid, cid, hamming, cos, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {TOP_K}
+""".format(E=_E))
+def sim_binary_quantization_hamming(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """BINARY QUANTIZATION + HAMMING SHORTLIST + EXACT RERANK (the
+    1-bit compression path modern vector databases ship as "BQ":
+    Jegou et al.'s sign-bit baseline, revived because a 64-dim float
+    vector becomes 8 BYTES, so the first-stage scan is 32x smaller
+    and pure integer): each embedding quantizes to its sign bits
+    (packed into two 32-bit words — bigint-safe), every query scans
+    the code table by XOR+popcount Hamming distance, keeps the
+    {_BQ_M}-candidate shortlist, and reranks ONLY those with exact
+    cosine. Completes the compression ladder next to int8
+    (embedding_int8_quantize), PQ/ADC (sim_pq_adc_topk), and b-bit
+    minhash.
+
+    Determinism: codes, XOR, popcount, and the Hamming ranking are
+    pure integers with a cid tiebreak; cosine rounds at 6 before the
+    final deterministic rank (the sim_topk_cosine posture). Zero-norm
+    vectors drop identically on both sides.
+
+    Scale shape: the Hamming stage is a linear CODE scan — 8 bytes per
+    vector, the reason BQ exists (a billion vectors = 8 GB, memory-
+    resident per executor; the scan is SIMD popcount in columnar
+    form). The declared broadcast-query-side scan mirrors
+    sim_topk_cosine's exact baseline but touches 1/32 the bytes; the
+    rerank reads full vectors for only queries x {_BQ_M} rows."""
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+
+    def pack(lo: int) -> F.Column:
+        # sum of 2^(i-lo) over dims i in [lo, lo+32) with emb[i] > 0;
+        # aggregate preserves the i-ascending order (exact int sums —
+        # order-free anyway)
+        return F.aggregate(
+            F.sequence(F.lit(lo), F.lit(lo + 31)),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc + F.when(
+                F.element_at("embedding", i.cast("int")) > 0,
+                # 2^(i-lo) via pow (exact for powers of two <= 2^31;
+                # the shiftleft() wrapper takes only literal shifts)
+                F.pow(F.lit(2.0), (i - lo).cast("double"))
+                .cast("bigint")).otherwise(0))
+
+    codes = emb.select("vec_id", "embedding", "nrm",
+                       pack(1).alias("w0"), pack(33).alias("w1"))
+    q = (codes.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn"),
+                 F.col("w0").alias("q0"), F.col("w1").alias("q1")))
+    c = codes.select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce"),
+                     F.col("nrm").alias("cn"), "w0", "w1")
+    hamming = (F.bit_count(F.expr("q0 ^ w0"))
+               + F.bit_count(F.expr("q1 ^ w1"))).cast("bigint")
+    ham = (F.broadcast(q).crossJoin(c)
+           .filter(F.col("cid") != F.col("qid"))
+           .withColumn("hamming", hamming))
+    hrnk = F.row_number().over(
+        W.partitionBy("qid").orderBy("hamming", "cid"))
+    short = ham.withColumn("hrnk", hrnk).filter(F.col("hrnk") <= _BQ_M)
+    rerank = short.select(
+        "qid", "cid", "hamming",
+        F.round(dot_col(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn")), 6).alias("cos"))
+    rnk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid")))
+    return (rerank.withColumn("rnk", rnk.cast("bigint"))
+            .filter(F.col("rnk") <= TOP_K))

@@ -114,6 +114,7 @@ LLM_QUERIES = [
     "events_attribution_shapley", "corpus_curriculum_order",
     "timeseries_matrix_profile_sad", "events_markov_stationary",
     "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
+    "sim_binary_quantization_hamming",
 ]
 
 
@@ -1156,3 +1157,26 @@ def test_cfd_tableau_shapes(spark):
     for r in rows:
         assert r.n_violating_combos >= 0
         assert r.holds == (r.n_violating_combos == 0)
+
+
+def test_binary_quantization_recall_vs_exact(spark):
+    """BQ is an APPROXIMATION — quantify it instead of assuming:
+    Hamming distances stay in [0, 64], every rerank candidate comes
+    from the declared shortlist, and recall@5 of the BQ pipeline vs
+    the exact top-5 must clear a floor (sign-bit codes of 64-dim
+    vectors retain real signal)."""
+    from hadoop_digit_recognition_spark.operators.similarity import TOP_K
+
+    bq = SPARK_QUERIES["sim_binary_quantization_hamming"](
+        spark, SF_ORACLE).collect()
+    assert all(0 <= r.hamming <= 64 for r in bq)
+    exact = SPARK_QUERIES["sim_topk_cosine"](spark, SF_ORACLE).collect()
+    got = {}
+    want = {}
+    for r in bq:
+        got.setdefault(r.qid, set()).add(r.cid)
+    for r in exact:
+        want.setdefault(r.qid, set()).add(r.cid)
+    hits = sum(len(got[q] & want[q]) for q in want)
+    recall = hits / (len(want) * TOP_K)
+    assert recall >= 0.5, recall

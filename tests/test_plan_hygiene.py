@@ -133,6 +133,10 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # threshold-sweep literal-grid class); exposure cells
                 # join it broadcast
                 "events_attribution_shapley",
+                # broadcast-query-side 8-byte CODE scan (the
+                # sim_topk_cosine declared-baseline class at 1/32 the
+                # bytes — compression IS the scale story)
+                "sim_binary_quantization_hamming",
                 # 5-row literal step table crossed non-equi (stage <=
                 # step) into the doc-count-sized stage frame — the
                 # timeseries_autocorrelation lag-grid class

@@ -690,7 +690,11 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "ml_knn_classifier_eval", "ml_label_noise_knn",
                  "sim_knn_graph_adaptive",
                  "pipeline_embedding_dedup", "sim_mmr_rerank",
-                 "corpus_decontamination_semantic"):
+                 "corpus_decontamination_semantic",
+                 # round 8 continuation: the zero vector must drop
+                 # before sign-bit coding (its code would be all-zero
+                 # and its cosine undefined)
+                 "sim_binary_quantization_hamming"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

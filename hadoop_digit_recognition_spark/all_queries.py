@@ -122,7 +122,7 @@ def _rotate_for_driver_coverage() -> None:
         "corpus_curriculum_order", "timeseries_matrix_profile_sad",
         "events_markov_stationary", "sql_recursive_cte_bfs",
         "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
-        "sim_binary_quantization_hamming",
+        "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
     }
 
     def _family(n: str) -> int:

@@ -2064,3 +2064,49 @@ def sim_binary_quantization_hamming(spark: SparkSession,
         W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid")))
     return (rerank.withColumn("rnk", rnk.cast("bigint"))
             .filter(F.col("rnk") <= TOP_K))
+
+
+def _mutual_knn_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH g AS ({ORACLE_SQL["sim_knn_graph"]})
+SELECT a.qid AS va, a.cid AS vb, a.cos,
+       CAST(a.rnk AS BIGINT) AS rnk_ab, CAST(b.rnk AS BIGINT) AS rnk_ba
+FROM g a JOIN g b ON b.qid = a.cid AND b.cid = a.qid
+WHERE a.qid < a.cid
+"""
+
+
+@query("sim_mutual_knn_pairs", eager=True, oracle=_mutual_knn_oracle())
+def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL (reciprocal) k-NEAREST-NEIGHBOR PAIRS over the corpus
+    kNN graph — the k-reciprocal encoding behind re-ranking (Zhong et
+    al. 2017) and the seed rule of RNN-based agglomerative clustering:
+    an edge survives only if BOTH endpoints rank each other in their
+    top-k, which strips the hub/antihub asymmetry that makes raw kNN
+    graphs noisy in high dimensions. Emitted with both directional
+    ranks so downstream re-rankers can weight by reciprocal depth.
+
+    Built BY COMPOSITION: the Spark side reuses sim_knn_graph's
+    registered builder (the converged adaptive-plane bucketed build —
+    linear, never all-pairs) and adds one self-join on the directed
+    edge table; the oracle wraps the graph's own registered oracle SQL
+    as a CTE, so the two operators cannot drift.
+
+    Determinism: the graph's cos is a symmetric rounded expression, so
+    the pair orientation (va < vb) carries one value; ranks are the
+    graph's deterministic (cos DESC, cid) ranks.
+
+    Scale shape: the mutuality check is one self-EQUI-join of the
+    (n x k)-row edge table on the reversed key — edge-list-sized, not
+    data-sized; everything heavy already happened inside the bucketed
+    graph build."""
+    g = sim_knn_graph(spark, sf_dir)
+    b = g.select(F.col("qid").alias("bq"), F.col("cid").alias("bc"),
+                 F.col("rnk").alias("rnk_ba"))
+    return (g.join(b, (F.col("bq") == F.col("cid"))
+                   & (F.col("bc") == F.col("qid")))
+            .filter(F.col("qid") < F.col("cid"))
+            .select(F.col("qid").alias("va"), F.col("cid").alias("vb"),
+                    "cos", F.col("rnk").cast("bigint").alias("rnk_ab"),
+                    F.col("rnk_ba").cast("bigint").alias("rnk_ba")))

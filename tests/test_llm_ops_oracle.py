@@ -114,7 +114,7 @@ LLM_QUERIES = [
     "events_attribution_shapley", "corpus_curriculum_order",
     "timeseries_matrix_profile_sad", "events_markov_stationary",
     "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
-    "sim_binary_quantization_hamming",
+    "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
 ]
 
 
@@ -1180,3 +1180,19 @@ def test_binary_quantization_recall_vs_exact(spark):
     hits = sum(len(got[q] & want[q]) for q in want)
     recall = hits / (len(want) * TOP_K)
     assert recall >= 0.5, recall
+
+
+def test_mutual_knn_pairs_are_reciprocal_edges(spark):
+    """Every emitted pair must appear in BOTH directions of the base
+    kNN graph, ordered va < vb, with the ranks taken from the
+    respective directions."""
+    edges = {(r.qid, r.cid): r.rnk
+             for r in SPARK_QUERIES["sim_knn_graph"](
+                 spark, SF_ORACLE).collect()}
+    pairs = SPARK_QUERIES["sim_mutual_knn_pairs"](
+        spark, SF_ORACLE).collect()
+    assert pairs
+    for p in pairs:
+        assert p.va < p.vb
+        assert edges.get((p.va, p.vb)) == p.rnk_ab, p
+        assert edges.get((p.vb, p.va)) == p.rnk_ba, p

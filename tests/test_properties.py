@@ -694,7 +694,8 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 8 continuation: the zero vector must drop
                  # before sign-bit coding (its code would be all-zero
                  # and its cosine undefined)
-                 "sim_binary_quantization_hamming"):
+                 "sim_binary_quantization_hamming",
+                 "sim_mutual_knn_pairs"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

@@ -568,7 +568,8 @@ w AS (
 SELECT source, CAST(size_bucket AS BIGINT) AS size_bucket,
        CAST(gs AS BIGINT) AS group_size,
        CAST(n_langs AS BIGINT) AS n_langs,
-       round(-sum((n * 1.0 / gs) * log2(n * 1.0 / gs)), 6) AS entropy_l,
+       round(-sum((n * 1.0 / gs) * log2(n * 1.0 / gs)), 6) + 0.0
+         AS entropy_l,
        n_langs < {L_DIV} AS violates_l
 FROM w GROUP BY source, size_bucket, gs, n_langs
 """)
@@ -589,6 +590,13 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     float entropy (a p=1/3-uniform class lands exactly on the log2(l)
     boundary, where cross-engine ulp would flip it); entropy is
     reported as a metric only, on the text_word_entropy precedent.
+
+    Zero-sign canonicalization: single-language classes have entropy
+    `-sum(1*log2(1))` — DuckDB's negation of the 0.0 sum yields −0.0
+    while Spark yields +0.0; numerically equal, different bit
+    patterns, so a bit-sensitive value hash diverges (driver r08 red).
+    Both sides add `+ 0.0` after the rounded entropy (IEEE 754:
+    −0.0 + 0.0 = +0.0) so the reported metric is sign-canonical.
 
     Scale shape: one combiner'd count over (QI, sensitive) — sensitive-
     cardinality × class-count rows, corpus-independent state — then a
@@ -611,7 +619,8 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (e.groupBy("source", "size_bucket",
                       F.col("gs").cast("bigint").alias("group_size"),
                       F.col("n_langs").cast("bigint").alias("n_langs"))
-            .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_l"))
+            .agg((F.round(-F.sum(p * F.log2(p)), 6) + F.lit(0.0))
+                 .alias("entropy_l"))
             .select("source", "size_bucket", "group_size", "n_langs",
                     "entropy_l",
                     (F.col("n_langs") < L_DIV).alias("violates_l")))

@@ -560,7 +560,7 @@ d{i} AS MATERIALIZED (
                            AND p0.j = c.j - 1
       WHERE c.i = {i})))"""[1:])
     return f"""
-WITH prof AS MATERIALIZED (
+WITH prof0 AS MATERIALIZED (
   SELECT r.r_regionkey AS rk, CAST(month(o.o_orderdate) AS BIGINT) AS m,
          sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS y
   FROM lineitem l
@@ -569,6 +569,10 @@ WITH prof AS MATERIALIZED (
   JOIN nation n ON n.n_nationkey = cu.c_nationkey
   JOIN region r ON r.r_regionkey = n.n_regionkey
   GROUP BY 1, 2),
+prof AS MATERIALIZED (
+  SELECT p.* FROM prof0 p
+  JOIN (SELECT rk FROM prof0 GROUP BY rk
+        HAVING count(*) = {_DTW_N}) f ON f.rk = p.rk),
 cost AS MATERIALIZED (
   SELECT a.rk AS ra, b.rk AS rb, a.m AS i, b.m AS j,
          abs(a.y - b.y) AS c
@@ -627,10 +631,18 @@ def timeseries_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON n.n_nationkey = cu.c_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey
       GROUP BY 1, 2""")
+    # Complete-profile guard (mirrored by the oracle's HAVING
+    # count(*) = 12 filter): the unrolled-DP oracle requires a cost row
+    # at every i in 1..12 and a final cell at j = 12, so an entity
+    # missing any calendar month silently DROPS from the oracle while a
+    # naive UDF would still compute DTW over whichever months exist —
+    # a latent sparse-data divergence (ADVICE r08). Both engines now
+    # score only entities with all 12 months observed.
     vec = (prof.groupBy("rk")
            .agg(F.transform(
                F.array_sort(F.collect_list(F.struct("m", "y"))),
-               lambda s: s["y"]).alias("ys")))
+               lambda s: s["y"]).alias("ys"))
+           .filter(F.size("ys") == _DTW_N))
 
     @F.pandas_udf("long")
     def dtw(a: pd.Series, b: pd.Series) -> pd.Series:

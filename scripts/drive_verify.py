@@ -53,9 +53,23 @@ def type_red_flags(name, sdf, ddf, rel_types):
     - any NON-SCALAR cell (list/tuple/ndarray/dict) in either result:
       the driver's canonicalizer (pandas sort_values) raises
       `unhashable type` on these (r01 arr_normalize, r04
-      agg_collect_sorted), which norm()'s tuple-ification hides here.
+      agg_collect_sorted), which norm()'s tuple-ification hides here;
+    - any float column containing NEGATIVE ZERO on either side: −0.0
+      and +0.0 compare equal (so norm()'s value compare passes) but
+      have different bit patterns, so the driver's bit-sensitive hash
+      diverges (r08 dq_l_diversity: DuckDB's `-sum(...)` over an
+      all-zero sum yields −0.0, Spark yields +0.0).
     """
     flags = []
+    for side, df_ in (("spark", sdf), ("oracle", ddf)):
+        for c in df_.columns:
+            col = df_[c]
+            if col.dtype.kind == "f":
+                vals = col.to_numpy()
+                if bool(np.any((vals == 0.0) & np.signbit(vals))):
+                    flags.append(
+                        f"{side} col {c} contains -0.0 (bit-sensitive "
+                        f"hash hazard; canonicalize with `+ 0.0`)")
     for c, t in zip(ddf.columns, rel_types):
         if str(t).upper() in ("HUGEINT", "UHUGEINT"):
             flags.append(f"oracle col {c} is {t}")

@@ -134,3 +134,32 @@ def test_queries_md_fresh():
     extra = listed - set(SPARK_QUERIES)
     assert not missing, f"QUERIES.md missing rows: {sorted(missing)[:5]}"
     assert not extra, f"QUERIES.md has unregistered rows: {sorted(extra)[:5]}"
+
+
+def test_readme_fresh():
+    """README.md's registry counts must track the live registry (VERDICT
+    r08 ask #4: README drifted to 412/402 and a '9 queries' taxonomy
+    while the registry moved to 413/403/10 — QUERIES.md had a freshness
+    assert, README did not). Pins every count the README states."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "README.md")).read()
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+
+    m = re.search(r"`queries\(\)` \((\d+) named queries\)", text)
+    assert m and int(m.group(1)) == len(SPARK_QUERIES), (
+        f"README stale: says {m and m.group(1)} named queries, registry "
+        f"has {len(SPARK_QUERIES)}")
+    m = re.search(r"`oracle_sql\(\)` \((\d+) DuckDB oracles", text)
+    assert m and int(m.group(1)) == len(ORACLE_SQL), (
+        f"README stale: says {m and m.group(1)} DuckDB oracles, registry "
+        f"has {len(ORACLE_SQL)}")
+    n_rows_only = len(SPARK_QUERIES) - len(ORACLE_SQL)
+    for pat in (r"the (\d+) rows-only entries",
+                r"The (\d+) queries without DuckDB oracles"):
+        m = re.search(pat, text)
+        assert m and int(m.group(1)) == n_rows_only, (
+            f"README stale on rows-only count ({pat}): says "
+            f"{m and m.group(1)}, registry has {n_rows_only}")

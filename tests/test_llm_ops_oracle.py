@@ -946,6 +946,57 @@ def test_dtw_bounded_by_l1(spark):
         assert 0 < r.dtw_cost <= r.l1_cost, r
 
 
+def test_dtw_drops_incomplete_profiles_both_engines(spark, tmp_path):
+    """Missing-month degenerate fixture (ADVICE r08): the unrolled-DP
+    oracle needs a cost row at every i in 1..12 and a final cell at
+    j = 12, so an entity missing any calendar month silently DROPS from
+    the oracle; the Spark side's size(ys) == 12 guard must drop the
+    same entity. Three regions — 0 and 1 with all 12 months, 2 missing
+    June — must yield exactly the (0, 1) pair on BOTH engines with
+    equal costs."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    region = [(rk,) for rk in range(3)]
+    nation = [(nk, nk) for nk in range(3)]           # nationkey, regionkey
+    customer = [(ck, ck) for ck in range(3)]         # custkey, nationkey
+    orders, lineitem, ok = [], [], 0
+    for rk in range(3):
+        for m in range(1, 13):
+            if rk == 2 and m == 6:
+                continue
+            orders.append((ok, rk, f"1995-{m:02d}-15"))
+            lineitem.append((ok, float(100 * (rk + 1) + m)))
+            ok += 1
+    frames = {
+        "region": spark.createDataFrame(region, "r_regionkey bigint"),
+        "nation": spark.createDataFrame(
+            nation, "n_nationkey bigint, n_regionkey bigint"),
+        "customer": spark.createDataFrame(
+            customer, "c_custkey bigint, c_nationkey bigint"),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey bigint, o_custkey bigint, o_orderdate string"
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("date")),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey bigint, l_extendedprice double"),
+    }
+    for t, df in frames.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+
+    srows = {(r.region_a, r.region_b): (r.dtw_cost, r.l1_cost)
+             for r in SPARK_QUERIES["timeseries_dtw_pairs"](
+                 spark, sf).collect()}
+    con = duckdb.connect()
+    for t in frames:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet/*.parquet'")
+    orows = {(r[0], r[1]): (r[2], r[3]) for r in
+             con.sql(ORACLE_SQL["timeseries_dtw_pairs"]).fetchall()}
+    assert set(srows) == {(0, 1)}, srows
+    assert srows == orows, (srows, orows)
+
+
 def test_random_forest_beats_chance_with_oob(spark):
     """5 trees, every tree has out-of-bag rows (Poisson(1) leaves ~1/e
     of rows unsampled), ensemble beats the 50% base rate comfortably on

@@ -82,6 +82,69 @@ def test_no_oracle_returns_nonscalar(con):
     )
 
 
+def test_no_oracle_emits_negative_zero():
+    """−0.0 and +0.0 compare equal but have different bit patterns, so
+    the driver's bit-sensitive value hash diverges when one engine emits
+    the negative zero and the other the positive (r08 dq_l_diversity:
+    DuckDB's `-sum(...)` over an all-zero sum yields −0.0 for 49
+    single-language classes while Spark yields +0.0). This EXECUTES
+    every registered oracle at the driver's compare scale (sf0.01) and
+    asserts no float output cell is a negative zero — any negated
+    aggregate added later must canonicalize with `+ 0.0` on both sides
+    before registration."""
+    import numpy as np
+
+    sf_driver = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE",
+                               "/root/testdata/sf0.01")
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_driver}/{t}.parquet'")
+    offenders = {}
+    for name, sql in sorted(ORACLE_SQL.items()):
+        df = c.sql(sql).df()
+        bad = []
+        for col in df.columns:
+            if df[col].dtype.kind == "f":
+                vals = df[col].to_numpy()
+                n_negzero = int(np.count_nonzero(
+                    (vals == 0.0) & np.signbit(vals)))
+                if n_negzero:
+                    bad.append((col, n_negzero))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"{len(offenders)} oracle(s) emit -0.0 cells (bit-sensitive "
+        f"driver hash will mismatch Spark's +0.0; canonicalize the "
+        f"expression with `+ 0.0` on both sides): {offenders}"
+    )
+
+
+def test_dq_l_diversity_entropy_zero_sign(spark):
+    """The fixed query's Spark side AND oracle side must both emit
+    +0.0 entropy for single-language classes (the r08 red row)."""
+    import numpy as np
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    sf_driver = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE",
+                               "/root/testdata/sf0.01")
+    sdf = SPARK_QUERIES["dq_l_diversity"](spark, sf_driver).toPandas()
+    singles = sdf[sdf["n_langs"] == 1]
+    assert len(singles) > 0, "fixture lost its single-language classes"
+    vals = singles["entropy_l"].to_numpy()
+    assert np.all(vals == 0.0)
+    assert not np.any(np.signbit(vals)), "Spark side emits -0.0"
+
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_driver}/{t}.parquet'")
+    odf = c.sql(ORACLE_SQL["dq_l_diversity"]).df()
+    ovals = odf[odf["n_langs"] == 1]["entropy_l"].to_numpy()
+    assert np.all(ovals == 0.0)
+    assert not np.any(np.signbit(ovals)), "oracle side emits -0.0"
+
+
 def test_no_spark_query_returns_nonscalar(spark):
     """The Spark side of every oracle-checked query must also emit only
     scalar columns — check the declared schemas without executing."""

@@ -125,7 +125,16 @@ def _rotate_for_driver_coverage() -> None:
         "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
     }
 
+    # Queries added during ROUND 9: behind even the round-8 late queue,
+    # so the 55-name driver burn-down finishes undisturbed (VERDICT r08
+    # ask #3) and these enter the window in r10+.
+    _ADDED_LATE_R9: set[str] = {
+        "pipeline_corpus_release", "pipeline_release_manifest",
+    }
+
     def _family(n: str) -> int:
+        if n in _ADDED_LATE_R9:
+            return 11
         if n in _ADDED_LATE:
             return 10
         if n in _NAME_PRIORITY:

@@ -1007,9 +1007,10 @@ def corpus_influence_tracing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training step k samples from stages 1..k (competence k/STAGES).
 _CURR_RARE_DF, _CURR_STAGES = 20, 5
 
-
-@query("corpus_curriculum_order", oracle=f"""
-WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+# Shared difficulty CTE chain (single-source: corpus_curriculum_order's
+# oracle and the release pipeline's curriculum stage embed it verbatim,
+# so the two can never drift — the EMB_BAND_BUCKETS_SQL precedent).
+_DIFF_SQL = f"""t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
             FROM documents),
 tok AS (SELECT doc_id, unnest(w) AS word FROM t0),
 tk AS (SELECT doc_id, word FROM tok WHERE word <> ''),
@@ -1020,7 +1021,30 @@ diff AS (
               * sum(CASE WHEN df.df <= {_CURR_RARE_DF} THEN 1 ELSE 0 END)
               / count(*)) AS BIGINT) AS difficulty_micro
   FROM tk t JOIN df ON df.word = t.word
-  GROUP BY t.doc_id),
+  GROUP BY t.doc_id)"""
+
+
+def _difficulty_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, difficulty_micro) — the corpus-wide rare-token-fraction
+    difficulty score, the Spark twin of _DIFF_SQL. Shared by
+    corpus_curriculum_order and the release pipeline."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    tk = (docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"))
+          .filter(F.col("word") != ""))
+    dfw = tk.groupBy("word").agg(
+        F.countDistinct("doc_id").alias("df"))
+    return (tk.join(dfw, "word")
+            .groupBy("doc_id")
+            .agg(F.round(1000000.0
+                         * F.sum(F.when(F.col("df") <= _CURR_RARE_DF, 1)
+                                 .otherwise(0)) / F.count(F.lit(1)))
+                 .cast("bigint").alias("difficulty_micro")))
+
+
+@query("corpus_curriculum_order", oracle=f"""
+WITH {_DIFF_SQL},
 staged AS (
   SELECT doc_id, difficulty_micro,
          ntile({_CURR_STAGES}) OVER (ORDER BY difficulty_micro, doc_id)
@@ -1062,19 +1086,7 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns), and production replaces it with range partitioning on
     difficulty (sort_global_range_partitioned's recipe) — rank edges
     then come from a sampled CDF, the standard trade."""
-    docs = load_parallel(spark, sf_dir, "documents")
-    tk = (docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), " ")).alias("word"))
-          .filter(F.col("word") != ""))
-    dfw = tk.groupBy("word").agg(
-        F.countDistinct("doc_id").alias("df"))
-    diff = (tk.join(dfw, "word")
-            .groupBy("doc_id")
-            .agg(F.round(1000000.0
-                         * F.sum(F.when(F.col("df") <= _CURR_RARE_DF, 1)
-                                 .otherwise(0)) / F.count(F.lit(1)))
-                 .cast("bigint").alias("difficulty_micro")))
+    diff = _difficulty_frame(spark, sf_dir)
     staged = diff.withColumn(
         "stage", F.ntile(_CURR_STAGES).over(
             W.orderBy("difficulty_micro", "doc_id")))
@@ -1092,3 +1104,293 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("step").cast("bigint").alias("step"),
                     "competence", "n_new", "n_available",
                     "pool_mean_difficulty"))
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end TRAINING-DATA RELEASE pipeline — the artifact this
+# engine's north star ("LLM-data-pipeline at 100 TB") actually ships.
+# Every rung is an already-registered, individually-oracle-checked
+# operator; this composes them into ONE audited chain:
+#
+#   1. gopher      — Gopher hard quality rules (corpus_gopher_quality_rules)
+#   2. exact       — byte-exact md5 dedup, grouped-min survivorship
+#   3. minhash     — width-CAPPED banded MinHash-LSH verified pairs
+#                    (dedup_minhash_lsh_capped, the production scale path)
+#   4. semdedup    — CAPPED SemDeDup per-vector verdicts
+#                    (dedup_semdedup_capped; vec_id == doc_id alignment)
+#   5. decontam    — eval-set holdout + verbatim n-gram + semantic
+#                    embedding decontamination (both audits must clear)
+#   6. mix         — sqrt-temperature per-source document quotas under a
+#                    release budget, deterministic hash-ranked selection
+#   7. curriculum  — rare-token-fraction difficulty order (easy first)
+#   8. pack        — concat-then-chunk into _SEQ_LEN-token sequences in
+#                    curriculum order (full sequences only)
+#
+# Pair/verdict rungs reuse the corpus-wide sets restricted to
+# both-endpoints-remaining (corpus_dedup_cascade's documented
+# convention); the oracle embeds every constituent's registered SQL
+# VERBATIM as a CTE so the chain can never drift from its rungs.
+
+_REL_DOC_BUDGET = 100  # released documents (pre-quota-floor) per corpus
+# 100 deliberately: the sf0.01 fixture has ~132 post-decontam survivors,
+# so the driver row EXERCISES the quota floor + hash-ranked selection
+# (the SEM_CAP_M cap-binds-on-the-fixture convention), not a no-op mix.
+
+from .corpus import _SEQ_LEN  # noqa: E402  (single-source pack capacity)
+from .dedup import (  # noqa: E402
+    dedup_minhash_lsh_capped, dedup_semdedup_capped)
+
+# The survivor chain s1..s7 as one WITH body (shared by the accounting
+# and manifest oracles). Outer CTE names are chosen not to collide with
+# _DIFF_SQL's (t0/tok/tk/df/diff).
+_RELEASE_CHAIN_SQL = f"""gq AS ({{gopher}}),
+s1 AS MATERIALIZED (SELECT doc_id FROM gq WHERE keep = 1),
+tokr AS MATERIALIZED (SELECT doc_id, source,
+                CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT) AS ntok,
+                md5(text) AS ekey
+         FROM documents),
+ex AS (SELECT t.doc_id, min(t.doc_id) OVER (PARTITION BY t.ekey) AS keep_id
+       FROM tokr t JOIN s1 USING (doc_id)),
+s2 AS MATERIALIZED (SELECT doc_id FROM ex WHERE doc_id = keep_id),
+mhp AS ({{minhash}}),
+d3 AS (SELECT DISTINCT p.doc_b AS doc_id FROM mhp p
+       JOIN s2 a ON a.doc_id = p.doc_a
+       JOIN s2 b ON b.doc_id = p.doc_b),
+s3 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM d3)),
+sdv AS ({{semdedup}}),
+s4 AS MATERIALIZED (SELECT s3.doc_id FROM s3 LEFT JOIN sdv ON sdv.vec_id = s3.doc_id
+       WHERE NOT coalesce(sdv.dropped, false)),
+ngc AS ({{ngram}}),
+smc AS ({{semantic}}),
+s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4
+       LEFT JOIN ngc ON ngc.doc_id = s4.doc_id
+       LEFT JOIN smc ON smc.vec_id = s4.doc_id
+       WHERE s4.doc_id % {_BENCH_MOD} <> 0
+         AND NOT coalesce(ngc.contaminated, false)
+         AND NOT coalesce(smc.contaminated, false)),
+st AS MATERIALIZED (SELECT t.doc_id, t.source, t.ntok FROM tokr t JOIN s5 USING (doc_id)),
+src AS (SELECT source, count(*) AS n_docs,
+               sqrt(CAST(sum(ntok) AS DOUBLE)) AS pw
+        FROM st GROUP BY source),
+quota AS (SELECT source,
+                 least(CAST(floor(pw / sum(pw) OVER ()
+                                  * {_REL_DOC_BUDGET}) AS BIGINT),
+                       n_docs) AS q
+          FROM src),
+rk AS (SELECT doc_id, source, ntok,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) AS rn
+       FROM st),
+s6 AS MATERIALIZED (SELECT r.doc_id, r.source, r.ntok FROM rk r
+       JOIN quota q USING (source) WHERE r.rn <= q.q),
+{_DIFF_SQL},
+s7 AS (SELECT s6.doc_id, s6.source, s6.ntok, d.difficulty_micro,
+              row_number() OVER (ORDER BY d.difficulty_micro, s6.doc_id)
+                AS crank
+       FROM s6 JOIN diff d ON d.doc_id = s6.doc_id)"""
+
+
+def _release_oracle_chain() -> str:
+    """Assemble the chain WITH body, embedding each constituent rung's
+    REGISTERED oracle verbatim (so the pipeline's semantics are pinned
+    to the rungs the driver already hash-verifies individually)."""
+    from ..registry import ORACLE_SQL as osql
+    return _RELEASE_CHAIN_SQL.format(
+        gopher=osql["corpus_gopher_quality_rules"],
+        minhash=osql["dedup_minhash_lsh_capped"],
+        semdedup=osql["dedup_semdedup_capped"],
+        ngram=osql["corpus_decontamination"],
+        semantic=osql["corpus_decontamination_semantic"])
+
+
+def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
+    """Build the survivor chain s1..s7 as DataFrames (the Spark twin of
+    _RELEASE_CHAIN_SQL), reusing the registered rung callables. Every
+    survivor frame is id-sized (doc_id lists), so the persists are
+    model-state-sized, never corpus-sized."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    tokr = docs.select("doc_id", "source",
+                       ntok.cast("bigint").alias("ntok"),
+                       F.md5("text").alias("ekey"))
+
+    s1 = (corpus_gopher_quality_rules(spark, sf_dir)
+          .filter(F.col("keep") == 1).select("doc_id").persist())
+    s2 = (tokr.join(s1, "doc_id")
+          .groupBy("ekey").agg(F.min("doc_id").alias("doc_id"))
+          .select("doc_id").persist())
+    pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
+    d3 = (pairs.join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+          .select(F.col("doc_b").alias("doc_id")).distinct())
+    s3 = s2.join(d3, "doc_id", "left_anti").persist()
+    semdrop = (dedup_semdedup_capped(spark, sf_dir)
+               .filter(F.col("dropped"))
+               .select(F.col("vec_id").alias("doc_id")))
+    s4 = s3.join(semdrop, "doc_id", "left_anti").persist()
+    ngc = (corpus_decontamination(spark, sf_dir)
+           .filter(F.col("contaminated")).select("doc_id"))
+    smc = (corpus_decontamination_semantic(spark, sf_dir)
+           .filter(F.col("contaminated"))
+           .select(F.col("vec_id").alias("doc_id")))
+    s5 = (s4.filter(F.col("doc_id") % _BENCH_MOD != 0)
+          .join(ngc, "doc_id", "left_anti")
+          .join(smc, "doc_id", "left_anti").persist())
+
+    st = tokr.join(s5, "doc_id").select("doc_id", "source", "ntok")
+    src = st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sqrt(F.sum("ntok").cast("double")).alias("pw"))
+    # operand order mirrors the oracle exactly: (pw / Σpw) * budget,
+    # then floor — sqrt and / are correctly-rounded IEEE, so the quota
+    # is bit-identical cross-engine (corpus_temperature_mix's argument)
+    quota = src.select(
+        "source",
+        F.least(F.floor(F.col("pw") / F.sum("pw").over(W.partitionBy())
+                        * _REL_DOC_BUDGET).cast("bigint"),
+                F.col("n_docs")).alias("q"))
+    rn = F.row_number().over(
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    s6 = (st.withColumn("rn", rn)
+          .join(F.broadcast(quota), "source")
+          .filter(F.col("rn") <= F.col("q"))
+          .select("doc_id", "source", "ntok").persist())
+    diff = _difficulty_frame(spark, sf_dir)
+    crank = F.row_number().over(
+        W.orderBy("difficulty_micro", "doc_id"))
+    s7 = (s6.join(diff, "doc_id")
+          .withColumn("crank", crank.cast("bigint")).persist())
+    return {"n_total": docs, "tokr": tokr, "s1": s1, "s2": s2, "s3": s3,
+            "s4": s4, "s5": s5, "s6": s6, "s7": s7}
+
+
+_RELEASE_ACCOUNTING_TAIL = f"""
+n AS (SELECT
+  (SELECT count(*) FROM documents) AS n0,
+  (SELECT count(*) FROM s1) AS n1,
+  (SELECT count(*) FROM s2) AS n2,
+  (SELECT count(*) FROM s3) AS n3,
+  (SELECT count(*) FROM s4) AS n4,
+  (SELECT count(*) FROM s5) AS n5,
+  (SELECT count(*) FROM s6) AS n6,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s1 USING (doc_id)) AS t1,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s2 USING (doc_id)) AS t2,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s3 USING (doc_id)) AS t3,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s4 USING (doc_id)) AS t4,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s5 USING (doc_id)) AS t5,
+  (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM s6) AS t6,
+  (SELECT CAST(floor(coalesce(sum(ntok), 0) / {_SEQ_LEN}.0) AS BIGINT)
+   FROM s6) AS nseq)
+SELECT * FROM (
+  SELECT 1 AS rung, 'gopher' AS stage,
+         CAST(n0 AS BIGINT) AS n_in,
+         CAST(n0 - n1 AS BIGINT) AS n_removed,
+         CAST(n1 AS BIGINT) AS n_out,
+         t1 AS tokens_out FROM n
+  UNION ALL SELECT 2, 'exact', n1, n1 - n2, n2, t2 FROM n
+  UNION ALL SELECT 3, 'minhash', n2, n2 - n3, n3, t3 FROM n
+  UNION ALL SELECT 4, 'semdedup', n3, n3 - n4, n4, t4 FROM n
+  UNION ALL SELECT 5, 'decontam', n4, n4 - n5, n5, t5 FROM n
+  UNION ALL SELECT 6, 'mix', n5, n5 - n6, n6, t6 FROM n
+  UNION ALL SELECT 7, 'curriculum', n6, 0, n6, t6 FROM n
+  UNION ALL SELECT 8, 'pack', n6, 0, nseq, nseq * {_SEQ_LEN} FROM n)
+"""
+
+
+@query("pipeline_corpus_release", eager=True,
+       oracle="WITH " + _release_oracle_chain()
+              + "," + _RELEASE_ACCOUNTING_TAIL)
+def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data release pipeline's per-stage
+    accounting table (the corpus_dedup_cascade reporting shape):
+    quality gate -> exact dedup -> capped near-dedup (lexical +
+    semantic) -> decontamination -> temperature mix -> curriculum ->
+    sequence packing, each row carrying n_in / n_removed / n_out plus
+    the surviving token mass. The pack row changes the n_out UNIT to
+    full {_SEQ_LEN}-token sequences (tokens_out = nseq * {_SEQ_LEN};
+    the straddle remainder is the trainer's partial final window,
+    excluded from the release count).
+
+    This is the stage-level audit a corpus release publishes alongside
+    its dataset card: which rung removed what, and how many tokens the
+    release actually ships. Every rung is an individually registered,
+    driver-hash-verified operator reused verbatim (callables on the
+    Spark side, oracle SQL embedded as CTEs on the DuckDB side), so
+    the composition cannot drift from its parts.
+
+    Scale shape: the rungs are priced individually in SCALE.md (capped
+    LSH and capped SemDeDup are the measured production paths; the
+    quality gate and decontamination are one corpus pass each); the
+    composition itself adds only doc_id-keyed anti-joins between rungs
+    and window math over sources-sized / release-sized summaries. The
+    accounting output is 8 driver-side rows of already-aggregated
+    counts (the cascade's createDataFrame convention)."""
+    c = _release_chain(spark, sf_dir)
+    n0 = c["n_total"].count()
+    n1, n2, n3, n4, n5, n6 = (c[k].count()
+                              for k in ("s1", "s2", "s3", "s4", "s5", "s6"))
+
+    def toks(k: str) -> int:
+        row = (c["tokr"].join(c[k].select("doc_id"), "doc_id")
+               .agg(F.coalesce(F.sum("ntok"), F.lit(0))).collect()[0])
+        return int(row[0])
+
+    t1, t2, t3, t4, t5 = (toks(k) for k in ("s1", "s2", "s3", "s4", "s5"))
+    t6 = int(c["s6"].agg(
+        F.coalesce(F.sum("ntok"), F.lit(0))).collect()[0][0])
+    nseq = t6 // _SEQ_LEN
+    rows = [(1, "gopher", n0, n0 - n1, n1, t1),
+            (2, "exact", n1, n1 - n2, n2, t2),
+            (3, "minhash", n2, n2 - n3, n3, t3),
+            (4, "semdedup", n3, n3 - n4, n4, t4),
+            (5, "decontam", n4, n4 - n5, n5, t5),
+            (6, "mix", n5, n5 - n6, n6, t6),
+            (7, "curriculum", n6, 0, n6, t6),
+            (8, "pack", n6, 0, nseq, nseq * _SEQ_LEN)]
+    return spark.createDataFrame(
+        rows, "rung bigint, stage string, n_in bigint, n_removed bigint, "
+              "n_out bigint, tokens_out bigint")
+
+
+@query("pipeline_release_manifest",
+       oracle="WITH " + _release_oracle_chain() + f"""
+SELECT s7.doc_id, s7.source, s7.ntok AS n_tokens, s7.difficulty_micro,
+       CAST(s7.crank AS BIGINT) AS crank,
+       CAST(floor(coalesce(sum(s7.ntok) OVER (
+                ORDER BY s7.crank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_SEQ_LEN}.0) AS BIGINT) AS seq_id
+FROM s7
+""")
+def pipeline_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document RELEASE MANIFEST of pipeline_corpus_release —
+    the dataset-card companion at document granularity: every released
+    document with its token count, curriculum difficulty, curriculum
+    rank (the global training order), and the packed sequence its
+    first token lands in (concat-then-chunk attribution, the
+    corpus_sequence_pack rule applied in curriculum order instead of
+    doc_id order). This row set is what makes the chain's ORDERING
+    stages verifiable: mix selection, curriculum rank, and pack
+    assignment are all deterministic functions both engines must
+    reproduce exactly, doc by doc.
+
+    Scale shape: the chain as in pipeline_corpus_release; the manifest
+    adds one global running sum over the RELEASE (budget-sized, ~250
+    rows — model state, not corpus), so the unpartitioned windows here
+    are bounded by the release budget, never by corpus size."""
+    s7 = _release_chain(spark, sf_dir)["s7"]
+    cum = (W.orderBy("crank")
+           .rowsBetween(W.unboundedPreceding, -1))
+    return (s7.select(
+        "doc_id", "source", F.col("ntok").alias("n_tokens"),
+        "difficulty_micro", "crank",
+        F.floor(F.coalesce(F.sum("ntok").over(cum), F.lit(0))
+                / float(_SEQ_LEN)).cast("bigint").alias("seq_id")))

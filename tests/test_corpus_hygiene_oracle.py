@@ -25,6 +25,8 @@ NEW = [
     "histogram_equi_depth",
     "feature_target_encode_loo",
     "feature_hashing_trick",
+    "pipeline_corpus_release",
+    "pipeline_release_manifest",
 ]
 
 
@@ -32,6 +34,50 @@ NEW = [
 def test_vs_duckdb(spark, duck, name):
     compare(SPARK_QUERIES[name](spark, SF_ORACLE), duck,
             ORACLE_SQL[name], name)
+
+
+def test_release_pipeline_accounting_invariants(spark):
+    """Structural audit of the composed release chain: rung arithmetic
+    closes (n_out = n_in - n_removed), the chain is CONTIGUOUS (each
+    rung's n_in equals the previous rung's n_out except the pack rung's
+    unit change), every rung is monotone non-increasing in docs, and the
+    pack rung's token mass is exactly n_out full sequences."""
+    rows = {r.rung: r for r in SPARK_QUERIES["pipeline_corpus_release"](
+        spark, SF_ORACLE).collect()}
+    assert sorted(rows) == list(range(1, 9))
+    for k in range(1, 8):  # pack (rung 8) changes the n_out unit
+        r = rows[k]
+        assert r.n_out == r.n_in - r.n_removed, r
+        assert r.n_removed >= 0, r
+        if k > 1:
+            assert r.n_in == rows[k - 1].n_out, (r, rows[k - 1])
+    pack = rows[8]
+    assert pack.n_in == rows[7].n_out
+    assert pack.tokens_out == pack.n_out * 512
+    assert pack.tokens_out <= rows[7].tokens_out
+    # the mix quota must BIND on the driver fixture (the cap-binds
+    # convention): some docs removed, and the release is budget-bounded
+    assert rows[6].n_removed > 0
+    assert rows[6].n_out <= 100
+
+
+def test_release_manifest_consistent_with_accounting(spark):
+    """The manifest IS the released set: row count equals the mix rung's
+    n_out, curriculum ranks are the contiguous 1..n total order, seq_id
+    is non-decreasing in rank, and the manifest's token mass equals the
+    accounting's released tokens."""
+    acc = {r.stage: r for r in SPARK_QUERIES["pipeline_corpus_release"](
+        spark, SF_ORACLE).collect()}
+    man = sorted(SPARK_QUERIES["pipeline_release_manifest"](
+        spark, SF_ORACLE).collect(), key=lambda r: r.crank)
+    assert len(man) == acc["mix"].n_out
+    assert [r.crank for r in man] == list(range(1, len(man) + 1))
+    assert sum(r.n_tokens for r in man) == acc["mix"].tokens_out
+    diffs = [r.difficulty_micro for r in man]
+    assert diffs == sorted(diffs), "curriculum order violated"
+    seqs = [r.seq_id for r in man]
+    assert seqs == sorted(seqs), "pack attribution not monotone in rank"
+    assert seqs[0] == 0 and seqs[-1] >= acc["pack"].n_out - 1
 
 
 def test_decontamination_excludes_benchmark_docs(spark):

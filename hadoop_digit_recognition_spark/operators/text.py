@@ -1408,8 +1408,8 @@ def _bpe_apply_merges(state: DataFrame,
     return state
 
 
-def _bpe_train_scaled(docs: DataFrame,
-                      rounds: int) -> tuple[list[tuple], DataFrame]:
+def _bpe_train_scaled(docs: DataFrame, rounds: int,
+                      on_round=None) -> tuple[list[tuple], DataFrame]:
     """BPE training at PRODUCTION depth: a checkpointed driver loop
     instead of unrolled lineage. Each round counts pairs with the SAME
     factored _bpe_pair_counts the 6-round oracle trainer uses, collects
@@ -1418,7 +1418,10 @@ def _bpe_train_scaled(docs: DataFrame,
     and localCheckpoints every {_BPE_CKPT_EVERY} rounds so the plan
     stays round-sized instead of history-sized. Stops early when no
     pair repeats (cnt < 2 — every remaining merge would be noise).
-    Returns ((round, lhs, rhs, cnt) list, final word state)."""
+    Returns ((round, lhs, rhs, cnt) list, final word state).
+    `on_round(rnd)`, when given, is called after each completed round —
+    a measurement hook (scripts/measure_bpe_scaled.py); it never alters
+    the training path."""
     state = _bpe_word_state(docs).localCheckpoint()
     merges: list[tuple] = []
     for rnd in range(1, rounds + 1):
@@ -1436,6 +1439,8 @@ def _bpe_train_scaled(docs: DataFrame,
                       F.lit(f" {lhs}{rhs},")).alias("repr"))
         if rnd % _BPE_CKPT_EVERY == 0:
             state = state.localCheckpoint()
+        if on_round is not None:
+            on_round(rnd)
     return merges, state
 
 

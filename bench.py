@@ -92,6 +92,11 @@ TAIL = [
     # billed cold so the number includes its own signature pass, directly
     # comparable to the headline dedup_minhash_lsh row.
     "dedup_minhash_lsh_capped",
+    # round-9 addition: the composed training-data release pipeline (the
+    # north-star artifact) — eager per-stage counts over the full rung
+    # chain, so cold build+exec billing pins the whole-chain cost every
+    # round (per-stage breakdown in SCALE.md round 9).
+    "pipeline_corpus_release",
 ]
 
 

@@ -702,3 +702,70 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
     sem = {r["vec_id"] for r in SPARK_QUERIES["dedup_semantic_semdedup"](
         spark, d).collect()}
     assert 5 in sem, "zero vector lost its assignment row"
+
+
+def test_degenerate_release_pipeline_engine_parity(spark, tmp_path):
+    """The composed release pipeline on a pathological TWO-TABLE fixture
+    (it is the only query family spanning documents AND embeddings):
+    an EMPTY doc that is also the %97 eval doc (so the verbatim eval
+    gram set is empty), a ZERO vector at the same id (so the semantic
+    eval side is empty after the zero-norm drop), gopher-failing short
+    docs, a byte-identical pair, a reordered near-dup, and an identical
+    embedding pair among the survivors. Both registered pipeline
+    queries must hold their oracles; the release here packs ZERO full
+    sequences (another edge: the pack rung's floor hits 0)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    rng = np.random.default_rng(11)
+    vocab = ["table", "query", "value", "merge", "batch", "group",
+             "spark", "shard", "token", "scan"]
+    def long_doc(seed):
+        r = np.random.default_rng(seed)
+        ws = [vocab[i] for i in r.integers(0, len(vocab), 56)]
+        return " ".join(ws + ["the", "and", "of", "with"])
+    texts = [
+        "",                                    # doc 0: empty AND eval (%97)
+        "spark",                               # gopher-fail
+        "dup dup dup",                         # gopher-fail
+        "the quick value",                     # gopher-fail
+        long_doc(4), long_doc(4),              # 4==5 byte-identical
+        " ".join(reversed(long_doc(4).split())),  # 6: reordered near-dup
+        long_doc(7), long_doc(8), long_doc(9), long_doc(10), long_doc(11),
+    ]
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array([f"src{i % 3}" for i in range(n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    vecs = rng.normal(0, 0.12, (n, 64)).astype(np.float32)
+    vecs[0] = 0.0          # zero vector at the eval id
+    vecs[7] = vecs[4]      # identical embedding pair among survivors
+    etbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array([i % 2 for i in range(n)], pa.int32())})
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    pq.write_table(etbl, f"{d}/embeddings.parquet")
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    for name in ("pipeline_corpus_release", "pipeline_release_manifest"):
+        df = SPARK_QUERIES[name](spark, d)
+        compare(df, con, ORACLE_SQL[name], f"degenerate-release:{name}")
+    acc = {r.stage: r for r in SPARK_QUERIES["pipeline_corpus_release"](
+        spark, d).collect()}
+    assert acc["gopher"].n_out == 8          # the 8 long docs survive
+    assert acc["exact"].n_removed == 1       # the byte-identical twin
+    assert acc["pack"].n_out == 0            # < 512 tokens: no full seq

@@ -360,12 +360,51 @@ _BOILER_DF_FRAC = 0.004  # boilerplate doc-frequency threshold scales with
                          # (absolute 5 marks 99% of sf0.1 trigram mass)
 
 
+# Shared pipeline-grade decontamination fragments (single-source: both
+# pipeline_corpus_hygiene and pipeline_corpus_release embed these, so the
+# gram construction and eval-hit convention cannot drift between the two
+# pipelines — the _DIFF_SQL / EMB_BAND_BUCKETS_SQL precedent). The CTE
+# names are parameters because each pipeline composes them into a WITH
+# body with its own namespace.
+
+def _gram4_sql(base_t: str, gi: str, g: str) -> str:
+    """CTE pair producing the (doc_id, gram) 4-gram stream from a base
+    CTE `base_t` holding (doc_id, w: list<varchar>)."""
+    return (f"{gi} AS (SELECT doc_id, w, "
+            f"unnest(generate_series(1, len(w) - {_DECON_N - 1}))\n"
+            f"               AS i FROM {base_t}),\n"
+            f"{g} AS (SELECT doc_id, "
+            f"array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')\n"
+            f"              AS gram FROM {gi})")
+
+
+def _decon_hits_sql(g: str, bset: str, hits: str) -> str:
+    """CTE pair counting per-doc benchmark-gram hits from a gram stream
+    CTE `g`: the eval set is docs with doc_id % _BENCH_MOD == 0."""
+    return (f"{bset} AS (SELECT DISTINCT gram FROM {g} "
+            f"WHERE doc_id % {_BENCH_MOD} = 0),\n"
+            f"{hits} AS (SELECT {g}.doc_id, count({bset}.gram) AS nh\n"
+            f"         FROM {g} LEFT JOIN {bset} USING (gram)\n"
+            f"         WHERE {g}.doc_id % {_BENCH_MOD} <> 0 "
+            f"GROUP BY {g}.doc_id)")
+
+
+def _decon_hits(grams: DataFrame) -> DataFrame:
+    """(doc_id, nh) benchmark-gram hit counts — the Spark twin of
+    _decon_hits_sql over a (doc_id, gram) stream. Eval gram set is
+    benchmark-sized and broadcasts; corpus side is one broadcast join +
+    doc-keyed count."""
+    bset = (grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+            .select("gram").distinct().withColumn("hit", F.lit(1)))
+    return (grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+            .join(F.broadcast(bset), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("nh")))
+
+
 @query("pipeline_corpus_hygiene", oracle=f"""
 WITH {_G_SQL},
-g4i AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_DECON_N - 1}))
-               AS i FROM t),
-g4 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')
-              AS gram FROM g4i),
+{_gram4_sql("t", "g4i", "g4")},
 toks AS (SELECT doc_id, len(w) AS n_tok FROM t),
 nd_thr AS (SELECT greatest({_BOILER_MIN_DOCS},
                            CAST(ceil({_BOILER_DF_FRAC} * count(*)) AS BIGINT))
@@ -375,10 +414,7 @@ c3 AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
 rep AS (SELECT doc_id,
                sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c) AS dup3
         FROM c3 GROUP BY doc_id),
-bset AS (SELECT DISTINCT gram FROM g4 WHERE doc_id % {_BENCH_MOD} = 0),
-hits AS (SELECT g4.doc_id, count(bset.gram) AS nh
-         FROM g4 LEFT JOIN bset USING (gram)
-         WHERE g4.doc_id % {_BENCH_MOD} <> 0 GROUP BY g4.doc_id),
+{_decon_hits_sql("g4", "bset", "hits")},
 df AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram),
 bl AS (SELECT g.doc_id, count(*) AS ng,
               count(CASE WHEN df.nd >= nd_thr.thr THEN 1 END) AS nb
@@ -452,12 +488,7 @@ def pipeline_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("doc_id")
            .agg((F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
                  / F.sum("c")).alias("dup3")))
-    bset = (occ4.filter(F.col("doc_id") % _BENCH_MOD == 0)
-            .select("gram").distinct().withColumn("hit", F.lit(1)))
-    hits = (occ4.filter(F.col("doc_id") % _BENCH_MOD != 0)
-            .join(F.broadcast(bset), "gram", "left")
-            .groupBy("doc_id")
-            .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("nh")))
+    hits = _decon_hits(occ4)
     boiler = (occ3.groupBy("gram")
               .agg(F.countDistinct("doc_id").alias("nd"))
               .filter(F.col("nd") >= nd_thr)
@@ -1165,18 +1196,8 @@ sdv AS ({{semdedup}}),
 s4 AS MATERIALIZED (SELECT s3.doc_id FROM s3 LEFT JOIN sdv ON sdv.vec_id = s3.doc_id
        WHERE NOT coalesce(sdv.dropped, false)),
 dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-d4i AS (SELECT doc_id, w,
-               unnest(generate_series(1, len(w) - {_DECON_N - 1})) AS i
-        FROM dt),
-d4 AS (SELECT doc_id,
-              array_to_string(list_slice(w, i, i + {_DECON_N - 1}), ' ')
-                AS gram
-       FROM d4i),
-dbset AS (SELECT DISTINCT gram FROM d4 WHERE doc_id % {_BENCH_MOD} = 0),
-ngc AS MATERIALIZED (
-  SELECT d4.doc_id, count(dbset.gram) AS nh
-  FROM d4 LEFT JOIN dbset USING (gram)
-  WHERE d4.doc_id % {_BENCH_MOD} <> 0 GROUP BY d4.doc_id),
+{_gram4_sql("dt", "d4i", "d4")},
+{_decon_hits_sql("d4", "dbset", "ngc")},
 smc AS ({{semantic}}),
 s5 AS MATERIALIZED (SELECT s4.doc_id FROM s4
        LEFT JOIN ngc ON ngc.doc_id = s4.doc_id
@@ -1253,15 +1274,8 @@ def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
     # broadcast join + per-doc count.
     g4 = (docs.select("doc_id", F.split("text", " ").alias("ws"))
           .select("doc_id",
-                  F.explode_outer(F.expr(_grams_expr(_DECON_N)))
-                  .alias("gram")))
-    bench4 = (g4.filter(F.col("doc_id") % _BENCH_MOD == 0)
-              .select("gram").distinct().withColumn("hit", F.lit(1)))
-    ngc = (g4.filter(F.col("doc_id") % _BENCH_MOD != 0)
-           .join(F.broadcast(bench4), "gram", "left")
-           .groupBy("doc_id")
-           .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("nh"))
-           .filter(F.col("nh") > 0).select("doc_id"))
+                  F.explode(F.expr(_grams_expr(_DECON_N))).alias("gram")))
+    ngc = _decon_hits(g4).filter(F.col("nh") > 0).select("doc_id")
     smc = (corpus_decontamination_semantic(spark, sf_dir)
            .filter(F.col("contaminated"))
            .select(F.col("vec_id").alias("doc_id")))
@@ -1298,7 +1312,7 @@ def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
 
 
 _RELEASE_ACCOUNTING_TAIL = f"""
-n AS (SELECT
+n AS MATERIALIZED (SELECT
   (SELECT count(*) FROM documents) AS n0,
   (SELECT count(*) FROM s1) AS n1,
   (SELECT count(*) FROM s2) AS n2,
@@ -1365,17 +1379,26 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (the cascade's createDataFrame convention)."""
     c = _release_chain(spark, sf_dir)
     n0 = c["n_total"].count()
-    n1, n2, n3, n4, n5, n6 = (c[k].count()
-                              for k in ("s1", "s2", "s3", "s4", "s5", "s6"))
-
-    def toks(k: str) -> int:
-        row = (c["tokr"].join(c[k].select("doc_id"), "doc_id")
-               .agg(F.coalesce(F.sum("ntok"), F.lit(0))).collect()[0])
-        return int(row[0])
-
-    t1, t2, t3, t4, t5 = (toks(k) for k in ("s1", "s2", "s3", "s4", "s5"))
-    t6 = int(c["s6"].agg(
-        F.coalesce(F.sum("ntok"), F.lit(0))).collect()[0][0])
+    # all five survivor-set counts AND token sums in ONE corpus pass:
+    # union the (persisted, id-sized) survivor lists tagged by rung and
+    # join tokr once — five separate per-stage jobs would rescan the
+    # documents projection (with its md5 + tokenize) once each.
+    tagged = None
+    for i, k in enumerate(("s1", "s2", "s3", "s4", "s5"), 1):
+        t_ = c[k].select(F.lit(i).alias("rung"), "doc_id")
+        tagged = t_ if tagged is None else tagged.unionByName(t_)
+    per = {int(r["rung"]): (int(r["n"]), int(r["tok"])) for r in
+           (c["tokr"].join(tagged, "doc_id")
+            .groupBy("rung")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.coalesce(F.sum("ntok"), F.lit(0)).alias("tok"))
+            .collect())}
+    (n1, t1), (n2, t2), (n3, t3), (n4, t4), (n5, t5) = (
+        per.get(i, (0, 0)) for i in range(1, 6))
+    r6 = (c["s6"].agg(F.count(F.lit(1)).alias("n"),
+                      F.coalesce(F.sum("ntok"), F.lit(0)).alias("tok"))
+          .collect()[0])
+    n6, t6 = int(r6["n"]), int(r6["tok"])
     nseq = t6 // _SEQ_LEN
     rows = [(1, "gopher", n0, n0 - n1, n1, t1),
             (2, "exact", n1, n1 - n2, n2, t2),
@@ -1413,9 +1436,10 @@ def pipeline_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce exactly, doc by doc.
 
     Scale shape: the chain as in pipeline_corpus_release; the manifest
-    adds one global running sum over the RELEASE (budget-sized, ~250
-    rows — model state, not corpus), so the unpartitioned windows here
-    are bounded by the release budget, never by corpus size."""
+    adds one global running sum over the RELEASE (budget-sized, <=
+    {_REL_DOC_BUDGET} rows — model state, not corpus), so the
+    unpartitioned windows here are bounded by the release budget, never
+    by corpus size."""
     s7 = _release_chain(spark, sf_dir)["s7"]
     cum = (W.orderBy("crank")
            .rowsBetween(W.unboundedPreceding, -1))

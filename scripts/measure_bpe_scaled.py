@@ -60,6 +60,11 @@ for tag, sf in FIXTURES.items():
     wall = time.time() - t0
     state.count()
 
+    if not marks:  # round-1 early stop: no pair ever repeated
+        report[tag] = {"n_docs": n_docs, "n_word_types": n_words,
+                       "rounds_completed": 0, "wall_s": round(wall, 1)}
+        print(tag, json.dumps(report[tag]), flush=True)
+        continue
     durs = [marks[0] - t0] + [b - a for a, b in zip(marks, marks[1:])]
     ckpt = [d for i, d in enumerate(durs, 1) if i % _BPE_CKPT_EVERY == 0]
     plain = [d for i, d in enumerate(durs, 1)

@@ -54,8 +54,12 @@ def generate(spark) -> None:
     would only slow the fixture build)."""
     from pyspark.sql import functions as F
 
-    if os.path.isdir(SF10) and os.path.exists(
-            os.path.join(SF10, "lineitem.parquet")):
+    # nation/region are copied LAST, so their presence proves the whole
+    # fixture completed (a crash between the lineitem write and the dim
+    # copies must not be mistaken for a finished build on rerun)
+    if all(os.path.exists(os.path.join(SF10, f"{t}.parquet"))
+           for t in ("lineitem", "orders", "customer", "supplier",
+                     "nation", "region")):
         print("sf10rel fixture present")
         return
 

@@ -231,6 +231,10 @@ def test_chunking_covers_and_overlaps(words):
     # round-6 additions: iterative walk + trainer loop
     "sim_graph_greedy_search",
     "text_bpe_merge_train",
+    # round-9: the composed release chain — its mix quotas, curriculum
+    # ranks, and pack attribution must not depend on shuffle width
+    "pipeline_corpus_release",
+    "pipeline_release_manifest",
 ])
 def test_result_invariant_to_shuffle_width(spark, name):
     """Engine-wide analog of the A4 invariant: results of hash-keyed and

@@ -130,6 +130,7 @@ def _rotate_for_driver_coverage() -> None:
     # ask #3) and these enter the window in r10+.
     _ADDED_LATE_R9: set[str] = {
         "pipeline_corpus_release", "pipeline_release_manifest",
+        "ml_quality_classifier_distill",
     }
 
     def _family(n: str) -> int:

@@ -1697,3 +1697,110 @@ def ml_random_forest_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("oob_n"), 9).alias("oob_acc"),
                     F.round(F.col("nok") * 1.0 / F.col("n"), 9)
                     .alias("ens_acc")))
+
+
+# Learned quality filter: hashed-feature logistic regression DISTILLED
+# from the Gopher rule gate — the classifier stage of production data
+# pipelines (CCNet's LM filter, DCLM/fastText quality classifiers):
+# hard rules are cheap to label with at corpus scale, and the learned
+# model generalizes past the rule boundary. 64 hashed unigram buckets;
+# 2 unrolled batch-GD rounds (the ml_logreg_gd_2iter recipe) keep the
+# trainer oracle-exact.
+_QC_B = 64        # hashed feature buckets
+_QC_RATE = 0.1    # GD learning rate (shared shape with _LR_RATE)
+
+
+def _qc_distill_oracle() -> str:
+    from ..registry import ORACLE_SQL as osql
+    gopher = osql["corpus_gopher_quality_rules"]
+    return f"""
+WITH gq AS MATERIALIZED ({gopher}),
+yv AS (SELECT doc_id, CASE WHEN keep = 1 THEN 1.0 ELSE 0.0 END AS y
+       FROM gq),
+tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         ('0x' || substr(md5(word), 1, 8))::BIGINT % {_QC_B} AS i,
+         count(*) AS c
+  FROM tok WHERE word <> '' GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+g1 AS (SELECT f.i, sum((0.5 - yv.y) * f.c) AS g
+       FROM feat f JOIN yv USING (doc_id) GROUP BY f.i),
+w1 AS MATERIALIZED (SELECT i, -{_QC_RATE} * g / n.n AS w FROM g1, n),
+z2 AS (SELECT f.doc_id, sum(f.c * w1.w) AS z
+       FROM feat f JOIN w1 USING (i) GROUP BY f.doc_id),
+p2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) AS p FROM z2),
+g2 AS (SELECT f.i, sum((p2.p - yv.y) * f.c) AS g
+       FROM feat f JOIN p2 USING (doc_id) JOIN yv USING (doc_id)
+       GROUP BY f.i)
+SELECT w1.i, round(w1.w - {_QC_RATE} * g2.g / n.n, 6) AS w
+FROM w1 JOIN g2 USING (i), n
+"""
+
+
+@query("ml_quality_classifier_distill", oracle=_qc_distill_oracle())
+def ml_quality_classifier_distill(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LEARNED QUALITY FILTER by RULE DISTILLATION — the model-based
+    stage of production corpus pipelines (CCNet's classifier, the
+    DCLM / fastText quality models): label every document with the
+    Gopher hard-rule verdict (corpus_gopher_quality_rules, reused
+    verbatim on both engines), featurize as {_QC_B} md5-hashed unigram
+    count buckets (the feature_hashing_trick portable hash), and train
+    logistic regression with two unrolled batch-GD rounds — the exact
+    ml_logreg_gd_2iter recipe, so the trainer is ORACLE-EXACT, not
+    rows-only. Output is the learned bucket-weight vector; scoring a
+    new document is one broadcast join + sigmoid (the weights are
+    model state).
+
+    Why distill: the rule gate is brittle at the boundary (a 49-word
+    doc fails, a 50-word doc passes); the classifier smooths it and
+    transfers to domains where individual rules misfire — while
+    training labels stay FREE at corpus scale because the teacher is
+    itself a one-scan relational query. The direction test
+    (test_quality_distill_separates_classes) pins that two GD rounds
+    already score rule-kept docs above rule-dropped ones on average.
+
+    Numeric determinism, by the logreg precedent: round-1 gradient
+    terms (0.5 - y)·c are exact dyadic sums of integers; w1 is then a
+    single identical-operand float expression in both engines; round-2
+    scores re-aggregate through sigmoid (cross-engine exp parity
+    pinned by arr_sigmoid/P4) and the output rounds to the 6-digit
+    grid. Scale shape: featurize is one narrow explode + (doc, bucket)
+    count with map-side combine; each GD round is one {_QC_B}-row
+    broadcast join + one bucket-keyed gradient aggregate (the RBM
+    weight-shuffle shape — shuffle width is B, corpus-independent);
+    more rounds = the same plan repeated under a checkpoint cadence
+    (the text_bpe_merge_train_scaled loop discipline)."""
+    from ..operators.corpus_hygiene import corpus_gopher_quality_rules
+
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    yv = (corpus_gopher_quality_rules(spark, sf_dir)
+          .select("doc_id", F.when(F.col("keep") == 1, 1.0)
+                  .otherwise(0.0).alias("y")))
+    feat = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                     .cast("bigint") % _QC_B).alias("i"))
+            .groupBy("doc_id", "i").agg(F.count(F.lit(1)).alias("c")))
+
+    g1 = (feat.join(yv, "doc_id").groupBy("i")
+          .agg(F.sum((F.lit(0.5) - F.col("y")) * F.col("c")).alias("g")))
+    w1 = g1.select(
+        "i", (F.lit(-_QC_RATE) * F.col("g") / F.lit(n)).alias("w"))
+    z2 = (feat.join(F.broadcast(w1), "i").groupBy("doc_id")
+          .agg(F.sum(F.col("c") * F.col("w")).alias("z")))
+    p2 = z2.select(
+        "doc_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"))
+    g2 = (feat.join(p2, "doc_id").join(yv, "doc_id").groupBy("i")
+          .agg(F.sum((F.col("p") - F.col("y")) * F.col("c")).alias("g")))
+    return (w1.join(g2, "i")
+            .select("i",
+                    F.round(F.col("w") - F.lit(_QC_RATE) * F.col("g")
+                            / F.lit(n), 6).alias("w")))

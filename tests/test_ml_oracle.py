@@ -224,3 +224,41 @@ def test_gbm_rounds_improve_training_rmse(spark):
                 spark, SF_ORACLE).collect()}
     assert rows[2]["rmse_after"] < rows[1]["rmse_after"]
     assert rows[1]["threshold"] != rows[2]["threshold"]
+
+
+def test_quality_distill_vs_duckdb(spark, duck):
+    compare(SPARK_QUERIES["ml_quality_classifier_distill"](spark, SF_ORACLE),
+            duck, ORACLE_SQL["ml_quality_classifier_distill"],
+            "ml_quality_classifier_distill")
+
+
+def test_quality_distill_separates_classes(spark):
+    """Two GD rounds must already learn the rule DIRECTION: scoring the
+    corpus with the trained bucket weights, rule-kept documents average
+    a strictly higher score than rule-dropped ones (an AUC-direction
+    assertion — robust to the shallow trainer's small margins)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.ml.queries import _QC_B
+    from hadoop_digit_recognition_spark.operators.corpus_hygiene import (
+        corpus_gopher_quality_rules)
+    from hadoop_digit_recognition_spark.tables import load
+
+    w = SPARK_QUERIES["ml_quality_classifier_distill"](spark, SF_ORACLE)
+    docs = load(spark, SF_ORACLE, "documents")
+    feat = (docs.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .select("doc_id",
+                    (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                     .cast("bigint") % _QC_B).alias("i"))
+            .groupBy("doc_id", "i").agg(F.count(F.lit(1)).alias("c")))
+    score = (feat.join(F.broadcast(w), "i").groupBy("doc_id")
+             .agg(F.sum(F.col("c") * F.col("w")).alias("z")))
+    labels = (corpus_gopher_quality_rules(spark, SF_ORACLE)
+              .select("doc_id", "keep"))
+    means = {int(r["keep"]): r["mz"] for r in
+             (score.join(labels, "doc_id").groupBy("keep")
+              .agg(F.avg("z").alias("mz")).collect())}
+    assert means[1] > means[0], means

@@ -163,3 +163,26 @@ def test_readme_fresh():
         assert m and int(m.group(1)) == n_rows_only, (
             f"README stale on rows-only count ({pat}): says "
             f"{m and m.group(1)}, registry has {n_rows_only}")
+
+
+def test_plans_audit_fresh():
+    """PLANS_AUDIT.md must carry one row for every bench HEADLINE and
+    TAIL query — the same generated-artifact freshness regime as
+    QUERIES.md and README.md (rerun scripts/gen_plan_audit.py after
+    changing the bench lists or any audited plan)."""
+    import re
+
+    from bench import HEADLINE, TAIL
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "PLANS_AUDIT.md")).read()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    expected = set(HEADLINE) | set(TAIL)
+    missing = expected - listed
+    extra = listed - expected
+    assert not missing, (
+        f"PLANS_AUDIT.md stale, missing rows: {sorted(missing)[:5]} — "
+        f"rerun scripts/gen_plan_audit.py")
+    assert not extra, (
+        f"PLANS_AUDIT.md has rows no longer in bench lists: "
+        f"{sorted(extra)[:5]} — rerun scripts/gen_plan_audit.py")

@@ -1240,7 +1240,8 @@ def _release_oracle_chain() -> str:
         semantic=osql["corpus_decontamination_semantic"])
 
 
-def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
+def _release_chain(spark: SparkSession, sf_dir: str,
+                   budget: int = _REL_DOC_BUDGET) -> dict:
     """Build the survivor chain s1..s7 as DataFrames (the Spark twin of
     _RELEASE_CHAIN_SQL), reusing the registered rung callables. Every
     survivor frame is id-sized (doc_id lists), so the persists are
@@ -1293,7 +1294,7 @@ def _release_chain(spark: SparkSession, sf_dir: str) -> dict:
     quota = src.select(
         "source",
         F.least(F.floor(F.col("pw") / F.sum("pw").over(W.partitionBy())
-                        * _REL_DOC_BUDGET).cast("bigint"),
+                        * budget).cast("bigint"),
                 F.col("n_docs")).alias("q"))
     rn = F.row_number().over(
         W.partitionBy("source")

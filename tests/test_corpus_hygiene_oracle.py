@@ -86,6 +86,25 @@ def test_release_manifest_consistent_with_accounting(spark):
         prev += r.n_tokens
 
 
+def test_release_monotone_in_budget(spark):
+    """RELEASE MONOTONICITY: shrinking the release budget must produce a
+    SUBSET of the larger release (per source, quota_s = floor(w_s * B)
+    is monotone in B and the hash-ranked selection takes a prefix, so
+    budget-50 docs are nested inside budget-100 docs). The operational
+    property a release pipeline needs for reproducible down-scoping —
+    a smaller re-release never introduces documents the bigger one
+    vetted out."""
+    from hadoop_digit_recognition_spark.operators.corpus_hygiene import (
+        _release_chain)
+
+    small = {r.doc_id for r in _release_chain(
+        spark, SF_ORACLE, budget=50)["s6"].collect()}
+    large = {r.doc_id for r in _release_chain(
+        spark, SF_ORACLE, budget=100)["s6"].collect()}
+    assert 0 < len(small) < len(large)
+    assert small <= large, sorted(small - large)[:5]
+
+
 def test_decontamination_excludes_benchmark_docs(spark):
     """No benchmark doc may appear in the output, and hits are bounded
     by the doc's own gram count."""

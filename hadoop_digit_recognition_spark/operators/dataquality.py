@@ -658,7 +658,7 @@ dev AS (
 SELECT source, CAST(size_bucket AS BIGINT) AS size_bucket,
        CAST(gs AS BIGINT) AS group_size,
        CAST(tvd2_micro AS BIGINT) AS tvd2_micro,
-       round(tvd2_micro / 2000000.0, 6) AS tvd,
+       CAST(round(tvd2_micro / 2.0) AS BIGINT) / 1000000.0 AS tvd,
        tvd2_micro * {TCLOSE_DEN} > {TCLOSE_NUM} * 2 * 1000000 AS violates_t
 FROM dev
 """)
@@ -684,7 +684,15 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     The violation flag cross-multiplies the rational threshold on
     those micro-ints, never a float; quantization moves the effective
     threshold by at most |langs|*5e-7, documented here. The float tvd
-    column is metric-only.
+    column is metric-only, and it divides an INTEGER half-micro count
+    by 1e6 rather than rounding tvd2_micro/2e6 to 6 digits: any ODD
+    tvd2_micro makes that quotient an exact 7-digit half-boundary
+    (odd*5e-7), where Spark's decimal HALF_UP and DuckDB's
+    binary-double rounding disagree by 1e-6 (three sf0.1 classes hit
+    it in the round-9 off-nominal sweep). tvd2_micro/2.0 is an exact
+    dyadic half-integer in both engines, its .5 cases round away from
+    zero identically, and the final division of equal int64s is one
+    identical IEEE op.
 
     Scale shape: one combiner'd count over (QI, sensitive) — class x
     sensitive-cardinality model-sized state — then a broadcast of the
@@ -720,7 +728,8 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("size_bucket").cast("bigint").alias("size_bucket"),
         F.col("gs").cast("bigint").alias("group_size"),
         F.col("tvd2_micro").cast("bigint").alias("tvd2_micro"),
-        F.round(F.col("tvd2_micro") / 2000000.0, 6).alias("tvd"),
+        (F.round(F.col("tvd2_micro") / 2.0, 0).cast("bigint")
+         / 1000000.0).alias("tvd"),
         (F.col("tvd2_micro") * TCLOSE_DEN
          > TCLOSE_NUM * 2 * 1000000).alias("violates_t"))
 

@@ -131,6 +131,7 @@ def _rotate_for_driver_coverage() -> None:
     _ADDED_LATE_R9: set[str] = {
         "pipeline_corpus_release", "pipeline_release_manifest",
         "ml_quality_classifier_distill",
+        "corpus_decontamination_semantic_lsh",
     }
 
     def _family(n: str) -> int:

@@ -1449,3 +1449,95 @@ def pipeline_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty_micro", "crank",
         F.floor(F.coalesce(F.sum("ntok").over(cum), F.lit(0))
                 / float(_SEQ_LEN)).cast("bigint").alias("seq_id")))
+
+
+# Banded-LSH semantic decontamination — the SCALE path of
+# corpus_decontamination_semantic, promoted to a first-class query after
+# the round-9 sf10 chain rehearsal measured the brute-force eval sweep
+# at 206s for 2,061 eval x ~198k train (~408M cosines) — 80% of the
+# whole release chain's wall (SCALE.md round 9).
+from .similarity import EMB_BAND_BUCKETS_SQL as _EMB_BB_SQL  # noqa: E402
+
+
+@query("corpus_decontamination_semantic_lsh", oracle=f"""
+WITH {_EMB_BB_SQL.strip()},
+cand AS (
+  SELECT DISTINCT t.vec_id, e.vec_id AS eval_id
+  FROM bb t JOIN bb e ON t.band = e.band AND t.bkt = e.bkt
+  WHERE t.vec_id % {_SEMDECON_MOD} <> 0
+    AND e.vec_id % {_SEMDECON_MOD} = 0),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT c.vec_id, c.eval_id,
+         round(list_cosine_similarity(t.emb, e.emb), 6) AS cos
+  FROM cand c JOIN ev t ON t.vec_id = c.vec_id
+              JOIN ev e ON e.vec_id = c.eval_id),
+best AS (
+  SELECT vec_id, eval_id, cos FROM (
+    SELECT vec_id, eval_id, cos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, eval_id) AS rn
+    FROM scored) WHERE rn = 1)
+SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
+       cos >= {_SEMDECON_TAU} AS contaminated
+FROM best
+""")
+def corpus_decontamination_semantic_lsh(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination, BANDED-LSH scale path: replace the
+    brute-force |train| x |eval| cosine sweep of
+    corpus_decontamination_semantic with the engine's L=4 x r=4 banded
+    sign-LSH (dedup_embedding_lsh's machinery): candidates are
+    (band, bucket) equi-join collisions between the train and eval
+    sides, exact rounded-cosine rerank runs on candidates only, and a
+    train vector is flagged iff its best CANDIDATE eval clears cos >=
+    {_SEMDECON_TAU}. Output rows exist only for train vectors with at
+    least one candidate — the recall trade (1-(1-p^r)^L ~ 50% at the
+    threshold, the dedup_lsh_band_tuning S-curve) bought with candidate
+    volume Σ|bucket|² instead of |train| x |eval|.
+
+    When to switch: the round-9 sf10 chain rehearsal measured the
+    brute-force sweep at 206s for ~408M candidate cosines at 200k
+    vectors — already the release chain's dominant rung — while this
+    path's candidate set is bucket-bounded and its recall knobs (grow
+    r with log n, raise L to hold the recall point) are the standard
+    production tune. Flags are SOUND by construction (every flagged
+    vector is exact-verified at the same threshold, so LSH-contaminated
+    is a SUBSET of the exact pass's verdicts — pinned by
+    test_semantic_lsh_sound_and_recalls); the miss direction is
+    recall-only, matching how production pipelines stack decontam
+    passes (verbatim n-gram catches what the embedding tier misses).
+
+    Scale shape: bucket build is narrow per-row folds over broadcast
+    plane literals (no shuffle); the candidate join shuffles L rows per
+    vector on (band, bkt); rerank joins fetch embeddings for the
+    candidate set only."""
+    from .similarity import _band_bucket_df
+    from ..functions.vector import dot_col, l2norm_col
+
+    bb = _band_bucket_df(spark, sf_dir).select("vec_id", "band", "bkt")
+    tr = (bb.filter(F.col("vec_id") % _SEMDECON_MOD != 0))
+    ev = (bb.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+          .select(F.col("vec_id").alias("eval_id"), "band", "bkt"))
+    cand = (tr.join(ev, ["band", "bkt"])
+            .select("vec_id", "eval_id").distinct())
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    te = emb.select("vec_id", F.col("embedding").alias("temb"),
+                    F.col("nrm").alias("tn"))
+    ee = emb.select(F.col("vec_id").alias("eval_id"),
+                    F.col("embedding").alias("eemb"),
+                    F.col("nrm").alias("en"))
+    scored = (cand.join(te, "vec_id").join(ee, "eval_id")
+              .select("vec_id", "eval_id",
+                      F.round(dot_col(F.col("temb"), F.col("eemb"))
+                              / (F.col("tn") * F.col("en")), 6)
+                      .alias("cos")))
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eval_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("eval_id").alias("nearest_eval_id"),
+                    F.col("cos").alias("max_cos"),
+                    (F.col("cos") >= float(_SEMDECON_TAU))
+                    .alias("contaminated")))

@@ -27,6 +27,7 @@ NEW = [
     "feature_hashing_trick",
     "pipeline_corpus_release",
     "pipeline_release_manifest",
+    "corpus_decontamination_semantic_lsh",
 ]
 
 
@@ -237,3 +238,28 @@ def test_hashing_trick_conserves_tokens(spark):
     for d, t in truth.items():
         if t > 0:
             assert per_doc[d] == t, d
+
+
+def test_semantic_lsh_sound_and_recalls(spark):
+    """The banded-LSH decontam pass is SOUND (every flagged vector is
+    flagged by the exact brute-force pass — candidates are
+    exact-verified at the same threshold, so no false positives are
+    possible) and recalls a usable fraction of the exact pass's
+    contaminated set (the L=4 x r=4 S-curve predicts ~50% at the
+    cos 0.4 threshold; assert a conservative floor). Candidate max_cos
+    never exceeds the exact max_cos."""
+    exact = {r.vec_id: (r.max_cos, r.contaminated) for r in
+             SPARK_QUERIES["corpus_decontamination_semantic"](
+                 spark, SF_ORACLE).collect()}
+    lsh = {r.vec_id: (r.max_cos, r.contaminated) for r in
+           SPARK_QUERIES["corpus_decontamination_semantic_lsh"](
+               spark, SF_ORACLE).collect()}
+    exact_flagged = {v for v, (_, c) in exact.items() if c}
+    lsh_flagged = {v for v, (_, c) in lsh.items() if c}
+    assert lsh_flagged <= exact_flagged, sorted(lsh_flagged
+                                                - exact_flagged)[:5]
+    assert exact_flagged, "fixture lost its contaminated vectors"
+    recall = len(lsh_flagged) / len(exact_flagged)
+    assert recall >= 0.3, f"banded recall collapsed: {recall:.2f}"
+    for v, (mc, _) in lsh.items():
+        assert mc <= exact[v][0] + 1e-9, (v, mc, exact[v][0])

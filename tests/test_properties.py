@@ -699,7 +699,10 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # before sign-bit coding (its code would be all-zero
                  # and its cosine undefined)
                  "sim_binary_quantization_hamming",
-                 "sim_mutual_knn_pairs"):
+                 "sim_mutual_knn_pairs",
+                 # round 9: the banded eval sweep must drop the zero
+                 # vector before bucketing on both sides
+                 "corpus_decontamination_semantic_lsh"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

@@ -132,6 +132,7 @@ def _rotate_for_driver_coverage() -> None:
         "pipeline_corpus_release", "pipeline_release_manifest",
         "ml_quality_classifier_distill",
         "corpus_decontamination_semantic_lsh",
+        "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
     }
 
     def _family(n: str) -> int:

@@ -1900,3 +1900,244 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_occ", "score_micro",
                     F.round(F.col("score_micro") / 1000000.0, 6)
                     .alias("score")))
+
+
+# Unigram-LM (SentencePiece) tokenizer family — the OTHER production
+# tokenizer algorithm next to BPE (Kudo 2018): a vocabulary of pieces
+# with probabilities, each word segmented by the max-likelihood piece
+# sequence (Viterbi), vocabulary re-estimated by EM. Constants:
+_UNI_MAXLEN = 12   # word-length bound of the unrolled Viterbi oracle
+_UNI_MAXP = 4      # max piece length
+_UNI_V = 40        # kept multi-char pieces (plus ALL single chars)
+_UNI_NEG = -(10 ** 15)  # -inf stand-in on the micro-log grid
+
+
+def _unigram_oracle() -> str:
+    """Unrolled Viterbi DP + backtrace. Piece log-probs snap to an
+    INTEGER micro-log grid (round(ln(cnt/tot)*1e6) — the DSIR idiom),
+    so the DP is pure int64 max/plus and the argmax path (largest-
+    last-piece tie rule) is engine-exact. Levels and backtrace steps
+    are generated CTEs (the _dtw_oracle precedent); every multiply-
+    referenced CTE is AS MATERIALIZED (the LPA lesson)."""
+    levels = []
+    for j in range(1, _UNI_MAXLEN + 1):
+        terms = []
+        joins = []
+        for l in range(1, min(_UNI_MAXP, j) + 1):
+            joins.append(
+                f"JOIN v{j - l} p{l} ON p{l}.word = w.word\n"
+                f"  LEFT JOIN lp l{l} ON l{l}.piece = "
+                f"substr(w.word, {j - l + 1}, {l})")
+            terms.append(f"coalesce(p{l}.s + l{l}.lmic, {_UNI_NEG})")
+        levels.append(f"""
+v{j} AS MATERIALIZED (
+  SELECT w.word, greatest({", ".join(terms)}) AS s
+  FROM wt w
+  {chr(10).join(joins)}
+  WHERE len(w.word) >= {j})"""[1:])
+    lv_union = "\nUNION ALL\n".join(
+        f"SELECT word, {j} AS j, s FROM v{j}"
+        for j in range(0, _UNI_MAXLEN + 1))
+    steps = []
+    for k in range(1, _UNI_MAXLEN + 1):
+        steps.append(f"""
+b{k} AS MATERIALIZED (
+  SELECT b.word,
+         CASE WHEN b.j = 0 THEN 0
+              ELSE b.j - ch.l END AS j,
+         CASE WHEN b.j = 0 THEN b.seg
+              ELSE substr(b.word, b.j - ch.l + 1, ch.l)
+                   || (CASE WHEN b.seg = '' THEN '' ELSE '+' END)
+                   || b.seg END AS seg
+  FROM b{k - 1} b
+  LEFT JOIN choice ch ON b.j > 0 AND ch.word = b.word AND ch.j = b.j)"""[1:])
+    return f"""
+WITH wt AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND len(word) <= {_UNI_MAXLEN}
+  GROUP BY word),
+subs AS (
+  SELECT substr(w.word, ii.i, ll.l) AS piece, w.freq
+  FROM wt w
+  CROSS JOIN range(1, {_UNI_MAXLEN + 1}) ii(i)
+  CROSS JOIN range(1, {_UNI_MAXP + 1}) ll(l)
+  WHERE ii.i + ll.l - 1 <= len(w.word)),
+pc AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+                    FROM subs GROUP BY piece),
+topv AS (SELECT piece FROM pc ORDER BY cnt DESC, piece LIMIT {_UNI_V}),
+kept AS MATERIALIZED (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM topv
+    UNION ALL
+    SELECT piece FROM pc WHERE len(piece) = 1)),
+tot AS (SELECT CAST(sum(pc.cnt) AS DOUBLE) AS t
+        FROM pc JOIN kept USING (piece)),
+lp AS MATERIALIZED (
+  SELECT pc.piece,
+         CAST(round(ln(pc.cnt / tot.t) * 1000000) AS BIGINT) AS lmic
+  FROM pc JOIN kept USING (piece) CROSS JOIN tot),
+v0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS s FROM wt),
+{",".join(levels)},
+lv AS MATERIALIZED (
+{lv_union}),
+cand AS (
+  SELECT lvj.word, lvj.j, ll.l
+  FROM lv lvj
+  CROSS JOIN range(1, {_UNI_MAXP + 1}) ll(l)
+  JOIN lv lvp ON lvp.word = lvj.word AND lvp.j = lvj.j - ll.l
+  JOIN lp ON lp.piece = substr(lvj.word, lvj.j - ll.l + 1, ll.l)
+  WHERE lvj.j > 0 AND ll.l <= lvj.j
+    AND lvj.s = lvp.s + lp.lmic),
+choice AS MATERIALIZED (
+  SELECT word, j, max(l) AS l FROM cand GROUP BY word, j),
+b0 AS (SELECT word, len(word) AS j, '' AS seg FROM wt),
+{",".join(steps)}
+SELECT w.word, w.freq,
+       CAST(len(string_split(b.seg, '+')) AS BIGINT) AS n_pieces,
+       b.seg AS seg,
+       CAST(v.s AS BIGINT) AS score_micro
+FROM wt w
+JOIN b{_UNI_MAXLEN} b ON b.word = w.word
+JOIN lv v ON v.word = w.word AND v.j = len(w.word)
+"""
+
+
+def _unigram_piece_logprobs(spark: SparkSession,
+                            sf_dir: str) -> tuple[DataFrame, dict]:
+    """(word-frequency frame, {piece: micro-log-prob}) — the shared
+    vocabulary-init stage: all substrings of length 1..{_UNI_MAXP} of
+    the word types weighted by word frequency, top {_UNI_V} by
+    (count desc, piece) plus every single character (so any word stays
+    segmentable), probabilities on the integer micro-log grid."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    wt = (docs.select(F.explode(F.split("text", " ")).alias("word"))
+          .filter((F.col("word") != "")
+                  & (F.length("word") <= _UNI_MAXLEN))
+          .groupBy("word").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("freq")))
+    wt = wt.localCheckpoint()
+    subs = None
+    for l in range(1, _UNI_MAXP + 1):
+        s_ = (wt.select(
+                F.explode(F.expr(
+                    f"transform(sequence(1, greatest(length(word) - {l - 1},"
+                    f" 0)), i -> substring(word, i, {l}))")).alias("piece"),
+                "freq")
+              .filter(F.length("piece") == l))
+        subs = s_ if subs is None else subs.unionByName(s_)
+    pc = subs.groupBy("piece").agg(F.sum("freq").cast("bigint").alias("cnt"))
+    pc = pc.localCheckpoint()
+    topv = (pc.orderBy(F.desc("cnt"), F.asc("piece")).limit(_UNI_V)
+            .select("piece"))
+    chars = pc.filter(F.length("piece") == 1).select("piece")
+    kept = topv.unionByName(chars).distinct()
+    kp = pc.join(kept, "piece")
+    tot = float(kp.agg(F.sum("cnt")).collect()[0][0])
+    lp_rows = (kp.select(
+        "piece",
+        F.round(F.log(F.col("cnt") / F.lit(tot)) * 1000000.0)
+        .cast("bigint").alias("lmic")).collect())
+    return wt, {r["piece"]: int(r["lmic"]) for r in lp_rows}
+
+
+@query("text_unigram_viterbi_segment", eager=True,
+       oracle=_unigram_oracle())
+def text_unigram_viterbi_segment(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer E-step (Kudo 2018 — the SentencePiece
+    algorithm, the other production tokenizer family next to this
+    repo's BPE trainers): initialize a piece vocabulary from substring
+    statistics ({_UNI_V} top pieces + all single chars, probabilities
+    proportional to frequency-weighted substring counts), then segment
+    every word type by its MAX-LIKELIHOOD piece sequence via Viterbi
+    over piece log-probs. Output per word type: the chosen segmentation
+    (pieces joined by '+'), piece count, and the path score.
+
+    Engine-exactness: piece log-probs snap to an integer MICRO-LOG grid
+    (round(ln(cnt/tot)*1e6), the DSIR idiom), so the DP is pure int64
+    max/plus; path ties break by LARGEST last piece at every position —
+    both engines replay the identical argmax. The oracle unrolls the
+    {_UNI_MAXLEN}-level DP and its backtrace as generated CTEs (the DTW
+    precedent); the Spark side runs the same integer DP in an
+    Arrow-batched pandas UDF over the word-type table with the
+    vocabulary broadcast (model-state-sized, the weight-matrix
+    convention). Words longer than {_UNI_MAXLEN} chars are excluded on
+    BOTH sides — the oracle's unroll bound; the Spark DP itself has no
+    such limit, and production raises the constant.
+
+    Scale shape: ONE corpus pass for the word count (combiner'd);
+    everything after runs on word-TYPE-sized state (Heaps-law bounded)
+    — substring init is a narrow explode over types, the vocabulary is
+    V+alphabet rows, and the E-step is embarrassingly parallel over
+    types. The M-step twin (text_unigram_em_reestimate) re-counts
+    pieces over these segmentations — one EM round, the loop discipline
+    of text_bpe_merge_train_scaled applies for more."""
+    import pandas as pd
+
+    wt, lmic = _unigram_piece_logprobs(spark, sf_dir)
+    blm = spark.sparkContext.broadcast(lmic)
+
+    def seg_batch(it):
+        for pdf in it:
+            lm = blm.value
+            out = []
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                NEG = _UNI_NEG
+                s = [0] + [NEG] * n
+                for j in range(1, n + 1):
+                    best = NEG
+                    for l in range(1, min(_UNI_MAXP, j) + 1):
+                        lp = lm.get(word[j - l:j])
+                        if lp is not None and s[j - l] + lp > best:
+                            best = s[j - l] + lp
+                    s[j] = best
+                pieces = []
+                j = n
+                while j > 0:
+                    pick = None
+                    for l in range(1, min(_UNI_MAXP, j) + 1):
+                        lp = lm.get(word[j - l:j])
+                        if lp is not None and s[j] == s[j - l] + lp:
+                            pick = l  # largest l wins (loop ascends)
+                    pieces.append(word[j - pick:j])
+                    j -= pick
+                pieces.reverse()
+                out.append((word, int(freq), len(pieces),
+                            "+".join(pieces), int(s[n])))
+            yield pd.DataFrame(out, columns=[
+                "word", "freq", "n_pieces", "seg", "score_micro"])
+
+    return wt.mapInPandas(
+        seg_batch,
+        "word string, freq bigint, n_pieces bigint, seg string, "
+        "score_micro bigint")
+
+
+@query("text_unigram_em_reestimate", eager=True, oracle=f"""
+WITH segs AS MATERIALIZED ({{segment}}),
+occ AS (SELECT unnest(string_split(seg, '+')) AS piece, freq FROM segs)
+SELECT piece,
+       CAST(sum(freq) AS BIGINT) AS em_count,
+       CAST(count(*) AS BIGINT) AS n_word_types
+FROM occ GROUP BY piece
+ORDER BY em_count DESC, piece LIMIT 20
+""".format(segment=_unigram_oracle()))
+def text_unigram_em_reestimate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM M-step: re-count piece usage over the Viterbi
+    segmentations (frequency-weighted) — the sufficient statistics the
+    EM round renormalizes into the next vocabulary, reported as the
+    top-20 pieces (count desc, piece). COMPOSITION: the Spark side
+    reuses the registered E-step callable; the oracle embeds the
+    E-step's generated SQL verbatim as a CTE (the sim_mutual_knn_pairs
+    convention), so the two EM halves cannot drift. One explode +
+    grouped sum over word-TYPE-sized state."""
+    seg = text_unigram_viterbi_segment(spark, sf_dir)
+    occ = seg.select(F.explode(F.split("seg", r"\+")).alias("piece"),
+                     "freq")
+    return (occ.groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("em_count"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_word_types"))
+            .orderBy(F.desc("em_count"), F.asc("piece")).limit(20))

@@ -115,6 +115,7 @@ LLM_QUERIES = [
     "timeseries_matrix_profile_sad", "events_markov_stationary",
     "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
     "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
+    "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
 ]
 
 
@@ -935,6 +936,27 @@ def test_bpe_scaled_prefix_and_replay(spark):
     diff = (replayed.exceptAll(final_state).count()
             + final_state.exceptAll(replayed).count())
     assert diff == 0, f"replay diverged on {diff} word states"
+
+
+def test_unigram_viterbi_invariants(spark):
+    """The Viterbi segmentation must (a) concatenate back to the word
+    exactly, (b) score as the sum of its pieces' micro-log-probs (the
+    path the DP claims is the one reported), and (c) never beat any
+    single-piece segmentation of a kept whole-word piece."""
+    from hadoop_digit_recognition_spark.operators.text import (
+        _unigram_piece_logprobs)
+
+    _, lmic = _unigram_piece_logprobs(spark, SF_ORACLE)
+    rows = SPARK_QUERIES["text_unigram_viterbi_segment"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        pieces = r.seg.split("+")
+        assert "".join(pieces) == r.word, r
+        assert len(pieces) == r.n_pieces, r
+        assert sum(lmic[p] for p in pieces) == r.score_micro, r
+        if r.word in lmic:
+            assert r.score_micro >= lmic[r.word], r
 
 
 def test_dtw_bounded_by_l1(spark):

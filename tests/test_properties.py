@@ -647,7 +647,12 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # zero-frame docs and all-equal-energy plateaus (no
                  # strict peak -> empty) for landmarks
                  "text_rake_keywords", "multimodal_vit_patch_plan",
-                 "multimodal_audio_landmark_fingerprint"):
+                 "multimodal_audio_landmark_fingerprint",
+                 # round 9: empty doc -> zero word types; one repeated
+                 # word -> a single dominant piece; identical block ->
+                 # shared vocabulary (unigram-LM Viterbi + EM recount)
+                 "text_unigram_viterbi_segment",
+                 "text_unigram_em_reestimate"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

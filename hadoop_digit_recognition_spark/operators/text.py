@@ -2141,3 +2141,151 @@ def text_unigram_em_reestimate(spark: SparkSession,
             .agg(F.sum("freq").cast("bigint").alias("em_count"),
                  F.count(F.lit(1)).cast("bigint").alias("n_word_types"))
             .orderBy(F.desc("em_count"), F.asc("piece")).limit(20))
+
+
+# WordPiece trainer — the THIRD production tokenizer-training rule next
+# to BPE (frequency-greedy merges) and unigram-LM (likelihood pruning):
+# WordPiece (Schuster & Nakajima 2012; Wu et al. 2016, GNMT §4) merges
+# the adjacent pair maximizing the LIKELIHOOD RATIO
+# count(l,r) / (count(l) * count(r)) — the pair whose merge most
+# increases a unigram LM's corpus likelihood — instead of raw pair
+# frequency. Same start state, counting stage, and greedy left-to-right
+# comma-token merge as the BPE trainer (shared helpers, so the three
+# trainers can never disagree on WHAT a round counts); only the
+# selection rule differs.
+_WP_ROUNDS = 6
+_WP_SCORE_E12 = 1_000_000_000_000
+
+
+def _wp_round_sql(r: int) -> str:
+    """One DuckDB WordPiece round: adjacent-pair counts AND symbol
+    unigram counts over the previous state, likelihood-ratio score on
+    an exact integer e12 grid (HUGEINT floor division — engine-exact,
+    no float comparison), deterministic best pair, then the same
+    greedy comma-token merge as the BPE oracle round. Every
+    multiply-referenced CTE is AS MATERIALIZED (the LPA lesson —
+    wsy{r} feeds both counts, t{r} feeds the next round twice;
+    inlined, the chain re-evaluates 3^rounds times: measured 206s at
+    sf0.01 vs 0.4s materialized)."""
+    return f"""
+wsy{r} AS MATERIALIZED (
+  SELECT freq, list_filter(string_split(repr, ' '), x -> x != '') AS syms
+  FROM t{r - 1}),
+wpr{r} AS (
+  SELECT rtrim(syms[CAST(i AS INTEGER)], ',') AS l,
+         rtrim(syms[CAST(i AS INTEGER) + 1], ',') AS r,
+         sum(freq) AS cnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM wsy{r})
+  GROUP BY 1, 2),
+wug{r} AS (
+  SELECT rtrim(syms[CAST(i AS INTEGER)], ',') AS sym, sum(freq) AS ucnt
+  FROM (SELECT freq, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM wsy{r})
+  GROUP BY 1),
+wsc{r} AS (
+  SELECT p.l, p.r, p.cnt,
+         CAST(CAST(p.cnt AS HUGEINT) * {_WP_SCORE_E12}
+              // (CAST(ul.ucnt AS HUGEINT) * ur.ucnt) AS BIGINT)
+           AS score_e12
+  FROM wpr{r} p
+  JOIN wug{r} ul ON p.l = ul.sym
+  JOIN wug{r} ur ON p.r = ur.sym),
+wb{r} AS (SELECT l, r, cnt, score_e12 FROM wsc{r}
+          ORDER BY score_e12 DESC, cnt DESC, l, r LIMIT 1),
+t{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(repr, ' ' || b.l || ', ' || b.r || ',',
+                 ' ' || b.l || b.r || ',') AS repr
+  FROM t{r - 1} CROSS JOIN wb{r} b)"""
+
+
+def _wp_sym_counts(state: DataFrame) -> DataFrame:
+    """(sym, ucnt) frequency-weighted symbol unigram counts over a word
+    state — the denominator stage of the WordPiece score."""
+    syms = F.filter(F.split("repr", " "), lambda x: x != "")
+    return (state.select("freq", F.explode(syms).alias("s"))
+            .select("freq", F.expr("rtrim(',', s)").alias("sym"))
+            .groupBy("sym").agg(F.sum("freq").alias("ucnt")))
+
+
+@query("text_wordpiece_train", oracle=f"""
+WITH wf AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+t0 AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1),
+                          i -> word[CAST(i AS INTEGER)] || ','), ' ')
+           AS repr
+  FROM wf),
+{",".join(_wp_round_sql(r) for r in range(1, _WP_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT CAST({r} AS BIGINT) AS round, l AS lhs, r AS rhs, "
+    f"CAST(cnt AS BIGINT) AS pair_count, score_e12 FROM wb{r}"
+    for r in range(1, _WP_ROUNDS + 1))}
+""", eager=True)
+def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE TOKENIZER TRAINING (Schuster & Nakajima 2012; Wu et
+    al. 2016) — {_WP_ROUNDS} rounds of likelihood-ratio-greedy merges
+    producing (round, lhs, rhs, pair_count, score_e12). Completes the
+    tokenizer-trainer triple next to text_bpe_merge_train (frequency
+    rule) and text_unigram_viterbi_segment (EM pruning): same
+    `_bpe_word_state` start state, same `_bpe_pair_counts` counting
+    stage, same comma-token greedy merge — only the SELECTION differs:
+    argmax of count(l,r)/(count(l)·count(r)), the pair whose merge most
+    increases the unigram-LM corpus likelihood.
+
+    Cross-engine exactness: the score is floor(cnt·1e12/(ul·ur)) on an
+    integer grid — Spark computes it in DECIMAL(38,0) `DIV`, DuckDB in
+    HUGEINT `//`; both are exact integer floor division of the same
+    integers, so the argmax (score desc, cnt desc, then lexicographic)
+    is engine-identical with no float comparison anywhere.
+
+    EAGER (registry metadata): the selection rule makes each round's
+    best pair depend on pair counts AND two unigram lookups over the
+    previous state, so an unrolled lazy lineage triples its references
+    to the prior state per round (3^rounds plan nodes — measured: the
+    6-round lazy form OOMs the PLANNER). The loop therefore runs as the
+    scaled-BPE-trainer driver loop: per round one vocabulary-sized
+    aggregation job and a 1-ROW collect (model-state-sized driver
+    traffic, the S5 budget), merge applied as a literal replace.
+
+    Scale shape (same class as the BPE trainer): the only corpus-wide
+    work is the initial word count (one combiner'd shuffle); every
+    round's pair and unigram counts run over the WORD-FREQUENCY table
+    (vocabulary-sized model state) and the chosen pair folds back as a
+    collected literal. At 100 TB the rounds never touch the corpus
+    again. Reference scope: the reference has no text pipeline
+    (SURVEY §2.5); this is a declared extension."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    state = _bpe_word_state(docs).localCheckpoint()
+    merges: list[tuple] = []
+    for rnd in range(1, _WP_ROUNDS + 1):
+        ug = _wp_sym_counts(state)
+        scored = (_bpe_pair_counts(state)
+                  .join(F.broadcast(ug.select(F.col("sym").alias("l"),
+                                              F.col("ucnt").alias("ul"))),
+                        "l")
+                  .join(F.broadcast(ug.select(F.col("sym").alias("r"),
+                                              F.col("ucnt").alias("ur"))),
+                        "r")
+                  .withColumn("score_e12", F.expr(
+                      f"CAST((CAST(cnt AS DECIMAL(38,0)) * {_WP_SCORE_E12})"
+                      " DIV (CAST(ul AS DECIMAL(38,0)) * ur) AS BIGINT)")))
+        rows = (scored.orderBy(F.desc("score_e12"), F.desc("cnt"),
+                               F.asc("l"), F.asc("r")).limit(1).collect())
+        if not rows:
+            break  # no adjacent pair left; oracle's wb{r} is empty too
+        lhs, rhs = rows[0]["l"], rows[0]["r"]
+        merges.append((rnd, lhs, rhs, int(rows[0]["cnt"]),
+                       int(rows[0]["score_e12"])))
+        state = state.select(
+            "word", "freq",
+            F.replace(F.col("repr"),
+                      F.lit(f" {lhs}, {rhs},"),
+                      F.lit(f" {lhs}{rhs},")).alias("repr")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round bigint, lhs string, rhs string, "
+                "pair_count bigint, score_e12 bigint")

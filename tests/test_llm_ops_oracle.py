@@ -116,6 +116,7 @@ LLM_QUERIES = [
     "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
     "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
     "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
+    "text_wordpiece_train",
 ]
 
 
@@ -1269,3 +1270,61 @@ def test_mutual_knn_pairs_are_reciprocal_edges(spark):
         assert p.va < p.vb
         assert edges.get((p.va, p.vb)) == p.rnk_ab, p
         assert edges.get((p.vb, p.va)) == p.rnk_ba, p
+
+
+def test_wordpiece_selection_rule_differs_from_bpe(spark, tmp_path):
+    """The likelihood-ratio rule must pick a DIFFERENT round-1 merge
+    than raw pair frequency on a corpus built to separate them: the
+    most FREQUENT pair uses symbols that are individually very common
+    (low ratio), while a rarer pair of rare symbols has the higher
+    count/(count_l*count_r). Also pins the exact integer score."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    # "ax" x 30 inflates count(a) and count(x); pair (a,x) cnt=30.
+    # "bc" x 9: count(b)=count(c)=9, pair (b,c) cnt=9.
+    # BPE picks (a,x): 30 > 9. WordPiece picks (b,c):
+    #   score(a,x) = 30/(30*30) = 1/30; score(b,c) = 9/81 = 1/9.
+    texts = ["ax"] * 30 + ["bc"] * 9
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    wp = sorted(SPARK_QUERIES["text_wordpiece_train"](spark, d).collect(),
+                key=lambda r: r.round)
+    bpe = sorted(SPARK_QUERIES["text_bpe_merge_train"](spark, d).collect(),
+                 key=lambda r: r.round)
+    assert (bpe[0].lhs, bpe[0].rhs) == ("a", "x")
+    assert (wp[0].lhs, wp[0].rhs) == ("b", "c")
+    assert wp[0].pair_count == 9
+    assert wp[0].score_e12 == 1_000_000_000_000 * 9 // (9 * 9)
+
+
+def test_wordpiece_invariants(spark):
+    """Rounds are consecutive from 1; scores sit on (0, 1e12] (cnt <=
+    min(count_l, count_r) forces ratio <= 1); every merged symbol is
+    the concatenation of its parts; counts are positive."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    rows = sorted(SPARK_QUERIES["text_wordpiece_train"](
+        spark, SF_ORACLE).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, len(rows) + 1))
+    assert rows, "wordpiece produced no merges at sf0.01"
+    vocab_new = set()
+    for r in rows:
+        assert 0 < r.score_e12 <= 1_000_000_000_000, r
+        assert r.pair_count > 0
+        vocab_new.add(r.lhs + r.rhs)
+    # later rounds may only reference single chars or previously merged
+    # tokens (the state is built strictly by these merges)
+    for r in rows:
+        for side in (r.lhs, r.rhs):
+            assert len(side) == 1 or side in vocab_new, r

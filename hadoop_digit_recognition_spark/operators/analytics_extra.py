@@ -2572,3 +2572,118 @@ def events_markov_stationary(spark: SparkSession,
                    .alias("pi")))
     return pi.select(F.col("st").alias("event_type"),
                      F.round("pi", 6).alias("pi"))
+
+
+@query("timeseries_mann_kendall", oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS grp,
+         date_trunc('month', o_orderdate) AS month,
+         count(*) AS y
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT grp, CAST(y AS BIGINT) AS y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t
+  FROM m),
+pairs AS (
+  SELECT a.grp,
+         CASE WHEN b.y > a.y THEN 1
+              WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM s a JOIN s b ON a.grp = b.grp AND a.t < b.t),
+ss AS (SELECT grp, CAST(sum(sgn) AS BIGINT) AS s_stat
+       FROM pairs GROUP BY grp),
+np AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY grp),
+tie_term AS (
+  SELECT grp,
+         CAST(sum(tcnt * (tcnt - 1) * (2 * tcnt + 5)) AS BIGINT) AS tie18
+  FROM (SELECT grp, y, count(*) AS tcnt FROM s GROUP BY grp, y)
+  GROUP BY grp),
+v AS (
+  SELECT np.grp, np.n,
+         np.n * (np.n - 1) * (2 * np.n + 5)
+           - coalesce(tt.tie18, 0) AS var18
+  FROM np LEFT JOIN tie_term tt ON np.grp = tt.grp)
+SELECT v.grp AS o_orderpriority,
+       v.n AS n_points,
+       ss.s_stat,
+       CAST(v.var18 AS BIGINT) AS var_s_x18,
+       round(CASE WHEN ss.s_stat > 0
+                    THEN (ss.s_stat - 1) / sqrt(v.var18 / 18.0)
+                  WHEN ss.s_stat < 0
+                    THEN (ss.s_stat + 1) / sqrt(v.var18 / 18.0)
+                  ELSE 0.0 END, 6) AS z_mk,
+       CASE WHEN ss.s_stat > 0
+              AND (ss.s_stat - 1) / sqrt(v.var18 / 18.0) > 1.959964
+              THEN 'increasing'
+            WHEN ss.s_stat < 0
+              AND (ss.s_stat + 1) / sqrt(v.var18 / 18.0) < -1.959964
+              THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM v JOIN ss ON v.grp = ss.grp
+""")
+def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL nonparametric trend test (Mann 1945; Kendall 1975)
+    — the significance-test sibling of timeseries_theil_sen (production
+    trend monitoring runs them together: Sen gives the slope, MK says
+    whether the trend is real): per order-priority monthly count
+    series, S = sum over i<j of sign(y_j - y_i), tie-corrected variance
+    var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18, and the
+    continuity-corrected normal statistic z = (S -/+ 1)/sqrt(var).
+    Emits the EXACT integers (s_stat, var_s_x18 = 18*var) alongside the
+    rounded z and the 5% two-sided verdict, so the metric core is
+    integer-verified and the float appears only in the display column.
+
+    Determinism: S and 18*var(S) are pure int64 arithmetic; z divides
+    an integer by sqrt(integer/18.0) — both engines evaluate the same
+    double expression tree (IEEE-correctly-rounded sqrt/divide), and
+    the all-tied degenerate (var18 = 0) never divides because S = 0
+    takes the ELSE branch first.
+
+    Scale shape (same class as Theil-Sen): corpus-wide work is one
+    combiner'd monthly pre-aggregate; the sign-pair self-join is
+    per-SERIES quadratic over report-sized series (~80 months), i.e.
+    model-state work. Groups with a single month have no pairs and are
+    dropped by the inner join on both sides. Reference scope: the
+    reference has no timeseries surface (SURVEY §2.5); declared
+    extension."""
+    orders = load(spark, sf_dir, "orders")
+    m = (orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    s = m.select("grp", "y", F.row_number().over(
+        W.partitionBy("grp").orderBy("month")).alias("t"))
+    a, b = s.alias("a"), s.alias("b")
+    sgn = (F.when(F.col("b.y") > F.col("a.y"), 1)
+           .when(F.col("b.y") < F.col("a.y"), -1).otherwise(0))
+    ss = (a.join(b, (F.col("a.grp") == F.col("b.grp"))
+                 & (F.col("a.t") < F.col("b.t")))
+          .select(F.col("a.grp").alias("grp"), sgn.alias("sgn"))
+          .groupBy("grp")
+          .agg(F.sum("sgn").cast("bigint").alias("s_stat")))
+    np_ = s.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tie = (s.groupBy("grp", "y").agg(F.count(F.lit(1)).alias("tcnt"))
+           .groupBy("grp")
+           .agg(F.sum(F.col("tcnt") * (F.col("tcnt") - 1)
+                      * (2 * F.col("tcnt") + 5)).cast("bigint")
+                .alias("tie18")))
+    v = (np_.join(tie, "grp", "left")
+         .select("grp", "n",
+                 (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                  - F.coalesce(F.col("tie18"), F.lit(0)))
+                 .cast("bigint").alias("var18")))
+    z = (F.when(F.col("s_stat") > 0,
+                (F.col("s_stat") - 1) / F.sqrt(F.col("var18") / 18.0))
+         .when(F.col("s_stat") < 0,
+               (F.col("s_stat") + 1) / F.sqrt(F.col("var18") / 18.0))
+         .otherwise(F.lit(0.0)))
+    return (v.join(ss, "grp")
+            .select(F.col("grp").alias("o_orderpriority"),
+                    F.col("n").alias("n_points"),
+                    "s_stat",
+                    F.col("var18").alias("var_s_x18"),
+                    F.round(z, 6).alias("z_mk"),
+                    F.when((F.col("s_stat") > 0) & (z > 1.959964),
+                           "increasing")
+                    .when((F.col("s_stat") < 0) & (z < -1.959964),
+                          "decreasing")
+                    .otherwise("no_trend").alias("trend")))

@@ -912,3 +912,134 @@ def timeseries_matrix_profile_sad(spark: SparkSession,
         profile, "grp string, i bigint, mp_sad bigint, nn_j bigint")
     return out.select(F.col("grp").alias("o_orderpriority"),
                       "i", "mp_sad", "nn_j")
+
+
+# 1-D Kalman local-level filter: model constants on the integer micro
+# grid (process variance Q = 1.0, observation variance R = 4.0 — a
+# smoothing ratio of 1:4, the conventional "trust the level more than
+# any single observation" setting).
+_KAL_Q = 1_000_000
+_KAL_R = 4_000_000
+_KAL_N = 12  # month-of-year profile length (calendar-fixed, SF-free)
+
+
+def _kalman_oracle() -> str:
+    """Unrolled 12-step Kalman recursion, ALL-INTEGER: state x, error
+    variance p, and gain k live on the e6 micro grid; every update is
+    int64 multiply + DuckDB `//` (truncating) division, so the
+    filtered path is engine-exact with no float until the display
+    column. Steps are generated CTEs (the DTW/unigram precedent);
+    every step CTE is AS MATERIALIZED (multiply-referenced — the next
+    step AND the final union; the LPA lesson)."""
+    steps = []
+    for t in range(2, _KAL_N + 1):
+        steps.append(f"""
+st{t} AS MATERIALIZED (
+  SELECT s.grp, pr.m, pr.z,
+         s.x + (((s.p + {_KAL_Q}) * 1000000 // (s.p + {_KAL_Q} + {_KAL_R}))
+                * (pr.z * 1000000 - s.x)) // 1000000 AS x,
+         ((1000000 - (s.p + {_KAL_Q}) * 1000000
+                       // (s.p + {_KAL_Q} + {_KAL_R}))
+          * (s.p + {_KAL_Q})) // 1000000 AS p,
+         (s.p + {_KAL_Q}) * 1000000 // (s.p + {_KAL_Q} + {_KAL_R}) AS k
+  FROM st{t - 1} s
+  JOIN prof pr ON pr.grp = s.grp AND pr.m = {t})"""[1:])
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM st{t}" for t in range(1, _KAL_N + 1))
+    return f"""
+WITH prof0 AS MATERIALIZED (
+  SELECT o_orderpriority AS grp,
+         CAST(month(o_orderdate) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS z
+  FROM orders GROUP BY 1, 2),
+prof AS MATERIALIZED (
+  SELECT p.* FROM prof0 p
+  JOIN (SELECT grp FROM prof0 GROUP BY grp
+        HAVING count(*) = {_KAL_N}) f USING (grp)),
+st1 AS MATERIALIZED (
+  SELECT grp, m, z, z * 1000000 AS x,
+         CAST({_KAL_R} AS BIGINT) AS p, CAST(0 AS BIGINT) AS k
+  FROM prof WHERE m = 1),
+{",".join(steps)},
+allst AS ({union})
+SELECT grp AS o_orderpriority, m, z,
+       CAST(x AS BIGINT) AS x_e6, CAST(k AS BIGINT) AS k_e6,
+       CAST(p AS BIGINT) AS p_e6,
+       round(CAST(x AS DOUBLE) / 1000000.0, 6) AS x_hat
+FROM allst
+"""
+
+
+@query("timeseries_kalman_level", oracle=_kalman_oracle())
+def timeseries_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER, local-level model (Kalman 1960; Durbin &
+    Koopman 2012 ch.2 — the state-space smoother under EVERY production
+    metrics pipeline's anomaly band): per order-priority month-of-year
+    count profile, the classic predict/update recursion
+    p_pred = p + Q; k = p_pred/(p_pred+R); x += k*(z - x);
+    p = (1-k)*p_pred, initialized x = first observation, p = R.
+    Completes the smoothing family: EWMA (fixed gain), Holt/
+    Holt-Winters (fixed gain + trend/season), Kalman (gain ADAPTS to
+    accumulated uncertainty — large after initialization, converging
+    to the steady-state Riccati value; the emitted k_e6 column shows
+    exactly that trajectory, which the tests pin).
+
+    Determinism (the grid discipline applied to the whole recursion):
+    x, p, k live on the INTEGER e6 micro grid; every update is int64
+    multiply then TRUNCATING division — Python `//` floors while
+    DuckDB `//` truncates toward zero, so the UDF uses a sign-explicit
+    trunc-div to mirror the oracle exactly (innovations go negative;
+    a floor-vs-trunc divergence would drift the whole filtered path).
+    No float enters either engine until the display column x_hat,
+    which divides an exact micro integer by 1e6 (grid point — never a
+    rounding half-boundary). Int64 headroom: |k*(z*1e6 - x)| <=
+    1e6 * z*1e6, safe to z ~ 9e6 per cell (sf100-class); beyond that
+    the grid drops to e3 (documented, not silently wrong — DuckDB
+    raises on overflow).
+
+    Scale shape: corpus-sized work is ONE combiner'd pre-aggregate to
+    (priority, month) profiles; the recursion is applyInPandas over
+    12-row groups (model-state work). The complete-profile guard
+    (count = 12, mirrored by the oracle's HAVING) prevents the
+    sparse-data divergence class found in DTW (ADVICE r08). Reference
+    scope: no timeseries surface in the reference (SURVEY §2.5);
+    declared extension."""
+    orders = load(spark, sf_dir, "orders")
+    prof = (orders.groupBy(
+                F.col("o_orderpriority").alias("grp"),
+                F.month("o_orderdate").cast("bigint").alias("m"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("z")))
+    complete = (prof.groupBy("grp").count()
+                .filter(F.col("count") == _KAL_N).select("grp"))
+    pts = prof.join(F.broadcast(complete), "grp")
+
+    q, r = _KAL_Q, _KAL_R
+
+    def kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("m")
+        g = pdf["grp"].iloc[0]
+
+        def tdiv(a: int, b: int) -> int:
+            # DuckDB // truncates toward zero; Python // floors.
+            return abs(a) // b if a >= 0 else -(abs(a) // b)
+
+        zs = [int(v) for v in pdf["z"]]
+        x, p = zs[0] * 1_000_000, r
+        rows = [(g, 1, zs[0], x, 0, p)]
+        for t in range(2, len(zs) + 1):
+            z = zs[t - 1]
+            p_pred = p + q
+            k = tdiv(p_pred * 1_000_000, p_pred + r)
+            x = x + tdiv(k * (z * 1_000_000 - x), 1_000_000)
+            p = tdiv((1_000_000 - k) * p_pred, 1_000_000)
+            rows.append((g, t, z, x, k, p))
+        return pd.DataFrame(rows, columns=["grp", "m", "z", "x_e6",
+                                           "k_e6", "p_e6"])
+
+    out = pts.groupBy("grp").applyInPandas(
+        kalman, "grp string, m bigint, z bigint, x_e6 bigint, "
+                "k_e6 bigint, p_e6 bigint")
+    return out.select(F.col("grp").alias("o_orderpriority"), "m", "z",
+                      "x_e6", "k_e6", "p_e6",
+                      F.round(F.col("x_e6").cast("double") / 1000000.0, 6)
+                      .alias("x_hat"))

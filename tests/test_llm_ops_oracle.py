@@ -116,7 +116,8 @@ LLM_QUERIES = [
     "multimodal_audio_landmark_fingerprint", "dq_cfd_discovery",
     "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
     "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
-    "text_wordpiece_train",
+    "text_wordpiece_train", "timeseries_mann_kendall",
+    "timeseries_kalman_level",
 ]
 
 
@@ -1328,3 +1329,105 @@ def test_wordpiece_invariants(spark):
     for r in rows:
         for side in (r.lhs, r.rhs):
             assert len(side) == 1 or side in vocab_new, r
+
+
+def test_mann_kendall_invariants(spark):
+    """|S| <= C(n,2); var_s_x18 matches the closed form minus tie
+    terms (non-negative, zero only when S = 0); z's sign agrees with
+    S; and the MK trend direction never contradicts the Theil-Sen
+    slope sign on the same monthly series (both are sign-of-pairs
+    statistics)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    mk = {r.o_orderpriority: r for r in
+          SPARK_QUERIES["timeseries_mann_kendall"](
+              spark, SF_ORACLE).collect()}
+    sen = {r.o_orderpriority: r for r in
+           SPARK_QUERIES["timeseries_theil_sen"](
+               spark, SF_ORACLE).collect()}
+    assert mk and set(mk) == set(sen)
+    for grp, r in mk.items():
+        n = r.n_points
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        assert r.var_s_x18 >= 0
+        assert (r.var_s_x18 == 0) <= (r.s_stat == 0)
+        if r.s_stat > 0:
+            assert r.z_mk >= 0
+        if r.s_stat < 0:
+            assert r.z_mk <= 0
+        if r.trend == "increasing":
+            assert sen[grp].sen_slope >= 0, (grp, r, sen[grp])
+        if r.trend == "decreasing":
+            assert sen[grp].sen_slope <= 0, (grp, r, sen[grp])
+
+
+def test_kalman_level_invariants(spark):
+    """The gain ADAPTS: k is 0 at init, jumps high at step 2 (p = R
+    after init), then decreases monotonically toward the steady-state
+    Riccati gain; p converges to p_inf = (sqrt(Q^2+4QR)-Q)/2; the
+    filtered level stays inside the observed range (convex combination,
+    +/- 1 micro truncation)."""
+    import math
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.pandas_udfs import (
+        _KAL_N, _KAL_Q, _KAL_R)
+
+    rows = SPARK_QUERIES["timeseries_kalman_level"](
+        spark, SF_ORACLE).collect()
+    by_grp = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(r)
+    assert by_grp
+    p_inf = (math.sqrt(_KAL_Q ** 2 + 4 * _KAL_Q * _KAL_R) - _KAL_Q) / 2
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r.m)
+        assert [r.m for r in rs] == list(range(1, _KAL_N + 1))
+        ks = [r.k_e6 for r in rs]
+        assert ks[0] == 0 and rs[0].p_e6 == _KAL_R
+        assert all(0 <= k <= 1_000_000 for k in ks)
+        # monotone non-increasing gain from step 2 on (constant Q, R)
+        assert all(a >= b for a, b in zip(ks[1:], ks[2:])), (grp, ks)
+        assert abs(rs[-1].p_e6 - p_inf) < 0.05 * p_inf, (grp, rs[-1].p_e6)
+        zs = [r.z for r in rs]
+        for r in rs:
+            assert (min(zs) * 1_000_000 - 1 <= r.x_e6
+                    <= max(zs) * 1_000_000 + 1), (grp, r)
+
+
+def test_kalman_drops_incomplete_profiles_both_engines(spark, tmp_path):
+    """Missing-month fixture (the DTW lesson applied on arrival): a
+    priority class missing a calendar month must drop from BOTH
+    engines — the oracle via HAVING count(*)=12, Spark via the
+    complete-profile join; negative innovations exercise the
+    trunc-vs-floor division edge on both sides."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = str(tmp_path)
+    orders, ok = [], 0
+    for pri, base in (("1-URGENT", 50), ("2-HIGH", 9)):
+        for m in range(1, 13):
+            if pri == "2-HIGH" and m == 7:
+                continue
+            # alternating counts -> innovations flip sign every month
+            n = base + (7 if m % 2 else -5)
+            for _ in range(n):
+                orders.append((ok, pri, f"1997-{m:02d}-11"))
+                ok += 1
+    df = spark.createDataFrame(
+        orders, "o_orderkey bigint, o_orderpriority string, "
+                "o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    srows = {(r.o_orderpriority, r.m): (r.z, r.x_e6, r.k_e6, r.p_e6)
+             for r in SPARK_QUERIES["timeseries_kalman_level"](
+                 spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS "
+                f"SELECT * FROM '{sf}/orders.parquet/*.parquet'")
+    orows = {(r[0], r[1]): (r[2], r[3], r[4], r[5]) for r in
+             con.sql(ORACLE_SQL["timeseries_kalman_level"]).fetchall()}
+    assert {g for g, _ in srows} == {"1-URGENT"}, srows
+    assert srows == orows

@@ -1686,3 +1686,154 @@ def sql_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "supplier"):
         load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_RECURSIVE_BFS_SQL)
+
+
+_MST_ROUNDS = 6   # components at least halve per round: ceil(log2(25))+1
+_MST_JUMPS = 8    # pointer-doubling bound: resolves chains up to 2^8
+
+
+def _mst_oracle() -> str:
+    """MAX spanning forest by the CYCLE PROPERTY instead of by
+    replaying Borůvka: under a strict total edge order (w DESC, u, v —
+    row_number rank rk, heavier = smaller), an edge belongs to the
+    unique maximum spanning forest iff its endpoints are NOT connected
+    by a path of strictly better (smaller-rk) edges. One recursive CTE
+    computes, for every probe edge eid, the set of nodes reachable
+    from its u through better edges; the anti-join keeps edges whose v
+    was never reached. A genuinely DIFFERENT algorithm from the
+    engine's Borůvka — agreement is a theorem (matroid uniqueness
+    under a total order), not a replay."""
+    return f"""
+WITH RECURSIVE dir_edges AS MATERIALIZED ({_EDGES_SQL}),
+und AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         CAST(sum(w) AS BIGINT) AS w
+  FROM dir_edges WHERE src != dst GROUP BY 1, 2),
+e AS MATERIALIZED (
+  SELECT u, v, w,
+         row_number() OVER (ORDER BY w DESC, u, v) AS rk
+  FROM und),
+reach(eid, node) AS (
+  SELECT rk, u FROM e
+  UNION
+  SELECT r.eid, CASE WHEN g.u = r.node THEN g.v ELSE g.u END
+  FROM reach r JOIN e g ON (g.u = r.node OR g.v = r.node)
+                        AND g.rk < r.eid)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, w,
+       CAST(rk AS BIGINT) AS rk
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM reach r
+                  WHERE r.eid = e.rk AND r.node = e.v)
+"""
+
+
+@query("graph_mst_boruvka", oracle=_mst_oracle(), eager=True)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM SPANNING FOREST via BORŮVKA (Borůvka 1926; the
+    MapReduce/Pregel MST of choice — each round every component picks
+    its best incident cross edge, components merge, O(log n) rounds)
+    over the undirected nation trade graph (edge weight = lineitem
+    count between the two nations, both directions summed) — the trade
+    BACKBONE: the strongest acyclic skeleton connecting all nations.
+    Completes the graph-kernel family: CC (two-phase star), communities
+    (Louvain), cores (k-core peel), flows (PageRank/HITS) — MST is the
+    remaining classic distributed-graph primitive.
+
+    Determinism: a strict total edge order (w DESC, u, v → rank rk)
+    makes the maximum spanning forest UNIQUE, so the engine and oracle
+    can run genuinely different algorithms and agreement is a matroid
+    theorem, not a replay: Spark runs Borůvka (per-component best edge
+    via one window, hook graph, 2-cycle break to the smaller label,
+    pointer-doubling label resolution — the Shiloach-Vishkin merge),
+    while DuckDB applies the cycle property (an edge is IN iff no
+    strictly-better path connects its endpoints — one recursive CTE).
+
+    EAGER (registry metadata): the round loop collects a 1-row
+    emptiness probe per round and localCheckpoints the label table
+    (the two-phase-star lineage lesson: per-round plans reference the
+    previous round several times).
+
+    Scale shape: rounds are O(log n); each round shuffles the edge
+    list once per label join (edge-sized), the per-component argmin is
+    one window over candidate edges partitioned BY COMPONENT (never a
+    global sort at scale — here the 300-edge rank window is model
+    state), and label resolution is pointer doubling over the
+    component table (node-sized, halving per round). This is the
+    textbook 100 TB MST layout; nothing quadratic anywhere. Reference
+    scope: no graph surface in the reference (SURVEY §2.5); declared
+    extension."""
+    from pyspark.sql import Window as W
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    edges_dir = spark.sql(_EDGES_SQL)
+    und = (edges_dir.filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"), "w")
+           .groupBy("u", "v").agg(F.sum("w").cast("bigint").alias("w")))
+    e = und.select(
+        "u", "v", "w",
+        F.row_number().over(W.orderBy(F.desc("w"), F.asc("u"), F.asc("v")))
+        .cast("bigint").alias("rk")).localCheckpoint()
+
+    labels = (e.select(F.col("u").alias("node"))
+              .unionByName(e.select(F.col("v").alias("node")))
+              .distinct()
+              .select("node", F.col("node").alias("comp"))
+              .localCheckpoint())
+    chosen_rks = None
+    for _ in range(_MST_ROUNDS):
+        lu = labels.select(F.col("node").alias("u"),
+                           F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"),
+                           F.col("comp").alias("cv"))
+        ce = (e.join(lu, "u").join(lv, "v")
+              .filter(F.col("cu") != F.col("cv")).localCheckpoint())
+        if ce.limit(1).count() == 0:
+            break
+        cand = (ce.select(F.col("cu").alias("comp"), "rk",
+                          F.col("cv").alias("other"))
+                .unionByName(ce.select(F.col("cv").alias("comp"), "rk",
+                                       F.col("cu").alias("other"))))
+        best = (cand.withColumn(
+                    "rn", F.row_number().over(
+                        W.partitionBy("comp").orderBy("rk")))
+                .filter(F.col("rn") == 1)
+                .select("comp", "rk", F.col("other").alias("par"))
+                .localCheckpoint())
+        picked = best.select("rk").distinct()
+        chosen_rks = (picked if chosen_rks is None
+                      else chosen_rks.unionByName(picked).distinct())
+        # hook graph: comp -> other end's comp; break 2-cycles to the
+        # smaller label (functional-graph cycles under a total edge
+        # order have length exactly 2), then pointer-double to roots
+        p = best.select("comp", "par")
+        gp = (p.alias("a").join(p.alias("b"),
+                                F.col("a.par") == F.col("b.comp"))
+              .select(F.col("a.comp").alias("comp"),
+                      F.col("a.par").alias("par"),
+                      F.col("b.par").alias("gp")))
+        p = gp.select(
+            "comp",
+            F.when((F.col("gp") == F.col("comp"))
+                   & (F.col("comp") < F.col("par")), F.col("comp"))
+            .otherwise(F.col("par")).alias("par")).localCheckpoint()
+        for _j in range(_MST_JUMPS):
+            j = (p.alias("a").join(p.alias("b"),
+                                   F.col("a.par") == F.col("b.comp"))
+                 .select(F.col("a.comp").alias("comp"),
+                         F.col("a.par").alias("par"),
+                         F.col("b.par").alias("par2")))
+            j = j.localCheckpoint()
+            if j.filter(F.col("par2") != F.col("par")).limit(1).count() == 0:
+                p = j.select("comp", "par")
+                break
+            p = j.select("comp", F.col("par2").alias("par"))
+        labels = (labels.join(p, labels.comp == p.comp, "left")
+                  .select(labels.node,
+                          F.coalesce(p.par, labels.comp).alias("comp"))
+                  .localCheckpoint())
+    if chosen_rks is None:
+        return e.filter(F.lit(False)).select("u", "v", "w", "rk")
+    return e.join(chosen_rks.localCheckpoint(), "rk").select("u", "v", "w",
+                                                             "rk")

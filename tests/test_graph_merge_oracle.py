@@ -18,7 +18,7 @@ NAMES = ["graph_pagerank_nations", "merge_scd2_dimension",
          "graph_harmonic_centrality", "graph_betweenness_bounded",
          "graph_hits_hubs_authorities", "graph_scc_forward_backward",
          "graph_personalized_pagerank", "graph_walk_corpus",
-         "graph_louvain_move_phase"]
+         "graph_louvain_move_phase", "graph_mst_boruvka"]
 
 
 @pytest.mark.parametrize("name", NAMES)
@@ -302,3 +302,97 @@ def test_recursive_cte_matches_iterative_bfs(spark, duck):
     it = {(r.node, r.hops) for r in
           SPARK_QUERIES["graph_bfs_hops"](spark, SF_ORACLE).collect()}
     assert rec == it
+
+
+def test_mst_boruvka_equals_kruskal(spark):
+    """The Borůvka result must equal a from-scratch KRUSKAL (greedy +
+    union-find, pure Python) run on the same edge list under the same
+    total order — a third independent algorithm agreeing with both the
+    engine (Borůvka) and the oracle (cycle property). Also pins the
+    spanning invariants: n-1 edges, all nodes covered, acyclic."""
+    from pyspark.sql import functions as F
+
+    from hadoop_digit_recognition_spark.tables import load
+
+    got = {(r.u, r.v): (r.w, r.rk) for r in
+           SPARK_QUERIES["graph_mst_boruvka"](spark, SF_ORACLE).collect()}
+
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load(spark, SF_ORACLE, t).createOrReplaceTempView(t)
+    from hadoop_digit_recognition_spark.operators.graph import _EDGES_SQL
+    und = (spark.sql(_EDGES_SQL)
+           .filter(F.col("src") != F.col("dst"))
+           .select(F.least("src", "dst").alias("u"),
+                   F.greatest("src", "dst").alias("v"), "w")
+           .groupBy("u", "v").agg(F.sum("w").alias("w")).collect())
+    edges = sorted(((int(r.w), int(r.u), int(r.v)) for r in und),
+                   key=lambda t_: (-t_[0], t_[1], t_[2]))
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for w, u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal.add((u, v))
+    assert set(got) == kruskal
+    nodes = {n for uv in got for n in uv}
+    assert len(got) == len(nodes) - 1  # spanning tree: n-1 edges, acyclic
+
+
+def test_mst_boruvka_forest_on_disconnected_graph(spark, tmp_path):
+    """Disconnected fixture: two trade islands must yield a spanning
+    FOREST (k1-1 + k2-1 edges) identically on both engines — the
+    Borůvka loop stops when no cross-component edge remains, and the
+    cycle-property oracle never connects the islands."""
+    import duckdb
+    from pyspark.sql import functions as F  # noqa: F401
+
+    sf = str(tmp_path)
+    # island A: nations 0,1,2 trade; island B: nations 10,11
+    rows, ok, lk = [], 0, 0
+    trades = [(0, 1, 5), (1, 2, 4), (0, 2, 3), (10, 11, 9)]
+    supplier, customer, orders, lineitem = [], [], [], []
+    seen_s, seen_c = set(), set()
+    for s_nat, c_nat, n in trades:
+        if s_nat not in seen_s:
+            seen_s.add(s_nat)
+        if c_nat not in seen_c:
+            seen_c.add(c_nat)
+        for _ in range(n):
+            supplier.append((len(supplier), s_nat))
+            customer.append((len(customer), c_nat))
+            orders.append((ok, len(customer) - 1))
+            lineitem.append((ok, len(supplier) - 1))
+            ok += 1
+    frames = {
+        "supplier": spark.createDataFrame(
+            supplier, "s_suppkey bigint, s_nationkey bigint"),
+        "customer": spark.createDataFrame(
+            customer, "c_custkey bigint, c_nationkey bigint"),
+        "orders": spark.createDataFrame(
+            orders, "o_orderkey bigint, o_custkey bigint"),
+        "lineitem": spark.createDataFrame(
+            lineitem, "l_orderkey bigint, l_suppkey bigint"),
+    }
+    for t, df in frames.items():
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/{t}.parquet")
+
+    srows = {(r.u, r.v): r.w for r in
+             SPARK_QUERIES["graph_mst_boruvka"](spark, sf).collect()}
+    con = duckdb.connect()
+    for t in frames:
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{sf}/{t}.parquet/*.parquet'")
+    orows = {(r[0], r[1]): r[2] for r in
+             con.sql(ORACLE_SQL["graph_mst_boruvka"]).fetchall()}
+    assert srows == orows
+    # forest: 3-node island contributes 2 edges, 2-node island 1 edge
+    assert len(srows) == 3
+    assert (10, 11) in srows

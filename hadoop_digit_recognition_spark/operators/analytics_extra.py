@@ -2687,3 +2687,118 @@ def timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .when((F.col("s_stat") < 0) & (z < -1.959964),
                           "decreasing")
                     .otherwise("no_trend").alias("trend")))
+
+
+# SPRT design constants: H0 conversion p0 vs H1 p1 (the minimum
+# detectable effect), alpha = beta = 0.05 -> Wald boundaries
+# ln((1-beta)/alpha), ln(beta/(1-alpha)). The per-observation
+# log-likelihood increments and both boundaries are snapped to the
+# integer micro-log grid INSIDE each engine from the same literals, so
+# the cumulative walk is pure int64.
+_SPRT_P0, _SPRT_P1 = 0.10, 0.15
+
+
+@query("ab_sequential_sprt", oracle=f"""
+WITH kk AS (
+  SELECT CAST(round(ln({_SPRT_P1} / {_SPRT_P0}) * 1000000) AS BIGINT)
+           AS inc1,
+         CAST(round(ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) * 1000000)
+              AS BIGINT) AS inc0,
+         CAST(round(ln(0.95 / 0.05) * 1000000) AS BIGINT) AS a_up,
+         CAST(round(ln(0.05 / 0.95) * 1000000) AS BIGINT) AS b_lo),
+ev AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           % 2 AS arm,
+         ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events),
+seq AS (
+  SELECT arm, x, ts, event_id,
+         row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+           AS rn,
+         sum(CASE WHEN x = 1 THEN kk.inc1 ELSE kk.inc0 END)
+           OVER (PARTITION BY arm ORDER BY ts, event_id) AS llr
+  FROM ev CROSS JOIN kk),
+stops AS (
+  SELECT s.arm, min(s.rn) AS stop_n
+  FROM seq s CROSS JOIN kk
+  WHERE s.llr >= kk.a_up OR s.llr <= kk.b_lo
+  GROUP BY s.arm),
+agg AS (
+  SELECT arm, CAST(max(rn) AS BIGINT) AS n_obs,
+         CAST(sum(x) AS BIGINT) AS n_conv
+  FROM seq GROUP BY arm)
+SELECT a.arm, a.n_obs, a.n_conv,
+       CAST(st.stop_n AS BIGINT) AS stop_n,
+       CAST(sq.llr AS BIGINT) AS llr_stop_micro,
+       CASE WHEN st.stop_n IS NULL THEN 'continue'
+            WHEN sq.llr >= kk.a_up THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM agg a
+CROSS JOIN kk
+LEFT JOIN stops st ON st.arm = a.arm
+LEFT JOIN seq sq ON sq.arm = a.arm AND sq.rn = st.stop_n
+""")
+def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD'S SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) — the
+    always-valid sequential A/B decision that lets an experiment stop
+    the moment the evidence crosses a boundary instead of waiting for
+    a fixed horizon (the peeking problem ab_srm_check's fixed-N
+    chi-square cannot survive): per deterministic hash arm, walk the
+    purchase-conversion event stream in time order accumulating the
+    log-likelihood ratio of H1 (p = {_SPRT_P1}) vs H0 (p = {_SPRT_P0});
+    stop at the first crossing of ln((1-b)/a) (accept H1) or
+    ln(b/(1-a)) (accept H0) at a = b = 0.05. Completes the experiment
+    family: SRM guardrail, diff-in-diff, bootstrap CI, and now
+    sequential testing.
+
+    Determinism: the per-observation increments and both boundaries
+    snap to the integer micro-log grid from the SAME literals inside
+    each engine (same double -> same round -> same int64), so the
+    cumulative walk, the first-crossing argmin, and the verdict are
+    exact integer comparisons; (ts, event_id) is a total order.
+
+    Scale shape: one window over events partitioned BY ARM (the
+    running LLR), one grouped min for the first crossing — two
+    combiner'd shuffles, no driver loop, nothing quadratic; at 100 TB
+    the walk parallelizes per arm-partition exactly like the running
+    sums in window_running_sum. Reference scope: no experimentation
+    surface in the reference (SURVEY §2.5); declared extension."""
+    from pyspark.sql import Window as W2
+
+    from ..functions.vector import det_hash64
+
+    ev = load(spark, sf_dir, "events")
+    inc1 = F.round(F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0)) * 1000000)\
+        .cast("bigint")
+    inc0 = F.round(F.log(F.lit(1 - _SPRT_P1) / F.lit(1 - _SPRT_P0))
+                   * 1000000).cast("bigint")
+    a_up = F.round(F.log(F.lit(0.95) / F.lit(0.05)) * 1000000).cast("bigint")
+    b_lo = F.round(F.log(F.lit(0.05) / F.lit(0.95)) * 1000000).cast("bigint")
+    base = ev.select(
+        (det_hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
+        "ts", "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("x"))
+    w = W2.partitionBy("arm").orderBy("ts", "event_id")
+    seq = base.select(
+        "arm", "x",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.when(F.col("x") == 1, inc1).otherwise(inc0)).over(w)
+        .alias("llr"))
+    stops = (seq.filter((F.col("llr") >= a_up) | (F.col("llr") <= b_lo))
+             .groupBy("arm").agg(F.min("rn").alias("stop_n")))
+    agg = seq.groupBy("arm").agg(
+        F.max("rn").cast("bigint").alias("n_obs"),
+        F.sum("x").cast("bigint").alias("n_conv"))
+    llr_at = seq.select("arm", F.col("rn").alias("stop_n"),
+                        F.col("llr").alias("llr_stop_micro"))
+    out = (agg.join(stops, "arm", "left")
+           .join(llr_at, ["arm", "stop_n"], "left"))
+    return out.select(
+        "arm", "n_obs", "n_conv",
+        F.col("stop_n").cast("bigint").alias("stop_n"),
+        F.col("llr_stop_micro").cast("bigint").alias("llr_stop_micro"),
+        F.when(F.col("stop_n").isNull(), "continue")
+        .when(F.col("llr_stop_micro") >= a_up, "accept_h1")
+        .otherwise("accept_h0").alias("decision"))

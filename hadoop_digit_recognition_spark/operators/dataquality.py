@@ -993,3 +993,108 @@ def dq_cfd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# Upper 5% critical values of the chi-square distribution, dof 1..20
+# (standard published table, e.g. Abramowitz & Stegun 26.8) — embedded
+# identically in the Spark expression and the oracle SQL so the verdict
+# column compares the same doubles on both engines.
+_CHI2_CRIT_5PCT = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070,
+    6: 12.592, 7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307,
+    11: 19.675, 12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996,
+    16: 26.296, 17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410,
+}
+
+
+def _chi2_crit_case(dof_expr: str) -> str:
+    whens = " ".join(f"WHEN {d} THEN {v}"
+                     for d, v in _CHI2_CRIT_5PCT.items())
+    return f"CASE {dof_expr} {whens} ELSE NULL END"
+
+
+@query("dq_chi_square_cramers_v", oracle=f"""
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+tots AS (
+  SELECT a, b, c,
+         sum(c) OVER () AS n,
+         sum(c) OVER (PARTITION BY a) AS ra,
+         sum(c) OVER (PARTITION BY b) AS cb
+  FROM cells),
+dims AS (
+  SELECT CAST(count(DISTINCT a) AS BIGINT) AS r,
+         CAST(count(DISTINCT b) AS BIGINT) AS k
+  FROM cells),
+stat AS (
+  SELECT sum((c - ra * 1.0 * cb / n) * (c - ra * 1.0 * cb / n)
+             / (ra * 1.0 * cb / n)) AS chi2,
+         CAST(max(n) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM tots)
+SELECT s.n_rows, s.n_cells,
+       (d.r - 1) * (d.k - 1) AS dof,
+       round(s.chi2, 6) AS chi2,
+       round(sqrt(s.chi2 / (s.n_rows * least(d.r - 1, d.k - 1))), 6)
+         AS cramers_v,
+       s.chi2 > {_chi2_crit_case("(d.r - 1) * (d.k - 1)")} AS dependent_5pct
+FROM stat s CROSS JOIN dims d
+WHERE d.r > 1 AND d.k > 1
+""")
+def dq_chi_square_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEARSON CHI-SQUARE independence test + CRAMÉR'S V effect size
+    (Pearson 1900; Cramér 1946) between two categorical columns
+    (order priority x order status) — completes the dependency-profiler
+    family: dq_mutual_information (information-theoretic strength),
+    dq_fd_discovery (exact determination), dq_ks_two_sample
+    (continuous distributions), and now the classic frequentist test
+    categorical-vs-categorical: chi2 = sum (O - E)^2 / E with
+    E = row_total * col_total / n, dof = (r-1)(k-1), and the
+    scale-free V = sqrt(chi2 / (n * min(r-1, k-1))). The 5% verdict
+    compares chi2 against the published critical-value table (dof
+    1..20), embedded identically in both engines.
+
+    Determinism: cell and marginal counts are exact bigints; the
+    (O-E)^2/E sum follows the dq_mutual_information float posture —
+    ~15 cells, rounded once at 6 digits, far above cross-engine ULP
+    noise; the verdict compares the same double to the same literal.
+
+    Scale shape: ONE combiner'd groupBy to (r x k) cells; marginals
+    are windows over the cell-sized frame. Chi-square over a petabyte
+    is one scan + algebra on a 15-row table. Reference scope: no DQ
+    surface in the reference (SURVEY §2.5); declared extension."""
+    from pyspark.sql import Window as W2
+
+    orders = load(spark, sf_dir, "orders")
+    cells = (orders.groupBy(F.col("o_orderpriority").alias("a"),
+                            F.col("o_orderstatus").alias("b"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tots = cells.select(
+        "a", "b", "c",
+        F.sum("c").over(W2.partitionBy()).alias("n"),
+        F.sum("c").over(W2.partitionBy("a")).alias("ra"),
+        F.sum("c").over(W2.partitionBy("b")).alias("cb"))
+    e = F.col("ra") * 1.0 * F.col("cb") / F.col("n")
+    stat = tots.agg(
+        F.sum((F.col("c") - e) * (F.col("c") - e) / e).alias("chi2"),
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    dims = cells.agg(
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("k"))
+    dof = (F.col("r") - 1) * (F.col("k") - 1)
+    crit = F.expr(_chi2_crit_case("(r - 1) * (k - 1)"))
+    # degenerate guard, mirrored by the oracle's WHERE: a single-valued
+    # column has dof 0 and V would divide by zero — no test to run
+    return (stat.crossJoin(F.broadcast(dims))
+            .filter((F.col("r") > 1) & (F.col("k") > 1))
+            .select("n_rows", "n_cells", dof.alias("dof"),
+                    F.round("chi2", 6).alias("chi2"),
+                    F.round(F.sqrt(F.col("chi2")
+                                   / (F.col("n_rows")
+                                      * F.least(F.col("r") - 1,
+                                                F.col("k") - 1))), 6)
+                    .alias("cramers_v"),
+                    (F.col("chi2") > crit).alias("dependent_5pct")))

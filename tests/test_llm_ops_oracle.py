@@ -117,7 +117,8 @@ LLM_QUERIES = [
     "sim_binary_quantization_hamming", "sim_mutual_knn_pairs",
     "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
     "text_wordpiece_train", "timeseries_mann_kendall",
-    "timeseries_kalman_level",
+    "timeseries_kalman_level", "dq_chi_square_cramers_v",
+    "ab_sequential_sprt",
 ]
 
 
@@ -1431,3 +1432,102 @@ def test_kalman_drops_incomplete_profiles_both_engines(spark, tmp_path):
              con.sql(ORACLE_SQL["timeseries_kalman_level"]).fetchall()}
     assert {g for g, _ in srows} == {"1-URGENT"}, srows
     assert srows == orows
+
+
+def test_chi_square_invariants(spark):
+    """chi2 >= 0; V in [0, 1]; dof = (r-1)(k-1) = 8 for the 5x3
+    priority x status table; verdict agrees with the embedded critical
+    value; and a from-scratch NumPy chi-square on the collected
+    contingency table agrees to 1e-4."""
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.dataquality import (
+        _CHI2_CRIT_5PCT)
+    from hadoop_digit_recognition_spark.tables import load
+
+    r = SPARK_QUERIES["dq_chi_square_cramers_v"](
+        spark, SF_ORACLE).collect()[0]
+    assert r.chi2 >= 0 and 0.0 <= r.cramers_v <= 1.0
+    assert r.dof == 8
+    assert r.dependent_5pct == (r.chi2 > _CHI2_CRIT_5PCT[r.dof])
+
+    cells = (load(spark, SF_ORACLE, "orders")
+             .groupBy("o_orderpriority", "o_orderstatus").count().collect())
+    pris = sorted({c.o_orderpriority for c in cells})
+    sts = sorted({c.o_orderstatus for c in cells})
+    o = np.zeros((len(pris), len(sts)))
+    for c in cells:
+        o[pris.index(c.o_orderpriority), sts.index(c.o_orderstatus)] = c[2]
+    e = o.sum(1, keepdims=True) * o.sum(0, keepdims=True) / o.sum()
+    chi2 = ((o - e) ** 2 / e).sum()
+    assert abs(chi2 - r.chi2) < 1e-4, (chi2, r.chi2)
+
+
+def test_chi_square_degenerate_single_category_drops(spark, tmp_path):
+    """A single-valued status column (dof 0) must produce ZERO rows on
+    both engines — the mirrored r>1 AND k>1 guard (V would divide by
+    zero)."""
+    import duckdb
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+
+    sf = str(tmp_path)
+    rows = [(i, f"{1 + i % 5}-PRI", "O") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderpriority string, "
+              "o_orderstatus string")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    assert SPARK_QUERIES["dq_chi_square_cramers_v"](spark, sf).count() == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS "
+                f"SELECT * FROM '{sf}/orders.parquet/*.parquet'")
+    assert len(con.sql(ORACLE_SQL["dq_chi_square_cramers_v"]).fetchall()) == 0
+
+
+def test_sprt_invariants(spark):
+    """Per arm: stop_n <= n_obs; the LLR at the stop row sits ON or
+    BEYOND the crossed boundary while every earlier cumulative LLR sits
+    strictly inside both boundaries (recomputed from scratch from the
+    event stream); the decision labels the crossed side."""
+    import math
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.analytics_extra import (
+        _SPRT_P0, _SPRT_P1)
+    from hadoop_digit_recognition_spark.tables import load
+
+    inc1 = round(math.log(_SPRT_P1 / _SPRT_P0) * 1e6)
+    inc0 = round(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6)
+    a_up = round(math.log(0.95 / 0.05) * 1e6)
+    b_lo = round(math.log(0.05 / 0.95) * 1e6)
+
+    out = {r.arm: r for r in SPARK_QUERIES["ab_sequential_sprt"](
+        spark, SF_ORACLE).collect()}
+    assert set(out) == {0, 1}
+
+    ev = (load(spark, SF_ORACLE, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect())
+    import hashlib
+    streams = {0: [], 1: []}
+    for e in ev:
+        arm = int(hashlib.md5(str(e.user_id).encode())
+                  .hexdigest()[:8], 16) % 2
+        streams[arm].append((e.ts, e.event_id,
+                             1 if e.event_type == "purchase" else 0))
+    for arm, r in out.items():
+        xs = [x for _, _, x in sorted(streams[arm])]
+        assert r.n_obs == len(xs) and r.n_conv == sum(xs)
+        llr, stop = 0, None
+        for i, x in enumerate(xs, 1):
+            llr += inc1 if x else inc0
+            if llr >= a_up or llr <= b_lo:
+                stop = (i, llr)
+                break
+        if stop is None:
+            assert r.decision == "continue" and r.stop_n is None
+        else:
+            assert (r.stop_n, r.llr_stop_micro) == stop
+            assert r.decision == (
+                "accept_h1" if stop[1] >= a_up else "accept_h0")

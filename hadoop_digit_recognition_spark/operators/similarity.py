@@ -2110,3 +2110,127 @@ def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("qid").alias("va"), F.col("cid").alias("vb"),
                     "cos", F.col("rnk").cast("bigint").alias("rnk_ab"),
                     F.col("rnk_ba").cast("bigint").alias("rnk_ba")))
+
+
+_LOF_TOP = 50
+
+
+def _lof_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH g0 AS ({ORACLE_SQL["sim_knn_graph"]}),
+g AS MATERIALIZED (
+  SELECT qid, cid,
+         CAST(greatest(1, round((1 - cos) * 1000000)) AS BIGINT) AS d,
+         rnk
+  FROM g0),
+s1 AS MATERIALIZED (
+  SELECT qid FROM g GROUP BY qid HAVING count(*) = {KNN_K}),
+kd AS MATERIALIZED (
+  SELECT g.qid, g.d AS kdist
+  FROM g JOIN s1 ON s1.qid = g.qid WHERE g.rnk = {KNN_K}),
+s2 AS MATERIALIZED (
+  SELECT g.qid FROM g
+  JOIN s1 a ON a.qid = g.qid
+  JOIN s1 c ON c.qid = g.cid
+  GROUP BY g.qid HAVING count(*) = {KNN_K}),
+reach AS (
+  SELECT g.qid, g.cid, greatest(kd.kdist, g.d) AS r
+  FROM g
+  JOIN s2 ON s2.qid = g.qid
+  JOIN kd ON kd.qid = g.cid),
+lrd AS MATERIALIZED (
+  SELECT qid, CAST(sum(r) AS BIGINT) AS lrd_inv FROM reach GROUP BY qid),
+s3 AS MATERIALIZED (
+  SELECT g.qid FROM g
+  JOIN s2 a ON a.qid = g.qid
+  JOIN s2 c ON c.qid = g.cid
+  GROUP BY g.qid HAVING count(*) = {KNN_K}),
+terms AS (
+  SELECT g.qid, (la.lrd_inv * 1000000) // lb.lrd_inv AS term
+  FROM g
+  JOIN s3 ON s3.qid = g.qid
+  JOIN lrd la ON la.qid = g.qid
+  JOIN lrd lb ON lb.qid = g.cid),
+lof AS (
+  SELECT qid, CAST(sum(term) // {KNN_K} AS BIGINT) AS lof_micro
+  FROM terms GROUP BY qid),
+ranked AS (
+  SELECT qid, lof_micro,
+         row_number() OVER (ORDER BY lof_micro DESC, qid) AS rnk
+  FROM lof)
+SELECT CAST(qid AS BIGINT) AS vec_id, lof_micro,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_LOF_TOP}
+"""
+
+
+@query("sim_lof_outliers", eager=True, oracle=_lof_oracle())
+def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the corpus kNN
+    graph — DENSITY-based multivariate outlier detection, completing
+    the outlier family next to the univariate robust detectors
+    (events_anomaly_mad, window_outlier_hampel, events_rolling_zscore):
+    a vector is anomalous not by absolute distance but by how much
+    SPARSER its neighborhood is than its neighbors' neighborhoods —
+    the embedding-space form of "this document sits alone", the signal
+    ANN-curation pipelines use to surface mislabeled/degenerate
+    embeddings.
+
+    Built BY COMPOSITION (the sim_mutual_knn_pairs convention): the
+    Spark side reuses sim_knn_graph's registered builder; the oracle
+    wraps the graph's registered SQL as a CTE, so graph and LOF cannot
+    drift. k-distance = the rank-{KNN_K} edge; reach-dist(a,b) =
+    max(k-dist(b), d(a,b)); lrd and LOF stay INTEGER: distances snap to
+    the micro grid (clamped >= 1, so duplicate-vector zero-distance
+    neighborhoods cannot divide by zero), lrd is carried as its
+    inverse-sum integer, and each LOF term is lrd_inv(a)*1e6 //
+    lrd_inv(b) — floor division on exact ints, engine-identical with
+    no float ratio anywhere. Vectors are scored only where LOF is
+    DEFINED on the approximate graph: S1 (full out-degree k) ⊇ S2
+    (k-dist of all neighbors known) ⊇ S3 (lrd of all neighbors known),
+    with the same closure joins on both engines.
+
+    Scale shape: everything heavy is the graph build (bucketed,
+    linear); LOF adds three equi-joins and two grouped sums over the
+    (n x k)-row edge table — edge-list-sized, no new shuffle class.
+    Reference scope: no similarity surface in the reference (SURVEY
+    §2.5); declared extension."""
+    from pyspark.sql import Window as W2
+
+    g0 = sim_knn_graph(spark, sf_dir)
+    g = g0.select(
+        "qid", "cid", "rnk",
+        F.greatest(F.lit(1), F.round((1 - F.col("cos")) * 1000000))
+        .cast("bigint").alias("d"))
+    s1 = (g.groupBy("qid").count()
+          .filter(F.col("count") == KNN_K).select("qid"))
+    kd = (g.join(s1, "qid").filter(F.col("rnk") == KNN_K)
+          .select("qid", F.col("d").alias("kdist")))
+    s2 = (g.join(s1, "qid")
+          .join(s1.select(F.col("qid").alias("cid")), "cid")
+          .groupBy("qid").count()
+          .filter(F.col("count") == KNN_K).select("qid"))
+    reach = (g.join(s2, "qid")
+             .join(kd.select(F.col("qid").alias("cid"),
+                             F.col("kdist")), "cid")
+             .select("qid", "cid",
+                     F.greatest(F.col("kdist"), F.col("d")).alias("r")))
+    lrd = reach.groupBy("qid").agg(
+        F.sum("r").cast("bigint").alias("lrd_inv"))
+    s3 = (g.join(s2, "qid")
+          .join(s2.select(F.col("qid").alias("cid")), "cid")
+          .groupBy("qid").count()
+          .filter(F.col("count") == KNN_K).select("qid"))
+    terms = (g.join(s3, "qid")
+             .join(lrd.select(F.col("qid").alias("cid"),
+                              F.col("lrd_inv").alias("lb")), "cid")
+             .join(lrd, "qid")
+             .select("qid", F.expr("lrd_inv * 1000000 DIV lb").alias("term")))
+    lof = terms.groupBy("qid").agg(
+        F.expr(f"CAST(sum(term) DIV {KNN_K} AS BIGINT)").alias("lof_micro"))
+    w = W2.orderBy(F.desc("lof_micro"), F.asc("qid"))
+    return (lof.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= _LOF_TOP)
+            .select(F.col("qid").cast("bigint").alias("vec_id"),
+                    "lof_micro", "rnk"))

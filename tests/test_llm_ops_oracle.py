@@ -118,7 +118,7 @@ LLM_QUERIES = [
     "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
     "text_wordpiece_train", "timeseries_mann_kendall",
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
-    "ab_sequential_sprt",
+    "ab_sequential_sprt", "sim_lof_outliers",
 ]
 
 
@@ -1531,3 +1531,35 @@ def test_sprt_invariants(spark):
             assert (r.stop_n, r.llr_stop_micro) == stop
             assert r.decision == (
                 "accept_h1" if stop[1] >= a_up else "accept_h0")
+
+
+def test_lof_from_scratch_replay(spark):
+    """Recompute LOF in pure Python from the collected kNN edges (same
+    S1 ⊇ S2 ⊇ S3 closure, same integer formulas) and compare the full
+    top-50; inlier scores concentrate near 1.0 (lof_micro ~ 1e6) while
+    the top outlier must exceed it."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.similarity import (
+        _LOF_TOP, KNN_K)
+
+    got = [(r.vec_id, r.lof_micro, r.rnk) for r in
+           SPARK_QUERIES["sim_lof_outliers"](spark, SF_ORACLE).collect()]
+    edges = {}
+    for r in SPARK_QUERIES["sim_knn_graph"](spark, SF_ORACLE).collect():
+        d = max(1, round((1 - r.cos) * 1_000_000))
+        edges.setdefault(r.qid, []).append((r.rnk, r.cid, d))
+    s1 = {q for q, es in edges.items() if len(es) == KNN_K}
+    kd = {q: max(d for _, _, d in edges[q]) for q in s1}
+    s2 = {q for q in s1 if all(c in s1 for _, c, _ in edges[q])}
+    lrd_inv = {q: sum(max(kd[c], d) for _, c, d in edges[q]) for q in s2}
+    s3 = {q for q in s2 if all(c in s2 for _, c, _ in edges[q])}
+    lof = {q: sum(lrd_inv[q] * 1_000_000 // lrd_inv[c]
+                  for _, c, _ in edges[q]) // KNN_K for q in s3}
+    want = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[:_LOF_TOP]
+    assert [(v, s) for v, s, _ in got] == want
+    assert [r[2] for r in got] == list(range(1, len(got) + 1))
+    assert got[0][1] > 1_000_000  # a genuine outlier exists
+    # the k-dist max is the rank-k edge (cos sorted desc): sanity
+    for q in list(s1)[:20]:
+        assert kd[q] == edges[q][-1][2] or kd[q] == max(
+            d for _, _, d in edges[q])

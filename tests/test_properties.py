@@ -711,7 +711,11 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "sim_mutual_knn_pairs",
                  # round 9: the banded eval sweep must drop the zero
                  # vector before bucketing on both sides
-                 "corpus_decontamination_semantic_lsh"):
+                 "corpus_decontamination_semantic_lsh",
+                 # round 9 continuation: the exact-duplicate pair gives
+                 # zero-distance edges — the micro-grid clamp (d >= 1)
+                 # must keep lrd finite identically on both engines
+                 "sim_lof_outliers"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

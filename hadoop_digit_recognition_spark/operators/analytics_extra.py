@@ -2758,12 +2758,19 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative walk, the first-crossing argmin, and the verdict are
     exact integer comparisons; (ts, event_id) is a total order.
 
-    Scale shape: one window over events partitioned BY ARM (the
-    running LLR), one grouped min for the first crossing — two
-    combiner'd shuffles, no driver loop, nothing quadratic; at 100 TB
-    the walk parallelizes per arm-partition exactly like the running
-    sums in window_running_sum. Reference scope: no experimentation
-    surface in the reference (SURVEY §2.5); declared extension."""
+    Scale shape — TWO-PHASE PREFIX SUM (the corpus_sequence_pack
+    discipline): a window partitioned only BY ARM serializes each
+    arm's entire history into one task (measured 7.3s at sf1, 4.6x the
+    sf0.1 wall, while every other round-9 operator stayed flat — the
+    2-partition sort was the whole regression). Instead the walk
+    shards on the calendar DAY: shard-local running sums via a window
+    partitioned by (arm, day), per-shard totals cumulated over the
+    days-sized shard table, offsets broadcast back. Same int64
+    cumulative values bit-for-bit; parallelism = arms x days and the
+    shard count GROWS with the data span (a finer key — hour — is the
+    same one-line change if per-day volume outgrows a task).
+    Reference scope: no experimentation surface in the reference
+    (SURVEY §2.5); declared extension."""
     from pyspark.sql import Window as W2
 
     from ..functions.vector import det_hash64
@@ -2778,27 +2785,44 @@ def ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         (det_hash64(F.col("user_id").cast("string")) % 2).alias("arm"),
         "ts", "event_id",
+        F.date_trunc("day", "ts").alias("shard"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         .alias("x"))
-    w = W2.partitionBy("arm").orderBy("ts", "event_id")
-    seq = base.select(
-        "arm", "x",
-        F.row_number().over(w).alias("rn"),
-        F.sum(F.when(F.col("x") == 1, inc1).otherwise(inc0)).over(w)
-        .alias("llr"))
-    stops = (seq.filter((F.col("llr") >= a_up) | (F.col("llr") <= b_lo))
-             .groupBy("arm").agg(F.min("rn").alias("stop_n")))
+    inc = F.when(F.col("x") == 1, inc1).otherwise(inc0)
+    wloc = W2.partitionBy("arm", "shard").orderBy("ts", "event_id")
+    local = base.select(
+        "arm", "shard", "x",
+        F.row_number().over(wloc).alias("loc_rn"),
+        F.sum(inc).over(wloc).alias("loc_llr"))
+    # per-(arm, shard) totals -> exclusive prefix offsets over the tiny
+    # shard table (weeks-sized), then broadcast back
+    wsh = (W2.partitionBy("arm").orderBy("shard")
+           .rowsBetween(W2.unboundedPreceding, -1))
+    offs = (base.groupBy("arm", "shard")
+            .agg(F.count(F.lit(1)).alias("sh_n"),
+                 F.sum(inc).alias("sh_llr"))
+            .select("arm", "shard",
+                    F.coalesce(F.sum("sh_n").over(wsh), F.lit(0))
+                    .alias("off_n"),
+                    F.coalesce(F.sum("sh_llr").over(wsh), F.lit(0))
+                    .alias("off_llr")))
+    seq = (local.join(F.broadcast(offs), ["arm", "shard"])
+           .select("arm", "x",
+                   (F.col("loc_rn") + F.col("off_n")).alias("rn"),
+                   (F.col("loc_llr") + F.col("off_llr")).alias("llr")))
+    # ONE grouped pass: the first crossing is min(struct(rn, llr)) over
+    # crossing rows (rn unique per arm -> picks the row; min skips the
+    # NULL non-crossing rows). The previous 3-subframe join recomputed
+    # the whole sharded scan three times (measured 3.5x at sf1).
+    crossed = (F.col("llr") >= a_up) | (F.col("llr") <= b_lo)
     agg = seq.groupBy("arm").agg(
         F.max("rn").cast("bigint").alias("n_obs"),
-        F.sum("x").cast("bigint").alias("n_conv"))
-    llr_at = seq.select("arm", F.col("rn").alias("stop_n"),
-                        F.col("llr").alias("llr_stop_micro"))
-    out = (agg.join(stops, "arm", "left")
-           .join(llr_at, ["arm", "stop_n"], "left"))
-    return out.select(
+        F.sum("x").cast("bigint").alias("n_conv"),
+        F.min(F.when(crossed, F.struct("rn", "llr"))).alias("stop"))
+    return agg.select(
         "arm", "n_obs", "n_conv",
-        F.col("stop_n").cast("bigint").alias("stop_n"),
-        F.col("llr_stop_micro").cast("bigint").alias("llr_stop_micro"),
-        F.when(F.col("stop_n").isNull(), "continue")
-        .when(F.col("llr_stop_micro") >= a_up, "accept_h1")
+        F.col("stop.rn").cast("bigint").alias("stop_n"),
+        F.col("stop.llr").cast("bigint").alias("llr_stop_micro"),
+        F.when(F.col("stop").isNull(), "continue")
+        .when(F.col("stop.llr") >= a_up, "accept_h1")
         .otherwise("accept_h0").alias("decision"))

@@ -1043,3 +1043,162 @@ def timeseries_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "x_e6", "k_e6", "p_e6",
                       F.round(F.col("x_e6").cast("double") / 1000000.0, 6)
                       .alias("x_hat"))
+
+
+# 2-state HMM over the event stream: state 0 = "browse", state 1 =
+# "buy-intent". Model constants are LITERALS; both engines snap ln() to
+# the integer micro-log grid from the same literals (the DSIR idiom),
+# so the Viterbi DP is pure int64 max/plus.
+_HMM_N = 8                      # decoded prefix length per user
+_HMM_PI = (0.6, 0.4)            # initial state probabilities
+_HMM_A = ((0.8, 0.2), (0.3, 0.7))   # transition matrix
+_HMM_B = {                      # emission probabilities per state
+    "view": (0.5, 0.15), "click": (0.3, 0.35), "purchase": (0.05, 0.3),
+    "signup": (0.05, 0.15), "error": (0.1, 0.05),
+}
+
+
+def _mlog(p: float) -> str:
+    return f"CAST(round(ln({p}) * 1000000) AS BIGINT)"
+
+
+def _hmm_oracle() -> str:
+    """Unrolled 8-step 2-state Viterbi + backtrace. Each step CTE
+    carries both state scores and both argmax choices (ties -> state
+    0); the backtrace is generated nested SELECTs walking the stored
+    choices from the final argmax. All CTEs AS MATERIALIZED (each is
+    referenced by the next step AND the final join — the LPA
+    lesson)."""
+    b0 = " ".join(f"WHEN '{k}' THEN {_mlog(v[0])}"
+                  for k, v in _HMM_B.items())
+    b1 = " ".join(f"WHEN '{k}' THEN {_mlog(v[1])}"
+                  for k, v in _HMM_B.items())
+    a = [[_mlog(_HMM_A[i][j]) for j in range(2)] for i in range(2)]
+    steps = []
+    for t in range(2, _HMM_N + 1):
+        steps.append(f"""
+v{t} AS MATERIALIZED (
+  SELECT p.user_id,
+         greatest(p.v0 + {a[0][0]}, p.v1 + {a[1][0]}) + e.b0 AS v0,
+         greatest(p.v0 + {a[0][1]}, p.v1 + {a[1][1]}) + e.b1 AS v1,
+         CASE WHEN p.v0 + {a[0][0]} >= p.v1 + {a[1][0]}
+              THEN 0 ELSE 1 END AS c0,
+         CASE WHEN p.v0 + {a[0][1]} >= p.v1 + {a[1][1]}
+              THEN 0 ELSE 1 END AS c1
+  FROM v{t - 1} p JOIN e ON e.user_id = p.user_id AND e.rn = {t})"""[1:])
+    # backtrace: s8 from the final argmax, then s_{t} = choice_{t+1}(s_{t+1})
+    bt_cols = ", ".join(
+        f"v{t}.c0 AS c{t}_0, v{t}.c1 AS c{t}_1"
+        for t in range(2, _HMM_N + 1))
+    bt_joins = "\n".join(
+        f"JOIN v{t} ON v{t}.user_id = v{_HMM_N}.user_id"
+        for t in range(2, _HMM_N))
+    layers = f"""
+SELECT v{_HMM_N}.user_id, {bt_cols},
+       greatest(v{_HMM_N}.v0, v{_HMM_N}.v1) AS score,
+       CASE WHEN v{_HMM_N}.v0 >= v{_HMM_N}.v1 THEN 0 ELSE 1 END AS s{_HMM_N}
+FROM v{_HMM_N}
+{bt_joins}"""
+    for t in range(_HMM_N - 1, 0, -1):
+        layers = f"""
+SELECT *, CASE WHEN s{t + 1} = 0 THEN c{t + 1}_0 ELSE c{t + 1}_1 END AS s{t}
+FROM ({layers})"""
+    path = " || ".join(f"CAST(s{t} AS VARCHAR)"
+                       for t in range(1, _HMM_N + 1))
+    return f"""
+WITH obs AS MATERIALIZED (
+  SELECT user_id, rn, event_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn <= {_HMM_N}),
+u8 AS MATERIALIZED (
+  SELECT user_id FROM obs GROUP BY user_id
+  HAVING count(*) = {_HMM_N}),
+e AS MATERIALIZED (
+  SELECT o.user_id, o.rn,
+         CASE o.event_type {b0} END AS b0,
+         CASE o.event_type {b1} END AS b1
+  FROM obs o JOIN u8 USING (user_id)),
+v1 AS MATERIALIZED (
+  SELECT user_id, {_mlog(_HMM_PI[0])} + b0 AS v0,
+         {_mlog(_HMM_PI[1])} + b1 AS v1
+  FROM e WHERE rn = 1),
+{",".join(steps)}
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       {path} AS path,
+       CAST(score AS BIGINT) AS score_micro
+FROM ({layers})
+"""
+
+
+@query("events_hmm_viterbi", oracle=_hmm_oracle())
+def events_hmm_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN MARKOV MODEL Viterbi decoding (Viterbi 1967; Rabiner
+    1989) of each user's event-stream prefix into latent
+    browse/buy-intent states — the LATENT-state extension of the
+    observable-chain family (events_markov_transitions /
+    events_markov_stationary): the chain ops model what users DO, the
+    HMM decodes what users ARE while doing it, the primitive behind
+    intent scoring and session-stage segmentation. Fixed 2-state model
+    (literal init/transition/emission), first {_HMM_N} events per user
+    in (ts, event_id) order, users with fewer dropped on both engines.
+
+    Determinism: every probability snaps to the integer micro-log grid
+    from the SAME literals inside each engine (the unigram-Viterbi
+    idiom), so scores are int64 max/plus and the argmax path — ties
+    broken to state 0 at every step and at the final argmax — replays
+    identically: the oracle unrolls the 8 step CTEs and walks the
+    stored choices through generated nested SELECTs; Spark runs the
+    identical integer DP in an Arrow-batched applyInPandas over
+    8-row user groups.
+
+    Scale shape: one window to take each user's prefix (combiner'd,
+    the sessionize shape), then user-count-sized model work — 16 DP
+    cells per user. At 100 TB the decode parallelizes per user
+    exactly like sessionization. Reference scope: no event surface in
+    the reference (SURVEY §2.5); declared extension."""
+    import math
+
+    from pyspark.sql import Window as W2
+
+    ev = load(spark, sf_dir, "events")
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = (ev.select("user_id", "event_type",
+                     F.row_number().over(w).alias("rn"))
+           .filter(F.col("rn") <= _HMM_N))
+    full = (obs.groupBy("user_id").count()
+            .filter(F.col("count") == _HMM_N).select("user_id"))
+    pts = obs.join(full, "user_id")
+
+    lpi = [round(math.log(p) * 1e6) for p in _HMM_PI]
+    la = [[round(math.log(_HMM_A[i][j]) * 1e6) for j in range(2)]
+          for i in range(2)]
+    lb = {k: (round(math.log(v[0]) * 1e6), round(math.log(v[1]) * 1e6))
+          for k, v in _HMM_B.items()}
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        uid = int(pdf["user_id"].iloc[0])
+        ems = [lb[t] for t in pdf["event_type"]]
+        v = [lpi[0] + ems[0][0], lpi[1] + ems[0][1]]
+        choices = []
+        for t in range(1, len(ems)):
+            c0 = 0 if v[0] + la[0][0] >= v[1] + la[1][0] else 1
+            c1 = 0 if v[0] + la[0][1] >= v[1] + la[1][1] else 1
+            v = [max(v[0] + la[0][0], v[1] + la[1][0]) + ems[t][0],
+                 max(v[0] + la[0][1], v[1] + la[1][1]) + ems[t][1]]
+            choices.append((c0, c1))
+        s = 0 if v[0] >= v[1] else 1
+        path = [s]
+        for c0, c1 in reversed(choices):
+            s = c0 if s == 0 else c1
+            path.append(s)
+        path.reverse()
+        return pd.DataFrame(
+            [(uid, "".join(str(x) for x in path), max(v))],
+            columns=["user_id", "path", "score_micro"])
+
+    out = pts.groupBy("user_id").applyInPandas(
+        viterbi, "user_id bigint, path string, score_micro bigint")
+    return out.select("user_id", "path", "score_micro")

@@ -118,7 +118,7 @@ LLM_QUERIES = [
     "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
     "text_wordpiece_train", "timeseries_mann_kendall",
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
-    "ab_sequential_sprt", "sim_lof_outliers",
+    "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
 ]
 
 
@@ -1563,3 +1563,47 @@ def test_lof_from_scratch_replay(spark):
     for q in list(s1)[:20]:
         assert kd[q] == edges[q][-1][2] or kd[q] == max(
             d for _, _, d in edges[q])
+
+
+def test_hmm_viterbi_invariants(spark):
+    """Every decoded path: length 8, binary alphabet; the path's own
+    log-likelihood (init + transitions + emissions recomputed from the
+    collected stream) equals score_micro EXACTLY — the Viterbi score
+    is the decoded path's score, not just an upper bound; and the
+    decoded path's score is >= the all-zeros path's score (optimality
+    spot check)."""
+    import math
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.pandas_udfs import (
+        _HMM_A, _HMM_B, _HMM_N, _HMM_PI)
+    from hadoop_digit_recognition_spark.tables import load
+
+    lpi = [round(math.log(p) * 1e6) for p in _HMM_PI]
+    la = [[round(math.log(_HMM_A[i][j]) * 1e6) for j in range(2)]
+          for i in range(2)]
+    lb = {k: (round(math.log(v[0]) * 1e6), round(math.log(v[1]) * 1e6))
+          for k, v in _HMM_B.items()}
+
+    out = {r.user_id: r for r in SPARK_QUERIES["events_hmm_viterbi"](
+        spark, SF_ORACLE).collect()}
+    assert out
+    ev = (load(spark, SF_ORACLE, "events")
+          .select("user_id", "ts", "event_id", "event_type").collect())
+    streams = {}
+    for e in ev:
+        streams.setdefault(e.user_id, []).append(
+            (e.ts, e.event_id, e.event_type))
+
+    def path_score(types, path):
+        s = lpi[path[0]] + lb[types[0]][path[0]]
+        for t in range(1, len(types)):
+            s += la[path[t - 1]][path[t]] + lb[types[t]][path[t]]
+        return s
+
+    for uid, r in list(out.items())[:40]:
+        assert len(r.path) == _HMM_N and set(r.path) <= {"0", "1"}
+        types = [t for _, _, t in sorted(streams[uid])[:_HMM_N]]
+        decoded = [int(c) for c in r.path]
+        assert path_score(types, decoded) == r.score_micro, (uid, r)
+        assert r.score_micro >= path_score(types, [0] * _HMM_N)

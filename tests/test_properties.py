@@ -583,7 +583,11 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # chunks (mostly-empty 32-bit words); a single-state
                  # chain (click->click only) for the stationary solve
                  "events_prefixspan_topk", "sketch_bitmap_distinct",
-                 "events_markov_stationary"):
+                 "events_markov_stationary",
+                 # round 9 continuation: 40 same-instant events (the
+                 # event_id tiebreak orders the decoded prefix) plus
+                 # two sub-length users dropped identically
+                 "events_hmm_viterbi"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 

@@ -2289,3 +2289,140 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round bigint, lhs string, rhs string, "
                 "pair_count bigint, score_e12 bigint")
+
+
+def _bleu_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH pairs AS ({ORACLE_SQL["dedup_minhash_lsh"]}),
+bdocs AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS ws
+  FROM documents),
+uni AS MATERIALIZED (
+  SELECT doc_id, ws[CAST(i AS INTEGER)] AS g, count(*) AS c
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM bdocs)
+  GROUP BY 1, 2),
+bi AS MATERIALIZED (
+  SELECT doc_id,
+         ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i AS INTEGER) + 1] AS g,
+         count(*) AS c
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM bdocs)
+  GROUP BY 1, 2),
+lens AS MATERIALIZED (SELECT doc_id, len(ws) AS n FROM bdocs),
+m1 AS (
+  SELECT p.doc_a, p.doc_b, sum(least(ca.c, cb.c)) AS m
+  FROM pairs p
+  JOIN uni cb ON cb.doc_id = p.doc_b
+  JOIN uni ca ON ca.doc_id = p.doc_a AND ca.g = cb.g
+  GROUP BY 1, 2),
+m2 AS (
+  SELECT p.doc_a, p.doc_b, sum(least(ca.c, cb.c)) AS m
+  FROM pairs p
+  JOIN bi cb ON cb.doc_id = p.doc_b
+  JOIN bi ca ON ca.doc_id = p.doc_a AND ca.g = cb.g
+  GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       CAST(la.n AS BIGINT) AS ref_len,
+       CAST(lb.n AS BIGINT) AS cand_len,
+       CAST(coalesce(m1.m, 0) AS BIGINT) AS match1,
+       CAST(lb.n AS BIGINT) AS total1,
+       CAST(coalesce(m2.m, 0) AS BIGINT) AS match2,
+       CAST(lb.n - 1 AS BIGINT) AS total2,
+       round(CASE WHEN coalesce(m1.m, 0) = 0 OR coalesce(m2.m, 0) = 0
+                  THEN 0.0
+                  ELSE (CASE WHEN lb.n < la.n
+                             THEN exp(1 - la.n * 1.0 / lb.n)
+                             ELSE 1.0 END)
+                       * sqrt((m1.m * 1.0 / lb.n)
+                              * (m2.m * 1.0 / (lb.n - 1)))
+             END, 6) AS bleu2
+FROM pairs p
+JOIN lens la ON la.doc_id = p.doc_a
+JOIN lens lb ON lb.doc_id = p.doc_b
+LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
+"""
+
+
+@query("text_bleu_pairs", oracle=_bleu_oracle())
+def text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. 2002) between near-duplicate CANDIDATE
+    pairs — the MT-style overlap metric applied where production
+    pipelines actually use it at corpus scale: VERIFYING minhash-LSH
+    candidates with an order-sensitive score (Jaccard sees bags of
+    shingles; BLEU's clipped n-gram precision + brevity penalty
+    punishes reordering and truncation, separating true near-dups from
+    bag-of-words coincidences). Built BY COMPOSITION on
+    dedup_minhash_lsh's registered candidate pairs (callable on the
+    Spark side, registered oracle SQL embedded as the pairs CTE).
+
+    Per pair (a = reference, b = candidate): clipped modified
+    precisions p_n = sum_g min(cnt_b(g), cnt_a(g)) / |ngrams(b)| for
+    n = 1, 2 — EXACT INTEGERS, all emitted (match/total columns) so
+    the metric core is integer-verified; bleu2 = BP *
+    sqrt(p1 * p2) with BP = exp(1 - ref_len/cand_len) when the
+    candidate is shorter, as the display column (identical doubles
+    from identical ints; zero if either precision is zero, which also
+    guards the single-token total2 = 0 edge).
+
+    Scale shape: candidate-pair-sized work — the n-gram count frames
+    are one corpus scan each (combiner'd), the clipped-match joins
+    touch only pair x shared-gram rows (LSH-bounded, never all-pairs).
+    Reference scope: no text surface in the reference (SURVEY §2.5);
+    declared extension."""
+    from .dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_parallel(spark, sf_dir, "documents")
+    bdocs = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ws"))
+    uni = (bdocs.select("doc_id", F.explode("ws").alias("g"))
+           .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    # size < 2 guard: Spark's sequence(1, -1) DESCENDS (vs DuckDB's
+    # empty range) and element_at then faults on the empty array — the
+    # _bpe_pair_counts lesson
+    bigrams = (F.when(F.size("ws") >= 2, F.expr(
+                   "transform(sequence(1, size(ws) - 1), "
+                   "i -> concat(element_at(ws, i), ' ', "
+                   "element_at(ws, i + 1)))"))
+               .otherwise(F.expr("cast(array() as array<string>)")))
+    bi = (bdocs.select("doc_id", F.explode(bigrams).alias("g"))
+          .groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c")))
+    lens = bdocs.select("doc_id", F.size("ws").alias("n"))
+
+    def clipped(grams: DataFrame) -> DataFrame:
+        ca = grams.select(F.col("doc_id").alias("doc_a"), "g",
+                          F.col("c").alias("c_a"))
+        cb = grams.select(F.col("doc_id").alias("doc_b"), "g",
+                          F.col("c").alias("c_b"))
+        return (pairs.join(cb, "doc_b").join(ca, ["doc_a", "g"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.sum(F.least("c_a", "c_b")).alias("m")))
+    m1 = clipped(uni).withColumnRenamed("m", "m1")
+    m2 = clipped(bi).withColumnRenamed("m", "m2")
+    la = lens.select(F.col("doc_id").alias("doc_a"),
+                     F.col("n").alias("ref_len"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"),
+                     F.col("n").alias("cand_len"))
+    out = (pairs.join(la, "doc_a").join(lb, "doc_b")
+           .join(m1, ["doc_a", "doc_b"], "left")
+           .join(m2, ["doc_a", "doc_b"], "left")
+           .select("doc_a", "doc_b",
+                   F.col("ref_len").cast("bigint").alias("ref_len"),
+                   F.col("cand_len").cast("bigint").alias("cand_len"),
+                   F.coalesce("m1", F.lit(0)).cast("bigint")
+                   .alias("match1"),
+                   F.col("cand_len").cast("bigint").alias("total1"),
+                   F.coalesce("m2", F.lit(0)).cast("bigint")
+                   .alias("match2"),
+                   (F.col("cand_len") - 1).cast("bigint").alias("total2")))
+    bp = (F.when(F.col("cand_len") < F.col("ref_len"),
+                 F.exp(1 - F.col("ref_len") * 1.0 / F.col("cand_len")))
+          .otherwise(F.lit(1.0)))
+    bleu = (F.when((F.col("match1") == 0) | (F.col("match2") == 0),
+                   F.lit(0.0))
+            .otherwise(bp * F.sqrt(
+                (F.col("match1") * 1.0 / F.col("total1"))
+                * (F.col("match2") * 1.0 / F.col("total2")))))
+    return out.withColumn("bleu2", F.round(bleu, 6))

@@ -119,6 +119,7 @@ LLM_QUERIES = [
     "text_wordpiece_train", "timeseries_mann_kendall",
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
     "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
+    "text_bleu_pairs",
 ]
 
 
@@ -1607,3 +1608,44 @@ def test_hmm_viterbi_invariants(spark):
         decoded = [int(c) for c in r.path]
         assert path_score(types, decoded) == r.score_micro, (uid, r)
         assert r.score_micro >= path_score(types, [0] * _HMM_N)
+
+
+def test_bleu_pairs_invariants(spark):
+    """BLEU-2 in [0, 1]; clipped matches never exceed totals or the
+    reference's gram budget; near-dup minhash pairs (jaccard ~ 1)
+    score high; and a from-scratch BLEU on one collected pair agrees
+    exactly."""
+    import math
+    from collections import Counter
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["text_bleu_pairs"](spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.bleu2 <= 1.0
+        assert 0 <= r.match1 <= r.total1
+        assert 0 <= r.match2 <= max(r.total2, 0)
+    # LSH pairs are >= 0.9 jaccard here: BLEU should be high too
+    assert sum(r.bleu2 > 0.8 for r in rows) / len(rows) > 0.8
+
+    r = rows[0]
+    texts = {d.doc_id: d.text for d in
+             load(spark, SF_ORACLE, "documents")
+             .filter(f"doc_id IN ({r.doc_a}, {r.doc_b})").collect()}
+    wa = [w for w in texts[r.doc_a].split(" ") if w]
+    wb = [w for w in texts[r.doc_b].split(" ") if w]
+
+    def prec(n):
+        ca = Counter(tuple(wa[i:i + n]) for i in range(len(wa) - n + 1))
+        cb = Counter(tuple(wb[i:i + n]) for i in range(len(wb) - n + 1))
+        return (sum(min(c, ca[g]) for g, c in cb.items()),
+                sum(cb.values()))
+    m1, t1 = prec(1)
+    m2, t2 = prec(2)
+    assert (r.match1, r.total1, r.match2, r.total2) == (m1, t1, m2, t2)
+    bp = math.exp(1 - len(wa) / len(wb)) if len(wb) < len(wa) else 1.0
+    want = 0.0 if m1 == 0 or m2 == 0 else bp * math.sqrt(
+        (m1 / t1) * (m2 / t2))
+    assert abs(r.bleu2 - round(want, 6)) < 1e-9

@@ -660,7 +660,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 9 continuation: empty doc -> no words; the
                  # dup block makes round-1 unigram counts tie-heavy
                  # (likelihood-ratio argmax must break ties identically)
-                 "text_wordpiece_train"):
+                 "text_wordpiece_train",
+                 # round 9 continuation: BLEU over the identical-doc
+                 # block's minhash pairs must hit exactly 1.0 with
+                 # match == total at both orders
+                 "text_bleu_pairs"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -2292,6 +2292,12 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bleu_oracle() -> str:
+    # Worker-side import order (the multimodal _ssim_oracle lesson): a
+    # worker unpickling any text.py pandas UDF imports this module
+    # standalone, so the producer must register before this decoration-
+    # time lookup runs.
+    from . import dedup  # noqa: F401
+
     from ..registry import ORACLE_SQL
     return f"""
 WITH pairs AS ({ORACLE_SQL["dedup_minhash_lsh"]}),

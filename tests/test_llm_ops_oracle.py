@@ -119,7 +119,7 @@ LLM_QUERIES = [
     "text_wordpiece_train", "timeseries_mann_kendall",
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
     "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
-    "text_bleu_pairs",
+    "text_bleu_pairs", "multimodal_ssim_pairs",
 ]
 
 
@@ -1649,3 +1649,39 @@ def test_bleu_pairs_invariants(spark):
     want = 0.0 if m1 == 0 or m2 == 0 else bp * math.sqrt(
         (m1 / t1) * (m2 / t2))
     assert abs(r.bleu2 - round(want, 6)) < 1e-9
+
+
+def test_ssim_pairs_invariants(spark):
+    """ssim_e6 in [-1e6, 1e6]; ssim_e6 = 1e6 iff l2_sq = 0 (identical
+    rasters); and a from-scratch float SSIM on each pair's decoded
+    rasters agrees with the integer-grid value to 1 micro."""
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        _SSIM_N)
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["multimodal_ssim_pairs"](
+        spark, SF_ORACLE).collect()
+    assert rows
+    texts = {d.doc_id: d.text for d in
+             load(spark, SF_ORACLE, "documents").collect()}
+
+    def raster(doc_id):
+        raw = np.frombuffer(
+            texts[doc_id].encode()[:_SSIM_N], dtype=np.uint8)
+        return np.pad(raw, (0, _SSIM_N - raw.size)).astype(np.float64)
+
+    c1, c2 = (0.01 * 255) ** 2, (0.03 * 255) ** 2
+    for r in rows:
+        assert -1_000_000 <= r.ssim_e6 <= 1_000_000
+        assert (r.ssim_e6 == 1_000_000) == (r.l2_sq == 0), r
+        x, y = raster(r.doc_a), raster(r.doc_b)
+        mx, my = x.mean(), y.mean()
+        vx, vy = x.var(), y.var()
+        cxy = ((x - mx) * (y - my)).mean()
+        want = ((2 * mx * my + c1) * (2 * cxy + c2)
+                / ((mx ** 2 + my ** 2 + c1) * (vx + vy + c2)))
+        assert abs(r.ssim_e6 / 1e6 - want) < 2e-6, (r, want)
+        assert r.l2_sq == int(((x - y) ** 2).sum())

@@ -664,7 +664,10 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 9 continuation: BLEU over the identical-doc
                  # block's minhash pairs must hit exactly 1.0 with
                  # match == total at both orders
-                 "text_bleu_pairs"):
+                 "text_bleu_pairs",
+                 # round 9 continuation: identical rasters must score
+                 # ssim_e6 = exactly 1e6 with l2_sq = 0 on both engines
+                 "multimodal_ssim_pairs"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

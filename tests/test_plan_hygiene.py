@@ -145,7 +145,11 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # allowlisted broadcast eval-side sweep from
                 # corpus_decontamination_semantic (its only BNLJ);
                 # every other rung joins equi on doc_id
-                "pipeline_release_manifest"}
+                "pipeline_release_manifest",
+                # 1-row (r, k) distinct-cardinality scalar crossed into
+                # the 1-row chi-square statistic (dq_ks_two_sample
+                # verdict-epilogue class)
+                "dq_chi_square_cramers_v"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -936,3 +936,135 @@ def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.bit_count("bits")) * 1.0
                          / (F.count(F.lit(1)) * (_BMP_MASK + 1)), 6)
                  .alias("fill_ratio")))
+
+
+# DDSketch relative-error quantile sketch (Masson, Rim & Lee, VLDB
+# 2019): bucket i = ceil(ln(v)/ln(gamma)) with gamma = (1+a)/(1-a)
+# guarantees |est/exact - 1| <= a for every quantile. alpha = 1%.
+_DD_ALPHA = 0.01
+_DD_GAMMA = (1 + _DD_ALPHA) / (1 - _DD_ALPHA)
+_DD_QS = (0.5, 0.95, 0.99)
+
+
+@query("sketch_ddsketch_quantiles", oracle=f"""
+WITH pos AS (SELECT event_type, value, event_id FROM events
+             WHERE value > 0),
+zn AS (SELECT event_type,
+              CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_nonpos
+       FROM events GROUP BY 1),
+b AS (SELECT event_type,
+             CAST(ceil(ln(value) / ln({_DD_GAMMA})) AS BIGINT) AS bkt,
+             CAST(count(*) AS BIGINT) AS c
+      FROM pos GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_buckets
+        FROM b GROUP BY 1),
+cum AS (SELECT event_type, bkt,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bkt) AS cc
+        FROM b),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _DD_QS)}]) AS q),
+tgt AS (SELECT t.event_type, qs.q, t.n, t.n_buckets,
+               CAST(floor(qs.q * (t.n - 1)) AS BIGINT) + 1 AS target
+        FROM tot t CROSS JOIN qs),
+pick AS (SELECT tg.event_type, tg.q, min(c.bkt) AS bkt
+         FROM tgt tg
+         JOIN cum c ON c.event_type = tg.event_type
+                   AND c.cc >= tg.target
+         GROUP BY 1, 2),
+ranked AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn
+           FROM pos)
+SELECT p.event_type, p.q, tg.n, tg.n_buckets, p.bkt,
+       round(2 * pow({_DD_GAMMA}, p.bkt) / ({_DD_GAMMA} + 1), 6) AS est_v,
+       r.value AS exact_v,
+       zn.n_nonpos
+FROM pick p
+JOIN tgt tg ON tg.event_type = p.event_type AND tg.q = p.q
+JOIN ranked r ON r.event_type = p.event_type AND r.rn = tg.target
+JOIN zn ON zn.event_type = p.event_type
+""")
+def sketch_ddsketch_quantiles(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """DDSKETCH relative-error quantiles (Masson, Rim & Lee, VLDB
+    2019 — the production latency-quantile sketch): values map to
+    logarithmic buckets i = ceil(ln(v)/ln(gamma)) with gamma =
+    (1+a)/(1-a) at a = {_DD_ALPHA}, so the bucket table IS the sketch —
+    INTEGER state, trivially MERGEABLE (bucket-wise count addition:
+    the property that lets per-partition sketches combine in one
+    combiner'd shuffle, unlike rank-based GK/KLL whose merge is
+    order-sensitive), with the guarantee |est/exact - 1| <= a at
+    every quantile. Completes the sketch family's quantile gap next to
+    distinct-count (HLL/KMV/bitmap), frequency (CMS), membership
+    (Bloom), and moments (AMS); sketch_quantiles is the exact-compute
+    twin. Emits, per (event_type, q in {_DD_QS}): the integer bucket
+    index and counts (hash-exact), the decoded estimate 2*gamma^i /
+    (gamma+1), and the exact same-rank value — so the error bound is
+    VISIBLE in the result and test-pinned. Non-positive values cannot
+    enter the log; they are counted out-of-band (n_nonpos), the
+    standard DDSketch zero-bucket treatment.
+
+    Determinism: buckets are ceil of identical doubles (bucket edges
+    are powers of gamma — irrational, so 2-decimal data never sits on
+    an edge); counts, targets, and the min-bucket pick are exact
+    integers; est_v derives from pow on the same (gamma, int) in both
+    engines; exact_v is a row_number rank pick under a total order.
+
+    Scale shape: ONE combiner'd groupBy to (type, bucket) — ~300
+    buckets per type at any data size (state is resolution-sized, not
+    data-sized); the cumulative pick is a window over the bucket
+    table. At 100 TB this is the canonical mergeable-sketch plan: map-
+    side partial bucket counts, one tiny shuffle, driver-sized decode.
+    The exact_v rank pick is the TEST apparatus, not the sketch — a
+    production job ships only the bucket table. Reference scope: no
+    sketch surface in the reference (SURVEY §2.5); declared
+    extension."""
+    from pyspark.sql import Window as W2
+
+    ev = load(spark, sf_dir, "events")
+    pos = ev.filter(F.col("value") > 0).select(
+        "event_type", "value", "event_id")
+    zn = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") <= 0, 1).otherwise(0))
+        .cast("bigint").alias("n_nonpos"))
+    b = (pos.select(
+            "event_type",
+            F.ceil(F.log("value") / F.log(F.lit(_DD_GAMMA)))
+            .cast("bigint").alias("bkt"))
+         .groupBy("event_type", "bkt")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = b.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    cum = b.select(
+        "event_type", "bkt",
+        F.sum("c").over(W2.partitionBy("event_type").orderBy("bkt"))
+        .alias("cc"))
+    qs = spark.createDataFrame([(q,) for q in _DD_QS], "q double")
+    tgt = (tot.crossJoin(F.broadcast(qs))
+           .select("event_type", "q", "n", "n_buckets",
+                   (F.floor(F.col("q") * (F.col("n") - 1)) + 1)
+                   .cast("bigint").alias("target")))
+    pick = (tgt.join(cum, "event_type")
+            .filter(F.col("cc") >= F.col("target"))
+            .groupBy("event_type", "q")
+            .agg(F.min("bkt").alias("bkt")))
+    ranked = pos.select(
+        "event_type", "value",
+        F.row_number().over(
+            W2.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("rn"))
+    est = F.round(2 * F.pow(F.lit(_DD_GAMMA), F.col("bkt"))
+                  / (_DD_GAMMA + 1), 6)
+    exact = ranked.select(F.col("event_type").alias("et"),
+                          F.col("rn").alias("xrn"),
+                          F.col("value").alias("exact_v"))
+    return (pick
+            .join(tgt, ["event_type", "q"])
+            .join(exact, (F.col("et") == F.col("event_type"))
+                  & (F.col("xrn") == F.col("target")))
+            .join(zn.withColumnRenamed("event_type", "et2"),
+                  F.col("et2") == F.col("event_type"))
+            .select("event_type", "q", "n", "n_buckets", "bkt",
+                    est.alias("est_v"), "exact_v", "n_nonpos"))

@@ -120,6 +120,7 @@ LLM_QUERIES = [
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
     "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
     "text_bleu_pairs", "multimodal_ssim_pairs",
+    "sketch_ddsketch_quantiles",
 ]
 
 
@@ -1685,3 +1686,39 @@ def test_ssim_pairs_invariants(spark):
                 / ((mx ** 2 + my ** 2 + c1) * (vx + vy + c2)))
         assert abs(r.ssim_e6 / 1e6 - want) < 2e-6, (r, want)
         assert r.l2_sq == int(((x - y) ** 2).sum())
+
+
+def test_ddsketch_error_bound_and_merge(spark):
+    """The DDSketch GUARANTEE holds: |est/exact - 1| <= alpha for every
+    (type, q); and the sketch is MERGEABLE — bucket tables built on two
+    disjoint halves of the data, added bucket-wise, equal the global
+    bucket table (the property that makes it one combiner'd shuffle at
+    any scale)."""
+    import math
+    from collections import Counter
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.sketches import (
+        _DD_ALPHA, _DD_GAMMA)
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["sketch_ddsketch_quantiles"](
+        spark, SF_ORACLE).collect()
+    assert len(rows) == 15  # 5 types x 3 quantiles
+    for r in rows:
+        assert abs(r.est_v / r.exact_v - 1) <= _DD_ALPHA, r
+        assert r.n_nonpos == 0
+
+    vals = [(e.event_type, e.value, e.event_id) for e in
+            load(spark, SF_ORACLE, "events")
+            .select("event_type", "value", "event_id").collect()
+            if e.value > 0]
+
+    def bucket_table(subset):
+        return Counter(
+            (t, math.ceil(math.log(v) / math.log(_DD_GAMMA)))
+            for t, v, _ in subset)
+    half_a = [x for x in vals if x[2] % 2 == 0]
+    half_b = [x for x in vals if x[2] % 2 == 1]
+    merged = bucket_table(half_a) + bucket_table(half_b)
+    assert merged == bucket_table(vals)

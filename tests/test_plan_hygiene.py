@@ -149,7 +149,10 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # 1-row (r, k) distinct-cardinality scalar crossed into
                 # the 1-row chi-square statistic (dq_ks_two_sample
                 # verdict-epilogue class)
-                "dq_chi_square_cramers_v"}
+                "dq_chi_square_cramers_v",
+                # 3-row literal quantile grid crossed into the 5-row
+                # per-type totals (threshold-sweep literal-grid class)
+                "sketch_ddsketch_quantiles"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -587,7 +587,11 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # round 9 continuation: 40 same-instant events (the
                  # event_id tiebreak orders the decoded prefix) plus
                  # two sub-length users dropped identically
-                 "events_hmm_viterbi"):
+                 "events_hmm_viterbi",
+                 # round 9 continuation: zero values route out-of-band
+                 # (n_nonpos) and all-zero types drop the sketch rows
+                 # identically on both engines
+                 "sketch_ddsketch_quantiles"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 

@@ -2308,3 +2308,101 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (1.0 - 1.0 / _BBIT_MOD), 6).alias("jaccard_bbit"),
         F.round(i * 1.0 / (F.col("na") + F.col("nb") - i), 6)
         .alias("jaccard_exact"))
+
+
+# Content-defined chunking: a token is a CUT POINT iff its hash ≡ 0
+# (mod _CDC_D) — expected chunk length _CDC_D tokens; report chunks of
+# at least _CDC_MIN tokens shared by >= 2 docs.
+_CDC_D = 8
+_CDC_MIN = 4
+
+
+@query("dedup_cdc_chunks", oracle=f"""
+WITH ctoks AS MATERIALIZED (
+  SELECT doc_id, ws[CAST(i AS INTEGER)] AS w, i
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '')
+                       AS ws
+              FROM documents))),
+cchunked AS MATERIALIZED (
+  SELECT doc_id, w, i,
+         coalesce(sum(CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT
+                                % {_CDC_D} = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS chunk_no
+  FROM ctoks),
+cchunks AS MATERIALIZED (
+  SELECT doc_id, chunk_no,
+         md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash,
+         CAST(count(*) AS BIGINT) AS n_toks
+  FROM cchunked GROUP BY 1, 2)
+SELECT chunk_hash,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(min(n_toks) AS BIGINT) AS n_toks,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM cchunks
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) >= 2 AND min(n_toks) >= {_CDC_MIN}
+""")
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup (Muthitacharoen et al. 2001
+    LBFS; Xia et al. 2016 FastCDC — the storage/dataset-dedup
+    primitive): cut points are decided by CONTENT (a token cuts iff
+    its hash ≡ 0 mod {_CDC_D}), so an insertion or deletion only
+    reshapes its OWN chunk while every other chunk's boundary — and
+    hash — survives, which fixed-size blocking cannot do. Shared
+    chunks across documents are the physically dedupable extents; the
+    report is (chunk_hash, occurrences, docs, length, keeper) for
+    chunks of >= {_CDC_MIN} tokens in >= 2 docs. Complements the
+    text-dedup ladder: exact (whole doc), minhash (similarity),
+    winnowing (sampled fingerprints) — CDC recovers FULL shared
+    extents, what a dataset-storage layer actually deduplicates.
+
+    Every boundary decision is LOCAL (single-token gear hash), the
+    property that makes CDC embarrassingly parallel — no sequential
+    min-chunk suppression, the trade FastCDC's normalized chunking
+    also makes in spirit; the minimum-length constraint applies at
+    REPORT time instead, deterministically on both engines.
+
+    Determinism: cut decisions use the shared md5-prefix det_hash64;
+    chunk numbering is an exclusive prefix sum over (doc, position);
+    chunk identity is md5 of the space-joined tokens — exact string
+    equality, no floats anywhere.
+
+    Scale shape: two token-stream-sized shuffles (the winnowing
+    class): one window for the per-doc prefix sum, one groupBy to
+    assemble chunks, one combiner'd groupBy for the report. At 100 TB
+    the chunk table is corpus-sized but the report is dup-volume-
+    sized; production would bucket the chunk store by hash prefix —
+    the same layout this plan already shuffles into."""
+    from pyspark.sql import Window as W2
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    toks = (docs.select(
+                "doc_id",
+                F.posexplode(F.filter(F.split("text", " "),
+                                      lambda x: x != ""))
+                .alias("i0", "w"))
+            .select("doc_id", (F.col("i0") + 1).alias("i"), "w"))
+    cut = F.when(det_hash64(F.col("w")) % _CDC_D == 0, 1).otherwise(0)
+    wp = (W2.partitionBy("doc_id").orderBy("i")
+          .rowsBetween(W2.unboundedPreceding, -1))
+    chunked = toks.select(
+        "doc_id", "w", "i",
+        F.coalesce(F.sum(cut).over(wp), F.lit(0)).alias("chunk_no"))
+    chunks = (chunked.groupBy("doc_id", "chunk_no")
+              .agg(F.md5(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("i", "w"))),
+                           lambda s: s["w"]), " ")).alias("chunk_hash"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_toks")))
+    return (chunks.groupBy("chunk_hash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+                 F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.min("n_toks").cast("bigint").alias("n_toks"),
+                 F.min("doc_id").cast("bigint").alias("keep_doc"))
+            .filter((F.col("n_docs") >= 2) & (F.col("n_toks") >= _CDC_MIN)))

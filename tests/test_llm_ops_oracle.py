@@ -120,7 +120,7 @@ LLM_QUERIES = [
     "timeseries_kalman_level", "dq_chi_square_cramers_v",
     "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
     "text_bleu_pairs", "multimodal_ssim_pairs",
-    "sketch_ddsketch_quantiles",
+    "sketch_ddsketch_quantiles", "dedup_cdc_chunks",
 ]
 
 
@@ -1722,3 +1722,60 @@ def test_ddsketch_error_bound_and_merge(spark):
     half_b = [x for x in vals if x[2] % 2 == 1]
     merged = bucket_table(half_a) + bucket_table(half_b)
     assert merged == bucket_table(vals)
+
+
+def test_cdc_shift_resistance(spark, tmp_path):
+    """THE content-defined property: inserting one word into the middle
+    of a long document must leave every chunk outside the edited one
+    intact — fixed-size blocking would shift every downstream block.
+    Two docs (original + 1-word insertion) must share all chunk hashes
+    except the edited chunk's, and the report must surface the shared
+    extents."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        _CDC_D, _CDC_MIN)
+
+    words = ["spark", "table", "row", "scan", "join", "hash", "sort",
+             "merge", "group", "filter", "value", "key", "batch",
+             "query", "column", "stream"]
+    base = [words[(7 * i + 3) % len(words)] for i in range(120)]
+    edited = base[:60] + ["INSERTED"] + base[60:]
+    texts = [" ".join(base), " ".join(edited)]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s", "s"]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    def chunks(toks):
+        out, cur = [], []
+        for w in toks:
+            cur.append(w)
+            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) \
+                    % _CDC_D == 0:
+                out.append(" ".join(cur))
+                cur = []
+        if cur:
+            out.append(" ".join(cur))
+        return out
+    ca, cb = set(chunks(base)), set(chunks(edited))
+    shared = ca & cb
+    assert len(ca - cb) <= 1 and len(cb - ca) <= 1  # only the edited chunk
+    assert len(shared) >= len(ca) - 1
+
+    rows = SPARK_QUERIES["dedup_cdc_chunks"](spark, d).collect()
+    got = {r.chunk_hash for r in rows}
+    want = {hashlib.md5(c.encode()).hexdigest()
+            for c in shared if len(c.split(" ")) >= _CDC_MIN}
+    assert want <= got, (want - got)
+    for r in rows:
+        assert r.n_docs == 2 and r.keep_doc == 0

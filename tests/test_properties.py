@@ -671,7 +671,10 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "text_bleu_pairs",
                  # round 9 continuation: identical rasters must score
                  # ssim_e6 = exactly 1e6 with l2_sq = 0 on both engines
-                 "multimodal_ssim_pairs"):
+                 "multimodal_ssim_pairs",
+                 # round 9 continuation: empty docs chunk to nothing;
+                 # the identical block's chunks dedup across all 5
+                 "dedup_cdc_chunks"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

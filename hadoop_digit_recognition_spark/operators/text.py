@@ -2260,6 +2260,16 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     again. Reference scope: the reference has no text pipeline
     (SURVEY §2.5); this is a declared extension."""
     docs = load_parallel(spark, sf_dir, "documents")
+    merges, _ = _wp_train(docs)
+    return spark.createDataFrame(
+        merges, "round bigint, lhs string, rhs string, "
+                "pair_count bigint, score_e12 bigint")
+
+
+def _wp_train(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
+    """The WordPiece driver loop, factored (the _bpe_train_scaled
+    convention) so the bake-off can reuse the IDENTICAL trainer and
+    read the final word state: returns (merge list, final state)."""
     state = _bpe_word_state(docs).localCheckpoint()
     merges: list[tuple] = []
     for rnd in range(1, _WP_ROUNDS + 1):
@@ -2286,9 +2296,7 @@ def text_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("repr"),
                       F.lit(f" {lhs}, {rhs},"),
                       F.lit(f" {lhs}{rhs},")).alias("repr")).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round bigint, lhs string, rhs string, "
-                "pair_count bigint, score_e12 bigint")
+    return merges, state
 
 
 def _bleu_oracle() -> str:
@@ -2432,3 +2440,117 @@ def text_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("match1") * 1.0 / F.col("total1"))
                 * (F.col("match2") * 1.0 / F.col("total2")))))
     return out.withColumn("bleu2", F.round(bleu, 6))
+
+
+def _bakeoff_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    wf_s0 = """
+wf AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w != '' GROUP BY w),
+{start} AS (
+  SELECT word, freq,
+         ' ' || array_to_string(
+           list_transform(range(1, len(word) + 1),
+                          i -> word[CAST(i AS INTEGER)] || ','), ' ')
+           AS repr
+  FROM wf)"""
+    n_toks = ("CAST(len(list_filter(string_split(repr, ' '), "
+              "x -> x != '')) AS BIGINT)")
+    bpe_chain = (wf_s0.format(start="s0") + ","
+                 + ",".join(_bpe_round_sql(r)
+                            for r in range(1, _BPE_ROUNDS + 1)))
+    wp_chain = (wf_s0.format(start="t0") + ","
+                + ",".join(_wp_round_sql(r)
+                           for r in range(1, _WP_ROUNDS + 1)))
+    branch = """
+SELECT '{name}' AS tokenizer,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_freq,
+       CAST(sum(freq * n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(freq * n_tokens) * 1000000) // sum(freq) AS BIGINT)
+         AS fertility_micro
+FROM {src} HAVING count(*) > 0"""
+    return f"""
+WITH bpe6 AS MATERIALIZED (
+  SELECT word, freq, {n_toks} AS n_tokens
+  FROM (WITH {bpe_chain} SELECT word, freq, repr FROM s{_BPE_ROUNDS})
+  WHERE len(word) <= {_UNI_MAXLEN}),
+wp6 AS MATERIALIZED (
+  SELECT word, freq, {n_toks} AS n_tokens
+  FROM (WITH {wp_chain} SELECT word, freq, repr FROM t{_WP_ROUNDS})
+  WHERE len(word) <= {_UNI_MAXLEN}),
+uni6 AS MATERIALIZED (
+  SELECT word, freq, n_pieces AS n_tokens
+  FROM ({ORACLE_SQL["text_unigram_viterbi_segment"]}))
+{branch.format(name="bpe", src="bpe6")}
+UNION ALL
+{branch.format(name="unigram", src="uni6")}
+UNION ALL
+{branch.format(name="wordpiece", src="wp6")}
+"""
+
+
+@query("corpus_tokenizer_bakeoff", eager=True, oracle=_bakeoff_oracle())
+def corpus_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER BAKE-OFF — the model-selection report a tokenizer
+    training job actually ships: all three trainers (BPE frequency
+    rule, WordPiece likelihood-ratio rule, unigram-LM Viterbi) run on
+    the same corpus at matched budget ({_BPE_ROUNDS} merges / the
+    {_UNI_V}-piece unigram vocab), scored by FERTILITY — the
+    frequency-weighted tokens-per-word that drives context-window cost
+    (Rust et al. 2021's tokenizer-comparison metric). The domain is
+    the shared word set (types <= {_UNI_MAXLEN} chars, the unigram
+    oracle's bound) so the three rows are directly comparable.
+
+    Built BY COMPOSITION: each branch reuses its trainer's OWN
+    machinery — the Spark side calls _bpe_train_states / _wp_train /
+    the registered unigram E-step; the oracle embeds the same
+    generated round chains and the unigram oracle verbatim (CTE-name
+    collisions avoided by scoping each chain in its own WITH
+    subquery), so the bake-off can never disagree with the trainers
+    the driver verifies individually. Fertility is an exact integer
+    micro ratio (floor division of int64 sums).
+
+    Scale shape: three trainer runs over word-type-sized state (each
+    flat at 10x, SCALE.md) + one union of three 1-row aggregates.
+    Reference scope: no text pipeline in the reference (SURVEY §2.5);
+    declared extension."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    n_toks = F.size(F.filter(F.split("repr", " "),
+                             lambda x: x != "")).cast("bigint")
+
+    bpe_final, _ = _bpe_train_states(docs)
+    _, wp_final = _wp_train(docs)
+    uni = text_unigram_viterbi_segment(spark, sf_dir)
+
+    def measure(state: DataFrame, name: str) -> DataFrame:
+        m = (state.filter(F.length("word") <= _UNI_MAXLEN)
+             .select("freq", n_toks.alias("n_tokens")))
+        return (m.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                    F.sum("freq").cast("bigint").alias("total_freq"),
+                    F.sum(F.col("freq") * F.col("n_tokens"))
+                    .cast("bigint").alias("total_tokens"))
+                .filter(F.col("n_words") > 0)
+                .select(F.lit(name).alias("tokenizer"),
+                        "n_words", "total_freq", "total_tokens",
+                        F.expr("CAST((total_tokens * 1000000) DIV "
+                               "total_freq AS BIGINT)")
+                        .alias("fertility_micro")))
+
+    uni_m = (uni.agg(
+                 F.count(F.lit(1)).cast("bigint").alias("n_words"),
+                 F.sum("freq").cast("bigint").alias("total_freq"),
+                 F.sum(F.col("freq") * F.col("n_pieces"))
+                 .cast("bigint").alias("total_tokens"))
+             .filter(F.col("n_words") > 0)
+             .select(F.lit("unigram").alias("tokenizer"),
+                     "n_words", "total_freq", "total_tokens",
+                     F.expr("CAST((total_tokens * 1000000) DIV "
+                            "total_freq AS BIGINT)")
+                     .alias("fertility_micro")))
+    return (measure(bpe_final, "bpe")
+            .unionByName(uni_m)
+            .unionByName(measure(wp_final, "wordpiece")))

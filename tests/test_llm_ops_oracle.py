@@ -121,6 +121,7 @@ LLM_QUERIES = [
     "ab_sequential_sprt", "sim_lof_outliers", "events_hmm_viterbi",
     "text_bleu_pairs", "multimodal_ssim_pairs",
     "sketch_ddsketch_quantiles", "dedup_cdc_chunks",
+    "corpus_tokenizer_bakeoff",
 ]
 
 
@@ -1779,3 +1780,26 @@ def test_cdc_shift_resistance(spark, tmp_path):
     assert want <= got, (want - got)
     for r in rows:
         assert r.n_docs == 2 and r.keep_doc == 0
+
+
+def test_tokenizer_bakeoff_invariants(spark):
+    """All three tokenizers score the SAME word domain (equal n_words
+    and total_freq); fertility is at least 1 token/word and at most
+    the character bound; and the unigram branch agrees with the
+    registered Viterbi segmentation's own weighted piece count."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    rows = {r.tokenizer: r for r in
+            SPARK_QUERIES["corpus_tokenizer_bakeoff"](
+                spark, SF_ORACLE).collect()}
+    assert set(rows) == {"bpe", "wordpiece", "unigram"}
+    n_words = {r.n_words for r in rows.values()}
+    total_freq = {r.total_freq for r in rows.values()}
+    assert len(n_words) == 1 and len(total_freq) == 1
+    for r in rows.values():
+        assert 1_000_000 <= r.fertility_micro
+        assert r.total_tokens >= r.total_freq
+    seg = SPARK_QUERIES["text_unigram_viterbi_segment"](
+        spark, SF_ORACLE).collect()
+    want = sum(s.freq * s.n_pieces for s in seg)
+    assert rows["unigram"].total_tokens == want

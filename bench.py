@@ -97,6 +97,12 @@ TAIL = [
     # chain, so cold build+exec billing pins the whole-chain cost every
     # round (per-stage breakdown in SCALE.md round 9).
     "pipeline_corpus_release",
+    # round-9 continuation: the tokenizer bake-off (three eager trainer
+    # runs), LOF over the eager kNN-graph build, and SSIM's eager
+    # raster checkpoint — all cold-billed for the same reason.
+    "corpus_tokenizer_bakeoff",
+    "sim_lof_outliers",
+    "multimodal_ssim_pairs",
 ]
 
 

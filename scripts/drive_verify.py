@@ -121,6 +121,19 @@ def _release_session_state():
     # cleaner can release their blocks
     import gc
     gc.collect()
+    # localCheckpoint blocks are RDD storage, NOT catalog cache —
+    # clearCache() never touches them, and the async ContextCleaner
+    # lags behind a tight query loop. With the round-9 checkpoint-using
+    # operators the accumulated blocks re-broke the full sf0.1 sweep
+    # (executor OOM at query ~85 in the plain 1 GB session). Every
+    # previous query's frames are dead here, so force-unpersist all
+    # persistent RDDs synchronously.
+    try:
+        for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+    except Exception:
+        pass
 
 
 fails = []

@@ -1286,8 +1286,15 @@ _WALK_LEN = 4
 
 
 def _walk_oracle() -> str:
+    """Every step CTE is AS MATERIALIZED (the LPA lesson): w{k} is
+    referenced by w{k+1} AND the final union, and e2/deg embed the
+    4-way lineitem trade join — inlined, DuckDB re-evaluates the edge
+    derivation once per chain re-expansion, which at sf0.1 was
+    measured spilling >100 GB in-process and never finishing (the
+    off-nominal sweep's one hang); materialized, the edge join runs
+    once and each step is a walk-frontier-sized lookup."""
     step_tpl = """
-w{k} AS (
+w{k} AS MATERIALIZED (
   SELECT w.walk_id, w.start_node, CAST({k} AS BIGINT) AS step,
          e.dst AS node
   FROM w{p} w
@@ -1303,13 +1310,14 @@ w{k} AS (
         for k in range(_WALK_LEN + 1))
     return f"""
 WITH {_SPARSE_EDGES_CTES}
-e2 AS (
+e2 AS MATERIALIZED (
   SELECT src, dst,
          row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
   FROM e),
-deg AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
+deg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM e2 GROUP BY src),
 nodes AS (SELECT n_nationkey AS node FROM nation),
-w0 AS (
+w0 AS MATERIALIZED (
   SELECT CAST(n.node * {_WALKS_PER_NODE} + r.i AS BIGINT) AS walk_id,
          CAST(n.node AS BIGINT) AS start_node,
          CAST(0 AS BIGINT) AS step, CAST(n.node AS BIGINT) AS node

@@ -1541,3 +1541,80 @@ def corpus_decontamination_semantic_lsh(spark: SparkSession,
                     F.col("cos").alias("max_cos"),
                     (F.col("cos") >= float(_SEMDECON_TAU))
                     .alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
+# Word/phrase blocklist filtering (the C4 "bad words" gate).
+
+# Term list is frozen at module scope: a production gate ships its
+# blocklist as a versioned artifact and broadcasts it, never joins a
+# mutable table mid-pipeline.
+_BLOCK_TERMS = ("dup", "leak", "crash")
+_BLOCK_PHRASES = ("slow scan",)
+
+_BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+
+
+@query("corpus_blocklist_filter", oracle=f"""
+WITH t AS (
+  SELECT source, lang,
+         list_filter(string_split(lower(text), ' '), x -> x != '') AS ws
+  FROM documents),
+f AS (
+  SELECT source, lang, CAST(len(ws) AS BIGINT) AS ntok,
+         len(list_intersect(ws, [{_BLOCK_TERMS_SQL}])) > 0 AS hit_term,
+         position(' slow scan ' IN ' ' || array_to_string(ws, ' ') || ' ')
+           > 0 AS hit_phrase
+  FROM t)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hit_term THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_term_hits,
+       CAST(sum(CASE WHEN hit_phrase THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_phrase_hits,
+       CAST(sum(CASE WHEN hit_term OR hit_phrase THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_blocked,
+       CAST(sum(CASE WHEN hit_term OR hit_phrase THEN 0 ELSE ntok END)
+            AS BIGINT) AS kept_tokens
+FROM f GROUP BY source, lang
+""")
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKLIST document filtering (the C4 cleaning step, Raffel et
+    al. 2020 — drop any document containing a term from a curated list;
+    Penedo et al. 2023 RefinedWeb keeps the same gate): word-boundary
+    TERM hits via token-set intersection against the broadcast list,
+    word-boundary PHRASE hits via space-padded substring containment on
+    the normalized token string (' slow scan ' cannot match inside
+    'slower scanner'). The report is the per-(source, lang) accounting
+    a release pipeline logs: documents scanned, hits by rule class,
+    docs blocked (either rule), surviving token volume.
+
+    Spark-first shape: the term list compiles into the scan itself
+    (`arrays_overlap` against a LITERAL array — no join, no shuffle,
+    whole-stage codegen keeps it JVM-side), so the gate is one NARROW
+    pass over the corpus followed by a combiner'd groupBy on
+    (source, lang) — model-sized output. At 100 TB a realistic
+    blocklist (~10k terms) still broadcasts in KBs; phrase rules
+    compile to `contains` on the normalized text. Nothing here scales
+    with anything but corpus bytes."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    t = docs.select("source", "lang", ws.alias("ws"))
+    hit_term = F.arrays_overlap(
+        "ws", F.array(*[F.lit(w) for w in _BLOCK_TERMS]))
+    hit_phrase = F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")) \
+        .contains(" " + _BLOCK_PHRASES[0] + " ")
+    f = t.select("source", "lang",
+                 F.size("ws").cast("bigint").alias("ntok"),
+                 hit_term.alias("hit_term"), hit_phrase.alias("hit_phrase"))
+    blocked = F.col("hit_term") | F.col("hit_phrase")
+    return (f.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.when(F.col("hit_term"), 1).otherwise(0))
+                 .cast("bigint").alias("n_term_hits"),
+                 F.sum(F.when(F.col("hit_phrase"), 1).otherwise(0))
+                 .cast("bigint").alias("n_phrase_hits"),
+                 F.sum(F.when(blocked, 1).otherwise(0))
+                 .cast("bigint").alias("n_blocked"),
+                 F.sum(F.when(blocked, 0).otherwise(F.col("ntok")))
+                 .cast("bigint").alias("kept_tokens")))

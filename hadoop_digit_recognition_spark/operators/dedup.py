@@ -2406,3 +2406,99 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("n_toks").cast("bigint").alias("n_toks"),
                  F.min("doc_id").cast("bigint").alias("keep_doc"))
             .filter((F.col("n_docs") >= 2) & (F.col("n_toks") >= _CDC_MIN)))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM) candidate generation.
+
+_SNM_W = 4       # sliding-window width: each record pairs with the next w-1
+
+
+@query("dedup_sorted_neighborhood", oracle=f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nkey,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS ws
+  FROM documents),
+r AS MATERIALIZED (
+  SELECT doc_id, nkey, ws,
+         row_number() OVER (ORDER BY nkey, doc_id) AS rn
+  FROM t),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(b.rn - a.rn AS BIGINT) AS gap,
+         len(list_intersect(a.ws, b.ws)) AS i,
+         len(list_distinct(list_concat(a.ws, b.ws))) AS u
+  FROM r a JOIN r b
+    ON b.rn - a.rn BETWEEN 1 AND {_SNM_W - 1})
+SELECT least(doc_a, doc_b) AS doc_a,
+       greatest(doc_a, doc_b) AS doc_b, gap,
+       CAST(CASE WHEN u = 0 THEN 1000000
+                 ELSE (1000000 * i) // u END AS BIGINT) AS jacc_e6
+FROM p
+WHERE u = 0 OR 2 * i >= u
+""")
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD candidate generation (Hernandez & Stolfo
+    1995, the merge/purge method) — the third classic blocking family
+    next to LSH buckets (dedup_minhash_lsh) and Fellegi-Sunter blocking
+    (dedup_record_linkage_fs): sort every record by a normalized key,
+    slide a width-{_SNM_W} window down the sort order, and compare only
+    records that land within the same window. Near-duplicates with
+    small edits sort adjacently, so the candidate set is O(N*w) instead
+    of O(N^2), regardless of how skewed any blocking key would be.
+    Pairs are scored by word-set Jaccard and reported at >= 0.5
+    (integer cross-multiplication 2*i >= u — no float threshold);
+    two EMPTY texts are identical by definition (jacc 1e6).
+
+    The global sort rank is computed WITHOUT a global window via the
+    corpus_shard_assign two-phase decomposition, with one twist: the
+    phase-1 bucket is the key's FIRST CHARACTER — a deterministic RANGE
+    bucketing, so (bucket, nkey, doc_id) order IS (nkey, doc_id) order
+    and the bucket-offset + within-rank sum reproduces the flat
+    row_number exactly (the oracle computes it with one flat window,
+    proving the decomposition). Window pairing is then a self-equi-join
+    on the rank (a.rn + d = b.rn, d in 1..{_SNM_W - 1}), which also
+    pairs ACROSS bucket boundaries — the classic single-node SNM edge
+    case — for free. At 100 TB the first-char bucket inherits the
+    key distribution's skew; production deepens the prefix (first k
+    chars picked from a frequency sketch), which changes nothing in
+    the decomposition. One sort-shaped shuffle + one rank-keyed join:
+    the N*w candidate volume is the designed output, not a blow-up."""
+    from pyspark.sql import Window as W
+
+    docs = load_parallel(spark, sf_dir, "documents")
+    nkey = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    t = docs.select(
+        "doc_id", nkey.alias("nkey"),
+        F.array_distinct(F.filter(F.split(F.lower("text"), " "),
+                                  lambda x: x != "")).alias("ws"),
+        F.substring(nkey, 1, 1).alias("bucket"))
+    wb = W.partitionBy("bucket").orderBy("nkey", "doc_id")
+    within = t.withColumn("rin", F.row_number().over(wb))
+    counts = t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off"))
+    r = (within.join(F.broadcast(offsets), "bucket")
+         .select("doc_id", "ws",
+                 (F.col("off") + F.col("rin")).alias("rn")))
+    left = r.select(
+        F.col("doc_id").alias("id_a"), F.col("ws").alias("ws_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.sequence(F.col("rn") + 1,
+                             F.col("rn") + _SNM_W - 1)).alias("rn_b"))
+    p = (left.join(r.select(F.col("doc_id").alias("id_b"),
+                            F.col("ws").alias("ws_b"),
+                            F.col("rn").alias("rn_b")), "rn_b")
+         .select("id_a", "id_b",
+                 (F.col("rn_b") - F.col("rn_a")).cast("bigint").alias("gap"),
+                 F.size(F.array_intersect("ws_a", "ws_b")).alias("i"),
+                 F.size(F.array_union("ws_a", "ws_b")).alias("u")))
+    return (p.filter((F.col("u") == 0) | (2 * F.col("i") >= F.col("u")))
+            .select(F.least("id_a", "id_b").alias("doc_a"),
+                    F.greatest("id_a", "id_b").alias("doc_b"), "gap",
+                    F.when(F.col("u") == 0, F.lit(1000000))
+                    .otherwise(F.floor(1000000 * F.col("i") / F.col("u")))
+                    .cast("bigint").alias("jacc_e6")))

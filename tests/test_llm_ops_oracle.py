@@ -1803,3 +1803,89 @@ def test_tokenizer_bakeoff_invariants(spark):
         spark, SF_ORACLE).collect()
     want = sum(s.freq * s.n_pieces for s in seg)
     assert rows["unigram"].total_tokens == want
+
+
+def test_snm_two_phase_rank_and_cross_bucket_window(spark, tmp_path):
+    """The SNM decomposition's two claims: (1) first-char range buckets
+    + offset prefix sum reproduce the FLAT (nkey, doc_id) row_number —
+    asserted implicitly by oracle parity on a corpus whose keys span
+    multiple buckets; (2) the rank-join pairing crosses bucket
+    boundaries, the edge a per-bucket window would miss: a near-dup
+    pair whose normalized keys start with DIFFERENT characters must
+    still be emitted when adjacent in the global sort."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    texts = [
+        "apple table scan join hash",      # bucket 'a', sorts last in 'a'
+        "banana table scan join hash",     # bucket 'b', sorts first in 'b'
+        "apple row scan join hash",        # same bucket near-dup
+        "zebra sort merge group filter",   # far bucket, no pair
+        "table scan join hash apple",      # bucket 't'
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = SPARK_QUERIES["dedup_sorted_neighborhood"](spark, d)
+    compare(df, con, ORACLE_SQL["dedup_sorted_neighborhood"], "snm:small")
+    rows = {(r["doc_a"], r["doc_b"]): r["jacc_e6"] for r in df.collect()}
+    # cross-bucket: doc 0 ('apple...') and doc 1 ('banana...') are rank
+    # neighbors across the 'a'/'b' boundary and share 4 of 6 set words
+    assert (0, 1) in rows and rows[(0, 1)] == 1000000 * 4 // 6
+    # same-bucket near-dup (one-word edit) caught at 4/6
+    assert (0, 2) in rows
+
+
+def test_blocklist_phrase_word_boundary(spark, tmp_path):
+    """The phrase rule must match token-adjacent 'slow scan' only: a
+    doc where 'scan' is a PREFIX of the next token ('scanner') or the
+    phrase spans a third token must not be blocked; term hits and
+    phrase hits count independently."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    texts = [
+        "the slow scan hits here",       # phrase hit
+        "the slow scanner is fine",      # NOT a phrase hit
+        "slow table scan is fine too",   # NOT adjacent -> no hit
+        "a dup word trips the terms",    # term hit only
+        "Slow Scan uppercase hits",      # case-folded phrase hit
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = SPARK_QUERIES["corpus_blocklist_filter"](spark, d)
+    compare(df, con, ORACLE_SQL["corpus_blocklist_filter"], "blocklist:wb")
+    r = df.collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_phrase_hits"] == 2      # docs 0 and 4 only
+    assert r["n_term_hits"] == 1        # doc 3 only
+    assert r["n_blocked"] == 3

@@ -674,7 +674,14 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "multimodal_ssim_pairs",
                  # round 9 continuation: empty docs chunk to nothing;
                  # the identical block's chunks dedup across all 5
-                 "dedup_cdc_chunks"):
+                 "dedup_cdc_chunks",
+                 # round 9 continuation: the empty doc is the u = 0
+                 # Jaccard edge; the identical block sorts adjacent and
+                 # must pair at exactly 1e6 within the window
+                 "dedup_sorted_neighborhood",
+                 # round 9 continuation: the dup-block doc carries the
+                 # blocked term; empty doc contributes 0 tokens kept
+                 "corpus_blocklist_filter"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -1618,3 +1618,94 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_blocked"),
                  F.sum(F.when(blocked, 0).otherwise(F.col("ntok")))
                  .cast("bigint").alias("kept_tokens")))
+
+
+# ---------------------------------------------------------------------------
+# Iterative proportional fitting (Sinkhorn raking) of the corpus mix.
+
+_IPF_RES = 1_000_000          # weights carried in integer micro-units
+
+
+def _ipf_row_sql(prev: str, out: str, key: str, tgt: str) -> str:
+    """One raking step as SQL text: rescale every cell's micro-weight so
+    the `key` marginal hits total/n_`key` — division-first so no product
+    exceeds int64 (see docstring bounds)."""
+    return f"""
+{out}_m AS (SELECT {key}, sum(c * m) AS mass FROM {prev} GROUP BY {key}),
+{out} AS (
+  SELECT p.source, p.lang, p.c,
+         (p.m * ((t.n * 1000000000000) // ({tgt} * s.mass)))
+           // {_IPF_RES} AS m
+  FROM {prev} p JOIN {out}_m s USING ({key}), tot t)"""
+
+
+@query("corpus_sinkhorn_rebalance", oracle=f"""
+WITH cell AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS r,
+         CAST(count(DISTINCT lang) AS BIGINT) AS cl
+  FROM cell),
+w0 AS (SELECT source, lang, c, CAST({_IPF_RES} AS BIGINT) AS m FROM cell),
+{_ipf_row_sql('w0', 'w1', 'source', 't.r')},
+{_ipf_row_sql('w1', 'w2', 'lang', 't.cl')},
+{_ipf_row_sql('w2', 'w3', 'source', 't.r')},
+{_ipf_row_sql('w3', 'w4', 'lang', 't.cl')}
+SELECT source, lang, c AS n_docs, CAST(m AS BIGINT) AS w_micro,
+       CAST(c * m AS BIGINT) AS eff_micro
+FROM w4
+""")
+def corpus_sinkhorn_rebalance(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SINKHORN / ITERATIVE-PROPORTIONAL-FITTING corpus rebalancing
+    (Deming & Stephan 1940 raking; Sinkhorn 1964 matrix scaling — the
+    survey-statistics workhorse, and the balanced-assignment kernel
+    inside optimal-transport data valuation): compute per-document
+    sampling weights that simultaneously equalize BOTH marginals of
+    the (source x lang) contingency table — each source an equal share
+    AND each language an equal share — which no single-axis reweighting
+    (corpus_temperature_mix scales sources only, corpus_balanced_sample
+    langs only) can do, because the axes interact. Two full row/col
+    sweeps; Sinkhorn converges geometrically, so the two-sweep weights
+    are already within ~1% on this table (the iterated form repeats the
+    same two CTE shapes).
+
+    Integer discipline: weights live in micro-units; each rescale is
+    division-FIRST — t_micro = (N * 1e12) // (n_axis * axis_mass), then
+    m' = m * t_micro // 1e6 — so with N docs and masses <= N * m_max
+    no intermediate exceeds int64 while N * 1e12 fits (N <= ~9e6, i.e.
+    multi-sf10 class; beyond that drop the resolution a decade). Both
+    engines floor identical integers at every step, so the fixed-point
+    is bit-identical — no float ever appears.
+
+    Scale shape: ONE corpus-sized grouped count; every subsequent step
+    runs on the cell table (sources x langs — model-sized, ~100 rows at
+    any corpus size). The per-axis masses are groupBys of that tiny
+    table; at 100 TB this is driver-trivial arithmetic after a single
+    combiner'd scan, and the output joins back to documents as a
+    broadcast to drive the actual sampler."""
+    docs = load_parallel(spark, sf_dir, "documents")
+    cell = (docs.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = cell.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("r"),
+        F.countDistinct("lang").cast("bigint").alias("cl"))
+    w = cell.withColumn("m", F.lit(_IPF_RES).cast("bigint"))
+    for key, tgt in (("source", "r"), ("lang", "cl"),
+                     ("source", "r"), ("lang", "cl")):
+        mass = w.groupBy(key).agg(F.sum(F.col("c") * F.col("m"))
+                                  .alias("mass"))
+        w = (w.join(F.broadcast(mass), key)
+             .crossJoin(F.broadcast(tot.select("n", tgt)))
+             .withColumn(
+                 "m",
+                 F.expr(f"(m * ((n * 1000000000000) DIV ({tgt} * mass)))"
+                        f" DIV {_IPF_RES}"))
+             .select("source", "lang", "c", "m"))
+    return w.select("source", "lang", F.col("c").alias("n_docs"),
+                    F.col("m").cast("bigint").alias("w_micro"),
+                    (F.col("c") * F.col("m")).cast("bigint")
+                    .alias("eff_micro"))

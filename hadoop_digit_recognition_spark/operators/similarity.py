@@ -2234,3 +2234,101 @@ def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= _LOF_TOP)
             .select(F.col("qid").cast("bigint").alias("vec_id"),
                     "lof_micro", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# One NN-Descent refinement round over the kNN graph.
+
+
+def _nndescent_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH g AS MATERIALIZED ({ORACLE_SQL["sim_knn_graph"]}),
+e AS ({_E}),
+cand AS (
+  SELECT DISTINCT a.qid, b.cid
+  FROM g a JOIN g b ON b.qid = a.cid
+  WHERE b.cid != a.qid),
+fresh AS (
+  SELECT c.qid, c.cid
+  FROM cand c LEFT JOIN g ON g.qid = c.qid AND g.cid = c.cid
+  WHERE g.qid IS NULL),
+scored AS (
+  SELECT f.qid, f.cid,
+         round(list_cosine_similarity(eq.emb, ec.emb), 6) AS cos,
+         TRUE AS is_new
+  FROM fresh f
+  JOIN e eq ON eq.vec_id = f.qid
+  JOIN e ec ON ec.vec_id = f.cid
+  UNION ALL
+  SELECT qid, cid, cos, FALSE AS is_new FROM g),
+ranked AS (
+  SELECT qid, cid, cos, is_new,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored)
+SELECT qid, cid, cos, rnk, is_new FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+@query("sim_nndescent_round", eager=True, oracle=_nndescent_oracle())
+def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT refinement round (Dong, Moses & Li WWW 2011) over
+    the corpus kNN graph — THE production algorithm for building
+    high-recall kNN graphs at scale (pynndescent, Faiss NNDescent,
+    Spark-based graph builders all run this loop): "a neighbor of a
+    neighbor is likely a neighbor", so each round proposes every
+    two-hop pair (q -> b -> c), scores the proposals, and keeps the
+    per-node top-k of old edges plus proposals. Recall rises steeply
+    per round while cost stays bounded by n*k^2 proposals, never
+    all-pairs — exactly the LSH-seeded + NN-Descent-refined recipe
+    production indexes use (the LSH build seeds, this round refines).
+
+    Built BY COMPOSITION (sim_mutual_knn_pairs convention): the Spark
+    side reuses sim_knn_graph's registered builder and adds the
+    proposal join; the oracle wraps the graph's registered oracle SQL
+    as a CTE so the two operators cannot drift. Proposals that
+    duplicate an existing edge are anti-joined out, so each kept edge
+    carries an unambiguous `is_new` provenance flag (the measured
+    per-round improvement an index build logs).
+
+    Determinism: proposal scores reuse the exact rounded cosine
+    expression of the graph build, so a proposal that TIES an old edge
+    at 6 decimals ranks purely by (cos DESC, cid) on both engines.
+
+    Scale shape: the proposal set is one self-EQUI-join of the n*k
+    edge table on the shared endpoint (shuffle on cid — k^2 fan-out is
+    the algorithm's own budget), one distinct, one anti-join, two
+    embedding lookups (equi-joins on vec_id), and the per-node top-k
+    window. Nothing scales past n*k^2 rows; at 100 TB the edge table
+    is bucketed by qid and each round is a handful of co-partitioned
+    shuffles — the iterated form checkpoints between rounds like the
+    other loop operators."""
+    from pyspark.sql import Window as W2
+
+    g = sim_knn_graph(spark, sf_dir)
+    cand = (g.select(F.col("qid"), F.col("cid").alias("mid"))
+            .join(g.select(F.col("qid").alias("mid"),
+                           F.col("cid").alias("ccid")), "mid")
+            .filter(F.col("ccid") != F.col("qid"))
+            .select("qid", F.col("ccid").alias("cid"))
+            .distinct())
+    fresh = cand.join(g.select("qid", "cid"), ["qid", "cid"], "left_anti")
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    eq = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    ec = emb.select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored_new = (fresh.join(eq, "qid").join(ec, "cid")
+                  .select("qid", "cid",
+                          F.round(dot_col(F.col("qe"), F.col("ce"))
+                                  / (F.col("qn") * F.col("cn")), 6)
+                          .alias("cos"),
+                          F.lit(True).alias("is_new")))
+    unioned = scored_new.unionByName(
+        g.select("qid", "cid", "cos", F.lit(False).alias("is_new")))
+    w = W2.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (unioned.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("qid", "cid", "cos", "rnk", "is_new"))

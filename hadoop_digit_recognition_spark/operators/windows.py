@@ -966,3 +966,97 @@ def asof_join_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("purchase_id", "user_id", "us",
                     pus.alias("prev_us"), nus.alias("next_us"),
                     F.round(interp, 6).alias("interp_value")))
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint detection (single best split).
+
+
+@query("timeseries_changepoint_binseg", oracle="""
+WITH s AS (
+  SELECT n_name AS grp, date_trunc('month', o_orderdate) AS month,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2),
+p AS (
+  SELECT grp, y,
+         row_number() OVER (PARTITION BY grp ORDER BY month) AS t,
+         sum(y) OVER (PARTITION BY grp ORDER BY month) AS st,
+         count(*) OVER (PARTITION BY grp) AS n,
+         sum(y) OVER (PARTITION BY grp) AS sn
+  FROM s),
+f AS (
+  SELECT grp, t, n, sn, st,
+         (1000000 * (st * st * (n - t) + (sn - st) * (sn - st) * t))
+           // (t * (n - t)) AS fsc
+  FROM p WHERE t < n),
+best AS (
+  SELECT grp, t, st, fsc, n, sn,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY fsc DESC, t) AS rk
+  FROM f)
+SELECT grp, CAST(t AS BIGINT) AS tau, CAST(n AS BIGINT) AS n_points,
+       CAST(st AS BIGINT) AS sum_left, CAST(sn AS BIGINT) AS sum_total,
+       CAST(fsc - (1000000 * sn * sn) // n AS BIGINT) AS gain_e6
+FROM best WHERE rk = 1
+""")
+def timeseries_changepoint_binseg(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """BINARY-SEGMENTATION changepoint detection (Scott & Knott 1974;
+    the first split of the binseg ladder PELT generalizes, Killick et
+    al. 2012) on each nation's monthly order-count series: the best
+    single split tau minimizes two-segment squared error, equivalently
+    MAXIMIZES f(t) = S_t^2/t + (S_n-S_t)^2/(n-t) by the prefix-sum
+    identity — so the whole scan needs only running sums, no per-split
+    re-aggregation. The drift monitor a data pipeline runs on its own
+    arrival counts (the offline exact twin of timeseries_cusum_drift's
+    sequential detector).
+
+    Integer discipline: y is a COUNT, prefix sums are exact int64, and
+    f is compared at micro resolution via the all-integer expression
+    1e6 * (S_t^2 (n-t) + (S_n-S_t)^2 t) // (t (n-t)) — both engines
+    floor identical integers, ties break on earlier t. gain_e6 >= 0 is
+    the variance-reduction score (f(tau) minus the no-split baseline
+    S_n^2/n at the same resolution). Bound: the statistic needs
+    1e6 * S^2 * n within int64 — S per group up to ~1e5 at n=100; at
+    larger volumes pre-scale y to coarser units (the statistic is
+    scale-free), or drop the resolution factor.
+
+    Scale shape: one corpus-sized grouped count, then every window
+    runs on the model-sized (grp, month) table — 25 nations x ~80
+    months here; the argmax is a per-group top-1 window. At 100 TB
+    only the first groupBy touches data."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    s = (o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n),
+               F.col("n_nationkey") == F.col("c_nationkey"))
+         .groupBy(F.col("n_name").alias("grp"),
+                  F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.count(F.lit(1)).cast("bigint").alias("y")))
+    wo = W.partitionBy("grp").orderBy("month")
+    wg = W.partitionBy("grp")
+    p = s.select(
+        "grp", "y",
+        F.row_number().over(wo).alias("t"),
+        F.sum("y").over(wo).alias("st"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+        F.sum("y").over(wg).alias("sn"))
+    f = (p.filter(F.col("t") < F.col("n"))
+         .withColumn(
+             "fsc",
+             F.expr("(1000000 * (st * st * (n - t) "
+                    "+ (sn - st) * (sn - st) * t)) DIV (t * (n - t))")))
+    wb = W.partitionBy("grp").orderBy(F.desc("fsc"), F.asc("t"))
+    return (f.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") == 1)
+            .select("grp",
+                    F.col("t").cast("bigint").alias("tau"),
+                    F.col("n").cast("bigint").alias("n_points"),
+                    F.col("st").cast("bigint").alias("sum_left"),
+                    F.col("sn").cast("bigint").alias("sum_total"),
+                    F.expr("CAST(fsc - (1000000 * sn * sn) DIV n "
+                           "AS BIGINT)").alias("gain_e6")))

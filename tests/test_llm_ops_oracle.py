@@ -1889,3 +1889,110 @@ def test_blocklist_phrase_word_boundary(spark, tmp_path):
     assert r["n_phrase_hits"] == 2      # docs 0 and 4 only
     assert r["n_term_hits"] == 1        # doc 3 only
     assert r["n_blocked"] == 3
+
+
+def test_nndescent_round_never_worsens_graph(spark):
+    """NN-Descent's core invariant: keeping the per-node top-k of
+    old-edges UNION proposals can only improve (or keep) each node's
+    k-th best similarity. Every node present in both graphs must have
+    new min(cos) >= old min(cos), and every improved node must carry at
+    least one is_new edge."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    old = SPARK_QUERIES["sim_knn_graph"](spark, SF_ORACLE).collect()
+    new = SPARK_QUERIES["sim_nndescent_round"](spark, SF_ORACLE).collect()
+    import collections
+    omin = collections.defaultdict(lambda: 2.0)
+    for r in old:
+        omin[r["qid"]] = min(omin[r["qid"]], r["cos"])
+    nmin = collections.defaultdict(lambda: 2.0)
+    has_new = collections.defaultdict(bool)
+    for r in new:
+        nmin[r["qid"]] = min(nmin[r["qid"]], r["cos"])
+        has_new[r["qid"]] |= r["is_new"]
+    assert set(nmin) == set(omin)
+    improved = 0
+    for q in omin:
+        assert nmin[q] >= omin[q] - 1e-12, f"node {q} worsened"
+        if nmin[q] > omin[q]:
+            improved += 1
+            assert has_new[q], f"node {q} improved without a new edge"
+    # the LSH seed graph is imperfect at sf0.01, so a round must
+    # actually find something (the algorithm's reason to exist)
+    assert improved > 0
+
+
+def test_changepoint_binseg_finds_known_step(spark, tmp_path):
+    """A planted level shift must be recovered exactly: 4 months at ~5
+    orders then 4 months at ~20 gives tau = 4; a single-month nation
+    has no valid split and must drop identically on both engines."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    # nation/customer scaffolding: two nations, one customer each
+    nat = pa.table({"n_nationkey": pa.array([0, 1], pa.int64()),
+                    "n_name": pa.array(["STEPLAND", "ONEMONTH"]),
+                    "n_regionkey": pa.array([0, 0], pa.int64()),
+                    "n_comment": pa.array(["", ""])})
+    cust = pa.table({"c_custkey": pa.array([1, 2], pa.int64()),
+                     "c_nationkey": pa.array([0, 1], pa.int64())})
+    rows = []
+    ok = 0
+    for mo in range(8):                      # STEPLAND: 5,5,5,5,20,20,20,20
+        cnt = 5 if mo < 4 else 20
+        for _ in range(cnt):
+            rows.append((ok, 1, datetime(2024, mo + 1, 15))); ok += 1
+    rows.append((ok, 2, datetime(2024, 1, 15))); ok += 1   # ONEMONTH: n=1
+    orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[2] for r in rows],
+                                pa.timestamp("us"))})
+    d = str(tmp_path)
+    pq.write_table(nat, f"{d}/nation.parquet")
+    pq.write_table(cust, f"{d}/customer.parquet")
+    pq.write_table(orders, f"{d}/orders.parquet")
+    con = duckdb.connect()
+    for t in ("nation", "customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    df = SPARK_QUERIES["timeseries_changepoint_binseg"](spark, d)
+    compare(df, con, ORACLE_SQL["timeseries_changepoint_binseg"],
+            "binseg:step")
+    got = {r["grp"]: r for r in df.collect()}
+    assert set(got) == {"STEPLAND"}          # n=1 group dropped
+    assert got["STEPLAND"]["tau"] == 4
+    assert got["STEPLAND"]["sum_left"] == 20
+    assert got["STEPLAND"]["gain_e6"] > 0
+
+
+def test_sinkhorn_rebalance_marginals_converge(spark):
+    """Two raking sweeps must already equalize the LAST-fitted axis
+    essentially exactly (the final col step fixes lang marginals up to
+    integer rounding) and pull the source axis well toward uniform:
+    every lang's effective mass within 0.1% of N*1e6/n_langs, every
+    source's within 5%, and total mass conserved within rounding."""
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["corpus_sinkhorn_rebalance"](
+        spark, SF_ORACLE).collect()
+    n = sum(r["n_docs"] for r in rows)
+    langs, sources = defaultdict(int), defaultdict(int)
+    for r in rows:
+        langs[r["lang"]] += r["eff_micro"]
+        sources[r["source"]] += r["eff_micro"]
+    lt = n * 1_000_000 / len(langs)
+    st = n * 1_000_000 / len(sources)
+    for v in langs.values():
+        assert abs(v - lt) / lt < 1e-3
+    for v in sources.values():
+        assert abs(v - st) / st < 0.05
+    total = sum(langs.values())
+    assert abs(total - n * 1_000_000) / (n * 1_000_000) < 1e-3

@@ -152,7 +152,12 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "dq_chi_square_cramers_v",
                 # 3-row literal quantile grid crossed into the 5-row
                 # per-type totals (threshold-sweep literal-grid class)
-                "sketch_ddsketch_quantiles"}
+                "sketch_ddsketch_quantiles",
+                # 1-row (N, n_sources, n_langs) totals scalar crossed
+                # into the ~100-row contingency-cell table at each of
+                # the four raking steps — model state x model state
+                # (dq_ks_two_sample scalar-epilogue class)
+                "corpus_sinkhorn_rebalance"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -681,7 +681,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "dedup_sorted_neighborhood",
                  # round 9 continuation: the dup-block doc carries the
                  # blocked term; empty doc contributes 0 tokens kept
-                 "corpus_blocklist_filter"):
+                 "corpus_blocklist_filter",
+                 # round 9 continuation: a single-lang corpus makes the
+                 # lang raking step the identity (mass == target), so
+                 # the source steps alone must reach the fixed point
+                 "corpus_sinkhorn_rebalance"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 
@@ -740,7 +744,12 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 9 continuation: the exact-duplicate pair gives
                  # zero-distance edges — the micro-grid clamp (d >= 1)
                  # must keep lrd finite identically on both engines
-                 "sim_lof_outliers"):
+                 "sim_lof_outliers",
+                 # round 9 continuation: two-hop proposals through the
+                 # duplicate pair tie old edges at 6 decimals (the
+                 # (cos DESC, cid) tiebreak decides identically); the
+                 # zero vector never enters the graph so never proposes
+                 "sim_nndescent_round"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

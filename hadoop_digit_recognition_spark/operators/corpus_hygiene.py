@@ -1709,3 +1709,86 @@ def corpus_sinkhorn_rebalance(spark: SparkSession,
                     F.col("m").cast("bigint").alias("w_micro"),
                     (F.col("c") * F.col("m")).cast("bigint")
                     .alias("eff_micro"))
+
+
+# ---------------------------------------------------------------------------
+# License propagation through duplicate clusters (data governance).
+
+# Synthetic license assignment (the corpus carries no real license
+# metadata): deterministic hash of doc_id onto 4 classes ordered by
+# restrictiveness. rank 0 is the most permissive, 3 the most
+# restrictive; propagation takes the cluster MAX.
+_LIC_NAMES = ("public-domain", "cc-by", "cc-by-sa", "proprietary")
+_LIC_CASE_SQL = ("CASE lr " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(_LIC_NAMES)) + " END")
+
+
+def _license_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH cc AS MATERIALIZED ({ORACLE_SQL["dedup_connected_components"]}),
+lic AS (
+  SELECT doc_id, canonical_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lic'), 1, 8))
+           ::BIGINT % 4 AS lr
+  FROM cc),
+m AS (
+  SELECT doc_id, canonical_id, lr,
+         max(lr) OVER (PARTITION BY canonical_id) AS eff
+  FROM lic)
+SELECT canonical_id AS cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(min(eff) AS BIGINT) AS eff_rank,
+       min({_LIC_CASE_SQL.replace("lr", "eff")}) AS eff_license,
+       CAST(sum(CASE WHEN lr < eff THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upgraded
+FROM m GROUP BY canonical_id
+"""
+
+
+@query("corpus_license_propagation", eager=True,
+       oracle=_license_oracle())
+def corpus_license_propagation(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """LICENSE PROPAGATION through duplicate clusters — the governance
+    rule dataset releases apply (The Stack, Kocetkov et al. 2022,
+    propagates license detections across exact/near duplicates; C4's
+    takedown handling works the same way): if ANY member of a
+    near-duplicate cluster carries a more restrictive license, the
+    kept canonical inherits it, because keeping "the permissive copy"
+    of restricted content is laundering. Each cluster reports its
+    effective (max-restrictiveness) license and how many members got
+    UPGRADED — the audit trail a release pipeline must ship.
+
+    Composition: duplicate clusters come from the registered
+    dedup_connected_components builder (Spark side) / its recursive-CTE
+    oracle (DuckDB side) — the sim_mutual_knn_pairs convention, so
+    cluster semantics cannot drift. Licenses are a deterministic
+    det_hash64 assignment onto 4 ranked classes (the corpus ships no
+    real license metadata; swapping in a detector column changes one
+    select).
+
+    Scale shape: one window max + one grouped count over the
+    duplicate-set-sized cluster table (only docs in some verified pair
+    — dup-volume-sized, not corpus-sized). At 100 TB both key on
+    cluster id; the license column rides the existing cluster shuffle
+    for free."""
+    from ..functions.vector import det_hash64
+    from .dedup import dedup_connected_components
+
+    cc = dedup_connected_components(spark, sf_dir)
+    lic = cc.select(
+        "doc_id", "canonical_id",
+        (det_hash64(F.concat(F.col("doc_id").cast("string"),
+                             F.lit("|lic"))) % 4).alias("lr"))
+    m = lic.withColumn(
+        "eff", F.max("lr").over(W.partitionBy("canonical_id")))
+    eff_name = F.element_at(
+        F.array(*[F.lit(n) for n in _LIC_NAMES]),
+        (F.col("eff") + 1).cast("int"))
+    return (m.groupBy(F.col("canonical_id").alias("cluster"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.min("eff").cast("bigint").alias("eff_rank"),
+                 F.min(eff_name).alias("eff_license"),
+                 F.sum(F.when(F.col("lr") < F.col("eff"), 1).otherwise(0))
+                 .cast("bigint").alias("n_upgraded")))

@@ -1266,3 +1266,124 @@ def multimodal_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sxx") + F.col("syy") - 2 * F.col("xy")).cast("bigint")
         .alias("l2_sq"),
         ssim.alias("ssim_e6"))
+
+
+# Block-motion search geometry: same FRAME-byte frames as frame_sample;
+# candidate integer shifts ordered by the (|s|, s) preference the argmin
+# tiebreak applies.
+_MOT_SH = 2
+_MOT_SHIFTS = (0, -1, 1, -2, 2)
+
+
+@query("multimodal_block_motion", oracle=f"""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS blen
+  FROM documents),
+pr AS (
+  SELECT p.doc_id, p.text, p.blen, r.t
+  FROM f p CROSS JOIN range({_MAX_FRAMES - 1}) r(t)
+  WHERE (r.t + 1) * {FRAME} < p.blen),
+sh AS (SELECT unnest([-{_MOT_SH}, -1, 0, 1, {_MOT_SH}]) AS s),
+cell AS (
+  SELECT p.doc_id, p.t, sh.s, b.i,
+         CASE WHEN p.t * {FRAME} + b.i + greatest(sh.s, 0) < p.blen
+              THEN ascii(substr(p.text,
+                   CAST(p.t * {FRAME} + b.i + greatest(sh.s, 0) + 1
+                        AS INTEGER), 1))
+              ELSE 0 END AS va,
+         CASE WHEN (p.t + 1) * {FRAME} + b.i + greatest(-sh.s, 0) < p.blen
+              THEN ascii(substr(p.text,
+                   CAST((p.t + 1) * {FRAME} + b.i + greatest(-sh.s, 0) + 1
+                        AS INTEGER), 1))
+              ELSE 0 END AS vb
+  FROM pr p CROSS JOIN sh CROSS JOIN range({FRAME}) b(i)
+  WHERE b.i < {FRAME} - abs(sh.s)),
+sads AS (
+  SELECT doc_id, t, s,
+         (1000000 * sum(abs(va - vb))) // ({FRAME} - abs(s)) AS mad_e6
+  FROM cell GROUP BY doc_id, t, s),
+best AS (
+  SELECT doc_id, t, s, mad_e6,
+         row_number() OVER (PARTITION BY doc_id, t
+                            ORDER BY mad_e6, abs(s), s) AS rk
+  FROM sads)
+SELECT doc_id, CAST(t AS BIGINT) AS frame_id,
+       CAST(s AS BIGINT) AS best_shift,
+       CAST(mad_e6 AS BIGINT) AS mad_e6
+FROM best WHERE rk = 1
+""")
+def multimodal_block_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCK-MATCHING MOTION ESTIMATION between consecutive frames —
+    the integer-pel search at the heart of every video codec's motion
+    compensation (MPEG/H.26x full-search over a +-{_MOT_SH} window) and
+    the cheap temporal-redundancy signal a video-corpus pipeline uses:
+    near-static content (best mean-abs-diff ~ 0 at shift 0) is the
+    frame-dedup candidate, a clean nonzero winner is camera pan, a
+    high floor at every shift is a cut (multimodal_scene_cuts finds
+    those; this op measures sub-frame MOTION the cut detector cannot).
+    For each consecutive frame pair, score every integer shift by mean
+    absolute difference over the overlapping extent (normalized in
+    integer micro-units so different overlap widths compare fairly)
+    and keep the argmin; ties prefer smaller |shift| then negative —
+    the zero-motion-bias real encoders apply.
+
+    The decode inside mapInPandas is NumPy slicing over the frame
+    matrix — swapping in a real luma-plane decoder changes only the
+    UDF body (multimodal_frame_sample convention); the oracle
+    recomputes every (pair, shift, byte) cell relationally with the
+    same zero-padding CASE.
+
+    At 100 TB: a NARROW per-document map (frames never leave their
+    payload), output rows are metadata-sized (pair count x 3 ints);
+    the shift loop is a constant {len(_MOT_SHIFTS)}-wide stencil, so
+    cost is one pass over media bytes."""
+    import numpy as np
+
+    docs = load(spark, sf_dir, "documents")
+    mm = attach_binary_payload(docs)
+    schema = ("doc_id bigint, frame_id bigint, best_shift bigint, "
+              "mad_e6 bigint")
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.array(_MOT_SHIFTS, dtype=np.int64)
+        for pdf in batches:
+            ids, fids, bests, mads = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(b), dtype=np.uint8)
+                if raw.size <= FRAME:      # <2 frames -> no pair
+                    continue
+                n_frames = -(-raw.size // FRAME)
+                pad = n_frames * FRAME - raw.size
+                fr = np.pad(raw, (0, pad)).reshape(
+                    n_frames, FRAME).astype(np.int64)
+                a, c = fr[:-1], fr[1:]
+                cols = []
+                for s in shifts:
+                    if s >= 0:
+                        d = np.abs(a[:, s:] - c[:, :FRAME - s])
+                    else:
+                        d = np.abs(a[:, :FRAME + s] - c[:, -s:])
+                    cols.append((1000000 * d.sum(axis=1))
+                                // (FRAME - abs(s)))
+                mat = np.stack(cols, axis=1)
+                # argmin returns the FIRST minimum; _MOT_SHIFTS is
+                # ordered by (|s|, s), so ties resolve to the
+                # zero-motion-biased shift exactly like the oracle's
+                # (mad, abs(s), s) sort
+                pick = np.argmin(mat, axis=1)
+                npair = a.shape[0]
+                ids.extend([did] * npair)
+                fids.append(np.arange(npair, dtype=np.int64))
+                bests.append(shifts[pick])
+                mads.append(mat[np.arange(npair), pick])
+            yield pd.DataFrame({
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_id": (np.concatenate(fids) if fids
+                             else np.empty(0, dtype=np.int64)),
+                "best_shift": (np.concatenate(bests) if bests
+                               else np.empty(0, dtype=np.int64)),
+                "mad_e6": (np.concatenate(mads) if mads
+                           else np.empty(0, dtype=np.int64)),
+            })
+
+    return mm.mapInPandas(motion, schema)

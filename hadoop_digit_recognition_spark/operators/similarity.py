@@ -2332,3 +2332,84 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (unioned.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= KNN_K)
             .select("qid", "cid", "cos", "rnk", "is_new"))
+
+
+# ---------------------------------------------------------------------------
+# Measured recall of the LSH kNN graph vs exact ground truth.
+
+
+def _graph_recall_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH g AS MATERIALIZED ({ORACLE_SQL["sim_knn_graph"]}),
+e0 AS ({_E}),
+nz AS (SELECT vec_id, emb FROM e0
+       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+q AS (SELECT * FROM nz WHERE vec_id < {N_QUERIES}),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                      c.vec_id) AS rnk
+  FROM q JOIN nz c ON c.vec_id != q.vec_id),
+truth AS (SELECT qid, cid FROM exact WHERE rnk <= {KNN_K})
+SELECT t.qid,
+       CAST(count(g.cid) AS BIGINT) AS n_hit,
+       CAST((1000000 * count(g.cid)) // {KNN_K} AS BIGINT) AS recall_e6
+FROM truth t LEFT JOIN g ON g.qid = t.qid AND g.cid = t.cid
+GROUP BY t.qid
+"""
+
+
+@query("sim_graph_recall_eval", eager=True,
+       oracle=_graph_recall_oracle())
+def sim_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED RECALL@k of the production kNN graph against exact
+    brute-force ground truth — the eval every ANN deployment runs
+    before trusting an index (the recall/QPS curve's y-axis): for a
+    fixed query sample, compute the exact top-k by full scan, then
+    count how many of those k the LSH-bucketed graph actually found.
+    Completes the similarity family's measurement story: the TEXT
+    dedup ladder has dedup_lsh_eval_pr; this is the embedding-graph
+    analog, turning the graph's recall from a claim into a number
+    (and pairing with sim_nndescent_round, whose refinement this eval
+    measures the headroom for).
+
+    Ground truth is brute-force on the {N_QUERIES}-query SAMPLE only —
+    the broadcast-query-side declared-baseline class of
+    sim_topk_cosine, and exactly how production evals work at 100 TB:
+    exact search over a fixed sample, never all-pairs; the graph side
+    is the bucketed build. Determinism: the exact ranking reuses the
+    graph's rounded-cosine expression with (cos DESC, cid) ties, so
+    truth sets are identical on both engines.
+
+    Scale shape: sample x corpus scored pairs (a bounded broadcast
+    sweep), one window top-k, one edge-table LEFT equi-join, one
+    grouped count — nothing beyond the declared sample budget."""
+    g = sim_knn_graph(spark, sf_dir)
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    from pyspark.sql import Window as W2
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("cos")))
+    w = W2.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    truth = (scored.withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= KNN_K).select("qid", "cid"))
+    hit = truth.join(g.select("qid", "cid", F.lit(1).alias("hit")),
+                     ["qid", "cid"], "left")
+    return (hit.groupBy("qid")
+            .agg(F.count("hit").cast("bigint").alias("n_hit"),
+                 F.expr(f"CAST((1000000 * count(hit)) DIV {KNN_K} "
+                        "AS BIGINT)").alias("recall_e6")))

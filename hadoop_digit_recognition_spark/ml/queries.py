@@ -1804,3 +1804,102 @@ def ml_quality_classifier_distill(spark: SparkSession,
             .select("i",
                     F.round(F.col("w") - F.lit(_QC_RATE) * F.col("g")
                             / F.lit(n), 6).alias("w")))
+
+
+# ---------------------------------------------------------------------------
+# Per-class precision/recall/F1 over the langid confusion matrix.
+
+
+def _langid_f1_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH cm AS MATERIALIZED ({ORACLE_SQL["ml_naive_bayes_langid"]}),
+classes AS (
+  SELECT true_lang AS lang FROM cm
+  UNION SELECT pred_lang FROM cm),
+tp AS (SELECT true_lang AS lang, sum(n) AS tp FROM cm
+       WHERE true_lang = pred_lang GROUP BY 1),
+actual AS (SELECT true_lang AS lang, sum(n) AS act FROM cm GROUP BY 1),
+predicted AS (SELECT pred_lang AS lang, sum(n) AS prd FROM cm GROUP BY 1),
+m AS (
+  SELECT c.lang,
+         coalesce(tp.tp, 0) AS tp,
+         coalesce(predicted.prd, 0) - coalesce(tp.tp, 0) AS fp,
+         coalesce(actual.act, 0) - coalesce(tp.tp, 0) AS fn
+  FROM classes c
+  LEFT JOIN tp USING (lang)
+  LEFT JOIN actual USING (lang)
+  LEFT JOIN predicted USING (lang)),
+scored AS (
+  SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         CAST(fn AS BIGINT) AS fn,
+         CASE WHEN tp + fp = 0 THEN 0
+              ELSE (1000000 * tp) // (tp + fp) END AS prec_e6,
+         CASE WHEN tp + fn = 0 THEN 0
+              ELSE (1000000 * tp) // (tp + fn) END AS rec_e6
+  FROM m)
+SELECT lang, tp, fp, fn,
+       CAST(prec_e6 AS BIGINT) AS prec_e6,
+       CAST(rec_e6 AS BIGINT) AS rec_e6,
+       CAST(CASE WHEN prec_e6 + rec_e6 = 0 THEN 0
+                 ELSE (2 * prec_e6 * rec_e6) // (prec_e6 + rec_e6) END
+            AS BIGINT) AS f1_e6
+FROM scored
+"""
+
+
+@query("ml_langid_macro_f1", oracle=_langid_f1_oracle())
+def ml_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS PRECISION / RECALL / F1 over the Naive-Bayes langid
+    confusion matrix — the standard multiclass classification report
+    (macro-F1 is the unweighted mean of the f1_e6 column, one tiny
+    aggregate away), completing the eval family next to the BINARY
+    metrics (ml_threshold_sweep_f1's PR sweep, ml_auc_rank_sum's
+    ranking view): per class, tp from the diagonal, fp from the
+    prediction column margin, fn from the truth row margin, each ratio
+    an exact integer micro-division with the 0/0 classes pinned to 0
+    on both engines (a class never predicted and never true).
+
+    Built BY COMPOSITION: the confusion matrix is the registered
+    ml_naive_bayes_langid result reused verbatim — Spark callable on
+    one side, its oracle SQL as a CTE on the other — so classifier and
+    report cannot drift.
+
+    Scale shape: the confusion matrix is |langs|^2 rows (model-sized at
+    any corpus size); margins and ratios are trivial re-aggregations of
+    it. All corpus-sized work already happened inside the classifier's
+    one training/scoring pass."""
+    cm = ml_naive_bayes_langid(spark, sf_dir)
+    classes = (cm.select(F.col("true_lang").alias("lang"))
+               .union(cm.select("pred_lang")).distinct())
+    tp = (cm.filter(F.col("true_lang") == F.col("pred_lang"))
+          .groupBy(F.col("true_lang").alias("lang"))
+          .agg(F.sum("n").alias("tp")))
+    actual = (cm.groupBy(F.col("true_lang").alias("lang"))
+              .agg(F.sum("n").alias("act")))
+    predicted = (cm.groupBy(F.col("pred_lang").alias("lang"))
+                 .agg(F.sum("n").alias("prd")))
+    m = (classes.join(tp, "lang", "left")
+         .join(actual, "lang", "left")
+         .join(predicted, "lang", "left")
+         .select("lang",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 (F.coalesce("prd", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fp"),
+                 (F.coalesce("act", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fn")))
+    scored = m.select(
+        "lang", F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.expr("CASE WHEN tp + fp = 0 THEN 0 "
+               "ELSE (1000000 * tp) DIV (tp + fp) END").alias("prec_e6"),
+        F.expr("CASE WHEN tp + fn = 0 THEN 0 "
+               "ELSE (1000000 * tp) DIV (tp + fn) END").alias("rec_e6"))
+    return scored.select(
+        "lang", "tp", "fp", "fn",
+        F.col("prec_e6").cast("bigint").alias("prec_e6"),
+        F.col("rec_e6").cast("bigint").alias("rec_e6"),
+        F.expr("CAST(CASE WHEN prec_e6 + rec_e6 = 0 THEN 0 "
+               "ELSE (2 * prec_e6 * rec_e6) DIV (prec_e6 + rec_e6) END "
+               "AS BIGINT)").alias("f1_e6"))

@@ -2502,3 +2502,92 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("u") == 0, F.lit(1000000))
                     .otherwise(F.floor(1000000 * F.col("i") / F.col("u")))
                     .cast("bigint").alias("jacc_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Transitive-chaining risk audit over duplicate clusters.
+
+
+def _chaining_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH cc AS MATERIALIZED ({ORACLE_SQL["dedup_connected_components"]}),
+ws AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x != '')) AS ws
+  FROM documents),
+j AS (
+  SELECT cc.canonical_id AS cluster, cc.doc_id,
+         len(list_intersect(mw.ws, kw.ws)) AS i,
+         len(list_distinct(list_concat(mw.ws, kw.ws))) AS u
+  FROM cc
+  JOIN ws mw ON mw.doc_id = cc.doc_id
+  JOIN ws kw ON kw.doc_id = cc.canonical_id
+  WHERE cc.doc_id != cc.canonical_id),
+scored AS (
+  SELECT cluster,
+         CASE WHEN u = 0 THEN 1000000
+              ELSE (1000000 * i) // u END AS jacc_e6
+  FROM j)
+SELECT cluster,
+       CAST(count(*) + 1 AS BIGINT) AS n_members,
+       CAST(min(jacc_e6) AS BIGINT) AS min_jacc_e6,
+       CAST(sum(jacc_e6) // count(*) AS BIGINT) AS avg_jacc_e6,
+       min(jacc_e6) < 500000 AS chain_risk
+FROM scored GROUP BY cluster
+"""
+
+
+@query("dedup_cluster_chaining_audit", eager=True,
+       oracle=_chaining_oracle())
+def dedup_cluster_chaining_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """TRANSITIVE-CHAINING audit of duplicate clusters — the failure
+    mode Lee et al. 2022 (dedup for LM training) warn about when
+    near-dup PAIRS are closed into connected components: A~B and B~C
+    certify nothing about A~C, so a long chain can glue documents the
+    pair threshold would never match, and the cluster's canonical then
+    "represents" content it barely resembles. Per cluster, recompute
+    the DIRECT word-set Jaccard from every member to the kept
+    canonical; a cluster whose weakest member-canonical similarity
+    falls below half the pair space (min_jacc_e6 < 500000) is flagged
+    chain_risk — the clusters a release pipeline re-splits or
+    re-verifies before dropping members (complementing
+    multimodal_ssim_pairs / text_bleu_pairs, which verify PAIRS — this
+    verifies the CLOSURE).
+
+    Composition: clusters are the registered dedup_connected_components
+    result on both sides (builder / recursive-CTE oracle). Two EMPTY
+    members are identical by definition (jacc 1e6, the SNM convention);
+    averages are floored integer micro-units.
+
+    Scale shape: the cluster table is dup-volume-sized; the audit adds
+    two doc_id equi-joins to fetch word sets (the canonical side is
+    cluster-count-sized, broadcastable) and one grouped min/avg. At
+    100 TB nothing exceeds the dedup pipeline's own candidate volume —
+    the audit rides the same keys."""
+    cc = dedup_connected_components(spark, sf_dir)
+    docs = load_parallel(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(F.split(F.lower("text"), " "),
+                                  lambda x: x != "")).alias("ws"))
+    members = (cc.filter(F.col("doc_id") != F.col("canonical_id"))
+               .join(ws.select(F.col("doc_id"), F.col("ws").alias("mws")),
+                     "doc_id")
+               .join(ws.select(F.col("doc_id").alias("canonical_id"),
+                               F.col("ws").alias("kws")),
+                     "canonical_id"))
+    i = F.size(F.array_intersect("mws", "kws"))
+    u = F.size(F.array_union("mws", "kws"))
+    scored = members.select(
+        F.col("canonical_id").alias("cluster"),
+        F.when(u == 0, F.lit(1000000))
+        .otherwise(F.floor(1000000 * i / u)).alias("jacc_e6"))
+    return (scored.groupBy("cluster")
+            .agg((F.count(F.lit(1)) + 1).cast("bigint").alias("n_members"),
+                 F.min("jacc_e6").cast("bigint").alias("min_jacc_e6"),
+                 F.expr("CAST(sum(jacc_e6) DIV count(*) AS BIGINT)")
+                 .alias("avg_jacc_e6"),
+                 (F.min("jacc_e6") < 500000).alias("chain_risk")))

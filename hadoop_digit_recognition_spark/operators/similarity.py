@@ -2305,7 +2305,12 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     other loop operators."""
     from pyspark.sql import Window as W2
 
-    g = sim_knn_graph(spark, sf_dir)
+    # the edge table is referenced 4x below (both proposal sides, the
+    # anti-join, the union); persisting the n*k-row frame keeps the
+    # bucketed build from running once per reference (the k-core edge
+    # precedent at similarity.py:1053) — model-sized, released by the
+    # session's clearCache
+    g = sim_knn_graph(spark, sf_dir).persist()
     cand = (g.select(F.col("qid"), F.col("cid").alias("mid"))
             .join(g.select(F.col("qid").alias("mid"),
                            F.col("cid").alias("ccid")), "mid")

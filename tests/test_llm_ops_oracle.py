@@ -2180,3 +2180,62 @@ def test_chaining_audit_identical_block_and_bounds(spark, tmp_path):
         assert r["n_members"] >= 2
         assert 0 <= r["min_jacc_e6"] <= r["avg_jacc_e6"] <= 1000000
         assert r["chain_risk"] == (r["min_jacc_e6"] < 500000)
+
+
+def test_kcenter_radii_monotone_and_greedy(spark):
+    """The farthest-point invariants: selection radii are
+    non-increasing (each round covers the previous worst gap), all
+    selected ids are distinct, and the round-1 radius equals the true
+    max distance from the seed (greedy optimality of the first step,
+    recomputed in numpy)."""
+    import numpy as np
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = sorted(SPARK_QUERIES["corpus_kcenter_coreset"](
+        spark, SF_ORACLE).collect(), key=lambda r: r["sel_round"])
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r["radius_e6"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+    emb = load(spark, SF_ORACLE, "embeddings").collect()
+    vid = np.array([r["vec_id"] for r in emb])
+    mat = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    keep = nrm > 0
+    vid, mat, nrm = vid[keep], mat[keep], nrm[keep]
+    seed = ids[0]
+    si = int(np.where(vid == seed)[0][0])
+    cos = np.round((mat @ mat[si]) / (nrm * nrm[si]), 6)
+    d = np.round((1 - cos) * 1e6).astype(np.int64)
+    d[si] = -1
+    assert rows[1]["radius_e6"] == int(d.max())
+    assert rows[1]["vec_id"] == int(vid[d == d.max()].min())
+
+
+def test_prototypicality_prune_fraction_and_ranks(spark):
+    """Within every cell: ranks are a 1..n permutation, exactly
+    floor(3n/10) members are pruned, and the pruned set is precisely
+    the lowest-distance (most prototypical) prefix."""
+    from collections import defaultdict
+
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    rows = SPARK_QUERIES["corpus_prototypicality_prune"](
+        spark, SF_ORACLE).collect()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[r["cell"]].append(r)
+    assert cells
+    for cell, rs in cells.items():
+        rs.sort(key=lambda r: r["proto_rank"])
+        n = rs[0]["n_cell"]
+        assert len(rs) == n
+        assert [r["proto_rank"] for r in rs] == list(range(1, n + 1))
+        dists = [r["dist_e6"] for r in rs]
+        assert dists == sorted(dists)
+        want_pruned = n * 3 // 10
+        assert sum(r["pruned"] for r in rs) == want_pruned
+        assert all(r["pruned"] for r in rs[:want_pruned])

@@ -768,7 +768,16 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 9 continuation: the zero vector must drop from
                  # BOTH the truth scan and the graph before recall is
                  # counted; tiny-corpus truth sets still rank KNN_K deep
-                 "sim_graph_recall_eval"):
+                 "sim_graph_recall_eval",
+                 # round 9 continuation: the zero vector is a SEED here
+                 # (id < SEM_CELLS) — its cell's members score cosine
+                 # against a zero prototype and must drop identically
+                 "corpus_prototypicality_prune",
+                 # round 9 continuation: exact-duplicate pair gives a
+                 # zero min-distance candidate that must never win the
+                 # argmax while distinct vectors remain; tiny corpus
+                 # exercises the selection-exhausted guard
+                 "corpus_kcenter_coreset"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

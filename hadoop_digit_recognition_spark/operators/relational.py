@@ -1448,3 +1448,105 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_priorities") == F.col("np"))
             .join(c, cu.o_custkey == c.c_custkey)
             .select("c_custkey", "c_name", "n_priorities"))
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout.
+
+_CUPED_SPLIT = "2024-01-16"     # pre-period < split <= post-period
+
+
+@query("ab_cuped_adjustment", oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
+           ::BIGINT % 2 AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+pool AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM u),
+th AS (
+  SELECT CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+              ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9)
+         END AS theta,
+         round(sx / n, 9) AS mx
+  FROM pool),
+adj AS (
+  SELECT u.arm, u.y, u.y - th.theta * (u.x - th.mx) AS yc
+  FROM u, th)
+SELECT CAST(arm AS BIGINT) AS arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6) AS mean_y,
+       round(avg(yc), 6) AS mean_y_cuped,
+       round(var_samp(y), 6) AS var_y,
+       round(var_samp(yc), 6) AS var_y_cuped,
+       round(1 - var_samp(yc) / var_samp(y), 6) AS var_reduction
+FROM adj GROUP BY arm
+""")
+def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker WSDM 2013 —
+    the adjustment every large experimentation platform applies before
+    reading an A/B test): each user's post-period metric Y is adjusted
+    by their own PRE-period covariate X, Y_cuped = Y - theta (X - E[X])
+    with theta = cov(X,Y)/var(X) fitted on the POOLED pre-period —
+    pre-period behavior cannot be affected by treatment, so the
+    adjustment is unbiased while stripping the between-user variance
+    that dominates A/B noise. The report shows both arms' raw and
+    adjusted means plus the realized variance-reduction fraction (the
+    number that decides how much traffic the platform just saved).
+
+    Arms are the deterministic det_hash64 user split (the engine's
+    standard seedless assignment); the pre/post boundary is the fixed
+    calendar split, and users missing a period carry 0 (enrolled,
+    inactive — standard CUPED treatment). Float discipline follows
+    ab_test_welch: exact conditional sums, scalar theta algebra on the
+    1-row pooled moments, round(6) only at the reported surface.
+
+    Scale shape: one combiner'd groupBy(user) pass builds the per-user
+    (x, y) table; pooled moments are ONE scalar row folded back as a
+    broadcast; the per-arm report is a 2-row groupBy. At 100 TB this is
+    two keyed passes over events-sized data — the same shape the
+    platform's nightly metrics job already runs."""
+    ev = load(spark, sf_dir, "events")
+    from ..functions.vector import det_hash64
+
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") < split, F.col("value"))
+                    .otherwise(0.0)).alias("x"),
+              F.sum(F.when(F.col("ts") >= split, F.col("value"))
+                    .otherwise(0.0)).alias("y"))
+         .withColumn("arm", det_hash64(
+             F.concat(F.col("user_id").cast("string"),
+                      F.lit("|arm"))) % 2))
+    pool = u.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"),
+                 F.sum("y").alias("sy"),
+                 F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sxx")).collect()[0]
+    n, sx, sy, sxy, sxx = (pool["n"], pool["sx"], pool["sy"],
+                           pool["sxy"], pool["sxx"])
+    # snap the fitted scalars to a 9-digit grid on BOTH sides so a
+    # summation-order ulp in the pooled moments cannot survive into
+    # every adjusted row (the probability-snap lesson from the KN
+    # perplexity filter); a degenerate covariate (zero pre-period
+    # variance — e.g. every event lands post-split) fits theta = 0,
+    # i.e. no adjustment, on both engines
+    den = n * sxx - sx * sx
+    theta = 0.0 if den == 0 else round((n * sxy - sx * sy) / den, 9)
+    mx = round(sx / n, 9)
+    adj = u.select("arm", "y",
+                   (F.col("y") - F.lit(theta) * (F.col("x") - F.lit(mx)))
+                   .alias("yc"))
+    return (adj.groupBy(F.col("arm").cast("bigint").alias("arm"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.avg("y"), 6).alias("mean_y"),
+                 F.round(F.avg("yc"), 6).alias("mean_y_cuped"),
+                 F.round(F.var_samp("y"), 6).alias("var_y"),
+                 F.round(F.var_samp("yc"), 6).alias("var_y_cuped"),
+                 F.round(1 - F.var_samp("yc") / F.var_samp("y"), 6)
+                 .alias("var_reduction")))

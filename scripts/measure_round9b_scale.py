@@ -45,6 +45,10 @@ DOC_EMB = [
     "sim_graph_recall_eval",
     "sim_nndescent_round",
     "corpus_license_propagation",
+    "ml_langid_macro_f1",
+    "dedup_cluster_chaining_audit",
+    "corpus_kcenter_coreset",
+    "corpus_prototypicality_prune",
 ]
 RELATIONAL = ["timeseries_changepoint_binseg"]
 

@@ -2239,3 +2239,69 @@ def test_prototypicality_prune_fraction_and_ranks(spark):
         want_pruned = n * 3 // 10
         assert sum(r["pruned"] for r in rs) == want_pruned
         assert all(r["pruned"] for r in rs[:want_pruned])
+
+
+def test_cuped_report_internal_consistency(spark):
+    """The CUPED report must reconcile with itself: arms partition the
+    user base, var_reduction equals 1 - var_y_cuped/var_y within the
+    6-digit rounding of each reported column, and the adjustment is
+    mean-preserving in the pooled sense (arm means shift by theta times
+    each arm's pre-period imbalance — bounded by the raw mean spread)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = SPARK_QUERIES["ab_cuped_adjustment"](spark, SF_ORACLE).collect()
+    assert len(rows) == 2
+    n_users = load(spark, SF_ORACLE, "events") \
+        .select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        got = 1 - r["var_y_cuped"] / r["var_y"]
+        assert abs(got - r["var_reduction"]) < 1e-4
+
+
+def test_phash_verified_dedup_planted_collision(spark, tmp_path):
+    """A planted bucket must classify its members exactly: doc 1 is a
+    byte-identical copy of doc 0 (n_exact, l2_sq = 0); doc 2 bumps ONE
+    character by one code point — the pooled block-sum ORDER is
+    unchanged, so the pHash still collides, but the pixel check must
+    flag it near with max_l2_sq = 1."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from hadoop_digit_recognition_spark.operators.multimodal import (
+        RASTER_H, RASTER_W)
+    from .oracle_harness import compare
+
+    n_px = RASTER_H * RASTER_W
+    # strictly increasing block sums left-to-right: block value grows
+    # with column index, so a +1 bump in one pixel never flips an order
+    base = "".join(chr(48 + (i % RASTER_W) // 4) for i in range(n_px))
+    bumped = base[:10] + chr(ord(base[10]) + 1) + base[11:]
+    texts = [base, base, bumped,
+             "short unrelated doc that makes its own bucket"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = SPARK_QUERIES["multimodal_phash_verified_dedup"](spark, d)
+    compare(df, con, ORACLE_SQL["multimodal_phash_verified_dedup"],
+            "phash-verified:planted")
+    rows = df.collect()
+    grp = [r for r in rows if r["keep_id"] == 0]
+    assert len(grp) == 1
+    r = grp[0]
+    assert r["n_docs"] == 3
+    assert r["n_exact"] == 1 and r["n_near"] == 1
+    assert r["max_l2_sq"] == 1

@@ -591,7 +591,12 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # round 9 continuation: zero values route out-of-band
                  # (n_nonpos) and all-zero types drop the sketch rows
                  # identically on both engines
-                 "sketch_ddsketch_quantiles"):
+                 "sketch_ddsketch_quantiles",
+                 # round 9 continuation: every event lands post-split,
+                 # so the pre-period covariate is constant and theta
+                 # must pin to 0 (no adjustment) on both engines;
+                 # single-user arms give NULL variances identically
+                 "ab_cuped_adjustment"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -700,7 +705,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  "ml_langid_macro_f1",
                  # round 9 continuation: the identical block's cluster
                  # must audit at min = avg = 1e6 with chain_risk false
-                 "dedup_cluster_chaining_audit"):
+                 "dedup_cluster_chaining_audit",
+                 # round 9 continuation: identical payloads share both
+                 # the pHash bucket AND a zero pixel distance — every
+                 # member must confirm n_exact with max_l2_sq = 0
+                 "multimodal_phash_verified_dedup"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

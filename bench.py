@@ -103,6 +103,12 @@ TAIL = [
     "corpus_tokenizer_bakeoff",
     "sim_lof_outliers",
     "multimodal_ssim_pairs",
+    # round-9 continuation: one NN-Descent refinement over the eager
+    # graph build (the production kNN-graph loop body), and the
+    # k-center greedy selection (K eager argmax collects) — cold-billed
+    # like the other eager loops.
+    "sim_nndescent_round",
+    "corpus_kcenter_coreset",
 ]
 
 

@@ -1903,3 +1903,47 @@ def ml_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CASE WHEN prec_e6 + rec_e6 = 0 THEN 0 "
                "ELSE (2 * prec_e6 * rec_e6) DIV (prec_e6 + rec_e6) END "
                "AS BIGINT)").alias("f1_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error over the reliability bins.
+
+
+def _ece_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH bins AS MATERIALIZED ({ORACLE_SQL["ml_calibration_bins"]})
+SELECT CAST(sum(n) AS BIGINT) AS n_total,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n * CAST(round(abs(calib_gap) * 1000000) AS BIGINT))
+            // sum(n) AS BIGINT) AS ece_e6,
+       CAST(max(CAST(round(abs(calib_gap) * 1000000) AS BIGINT))
+            AS BIGINT) AS mce_e6
+FROM bins
+"""
+
+
+@query("ml_calibration_ece", oracle=_ece_oracle())
+def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED CALIBRATION ERROR (Naeini et al. AAAI 2015; the
+    single-number summary of the reliability diagram every model card
+    reports) plus MAXIMUM calibration error: the bin-population-
+    weighted mean and max of the per-bin |confidence - accuracy| gaps.
+    Built BY COMPOSITION on ml_calibration_bins' registered result
+    (builder on the Spark side, oracle CTE on the DuckDB side) — the
+    classifier-eval family's report rollup, like ml_langid_macro_f1
+    rolls up the confusion matrix.
+
+    Integer discipline: each bin's gap is already rounded to 6 digits
+    by the bins operator, so round(|gap| * 1e6) recovers an exact
+    integer micro value on both engines; the weighted mean is integer
+    floor division. Scale shape: a 10-row aggregate — all corpus work
+    happened in the bins pass."""
+    bins = ml_calibration_bins(spark, sf_dir)
+    gap_int = F.round(F.abs(F.col("calib_gap")) * 1000000).cast("bigint")
+    return (bins.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.expr("CAST(sum(n * CAST(round(abs(calib_gap) * 1000000) AS "
+               "BIGINT)) DIV sum(n) AS BIGINT)").alias("ece_e6"),
+        F.max(gap_int).cast("bigint").alias("mce_e6")))

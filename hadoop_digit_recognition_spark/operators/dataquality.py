@@ -1098,3 +1098,62 @@ def dq_chi_square_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 F.col("k") - 1))), 6)
                     .alias("cramers_v"),
                     (F.col("chi2") > crit).alias("dependent_5pct")))
+
+
+# ---------------------------------------------------------------------------
+# Row-level expectation routing (pass / quarantine with first failure).
+
+_Q_LANGS = ("en", "zh", "fr", "es", "de")
+_Q_LANGS_SQL = ", ".join(f"'{x}'" for x in _Q_LANGS)
+_Q_MIN, _Q_MAX = 50, 550     # chars-in-range expectation
+
+
+@query("dq_quarantine_routing", oracle=f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE
+           WHEN text IS NULL OR text = '' THEN 'fail_empty_text'
+           WHEN lang NOT IN ({_Q_LANGS_SQL}) THEN 'fail_unknown_lang'
+           WHEN n_chars != length(text) THEN 'fail_len_mismatch'
+           WHEN n_chars < {_Q_MIN} OR n_chars > {_Q_MAX}
+             THEN 'fail_len_range'
+           ELSE 'pass'
+         END AS verdict
+  FROM documents)
+SELECT verdict,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(doc_id) AS BIGINT) AS sample_doc
+FROM v GROUP BY verdict
+""")
+def dq_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL EXPECTATION ROUTING — the quarantine / dead-letter
+    pattern of modern DQ frameworks (Great Expectations' checkpoint
+    actions, Delta Live Tables' expect_or_drop): every row gets a
+    verdict — 'pass' or the FIRST failing rule in declared priority
+    order (empty text, unknown language, metadata/content length
+    mismatch, out-of-range length) — and the report counts each
+    routing class with a sample row id for triage. Where
+    dq_validation_summary AGGREGATES rule hit-rates, this op decides
+    per-ROW routing, the thing a pipeline actually acts on (quarantine
+    table vs main table).
+
+    First-failure semantics are a single CASE priority chain — one
+    narrow codegen pass, deterministic because rule order is the
+    config, not the data. Scale shape: one combiner'd verdict count;
+    the row-level verdict column itself is the (corpus-sized) routing
+    output a writer would split on, and the report is its model-sized
+    histogram. At 100 TB this is the cheapest possible gate: zero
+    shuffles before the final 5-row count."""
+    docs = load(spark, sf_dir, "documents")
+    verdict = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""),
+               "fail_empty_text")
+        .when(~F.col("lang").isin(*_Q_LANGS), "fail_unknown_lang")
+        .when(F.col("n_chars") != F.length("text"), "fail_len_mismatch")
+        .when((F.col("n_chars") < _Q_MIN) | (F.col("n_chars") > _Q_MAX),
+              "fail_len_range")
+        .otherwise("pass"))
+    return (docs.select("doc_id", verdict.alias("verdict"))
+            .groupBy("verdict")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.min("doc_id").cast("bigint").alias("sample_doc")))

@@ -2305,3 +2305,59 @@ def test_phash_verified_dedup_planted_collision(spark, tmp_path):
     assert r["n_docs"] == 3
     assert r["n_exact"] == 1 and r["n_near"] == 1
     assert r["max_l2_sq"] == 1
+
+
+def test_ece_reconciles_with_bins(spark):
+    """ECE/MCE must reconcile with the bins they summarize: recompute
+    the weighted mean and max of the rounded per-bin gaps in Python
+    and match the integer micro values exactly."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    bins = SPARK_QUERIES["ml_calibration_bins"](spark, SF_ORACLE).collect()
+    r = SPARK_QUERIES["ml_calibration_ece"](spark, SF_ORACLE).collect()[0]
+    n_total = sum(b["n"] for b in bins)
+    gaps = [round(abs(b["calib_gap"]) * 1000000) for b in bins]
+    want_ece = sum(b["n"] * g for b, g in zip(bins, gaps)) // n_total
+    assert r["n_total"] == n_total
+    assert r["n_bins"] == len(bins)
+    assert r["ece_e6"] == want_ece
+    assert r["mce_e6"] == max(gaps)
+
+
+def test_quarantine_routing_priority_order(spark, tmp_path):
+    """First-failure priority: an empty doc with an unknown lang must
+    route to fail_empty_text (rule 1), a mismatched-length doc with an
+    out-of-range length to fail_len_mismatch (rule 3 outranks 4), and
+    the counts must hold the oracle on the planted fixture."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    rows = [
+        (0, "", "xx", "s", 0),                         # empty + unknown lang
+        (1, "ok " * 40, "en", "s", 120),               # pass
+        (2, "tiny", "en", "s", 4),                     # len_range
+        (3, "x" * 100, "en", "s", 999),                # len_mismatch (+range)
+        (4, "y" * 100, "qq", "s", 100),                # unknown lang
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array([r[2] for r in rows]),
+        "source": pa.array([r[3] for r in rows]),
+        "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    df = SPARK_QUERIES["dq_quarantine_routing"](spark, d)
+    compare(df, con, ORACLE_SQL["dq_quarantine_routing"], "quarantine:prio")
+    got = {r["verdict"]: r["n_rows"] for r in df.collect()}
+    assert got == {"fail_empty_text": 1, "pass": 1, "fail_len_range": 1,
+                   "fail_len_mismatch": 1, "fail_unknown_lang": 1}

@@ -709,7 +709,11 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 9 continuation: identical payloads share both
                  # the pHash bucket AND a zero pixel distance — every
                  # member must confirm n_exact with max_l2_sq = 0
-                 "multimodal_phash_verified_dedup"):
+                 "multimodal_phash_verified_dedup",
+                 # round 9 continuation: the empty doc must route to
+                 # fail_empty_text (rule 1 outranks the length rules)
+                 # and the short docs to fail_len_range, identically
+                 "dq_quarantine_routing"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 

@@ -1947,3 +1947,86 @@ def ml_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n * CAST(round(abs(calib_gap) * 1000000) AS "
                "BIGINT)) DIV sum(n) AS BIGINT)").alias("ece_e6"),
         F.max(gap_int).cast("bigint").alias("mce_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table.
+
+
+@query("ml_lift_gains_deciles", oracle="""
+WITH s AS (SELECT vec_id, CAST(label % 2 AS INTEGER) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS score FROM embeddings),
+d AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+      FROM s),
+g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+      FROM d GROUP BY decile),
+c AS (SELECT decile, n, n_pos,
+             sum(n) OVER (ORDER BY decile) AS cum_n,
+             sum(n_pos) OVER (ORDER BY decile) AS cum_pos,
+             sum(n) OVER () AS tot_n, sum(n_pos) OVER () AS tot_pos
+      FROM g)
+SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+       CAST((1000000 * n_pos) // n AS BIGINT) AS resp_e6,
+       CAST((1000000 * cum_pos) // cum_n AS BIGINT) AS cum_resp_e6,
+       CAST(CASE WHEN tot_pos = 0 THEN 0
+                 ELSE (1000000 * cum_pos * tot_n) // (cum_n * tot_pos)
+            END AS BIGINT) AS cum_lift_e6,
+       CAST(CASE WHEN tot_pos = 0 THEN 0
+                 ELSE (1000000 * cum_pos) // tot_pos END AS BIGINT)
+         AS cum_gain_e6
+FROM c
+""")
+def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / CUMULATIVE GAINS table — the targeting-model
+    readout (direct-marketing / churn scoring's standard eval, and the
+    business-facing twin of the ROC family): rank the population by
+    score, cut into 10 equal tiles, and report each tile's response
+    rate plus the cumulative lift over random targeting and the
+    cumulative share of all positives captured ("the top 2 deciles
+    capture X% of responders"). Completes the classifier-eval family:
+    ml_auc_rank_sum (ranking), ml_threshold_sweep_f1 (operating
+    point), ml_calibration_bins/ece (probability quality), this
+    (budgeted-targeting value). Same deliberately weak scorer
+    convention as all of them: first embedding coordinate vs label
+    parity.
+
+    Determinism: ntile over (score DESC, vec_id) is a total order on
+    both engines; every ratio is an exact integer micro floor-division
+    (lift's double ratio cross-multiplied into one integer division,
+    tot_pos = 0 pinned to 0).
+
+    Scale shape: the rank is ONE range-partitioned sort of
+    (score, id) pairs — metadata-sized rows, the distributed-total-
+    order shape sort_global_range_partitioned pins; everything after
+    is a 10-row table. At 100 TB the exact ntile swaps for the
+    approx-quantile cut the histogram family already implements."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id", (F.col("label") % 2).cast("int").alias("y"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("score"))
+    d = s.withColumn(
+        "decile",
+        F.ntile(10).over(W.orderBy(F.desc("score"), F.asc("vec_id"))))
+    g = (d.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("y").cast("bigint").alias("n_pos")))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = (g.withColumn("cum_n", F.sum("n").over(wc))
+         .withColumn("cum_pos", F.sum("n_pos").over(wc))
+         .withColumn("tot_n", F.sum("n").over(wt))
+         .withColumn("tot_pos", F.sum("n_pos").over(wt)))
+    return c.select(
+        F.col("decile").cast("bigint").alias("decile"), "n", "n_pos",
+        F.expr("CAST((1000000 * n_pos) DIV n AS BIGINT)").alias("resp_e6"),
+        F.expr("CAST((1000000 * cum_pos) DIV cum_n AS BIGINT)")
+        .alias("cum_resp_e6"),
+        F.expr("CAST(CASE WHEN tot_pos = 0 THEN 0 ELSE "
+               "(1000000 * cum_pos * tot_n) DIV (cum_n * tot_pos) END "
+               "AS BIGINT)").alias("cum_lift_e6"),
+        F.expr("CAST(CASE WHEN tot_pos = 0 THEN 0 ELSE "
+               "(1000000 * cum_pos) DIV tot_pos END AS BIGINT)")
+        .alias("cum_gain_e6"))

@@ -1060,3 +1060,81 @@ def timeseries_changepoint_binseg(spark: SparkSession,
                     F.col("sn").cast("bigint").alias("sum_total"),
                     F.expr("CAST(fsc - (1000000 * sn * sn) DIV n "
                            "AS BIGINT)").alias("gain_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival burstiness per user.
+
+
+@query("events_interarrival_burstiness", oracle="""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+           AS gap
+  FROM events),
+m AS (
+  SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sg,
+         avg(gap) AS mu, stddev_samp(gap) AS sigma
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id HAVING count(gap) >= 2),
+b AS (
+  SELECT user_id, n_gaps,
+         CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+         CASE WHEN sigma + mu = 0 THEN 0.0
+              ELSE round((sigma - mu) / (sigma + mu), 6) END
+           AS burstiness
+  FROM m)
+SELECT user_id, n_gaps, mean_gap_us, burstiness,
+       burstiness > 0.5 AS bursty
+FROM b
+""")
+def events_interarrival_burstiness(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL BURSTINESS (Goh & Barabasi EPL 2008): per user,
+    B = (sigma - mu) / (sigma + mu) over the gaps between consecutive
+    events — the scale-free signature separating Poisson-like human
+    browsing (B ~ 0), periodic automation (B -> -1: near-constant
+    gaps), and bursty sessions (B -> 1). The behavioral-timing signal
+    next to events_bot_detection's rate heuristics — a bot with a
+    metronome gap pattern has ordinary rates but B near -1, which rate
+    features cannot see.
+
+    Determinism: gaps are exact integer MICROSECOND differences (the
+    parquet timestamps carry micros; second-truncated gaps would zero
+    out same-second bursts — the signal itself); the reported mean is
+    the exact integer floor sum//n (a ~3e10-micro mean has no stable
+    6th decimal in double — caught by the first verify run) — with
+    the (ts, event_id) tiebreak for same-instant events; mu/sigma are
+    the welch-precedent float moments rounded only at the reported
+    surface; an all-identical-gap user (sigma = 0) gets B = -1 exactly
+    unless mu is also 0 (all same-instant: pinned 0.0 on both
+    engines). Users with fewer than 2 gaps drop identically.
+
+    Scale shape: one user-keyed lag window + one grouped moment pass —
+    the sessionize shuffle shape, nothing global. At 100 TB the window
+    keys on user_id exactly like every session operator here."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff keeps the arithmetic on TIMESTAMP_NTZ directly —
+    # no tz-dependent cast (the driver controls the session timezone)
+    g = (ev.select("user_id", "ts", F.lag("ts").over(w).alias("prev"))
+         .select("user_id",
+                 F.expr("timestampdiff(MICROSECOND, prev, ts)")
+                 .alias("gap")))
+    m = (g.filter(F.col("gap").isNotNull())
+         .groupBy("user_id")
+         .agg(F.count("gap").cast("bigint").alias("n_gaps"),
+              F.sum("gap").cast("bigint").alias("sg"),
+              F.avg("gap").alias("mu"),
+              F.stddev_samp("gap").alias("sigma"))
+         .filter(F.col("n_gaps") >= 2))
+    burst = F.when(F.col("sigma") + F.col("mu") == 0, F.lit(0.0)) \
+        .otherwise(F.round((F.col("sigma") - F.col("mu"))
+                           / (F.col("sigma") + F.col("mu")), 6))
+    return m.select(
+        "user_id", "n_gaps",
+        F.expr("CAST(sg DIV n_gaps AS BIGINT)").alias("mean_gap_us"),
+        burst.alias("burstiness"),
+        (burst > 0.5).alias("bursty"))

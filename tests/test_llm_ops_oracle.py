@@ -2361,3 +2361,63 @@ def test_quarantine_routing_priority_order(spark, tmp_path):
     got = {r["verdict"]: r["n_rows"] for r in df.collect()}
     assert got == {"fail_empty_text": 1, "pass": 1, "fail_len_range": 1,
                    "fail_len_mismatch": 1, "fail_unknown_lang": 1}
+
+
+def test_lift_gains_invariants(spark):
+    """Gains-table identities: deciles partition the population, the
+    final cumulative gain and lift are exactly 1e6 (all positives
+    captured, lift 1.0 over random at full depth), and cumulative gain
+    is non-decreasing in decile."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.tables import load
+
+    rows = sorted(SPARK_QUERIES["ml_lift_gains_deciles"](
+        spark, SF_ORACLE).collect(), key=lambda r: r["decile"])
+    n = load(spark, SF_ORACLE, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    gains = [r["cum_gain_e6"] for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == 1000000
+    assert rows[-1]["cum_lift_e6"] == 1000000
+
+
+def test_burstiness_metronome_and_poisson_poles(spark, tmp_path):
+    """A metronome user (identical gaps) must score exactly B = -1;
+    gaps with positive variance score in (-1, 1); both engines agree
+    on the planted fixture."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    t0 = datetime(2024, 2, 1)
+    rows = []
+    eid = 0
+    for k in range(10):                      # metronome: exact 60s gaps
+        rows.append((eid, t0 + timedelta(seconds=60 * k), 1)); eid += 1
+    for k, off in enumerate([0, 1, 2, 10, 11, 12, 100, 101]):  # bursty
+        rows.append((eid, t0 + timedelta(seconds=off), 2)); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows)),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    df = SPARK_QUERIES["events_interarrival_burstiness"](spark, d)
+    compare(df, con, ORACLE_SQL["events_interarrival_burstiness"],
+            "burstiness:poles")
+    got = {r["user_id"]: r for r in df.collect()}
+    assert got[1]["burstiness"] == -1.0 and not got[1]["bursty"]
+    assert -1.0 < got[2]["burstiness"] < 1.0

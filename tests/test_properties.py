@@ -596,7 +596,11 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # so the pre-period covariate is constant and theta
                  # must pin to 0 (no adjustment) on both engines;
                  # single-user arms give NULL variances identically
-                 "ab_cuped_adjustment"):
+                 "ab_cuped_adjustment",
+                 # round 9 continuation: 40 same-instant events give
+                 # all-zero gaps (mu = sigma = 0 -> burstiness pinned
+                 # 0.0); 1-gap and 0-gap users drop identically
+                 "events_interarrival_burstiness"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -790,7 +794,10 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # zero min-distance candidate that must never win the
                  # argmax while distinct vectors remain; tiny corpus
                  # exercises the selection-exhausted guard
-                 "corpus_kcenter_coreset"):
+                 "corpus_kcenter_coreset",
+                 # round 9 continuation: 40 rows cut into 4-row deciles
+                 # with score ties broken by vec_id identically
+                 "ml_lift_gains_deciles"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

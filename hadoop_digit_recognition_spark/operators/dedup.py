@@ -2408,6 +2408,20 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.col("n_docs") >= 2) & (F.col("n_toks") >= _CDC_MIN)))
 
 
+# Shared word-SET tokenization (lowercase, whitespace split, empties
+# dropped, de-duplicated) — ONE definition per engine, used by both the
+# sorted-neighborhood scorer and the cluster-chaining audit so their
+# Jaccard semantics cannot drift (review finding: four inline copies).
+WORDSET_SQL = ("list_distinct(list_filter(string_split(lower(text), ' '), "
+               "x -> x != ''))")
+
+
+def word_set_col() -> "F.Column":
+    return F.array_distinct(F.filter(F.split(F.lower("text"), " "),
+                                     lambda x: x != ""))
+
+
+
 # ---------------------------------------------------------------------------
 # Sorted-neighborhood method (SNM) candidate generation.
 
@@ -2418,8 +2432,7 @@ _SNM_W = 4       # sliding-window width: each record pairs with the next w-1
 WITH t AS MATERIALIZED (
   SELECT doc_id,
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nkey,
-         list_distinct(list_filter(string_split(lower(text), ' '),
-                                   x -> x != '')) AS ws
+         {WORDSET_SQL} AS ws
   FROM documents),
 r AS MATERIALIZED (
   SELECT doc_id, nkey, ws,
@@ -2472,8 +2485,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     nkey = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     t = docs.select(
         "doc_id", nkey.alias("nkey"),
-        F.array_distinct(F.filter(F.split(F.lower("text"), " "),
-                                  lambda x: x != "")).alias("ws"),
+        word_set_col().alias("ws"),
         F.substring(nkey, 1, 1).alias("bucket"))
     wb = W.partitionBy("bucket").orderBy("nkey", "doc_id")
     within = t.withColumn("rin", F.row_number().over(wb))
@@ -2513,9 +2525,7 @@ def _chaining_oracle() -> str:
     return f"""
 WITH cc AS MATERIALIZED ({ORACLE_SQL["dedup_connected_components"]}),
 ws AS (
-  SELECT doc_id,
-         list_distinct(list_filter(string_split(lower(text), ' '),
-                                   x -> x != '')) AS ws
+  SELECT doc_id, {WORDSET_SQL} AS ws
   FROM documents),
 j AS (
   SELECT cc.canonical_id AS cluster, cc.doc_id,
@@ -2569,10 +2579,7 @@ def dedup_cluster_chaining_audit(spark: SparkSession,
     the audit rides the same keys."""
     cc = dedup_connected_components(spark, sf_dir)
     docs = load_parallel(spark, sf_dir, "documents")
-    ws = docs.select(
-        "doc_id",
-        F.array_distinct(F.filter(F.split(F.lower("text"), " "),
-                                  lambda x: x != "")).alias("ws"))
+    ws = docs.select("doc_id", word_set_col().alias("ws"))
     members = (cc.filter(F.col("doc_id") != F.col("canonical_id"))
                .join(ws.select(F.col("doc_id"), F.col("ws").alias("mws")),
                      "doc_id")
@@ -2729,7 +2736,7 @@ def corpus_prototypicality_prune(spark: SparkSession,
 _KC_K = 6        # selected representatives (seed + 5 greedy rounds)
 
 
-def _kcenter_round_sql(prev_d: str, prev_c: str, k: int) -> str:
+def _kcenter_round_sql(prev_d: str, k: int) -> str:
     """One unrolled greedy round: pick the argmax of the current
     min-distance, then fold its distances into the running minimum."""
     return f"""
@@ -2753,7 +2760,7 @@ d{k} AS MATERIALIZED (
 
 def _kcenter_oracle() -> str:
     rounds = "".join(
-        "," + _kcenter_round_sql(f"d{k - 1}", f"c{k - 1}", k)
+        "," + _kcenter_round_sql(f"d{k - 1}", k)
         for k in range(1, _KC_K))
     sel_union = "\nUNION ALL\n".join(
         f"SELECT {k} AS sel_round, c{k}.vec_id, r{k}.d AS radius_e6 "

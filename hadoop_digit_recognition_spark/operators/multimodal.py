@@ -1484,12 +1484,23 @@ def multimodal_phash_verified_dedup(spark: SparkSession,
                 F.min("doc_id").alias("keep_id"))
            .filter(F.col("cnt") >= 2)
            .select("phash", "keep_id"))
+    # member table referenced 3x below (semi-join id set + the verify
+    # join) — persist the dup-volume-sized frame so the hash pass runs
+    # once (the sim_nndescent_round edge-table precedent)
     mem = (ph.join(grp, "phash")
            .filter(F.col("doc_id") != F.col("keep_id"))
-           .select("phash", "keep_id", "doc_id"))
+           .select("phash", "keep_id", "doc_id")
+           .persist())
+    # decode rasters ONLY for bucket members + keepers: semi-join the
+    # payload stream against the candidate id set BEFORE the decode
+    # UDF — without this the two raster joins re-decoded the whole
+    # corpus twice (review finding; the docstring's budget claim)
+    needed = (mem.select("doc_id")
+              .union(mem.select(F.col("keep_id").alias("doc_id")))
+              .distinct())
 
     docs = load(spark, sf_dir, "documents")
-    mm = attach_binary_payload(docs)
+    mm = attach_binary_payload(docs).join(needed, "doc_id", "semi")
     n_px = RASTER_H * RASTER_W
     schema = "doc_id bigint, raster array<bigint>"
 

@@ -1456,7 +1456,7 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUPED_SPLIT = "2024-01-16"     # pre-period < split <= post-period
 
 
-@query("ab_cuped_adjustment", oracle=f"""
+@query("ab_cuped_adjustment", eager=True, oracle=f"""
 WITH u AS (
   SELECT user_id,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
@@ -1485,7 +1485,9 @@ SELECT CAST(arm AS BIGINT) AS arm,
        round(avg(yc), 6) AS mean_y_cuped,
        round(var_samp(y), 6) AS var_y,
        round(var_samp(yc), 6) AS var_y_cuped,
-       round(1 - var_samp(yc) / var_samp(y), 6) AS var_reduction
+       CASE WHEN var_samp(y) IS NULL OR var_samp(y) = 0 THEN NULL
+            ELSE round(1 - var_samp(yc) / var_samp(y), 6)
+       END AS var_reduction
 FROM adj GROUP BY arm
 """)
 def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,5 +1550,11 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("yc"), 6).alias("mean_y_cuped"),
                  F.round(F.var_samp("y"), 6).alias("var_y"),
                  F.round(F.var_samp("yc"), 6).alias("var_y_cuped"),
-                 F.round(1 - F.var_samp("yc") / F.var_samp("y"), 6)
+                 # an all-identical-y arm (e.g. every event pre-split)
+                 # has var_y = 0: reduction undefined -> NULL on both
+                 # engines (ANSI "/" would raise where DuckDB NULLs)
+                 F.when(F.var_samp("y").isNull()
+                        | (F.var_samp("y") == 0), F.lit(None))
+                 .otherwise(F.round(1 - F.var_samp("yc")
+                                    / F.var_samp("y"), 6))
                  .alias("var_reduction")))

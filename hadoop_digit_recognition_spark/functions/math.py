@@ -33,3 +33,17 @@ def quantize_col(arr: Column, scale: float = 255.0) -> Column:
     """p -> int(p*scale); Java's (int) cast truncates toward zero and all
     inputs are probabilities >= 0, so floor() is exact parity."""
     return F.transform(arr, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long"))
+
+
+def round_half_away(x: float, ndigits: int) -> float:
+    """Driver-side round matching DuckDB's round() semantics
+    (half-away-from-zero), for scalars that are snapped in Python and
+    compared against an oracle that snaps with SQL round(). Python's
+    built-in round() is banker's (half-to-even): a value landing on a
+    representable half-boundary would put the two engines on adjacent
+    grid points and fan the 1-ulp difference into every downstream row
+    (advisor r09, ab_cuped_adjustment theta/mx snap)."""
+    import math
+
+    s = 10.0 ** ndigits
+    return math.copysign(math.floor(abs(x) * s + 0.5), x) / s

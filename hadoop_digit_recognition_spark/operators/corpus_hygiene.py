@@ -20,6 +20,8 @@ this module extends the engine the same way dedup.py / text.py do.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -1553,6 +1555,14 @@ _BLOCK_TERMS = ("dup", "leak", "crash")
 _BLOCK_PHRASES = ("slow scan",)
 
 _BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+# Every phrase in the tuple participates on BOTH engines (advisor r09:
+# the Spark side previously checked only _BLOCK_PHRASES[0] while the
+# oracle hardcoded the same literal — adding a phrase would have
+# silently changed nothing). The oracle predicate is GENERATED from
+# the tuple so the two sides cannot drift.
+_BLOCK_PHRASES_SQL = " OR ".join(
+    f"position(' {p} ' IN ' ' || array_to_string(ws, ' ') || ' ') > 0"
+    for p in _BLOCK_PHRASES)
 
 
 @query("corpus_blocklist_filter", oracle=f"""
@@ -1563,8 +1573,7 @@ WITH t AS (
 f AS (
   SELECT source, lang, CAST(len(ws) AS BIGINT) AS ntok,
          len(list_intersect(ws, [{_BLOCK_TERMS_SQL}])) > 0 AS hit_term,
-         position(' slow scan ' IN ' ' || array_to_string(ws, ' ') || ' ')
-           > 0 AS hit_phrase
+         ({_BLOCK_PHRASES_SQL}) AS hit_phrase
   FROM t)
 SELECT source, lang,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -1602,8 +1611,10 @@ def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("source", "lang", ws.alias("ws"))
     hit_term = F.arrays_overlap(
         "ws", F.array(*[F.lit(w) for w in _BLOCK_TERMS]))
-    hit_phrase = F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" ")) \
-        .contains(" " + _BLOCK_PHRASES[0] + " ")
+    padded = F.concat(F.lit(" "), F.array_join("ws", " "), F.lit(" "))
+    hit_phrase = functools.reduce(
+        lambda a, b: a | b,
+        [padded.contains(f" {p} ") for p in _BLOCK_PHRASES])
     f = t.select("source", "lang",
                  F.size("ws").cast("bigint").alias("ntok"),
                  hit_term.alias("hit_term"), hit_phrase.alias("hit_phrase"))

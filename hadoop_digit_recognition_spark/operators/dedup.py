@@ -2682,18 +2682,28 @@ def corpus_prototypicality_prune(spark: SparkSession,
     seeds = {r["vec_id"]: list(r["e"]) for r in
              emb.filter(F.col("vec_id") < SEM_CELLS)
              .select("vec_id", v.alias("e")).collect()}
-    cell = F.element_at(
+    # The struct carries BOTH the true cid (`c`, what the output and the
+    # oracle join key on) and the seed's POSITION in sorted(seeds) (`p`,
+    # what element_at on the sorted-order cosine array needs). Indexing
+    # the array by raw cid would silently read the wrong seed whenever
+    # vec_ids below SEM_CELLS are non-contiguous (advisor r09). `p` sits
+    # after (d, c) in the struct so array_sort's ordering is unchanged.
+    _pos_of = {cid: i for i, cid in enumerate(sorted(seeds))}
+    best = F.element_at(
         F.array_sort(F.array(*[
             F.struct(
                 F.round(F.aggregate(
                     F.zip_with(v, F.lit(cvec), lambda x, c: (x - c) * (x - c)),
                     F.lit(0.0), lambda a, y: a + y), 9).alias("d"),
-                F.lit(cid).cast("bigint").alias("c"))
-            for cid, cvec in sorted(seeds.items())])), 1)["c"]
+                F.lit(cid).cast("bigint").alias("c"),
+                F.lit(_pos_of[cid]).cast("int").alias("p"))
+            for cid, cvec in sorted(seeds.items())])), 1)
     import math
     seed_norms = {cid: math.sqrt(sum(x * x for x in cvec))
                   for cid, cvec in seeds.items()}
-    asg = emb.withColumn("cell", cell).filter(F.col("nrm") > 0)
+    asg = (emb.withColumn("cell", best["c"])
+           .withColumn("cpos", best["p"])
+           .filter(F.col("nrm") > 0))
     # prototype folds in as a literal per cell: cos = dot(v, seed)/(|v||seed|)
     # zero-norm PROTOTYPE (a degenerate seed): its cell's members have
     # undefined cosine-to-prototype and drop from scoring. try_divide,
@@ -2711,7 +2721,7 @@ def corpus_prototypicality_prune(spark: SparkSession,
                      F.lit(0.0), lambda a, y: a + y),
                  F.col("nrm") * F.lit(seed_norms[cid])), 6))
             for cid, cvec in sorted(seeds.items())]),
-        (F.col("cell") + 1).cast("int"))
+        F.col("cpos") + 1)
     scored = (asg.withColumn("cos_p", cos_to_proto)
               .filter(F.col("cos_p").isNotNull())
               .select("vec_id", "cell",

@@ -1537,10 +1537,16 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every adjusted row (the probability-snap lesson from the KN
     # perplexity filter); a degenerate covariate (zero pre-period
     # variance — e.g. every event lands post-split) fits theta = 0,
-    # i.e. no adjustment, on both engines
+    # i.e. no adjustment, on both engines. round_half_away, not
+    # Python round(): DuckDB round() is half-away-from-zero while
+    # Python's is banker's, and a theta landing on a 9th-digit half
+    # boundary would put the engines on adjacent grid points
+    from ..functions.math import round_half_away
+
     den = n * sxx - sx * sx
-    theta = 0.0 if den == 0 else round((n * sxy - sx * sy) / den, 9)
-    mx = round(sx / n, 9)
+    theta = 0.0 if den == 0 else round_half_away(
+        (n * sxy - sx * sy) / den, 9)
+    mx = round_half_away(sx / n, 9)
     adj = u.select("arm", "y",
                    (F.col("y") - F.lit(theta) * (F.col("x") - F.lit(mx)))
                    .alias("yc"))

@@ -256,11 +256,21 @@ def main() -> None:
     if detail_path:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1)
+    # headline_best_sec: the min-of-repeats exec total, named explicitly
+    # (identical to `value`; the alias makes the best-of-N semantics
+    # self-describing in BENCH_r{N}.json). headline_per_calib: the same
+    # total divided by the JVM calibration constant — a dimensionless
+    # box-speed-normalized figure, so a round that lands on a noisy /
+    # differently-provisioned VM (r04: 2x-slower box; r09: +35% calib_py)
+    # can't print as an engine regression. Definitions in BASELINE.md.
+    best = round(sum(execs.values()), 3)
     summary = {
         "metric": "headline_exec_total_sec",
-        "value": round(sum(execs.values()), 3),
+        "value": best,
         "unit": "sec",
         "queries": execs,
+        "headline_best_sec": best,
+        "headline_per_calib": round(best / calib_jvm, 3) if calib_jvm else None,
         "build_total_sec": round(sum(build.values()), 3),
         "total_sec": round(sum(timings.values()), 3),
         "tail_cold_sec": tail,

@@ -135,7 +135,16 @@ def _rotate_for_driver_coverage() -> None:
         "text_unigram_viterbi_segment", "text_unigram_em_reestimate",
     }
 
+    # Queries added during ROUND 10: behind the round-9 late queue, so
+    # the final 44-name never-sampled burn-down (VERDICT r09 ask #2)
+    # fronts the r10 window undisturbed; these enter in r11+.
+    _ADDED_LATE_R10: set[str] = {
+        "sim_nndescent_recall_curve",
+    }
+
     def _family(n: str) -> int:
+        if n in _ADDED_LATE_R10:
+            return 12
         if n in _ADDED_LATE_R9:
             return 11
         if n in _ADDED_LATE:

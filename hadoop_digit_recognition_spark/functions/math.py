@@ -47,3 +47,15 @@ def round_half_away(x: float, ndigits: int) -> float:
 
     s = 10.0 ** ndigits
     return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+
+def round_half_away_arr(x, ndigits: int):
+    """Vectorized round_half_away for numpy arrays / pandas Series used
+    inside pandas UDFs whose oracle snaps with DuckDB round() —
+    numpy/pandas .round() is half-to-even and sits in the same latent
+    banker's-vs-half-away class (see round_half_away)."""
+    import numpy as np
+
+    a = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** ndigits
+    return np.copysign(np.floor(np.abs(a) * s + 0.5), a) / s

@@ -1175,19 +1175,60 @@ _REL_DOC_BUDGET = 100  # released documents (pre-quota-floor) per corpus
 from .corpus import _SEQ_LEN  # noqa: E402  (single-source pack capacity)
 from .dedup import (  # noqa: E402
     dedup_minhash_lsh_capped, dedup_semdedup_capped)
+# ml.queries registers the distilled quality classifier the release
+# chain's `quality` rung reuses; safe to import here (its decoration-time
+# registry lookups — gopher, langid, calibration bins — are all satisfied
+# by this point, and nothing in its import chain imports this module).
+from ..ml.queries import _QC_B  # noqa: E402
+
+# Term list is frozen at module scope: a production gate ships its
+# blocklist as a versioned artifact and broadcasts it, never joins a
+# mutable table mid-pipeline.
+_BLOCK_TERMS = ("dup", "leak", "crash")
+_BLOCK_PHRASES = ("slow scan",)
+
+_BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+# Every phrase in the tuple participates on BOTH engines (advisor r09:
+# the Spark side previously checked only _BLOCK_PHRASES[0] while the
+# oracle hardcoded the same literal — adding a phrase would have
+# silently changed nothing). The oracle predicate is GENERATED from
+# the tuple so the two sides cannot drift.
+_BLOCK_PHRASES_SQL = " OR ".join(
+    f"position(' {p} ' IN ' ' || array_to_string(ws, ' ') || ' ') > 0"
+    for p in _BLOCK_PHRASES)
 
 # The survivor chain s1..s7 as one WITH body (shared by the accounting
 # and manifest oracles). Outer CTE names are chosen not to collide with
 # _DIFF_SQL's (t0/tok/tk/df/diff).
 _RELEASE_CHAIN_SQL = f"""gq AS ({{gopher}}),
 s1 AS MATERIALIZED (SELECT doc_id FROM gq WHERE keep = 1),
+blk AS (SELECT doc_id FROM (
+    SELECT doc_id,
+           list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+    FROM documents) bt
+  WHERE len(list_intersect(ws, [{_BLOCK_TERMS_SQL}])) > 0
+     OR ({_BLOCK_PHRASES_SQL})),
+s1b AS MATERIALIZED (SELECT doc_id FROM s1
+       WHERE doc_id NOT IN (SELECT doc_id FROM blk)),
+qw AS MATERIALIZED ({{quality}}),
+qwi AS (SELECT i, CAST(round(w * 1000000) AS BIGINT) AS wi FROM qw),
+qtok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+         FROM documents),
+qf AS (SELECT doc_id,
+              ('0x' || substr(md5(word), 1, 8))::BIGINT % {_QC_B} AS i,
+              count(*) AS c
+       FROM qtok WHERE word <> '' GROUP BY 1, 2),
+qz AS (SELECT f.doc_id, sum(f.c * q.wi) AS z
+       FROM qf f JOIN qwi q USING (i) GROUP BY f.doc_id),
+s1q AS MATERIALIZED (SELECT s1b.doc_id FROM s1b
+       LEFT JOIN qz USING (doc_id) WHERE coalesce(qz.z, 0) >= 0),
 tokr AS MATERIALIZED (SELECT doc_id, source,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS BIGINT) AS ntok,
                 md5(text) AS ekey
          FROM documents),
 ex AS (SELECT t.doc_id, min(t.doc_id) OVER (PARTITION BY t.ekey) AS keep_id
-       FROM tokr t JOIN s1 USING (doc_id)),
+       FROM tokr t JOIN s1q USING (doc_id)),
 s2 AS MATERIALIZED (SELECT doc_id FROM ex WHERE doc_id = keep_id),
 mhp AS ({{minhash}}),
 d3 AS (SELECT DISTINCT p.doc_b AS doc_id FROM mhp p
@@ -1237,6 +1278,7 @@ def _release_oracle_chain() -> str:
     from ..registry import ORACLE_SQL as osql
     return _RELEASE_CHAIN_SQL.format(
         gopher=osql["corpus_gopher_quality_rules"],
+        quality=osql["ml_quality_classifier_distill"],
         minhash=osql["dedup_minhash_lsh_capped"],
         semdedup=osql["dedup_semdedup_capped"],
         semantic=osql["corpus_decontamination_semantic"])
@@ -1256,7 +1298,45 @@ def _release_chain(spark: SparkSession, sf_dir: str,
 
     s1 = (corpus_gopher_quality_rules(spark, sf_dir)
           .filter(F.col("keep") == 1).select("doc_id").persist())
-    s2 = (tokr.join(s1, "doc_id")
+    # blocklist rung: the corpus_blocklist_filter term/phrase rules as a
+    # per-document verdict (that operator reports per-(source, lang)
+    # aggregates; the rung needs the doc-level gate) — same constants,
+    # same word-boundary conventions, one narrow pass.
+    ws = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    padded = F.concat(F.lit(" "), F.array_join(ws, " "), F.lit(" "))
+    blocked = (F.arrays_overlap(
+                   ws, F.array(*[F.lit(w) for w in _BLOCK_TERMS]))
+               | functools.reduce(
+                   lambda a, b: a | b,
+                   [padded.contains(f" {p} ") for p in _BLOCK_PHRASES]))
+    blk = docs.filter(blocked).select("doc_id")
+    s1b = s1.join(blk, "doc_id", "left_anti").persist()
+    # learned-quality rung: score every doc with the REGISTERED distilled
+    # classifier's weights. Integer-exact gate: the published weights are
+    # 6-decimal-rounded, so wi = round(w * 1e6) is an exact int64 and
+    # z = Σ c·wi is an order-free integer sum — keep iff z >= 0
+    # (sigmoid(z/1e6) >= 0.5), bit-identical cross-engine with no float
+    # summation-order hazard. Docs with no features score z = 0 -> kept.
+    from ..ml.queries import ml_quality_classifier_distill
+
+    qwi = (ml_quality_classifier_distill(spark, sf_dir)
+           .select("i", F.round(F.col("w") * 1000000)
+                   .cast("bigint").alias("wi")))
+    qf = (docs.select(
+              "doc_id",
+              F.explode(F.split(F.lower("text"), " ")).alias("word"))
+          .filter(F.col("word") != "")
+          .select("doc_id",
+                  (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10)
+                   .cast("bigint") % _QC_B).alias("i"))
+          .groupBy("doc_id", "i").agg(F.count(F.lit(1)).alias("c")))
+    qz = (qf.join(F.broadcast(qwi), "i")
+          .groupBy("doc_id")
+          .agg(F.sum(F.col("c") * F.col("wi")).alias("z")))
+    s1q = (s1b.join(qz, "doc_id", "left")
+           .filter(F.coalesce(F.col("z"), F.lit(0)) >= 0)
+           .select("doc_id").persist())
+    s2 = (tokr.join(s1q, "doc_id")
           .groupBy("ekey").agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id").persist())
     pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
@@ -1310,7 +1390,8 @@ def _release_chain(spark: SparkSession, sf_dir: str,
         W.orderBy("difficulty_micro", "doc_id"))
     s7 = (s6.join(diff, "doc_id")
           .withColumn("crank", crank.cast("bigint")).persist())
-    return {"n_total": docs, "tokr": tokr, "s1": s1, "s2": s2, "s3": s3,
+    return {"n_total": docs, "tokr": tokr, "s1": s1, "s1b": s1b,
+            "s1q": s1q, "s2": s2, "s3": s3,
             "s4": s4, "s5": s5, "s6": s6, "s7": s7}
 
 
@@ -1318,6 +1399,8 @@ _RELEASE_ACCOUNTING_TAIL = f"""
 n AS MATERIALIZED (SELECT
   (SELECT count(*) FROM documents) AS n0,
   (SELECT count(*) FROM s1) AS n1,
+  (SELECT count(*) FROM s1b) AS nb,
+  (SELECT count(*) FROM s1q) AS nq,
   (SELECT count(*) FROM s2) AS n2,
   (SELECT count(*) FROM s3) AS n3,
   (SELECT count(*) FROM s4) AS n4,
@@ -1325,6 +1408,10 @@ n AS MATERIALIZED (SELECT
   (SELECT count(*) FROM s6) AS n6,
   (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
    FROM tokr t JOIN s1 USING (doc_id)) AS t1,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s1b USING (doc_id)) AS tb,
+  (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
+   FROM tokr t JOIN s1q USING (doc_id)) AS tq,
   (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
    FROM tokr t JOIN s2 USING (doc_id)) AS t2,
   (SELECT CAST(coalesce(sum(t.ntok), 0) AS BIGINT)
@@ -1342,13 +1429,15 @@ SELECT * FROM (
          CAST(n0 - n1 AS BIGINT) AS n_removed,
          CAST(n1 AS BIGINT) AS n_out,
          t1 AS tokens_out FROM n
-  UNION ALL SELECT 2, 'exact', n1, n1 - n2, n2, t2 FROM n
-  UNION ALL SELECT 3, 'minhash', n2, n2 - n3, n3, t3 FROM n
-  UNION ALL SELECT 4, 'semdedup', n3, n3 - n4, n4, t4 FROM n
-  UNION ALL SELECT 5, 'decontam', n4, n4 - n5, n5, t5 FROM n
-  UNION ALL SELECT 6, 'mix', n5, n5 - n6, n6, t6 FROM n
-  UNION ALL SELECT 7, 'curriculum', n6, 0, n6, t6 FROM n
-  UNION ALL SELECT 8, 'pack', n6, 0, nseq, nseq * {_SEQ_LEN} FROM n)
+  UNION ALL SELECT 2, 'blocklist', n1, n1 - nb, nb, tb FROM n
+  UNION ALL SELECT 3, 'quality', nb, nb - nq, nq, tq FROM n
+  UNION ALL SELECT 4, 'exact', nq, nq - n2, n2, t2 FROM n
+  UNION ALL SELECT 5, 'minhash', n2, n2 - n3, n3, t3 FROM n
+  UNION ALL SELECT 6, 'semdedup', n3, n3 - n4, n4, t4 FROM n
+  UNION ALL SELECT 7, 'decontam', n4, n4 - n5, n5, t5 FROM n
+  UNION ALL SELECT 8, 'mix', n5, n5 - n6, n6, t6 FROM n
+  UNION ALL SELECT 9, 'curriculum', n6, 0, n6, t6 FROM n
+  UNION ALL SELECT 10, 'pack', n6, 0, nseq, nseq * {_SEQ_LEN} FROM n)
 """
 
 
@@ -1358,10 +1447,18 @@ SELECT * FROM (
 def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED training-data release pipeline's per-stage
     accounting table (the corpus_dedup_cascade reporting shape):
-    quality gate -> exact dedup -> capped near-dedup (lexical +
-    semantic) -> decontamination -> temperature mix -> curriculum ->
-    sequence packing, each row carrying n_in / n_removed / n_out plus
-    the surviving token mass. The pack row changes the n_out UNIT to
+    quality gate -> blocklist -> learned quality filter -> exact dedup
+    -> capped near-dedup (lexical + semantic) -> decontamination ->
+    temperature mix -> curriculum -> sequence packing, each row
+    carrying n_in / n_removed / n_out plus the surviving token mass.
+    The blocklist rung applies corpus_blocklist_filter's term/phrase
+    rules as a per-document gate (C4's cleaning order, Raffel et al.
+    2020); the quality rung scores every document with the REGISTERED
+    distilled classifier (ml_quality_classifier_distill) — weights
+    snapped to exact integer micro-units so the keep gate
+    (z = Σ c·w_micro >= 0, i.e. p >= 0.5) is an order-free int64 sum
+    on both engines — the DCLM/CCNet model-filter stage (r09 verdict
+    ask #6). The pack row changes the n_out UNIT to
     full {_SEQ_LEN}-token sequences (tokens_out = nseq * {_SEQ_LEN};
     the straddle remainder is the trainer's partial final window,
     excluded from the release count).
@@ -1387,7 +1484,7 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join tokr once — five separate per-stage jobs would rescan the
     # documents projection (with its md5 + tokenize) once each.
     tagged = None
-    for i, k in enumerate(("s1", "s2", "s3", "s4", "s5"), 1):
+    for i, k in enumerate(("s1", "s1b", "s1q", "s2", "s3", "s4", "s5"), 1):
         t_ = c[k].select(F.lit(i).alias("rung"), "doc_id")
         tagged = t_ if tagged is None else tagged.unionByName(t_)
     per = {int(r["rung"]): (int(r["n"]), int(r["tok"])) for r in
@@ -1396,21 +1493,23 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.coalesce(F.sum("ntok"), F.lit(0)).alias("tok"))
             .collect())}
-    (n1, t1), (n2, t2), (n3, t3), (n4, t4), (n5, t5) = (
-        per.get(i, (0, 0)) for i in range(1, 6))
+    ((n1, t1), (nb, tb), (nq, tq), (n2, t2), (n3, t3), (n4, t4),
+     (n5, t5)) = (per.get(i, (0, 0)) for i in range(1, 8))
     r6 = (c["s6"].agg(F.count(F.lit(1)).alias("n"),
                       F.coalesce(F.sum("ntok"), F.lit(0)).alias("tok"))
           .collect()[0])
     n6, t6 = int(r6["n"]), int(r6["tok"])
     nseq = t6 // _SEQ_LEN
     rows = [(1, "gopher", n0, n0 - n1, n1, t1),
-            (2, "exact", n1, n1 - n2, n2, t2),
-            (3, "minhash", n2, n2 - n3, n3, t3),
-            (4, "semdedup", n3, n3 - n4, n4, t4),
-            (5, "decontam", n4, n4 - n5, n5, t5),
-            (6, "mix", n5, n5 - n6, n6, t6),
-            (7, "curriculum", n6, 0, n6, t6),
-            (8, "pack", n6, 0, nseq, nseq * _SEQ_LEN)]
+            (2, "blocklist", n1, n1 - nb, nb, tb),
+            (3, "quality", nb, nb - nq, nq, tq),
+            (4, "exact", nq, nq - n2, n2, t2),
+            (5, "minhash", n2, n2 - n3, n3, t3),
+            (6, "semdedup", n3, n3 - n4, n4, t4),
+            (7, "decontam", n4, n4 - n5, n5, t5),
+            (8, "mix", n5, n5 - n6, n6, t6),
+            (9, "curriculum", n6, 0, n6, t6),
+            (10, "pack", n6, 0, nseq, nseq * _SEQ_LEN)]
     return spark.createDataFrame(
         rows, "rung bigint, stage string, n_in bigint, n_removed bigint, "
               "n_out bigint, tokens_out bigint")
@@ -1548,21 +1647,8 @@ def corpus_decontamination_semantic_lsh(spark: SparkSession,
 # ---------------------------------------------------------------------------
 # Word/phrase blocklist filtering (the C4 "bad words" gate).
 
-# Term list is frozen at module scope: a production gate ships its
-# blocklist as a versioned artifact and broadcasts it, never joins a
-# mutable table mid-pipeline.
-_BLOCK_TERMS = ("dup", "leak", "crash")
-_BLOCK_PHRASES = ("slow scan",)
-
-_BLOCK_TERMS_SQL = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
-# Every phrase in the tuple participates on BOTH engines (advisor r09:
-# the Spark side previously checked only _BLOCK_PHRASES[0] while the
-# oracle hardcoded the same literal — adding a phrase would have
-# silently changed nothing). The oracle predicate is GENERATED from
-# the tuple so the two sides cannot drift.
-_BLOCK_PHRASES_SQL = " OR ".join(
-    f"position(' {p} ' IN ' ' || array_to_string(ws, ' ') || ' ') > 0"
-    for p in _BLOCK_PHRASES)
+# (blocklist term/phrase constants live above _RELEASE_CHAIN_SQL — the
+# release chain's blocklist rung interpolates them at module load.)
 
 
 @query("corpus_blocklist_filter", oracle=f"""
@@ -1772,12 +1858,18 @@ def corpus_license_propagation(spark: SparkSession,
     UPGRADED — the audit trail a release pipeline must ship.
 
     Composition: duplicate clusters come from the registered
-    dedup_connected_components builder (Spark side) / its recursive-CTE
-    oracle (DuckDB side) — the sim_mutual_knn_pairs convention, so
-    cluster semantics cannot drift. Licenses are a deterministic
-    det_hash64 assignment onto 4 ranked classes (the corpus ships no
-    real license metadata; swapping in a detector column changes one
-    select).
+    dedup_cc_two_phase_star builder (Spark side) — the O(log n)
+    large-star/small-star derivation, re-based here per the r09 verdict
+    after the sf10 giant-component rehearsal measured the O(diameter)
+    min-label loop at 116 s (the DUP_EVERY exact-dup chain builds one
+    path-shaped cluster, the worst case for label propagation; star CC
+    re-measures at ~27 s flat on the same fixture) — against the
+    recursive-CTE closure oracle (DuckDB side). The two CC derivations
+    are agreement-tested label-identical
+    (test_two_phase_star_equals_min_label), so the swap cannot change
+    semantics. Licenses are a deterministic det_hash64 assignment onto
+    4 ranked classes (the corpus ships no real license metadata;
+    swapping in a detector column changes one select).
 
     Scale shape: one window max + one grouped count over the
     duplicate-set-sized cluster table (only docs in some verified pair
@@ -1785,9 +1877,9 @@ def corpus_license_propagation(spark: SparkSession,
     cluster id; the license column rides the existing cluster shuffle
     for free."""
     from ..functions.vector import det_hash64
-    from .dedup import dedup_connected_components
+    from .dedup import dedup_cc_two_phase_star
 
-    cc = dedup_connected_components(spark, sf_dir)
+    cc = dedup_cc_two_phase_star(spark, sf_dir)
     lic = cc.select(
         "doc_id", "canonical_id",
         (det_hash64(F.concat(F.col("doc_id").cast("string"),

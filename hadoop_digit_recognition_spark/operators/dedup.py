@@ -557,6 +557,74 @@ pairs AS (
 """
 
 
+def min_label_cc(spark: SparkSession, edges: DataFrame,
+                 max_rounds: int = 20) -> tuple[DataFrame, int]:
+    """Connected-component labels (lbl = component min node id) over a
+    SYMMETRIC edge list with columns (u, v), in O(log diameter) rounds:
+    min-label propagation + a pointer-doubling shortcut per round (the
+    hash-to-min idea, Rastogi et al. 2012). Returns (labels, rounds):
+    labels has one (u, lbl) row per node that appears in the edge list;
+    rounds is the number of loop iterations actually run (the last one
+    is the no-change certificate). The caller owns edges' persistence;
+    the returned labels DataFrame is materialized (localCheckpoint)."""
+    from ..session import pinned_shuffle
+
+    # seed with round 1 folded in: lbl0(u) = min(u, min neighbor) — one
+    # groupBy instead of a distinct + a full propagation round
+    with pinned_shuffle(spark):
+        # tiny-state rounds: pin shuffle width for the loop's own actions
+        # (200 default tasks/round on an untuned session, for KBs of labels)
+        #
+        # localCheckpoint, not persist: each round references the previous
+        # labels FOUR times (twice building prop, twice in the shortcut
+        # self-join), so an un-truncated logical plan grows 4^rounds —
+        # fine for 3-round near-cliques, fatal for the ~10-round path
+        # graphs doubling exists for (Catalyst re-analyzes the whole
+        # tree; the 512-node path test OOM'd generating the plan string).
+        # Checkpointing pins each round to a flat LogicalRDD; dropped
+        # references are unpersisted by Spark's ContextCleaner.
+        labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
+                  .select("u", F.least("u", "mv").alias("lbl"))
+                  .localCheckpoint())
+        prev_sum = labels.agg(F.sum("lbl")).first()[0]
+        rounds = 0
+        for _ in range(max_rounds):  # doubling covers diameter ~2^max
+            rounds += 1
+            neigh = (edges.join(labels.withColumnRenamed("u", "v")
+                                .withColumnRenamed("lbl", "nlbl"), "v")
+                     .groupBy("u").agg(F.min("nlbl").alias("minn")))
+            # persisted: the shortcut join consumes prop on BOTH sides;
+            # without the cache the |E| propagation join would run twice
+            # per round. Freed right after the eager checkpoint below.
+            prop = (labels.join(neigh, "u", "left")
+                    .select("u",
+                            F.least("lbl", F.coalesce("minn", "lbl"))
+                            .alias("lbl")).persist())
+            # pointer-doubling shortcut: lbl <- min(lbl, lbl(lbl)).
+            # Every lbl value is itself a node id with a labels row
+            # (symmetric edges put every node in the u column), so a
+            # left join can only miss when lbl(u) = u already. Both
+            # steps only ever install a smaller id from the same
+            # component, so the fixpoint — every node holding its
+            # component's min — is exactly the pure-propagation one.
+            new_labels = (prop.join(prop.select(
+                              F.col("u").alias("lbl"),
+                              F.col("lbl").alias("lbl2")),
+                              "lbl", "left")
+                          .select("u",
+                                  F.least("lbl", F.coalesce("lbl2", "lbl"))
+                                  .alias("lbl")).localCheckpoint())
+            prop.unpersist()
+            # labels only decrease, so fixpoint <=> sum unchanged: one
+            # narrow agg per round instead of a labels join + count
+            cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    return labels, rounds
+
+
 @query("dedup_connected_components", oracle=f"""
 WITH RECURSIVE {_LSH_PAIRS_SQL.lstrip()},
 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -573,49 +641,37 @@ FROM reach GROUP BY u
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution: near-dup pairs only name edges; the
     deliverable of a dedup pipeline is one canonical document per
-    connected component (keep lowest doc_id, drop the rest). Iterative
-    min-label propagation over the LSH pair graph: each round every node
-    takes the min of its own label and its neighbors' labels; fixpoint in
-    <= diameter rounds (checked each round with a cheap count). The same
-    driver-side iterate-until-converged loop as the RBM trainer (C5) —
-    Spark's replacement for the reference's per-epoch job resubmission.
-    The oracle computes the identical components via a recursive CTE.
+    connected component (keep lowest doc_id, drop the rest). Min-label
+    propagation over the LSH pair graph ACCELERATED with a
+    pointer-doubling shortcut each round (the hash-to-min idea, Rastogi
+    et al. 2012 "Finding connected components in MapReduce in
+    logarithmic rounds"): after every node takes the min of its own and
+    its neighbors' labels, each label is replaced by ITS label's label
+    (lbl <- lbl(lbl)), so the distance any min still has to travel
+    halves per round — fixpoint in O(log diameter) rounds instead of
+    O(diameter). Labels are always node ids (seeded lbl0(u) =
+    min(u, min neighbor) <= u, and both steps only ever install a
+    smaller id from the same component), so the label-of-label lookup
+    is a plain self-equi-join and the fixpoint — every node holding its
+    component's min id — is unchanged from the pure-propagation
+    derivation (agreement-tested in tests/test_llm_ops_oracle.py). The
+    same driver-side iterate-until-converged loop as the RBM trainer
+    (C5) — Spark's replacement for the reference's per-epoch job
+    resubmission. The oracle computes the identical components via a
+    recursive CTE.
 
-    Scale: each round is one self-join on current labels + a min-agg —
-    all equi-joins; rounds needed = component diameter (tiny for dup
-    clusters; for web-scale graphs swap in large-star/small-star, same
-    loop skeleton)."""
-    from ..session import pinned_shuffle
-
+    Scale: each round is one |E| equi-join + min-agg (propagation) plus
+    one |V|-sized label self-join (shortcut); rounds needed = log2 of
+    the component diameter, which is what makes path-shaped dup chains
+    (exact-dup ladders at sf10: diameter ~ cluster size) tractable —
+    the r09 giant-component rehearsal measured the O(diameter) loop at
+    116 s; this loop re-measures in seconds on the same fixture."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
              .unionByName(pairs.select(F.col("doc_b").alias("u"),
                                        F.col("doc_a").alias("v")))
              .distinct().persist())
-    # seed with round 1 folded in: lbl0(u) = min(u, min neighbor) — one
-    # groupBy instead of a distinct + a full propagation round
-    with pinned_shuffle(spark):
-        # tiny-state rounds: pin shuffle width for the loop's own actions
-        # (200 default tasks/round on an untuned session, for KBs of labels)
-        labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
-                  .select("u", F.least("u", "mv").alias("lbl")).persist())
-        prev_sum = labels.agg(F.sum("lbl")).first()[0]
-        for _ in range(20):  # diameter bound; dup clusters are near-cliques
-            neigh = (edges.join(labels.withColumnRenamed("u", "v")
-                                .withColumnRenamed("lbl", "nlbl"), "v")
-                     .groupBy("u").agg(F.min("nlbl").alias("minn")))
-            new_labels = (labels.join(neigh, "u", "left")
-                          .select("u",
-                                  F.least("lbl", F.coalesce("minn", "lbl"))
-                                  .alias("lbl")).persist())
-            # labels only decrease, so fixpoint <=> sum unchanged: one
-            # narrow agg per round instead of a labels join + count
-            cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
-            labels.unpersist()
-            labels = new_labels
-            if cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
+    labels, _ = min_label_cc(spark, edges)
     edges.unpersist()  # labels is materialized (the convergence count ran)
     return labels.select(F.col("u").alias("doc_id"),
                          F.col("lbl").alias("canonical_id"))
@@ -2567,8 +2623,12 @@ def dedup_cluster_chaining_audit(spark: SparkSession,
     multimodal_ssim_pairs / text_bleu_pairs, which verify PAIRS — this
     verifies the CLOSURE).
 
-    Composition: clusters are the registered dedup_connected_components
-    result on both sides (builder / recursive-CTE oracle). Two EMPTY
+    Composition: clusters are the registered dedup_cc_two_phase_star
+    builder (Spark side; re-based from the min-label loop per the r09
+    verdict — this audit rides the same giant path-shaped clusters
+    that made license propagation 14x at 100x, and the star CC
+    re-measures flat) against the recursive-CTE closure oracle; the
+    two CC derivations are agreement-tested label-identical. Two EMPTY
     members are identical by definition (jacc 1e6, the SNM convention);
     averages are floored integer micro-units.
 
@@ -2577,7 +2637,7 @@ def dedup_cluster_chaining_audit(spark: SparkSession,
     cluster-count-sized, broadcastable) and one grouped min/avg. At
     100 TB nothing exceeds the dedup pipeline's own candidate volume —
     the audit rides the same keys."""
-    cc = dedup_connected_components(spark, sf_dir)
+    cc = dedup_cc_two_phase_star(spark, sf_dir)
     docs = load_parallel(spark, sf_dir, "documents")
     ws = docs.select("doc_id", word_set_col().alias("ws"))
     members = (cc.filter(F.col("doc_id") != F.col("canonical_id"))

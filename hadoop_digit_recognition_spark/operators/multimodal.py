@@ -235,6 +235,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id bigint, frame_id bigint, fsum bigint, fmean double"
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # half-away snap matching DuckDB round() (np.round is banker's
+        # — the ab_cuped_adjustment class); imported inside the closure
+        # so the pickled UDF resolves it on the shipped worker package
+        from ..functions.math import round_half_away_arr
+
         for pdf in batches:
             ids, fids, sums = [], [], []
             for did, b in zip(pdf["doc_id"], pdf["payload"]):
@@ -253,7 +258,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                              else np.empty(0, dtype=np.int64)),
                 "fsum": (np.concatenate(sums) if sums
                          else np.empty(0, dtype=np.int64)),
-            }).assign(fmean=lambda d: np.round(d["fsum"] / (FRAME * 255.0), 9))
+            }).assign(fmean=lambda d: round_half_away_arr(
+                d["fsum"] / (FRAME * 255.0), 9))
 
     return mm.mapInPandas(sample_frames, schema)
 

@@ -43,11 +43,15 @@ def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.math import round_half_away_arr
+
         v = pdf["value"]
         return pd.DataFrame({
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
-            "z": ((v - v.mean()) / v.std(ddof=1)).round(6),
+            # half-away snap matching DuckDB round() (pandas .round()
+            # is banker's — the ab_cuped_adjustment class)
+            "z": round_half_away_arr((v - v.mean()) / v.std(ddof=1), 6),
         })
 
     return ev.groupBy("event_type").applyInPandas(
@@ -300,12 +304,17 @@ def grouped_ols_residuals_pandas(spark: SparkSession,
             / (float(n) * float(sxx) - float(sx) * float(sx))
         a = (float(sy) - b * float(sx)) / float(n)
         resid = y.astype("float64") - (a + b * x.astype("float64"))
+        # half-away snaps matching DuckDB round() — Python round() and
+        # pandas .round() are banker's (the ab_cuped_adjustment class)
+        from ..functions.math import round_half_away, round_half_away_arr
+
         return pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "source": pdf["source"],
             "x": x, "y": y,
-            "slope": round(b, 6), "intercept": round(a, 6),
-            "resid": resid.round(6),
+            "slope": round_half_away(b, 6),
+            "intercept": round_half_away(a, 6),
+            "resid": round_half_away_arr(resid, 6),
         })
 
     return t.groupBy("source").applyInPandas(
@@ -1059,7 +1068,14 @@ _HMM_B = {                      # emission probabilities per state
 
 
 def _mlog(p: float) -> str:
-    return f"CAST(round(ln({p}) * 1000000) AS BIGINT)"
+    # SINGLE-SOURCE micro-log: the integer is computed ONCE in Python
+    # (math.log) and interpolated into the oracle as a literal — letting
+    # DuckDB recompute `round(ln(p) * 1e6)` would reintroduce both the
+    # cross-libm ln() last-ulp risk and the Python-banker's-vs-DuckDB
+    # half-away boundary class the r09/r10 sweep closed (the _FS_W
+    # record-linkage convention).
+    import math
+    return f"CAST({int(round(math.log(p) * 1e6))} AS BIGINT)"
 
 
 def _hmm_oracle() -> str:

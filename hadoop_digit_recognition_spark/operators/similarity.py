@@ -2303,40 +2303,16 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bucketed by qid and each round is a handful of co-partitioned
     shuffles — the iterated form checkpoints between rounds like the
     other loop operators."""
-    from pyspark.sql import Window as W2
-
-    # the edge table is referenced 4x below (both proposal sides, the
-    # anti-join, the union); persisting the n*k-row frame keeps the
-    # bucketed build from running once per reference (the k-core edge
-    # precedent at similarity.py:1053) — model-sized, released by the
-    # session's clearCache
+    # the edge table is referenced 4x inside _nnd_refine (both proposal
+    # sides, the anti-join, the union); persisting the n*k-row frame
+    # keeps the bucketed build from running once per reference (the
+    # k-core edge precedent at similarity.py:1053) — model-sized,
+    # released by the session's clearCache
     g = sim_knn_graph(spark, sf_dir).persist()
-    cand = (g.select(F.col("qid"), F.col("cid").alias("mid"))
-            .join(g.select(F.col("qid").alias("mid"),
-                           F.col("cid").alias("ccid")), "mid")
-            .filter(F.col("ccid") != F.col("qid"))
-            .select("qid", F.col("ccid").alias("cid"))
-            .distinct())
-    fresh = cand.join(g.select("qid", "cid"), ["qid", "cid"], "left_anti")
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm")))
-    eq = emb.select(F.col("vec_id").alias("qid"),
-                    F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
-    ec = emb.select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
-    scored_new = (fresh.join(eq, "qid").join(ec, "cid")
-                  .select("qid", "cid",
-                          F.round(dot_col(F.col("qe"), F.col("ce"))
-                                  / (F.col("qn") * F.col("cn")), 6)
-                          .alias("cos"),
-                          F.lit(True).alias("is_new")))
-    unioned = scored_new.unionByName(
-        g.select("qid", "cid", "cos", F.lit(False).alias("is_new")))
-    w = W2.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
-    return (unioned.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= KNN_K)
-            .select("qid", "cid", "cos", "rnk", "is_new"))
+    return _nnd_refine(g.select("qid", "cid", "cos"), emb)
 
 
 # ---------------------------------------------------------------------------
@@ -2418,3 +2394,190 @@ def sim_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("hit").cast("bigint").alias("n_hit"),
                  F.expr(f"CAST((1000000 * count(hit)) DIV {KNN_K} "
                         "AS BIGINT)").alias("recall_e6")))
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent iterated to convergence, with the per-round recall curve.
+
+_NND_ROUNDS = 3   # refinement rounds; recall saturates in 2-3 on this graph
+
+
+def _nnd_round_sql(prev: str, cur: str) -> str:
+    """One NN-Descent refinement round as oracle CTE text over graph
+    `prev`(qid, cid, cos): two-hop proposals, anti-join against existing
+    edges, exact rounded-cosine scoring, per-node top-KNN_K keep. The
+    kept set `cur` carries is_new so the round's accepted-edge count is
+    auditable."""
+    return f"""
+cand_{cur} AS (
+  SELECT DISTINCT a.qid, b.cid
+  FROM {prev} a JOIN {prev} b ON b.qid = a.cid
+  WHERE b.cid != a.qid),
+fresh_{cur} AS (
+  SELECT c.qid, c.cid FROM cand_{cur} c
+  LEFT JOIN {prev} e ON e.qid = c.qid AND e.cid = c.cid
+  WHERE e.cid IS NULL),
+sc_{cur} AS (
+  SELECT f.qid, f.cid,
+         round(list_cosine_similarity(qe.emb, ce.emb), 6) AS cos
+  FROM fresh_{cur} f
+  JOIN nz qe ON qe.vec_id = f.qid
+  JOIN nz ce ON ce.vec_id = f.cid),
+{cur} AS (
+  SELECT qid, cid, cos, is_new FROM (
+    SELECT qid, cid, cos, is_new,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cos DESC, cid) AS rn
+    FROM (SELECT qid, cid, cos, TRUE AS is_new FROM sc_{cur}
+          UNION ALL
+          SELECT qid, cid, cos, FALSE AS is_new FROM {prev})) t
+  WHERE rn <= {KNN_K})"""
+
+
+def _nnd_curve_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    rounds = "".join(
+        "," + _nnd_round_sql(f"g{r - 1}", f"g{r}")
+        for r in range(1, _NND_ROUNDS + 1))
+    stats = ",\n".join(
+        f"""st{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         CAST((SELECT count(*) FROM g{r} WHERE is_new) AS BIGINT)
+           AS n_new_edges,
+         CAST(count(g.cid) AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN g{r} g ON g.qid = t.qid AND g.cid = t.cid)"""
+        for r in range(1, _NND_ROUNDS + 1))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM st{r}" for r in range(_NND_ROUNDS + 1))
+    return f"""
+WITH g0 AS MATERIALIZED (
+  SELECT qid, cid, cos FROM ({ORACLE_SQL["sim_knn_graph"]})),
+e0 AS ({_E}),
+nz AS (SELECT vec_id, emb FROM e0
+       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+q AS (SELECT * FROM nz WHERE vec_id < {N_QUERIES}),
+exact AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.emb, c.emb), 6) DESC,
+                      c.vec_id) AS rnk
+  FROM q JOIN nz c ON c.vec_id != q.vec_id),
+truth AS (SELECT qid, cid FROM exact WHERE rnk <= {KNN_K}),
+tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth)
+{rounds},
+st0 AS (
+  SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS n_new_edges,
+         CAST(count(g.cid) AS BIGINT) AS n_hit
+  FROM truth t LEFT JOIN g0 g ON g.qid = t.qid AND g.cid = t.cid),
+{stats}
+SELECT s.round, s.n_new_edges, s.n_hit,
+       CAST(CASE WHEN tn.n = 0 THEN 0
+            ELSE (1000000 * s.n_hit) // tn.n END AS BIGINT) AS recall_e6
+FROM ({unions}) s, tn
+"""
+
+
+def _nnd_refine(g: DataFrame, emb: DataFrame) -> DataFrame:
+    """One NN-Descent round over graph g(qid, cid, cos) against
+    embedding table emb(vec_id, embedding, nrm): returns the refined
+    per-node top-KNN_K as (qid, cid, cos, rnk, is_new). The shared loop
+    body of sim_nndescent_round (single round, full provenance output)
+    and sim_nndescent_recall_curve (iterated with per-round recall)."""
+    cand = (g.select(F.col("qid"), F.col("cid").alias("mid"))
+            .join(g.select(F.col("qid").alias("mid"),
+                           F.col("cid").alias("ccid")), "mid")
+            .filter(F.col("ccid") != F.col("qid"))
+            .select("qid", F.col("ccid").alias("cid"))
+            .distinct())
+    fresh = cand.join(g.select("qid", "cid"), ["qid", "cid"], "left_anti")
+    eq = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    ec = emb.select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored_new = (fresh.join(eq, "qid").join(ec, "cid")
+                  .select("qid", "cid",
+                          F.round(dot_col(F.col("qe"), F.col("ce"))
+                                  / (F.col("qn") * F.col("cn")), 6)
+                          .alias("cos"),
+                          F.lit(True).alias("is_new")))
+    unioned = scored_new.unionByName(
+        g.select("qid", "cid", "cos", F.lit(False).alias("is_new")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (unioned.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("qid", "cid", "cos", "rnk", "is_new"))
+
+
+@query("sim_nndescent_recall_curve", eager=True,
+       oracle=_nnd_curve_oracle())
+def sim_nndescent_recall_curve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """NN-DESCENT ITERATED TO CONVERGENCE with the measured per-round
+    RECALL CURVE (Dong, Moses & Li WWW 2011) — the r09 verdict's
+    convergence ask: one refinement round demonstrably under-converges
+    (sim_graph_recall_eval measured base recall 0.178 on the LSH-seeded
+    graph), so this operator runs {_NND_ROUNDS} rounds of the
+    registered refinement body and, after EVERY round, counts exact
+    recall@{KNN_K} against the brute-force truth on the
+    {N_QUERIES}-query sample — producing the (round, n_new_edges,
+    n_hit, recall_e6) table an index build logs to decide when to stop
+    iterating. Recall is provably NON-DECREASING per round: a truth
+    edge can only be displaced from a node's top-k by an edge ranking
+    strictly higher in the same (cos DESC, cid) order, and any such
+    edge is itself in the truth top-k (pinned in
+    tests/test_llm_ops_oracle.py).
+
+    Composition: the seed graph is the registered sim_knn_graph
+    builder/oracle; each round is the same proposal/anti-join/rerank
+    body as sim_nndescent_round (shared _nnd_refine helper on the Spark
+    side, shared CTE generator on the oracle side), so single-round and
+    iterated semantics cannot drift.
+
+    Scale shape: each round is bounded by n*k^2 proposals (k={KNN_K})
+    — never all-pairs; the truth side is the declared
+    {N_QUERIES}-query broadcast sample, exactly how production evals
+    measure recall at 100 TB. Rounds localCheckpoint between
+    iterations (the min_label_cc lineage discipline: the round body
+    references the previous graph four times, so un-truncated plans
+    would grow 4^rounds)."""
+    g = (sim_knn_graph(spark, sf_dir)
+         .select("qid", "cid", "cos").localCheckpoint())
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qe"), F.col("nrm").alias("qn")))
+    c = emb.select(F.col("vec_id").alias("cid"),
+                   F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("cid") != F.col("qid"))
+              .select("qid", "cid",
+                      F.round(dot_col(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                      .alias("cos")))
+    wt = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    truth = (scored.withColumn("rnk", F.row_number().over(wt))
+             .filter(F.col("rnk") <= KNN_K).select("qid", "cid")
+             .persist())
+    n_truth = truth.count()
+
+    def n_hits(graph: DataFrame) -> int:
+        return truth.join(graph.select("qid", "cid"),
+                          ["qid", "cid"], "left_semi").count()
+
+    rows = [(0, 0, n_hits(g))]
+    for r in range(1, _NND_ROUNDS + 1):
+        refined = _nnd_refine(g, emb).localCheckpoint()
+        n_new = refined.filter("is_new").count()
+        g = refined.select("qid", "cid", "cos")
+        rows.append((r, n_new, n_hits(g)))
+    truth.unpersist()
+    out = [(r, nn, nh,
+            (1000000 * nh) // n_truth if n_truth else 0)
+           for r, nn, nh in rows]
+    return spark.createDataFrame(
+        out, "round bigint, n_new_edges bigint, n_hit bigint, "
+             "recall_e6 bigint")

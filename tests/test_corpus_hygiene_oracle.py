@@ -45,21 +45,29 @@ def test_release_pipeline_accounting_invariants(spark):
     pack rung's token mass is exactly n_out full sequences."""
     rows = {r.rung: r for r in SPARK_QUERIES["pipeline_corpus_release"](
         spark, SF_ORACLE).collect()}
-    assert sorted(rows) == list(range(1, 9))
-    for k in range(1, 8):  # pack (rung 8) changes the n_out unit
+    assert sorted(rows) == list(range(1, 11))
+    for k in range(1, 10):  # pack (rung 10) changes the n_out unit
         r = rows[k]
         assert r.n_out == r.n_in - r.n_removed, r
         assert r.n_removed >= 0, r
         if k > 1:
             assert r.n_in == rows[k - 1].n_out, (r, rows[k - 1])
-    pack = rows[8]
-    assert pack.n_in == rows[7].n_out
+    pack = rows[10]
+    assert pack.n_in == rows[9].n_out
     assert pack.tokens_out == pack.n_out * 512
-    assert pack.tokens_out <= rows[7].tokens_out
+    assert pack.tokens_out <= rows[9].tokens_out
     # the mix quota must BIND on the driver fixture (the cap-binds
     # convention): some docs removed, and the release is budget-bounded
-    assert rows[6].n_removed > 0
-    assert rows[6].n_out <= 100
+    assert rows[8].n_removed > 0
+    assert rows[8].n_out <= 100
+    # the r10 rungs sit in production order (gopher -> blocklist ->
+    # quality -> exact) and actually fire on the fixture: the blocklist
+    # terms hit the synthetic corpus, and the distilled filter smooths
+    # the gopher boundary (both gates live, neither annihilates)
+    stages = {r.rung: r.stage for r in rows.values()}
+    assert stages[2] == "blocklist" and stages[3] == "quality"
+    assert rows[2].n_removed > 0, "blocklist gate never fired"
+    assert rows[3].n_out > 0, "quality gate annihilated the corpus"
 
 
 def test_release_manifest_consistent_with_accounting(spark):

@@ -186,3 +186,31 @@ def test_plans_audit_fresh():
     assert not extra, (
         f"PLANS_AUDIT.md has rows no longer in bench lists: "
         f"{sorted(extra)[:5]} — rerun scripts/gen_plan_audit.py")
+
+
+def test_advice_ledger_fresh():
+    """ADVICE.md is the advisor's review ledger; VERDICT r09 ask #3
+    requires it to never go stale again (r08's items sat fixed in-tree
+    while the ledger still showed them open). Contract: every flagged
+    item (a `- **severity** path:line —` bullet) must have its
+    `path:line` token re-appear in a `## Resolution` section recording
+    what was done (FIXED / DISPUTED / ACCEPTED-RISK + evidence). A new
+    advisor drop without resolutions fails here until the builder
+    responds item by item."""
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "ADVICE.md")
+    if not os.path.exists(path):
+        return
+    text = open(path).read()
+    items = re.findall(
+        r"^- \*\*(?:low|medium|high)\*\* (\S+?:\d+)", text, re.M)
+    if not items:
+        return
+    assert "## Resolution" in text, (
+        "ADVICE.md has flagged items but no '## Resolution' section")
+    resolution = text[text.index("## Resolution"):]
+    missing = [loc for loc in items if loc not in resolution]
+    assert not missing, (
+        f"ADVICE.md items without a resolution entry: {missing}")

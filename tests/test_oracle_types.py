@@ -162,3 +162,62 @@ def test_no_spark_query_returns_nonscalar(spark):
         f"{len(offenders)} registered Spark quer(ies) return non-scalar "
         f"columns (driver canonicalizer cannot hash them): {offenders}"
     )
+
+
+def test_no_bankers_round_in_engine_code():
+    """RATCHET for the banker's-rounding class (r09 ab_cuped_adjustment;
+    r10 sweep): Python's builtin round() and numpy/pandas .round() are
+    HALF-TO-EVEN, DuckDB's round() is HALF-AWAY-FROM-ZERO — a
+    driver-side or UDF-side scalar snapped with the builtin and compared
+    against an oracle that snaps with SQL round() diverges whenever a
+    value lands on a representable half-boundary, and the difference
+    fans into every downstream row. Engine code must snap with
+    functions.math.round_half_away / round_half_away_arr instead.
+
+    This AST-scans the package for builtin round() calls and pins the
+    reviewed allowlist: sites where the rounded value is computed ONCE
+    in Python and interpolated into BOTH engines as a literal (single
+    source — no cross-engine rounding ever happens). Any new builtin
+    round() site fails here until reviewed and either converted to
+    round_half_away or added below with a single-source justification.
+    (SQL-string `round(...)` is DuckDB/Spark-side and out of scope.)
+    """
+    import ast
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "hadoop_digit_recognition_spark")
+    sites = []
+    for dirpath, _, filenames in os.walk(pkg):
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            rel = os.path.relpath(path, pkg)
+            for node in ast.walk(tree):
+                if (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Name)
+                        and node.func.id == "round"):
+                    sites.append(rel)
+    # Reviewed single-source sites: the rounded integers are embedded
+    # as identical literals in the Spark expression AND the oracle SQL,
+    # so no cross-engine rounding occurs (the _FS_W / _mlog idiom).
+    allowed = {
+        # Fellegi-Sunter field weights (dedup.py _FS_W): module
+        # constants interpolated into both engines.
+        "operators/dedup.py": 2,
+        # HMM micro-log constants (_mlog + the Spark twin's lpi/la/lb):
+        # same Python computation on fixed literals, both sides.
+        "operators/pandas_udfs.py": 5,
+    }
+    from collections import Counter
+
+    counts = Counter(sites)
+    offenders = {f: n for f, n in counts.items()
+                 if n > allowed.get(f, 0)}
+    assert not offenders, (
+        f"new builtin round() site(s) in engine code {offenders} — "
+        f"banker's rounding diverges from DuckDB round() at half "
+        f"boundaries; use functions.math.round_half_away(_arr) or "
+        f"review as single-source and extend the allowlist")

@@ -782,6 +782,11 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # (cos DESC, cid) tiebreak decides identically); the
                  # zero vector never enters the graph so never proposes
                  "sim_nndescent_round",
+                 # round 10: the iterated curve on a tiny corpus — the
+                 # zero vector stays out of every round's proposals and
+                 # the 4-row stats table divides by the sample truth
+                 # count identically on both engines
+                 "sim_nndescent_recall_curve",
                  # round 9 continuation: the zero vector must drop from
                  # BOTH the truth scan and the graph before recall is
                  # counted; tiny-corpus truth sets still rank KNN_K deep

@@ -109,6 +109,10 @@ TAIL = [
     # like the other eager loops.
     "sim_nndescent_round",
     "corpus_kcenter_coreset",
+    # round-10 addition: the iterated NN-Descent refinement with its
+    # per-round recall measurement (3 checkpointed rounds + truth
+    # sweep — eager by construction, cold-billed like the other loops).
+    "sim_nndescent_recall_curve",
 ]
 
 

@@ -139,7 +139,9 @@ def _rotate_for_driver_coverage() -> None:
     # the final 44-name never-sampled burn-down (VERDICT r09 ask #2)
     # fronts the r10 window undisturbed; these enter in r11+.
     _ADDED_LATE_R10: set[str] = {
-        "sim_nndescent_recall_curve",
+        "sim_nndescent_recall_curve", "ml_pr_auc", "dq_kruskal_wallis",
+        "dq_fleiss_kappa", "graph_ktruss", "corpus_facility_location",
+        "ab_propensity_strata",
     }
 
     def _family(n: str) -> int:

@@ -2030,3 +2030,77 @@ def ml_lift_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CASE WHEN tot_pos = 0 THEN 0 ELSE "
                "(1000000 * cum_pos) DIV tot_pos END AS BIGINT)")
         .alias("cum_gain_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Exact precision-recall AUC (average precision).
+
+
+@query("ml_pr_auc", oracle="""
+WITH s AS (SELECT vec_id, CAST(label % 2 AS INTEGER) AS y,
+                  CAST(embedding[1] AS DOUBLE) AS score
+           FROM embeddings),
+r AS (SELECT vec_id, y,
+             row_number() OVER (ORDER BY score DESC, vec_id) AS rk
+      FROM s),
+c AS (SELECT rk, y,
+             sum(y) OVER (ORDER BY rk) AS tp
+      FROM r),
+a AS (SELECT CAST(sum(CASE WHEN y = 1
+                           THEN (1000000 * tp) // rk ELSE 0 END)
+                  AS BIGINT) AS ap_sum_e6,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM c)
+SELECT n_pos, n_neg,
+       CAST(CASE WHEN n_pos = 0 THEN 0
+            ELSE ap_sum_e6 // n_pos END AS BIGINT) AS ap_e6,
+       round(CASE WHEN n_pos = 0 THEN 0.0
+             ELSE (ap_sum_e6 // n_pos) / 1000000.0 END, 6) AS avg_precision
+FROM a
+""")
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PRECISION-RECALL AUC as AVERAGE PRECISION (Davis & Goadrich
+    ICML 2006, "The relationship between Precision-Recall and ROC
+    curves"): AP = (1/n_pos) * sum over positive-ranked items of
+    precision@rank — the PR companion to ml_auc_rank_sum's ROC-AUC, and
+    the metric that actually separates scorers under class imbalance
+    (ROC-AUC saturates when negatives dominate; every retrieval /
+    quality-filter eval reports AP instead). Same target/scorer
+    conventions as the ROC twin: binary target = label parity, scorer =
+    first embedding coordinate, ranks DESC by score with vec_id
+    tiebreak so duplicated scores stay deterministic.
+
+    Integer micro-grid discipline: precision@k = tp/k is floored to
+    e6 micro-units per positive BEFORE the cross-row sum, so the
+    engine-order-dependent float summation never happens — AP is an
+    exact int64 arithmetic chain on both engines (the LOF / lift-table
+    convention), with the display column derived from the integer.
+
+    Scale shape: one global rank (at 100 TB: range-partitioned sort +
+    per-partition offsets, the corpus_shard_assign two-phase prefix
+    sum — the one-shot window IS that plan at vectors-count size), one
+    running sum, one scalar fold. Nothing pairwise."""
+    from pyspark.sql import Window as W
+
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id", (F.col("label") % 2).cast("int").alias("y"),
+        F.col("embedding")[0].cast("double").alias("score"))
+    r = s.select("vec_id", "y", F.row_number().over(
+        W.orderBy(F.desc("score"), "vec_id")).alias("rk"))
+    c = r.select("rk", "y",
+                 F.sum("y").over(W.orderBy("rk")).alias("tp"))
+    a = c.agg(
+        F.sum(F.when(F.col("y") == 1,
+                     F.expr("(1000000 * tp) DIV rk")).otherwise(0))
+        .cast("bigint").alias("ap_sum_e6"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_neg"))
+    ap = F.when(F.col("n_pos") == 0, F.lit(0)).otherwise(
+        F.expr("ap_sum_e6 DIV n_pos")).cast("bigint")
+    return a.select(
+        "n_pos", "n_neg", ap.alias("ap_e6"),
+        F.round(F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
+            F.expr("CAST(ap_sum_e6 DIV n_pos AS DOUBLE)") / 1000000.0), 6)
+        .alias("avg_precision"))

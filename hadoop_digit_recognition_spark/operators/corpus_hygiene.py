@@ -1197,6 +1197,16 @@ _BLOCK_PHRASES_SQL = " OR ".join(
     f"position(' {p} ' IN ' ' || array_to_string(ws, ' ') || ' ') > 0"
     for p in _BLOCK_PHRASES)
 
+# The learned-quality rung keeps the TOP 9/10 of blocklist survivors by
+# distilled score (bottom-percentile pruning, the DCLM/CCNet retention
+# shape). A fixed z >= 0 threshold is NOT usable here: the 2-round
+# intercept-free GD's origin boundary scored every sf0.1 document
+# negative (the rung annihilated the corpus — caught by the sf0.1
+# arrival verify), while a rank cut is corpus-adaptive,
+# deterministic ((z DESC, doc_id) total order on integer micro-scores),
+# and engine-exact via the ceil-division keep count.
+_QC_KEEP_NUM, _QC_KEEP_DEN = 9, 10
+
 # The survivor chain s1..s7 as one WITH body (shared by the accounting
 # and manifest oracles). Outer CTE names are chosen not to collide with
 # _DIFF_SQL's (t0/tok/tk/df/diff).
@@ -1220,8 +1230,16 @@ qf AS (SELECT doc_id,
        FROM qtok WHERE word <> '' GROUP BY 1, 2),
 qz AS (SELECT f.doc_id, sum(f.c * q.wi) AS z
        FROM qf f JOIN qwi q USING (i) GROUP BY f.doc_id),
-s1q AS MATERIALIZED (SELECT s1b.doc_id FROM s1b
-       LEFT JOIN qz USING (doc_id) WHERE coalesce(qz.z, 0) >= 0),
+qrank AS (
+  SELECT s1b.doc_id,
+         row_number() OVER (ORDER BY coalesce(qz.z, 0) DESC,
+                            s1b.doc_id) AS qrn,
+         count(*) OVER () AS qn
+  FROM s1b LEFT JOIN qz USING (doc_id)),
+s1q AS MATERIALIZED (
+  SELECT doc_id FROM qrank
+  WHERE qrn <= (qn * {_QC_KEEP_NUM} + {_QC_KEEP_DEN} - 1)
+               // {_QC_KEEP_DEN}),
 tokr AS MATERIALIZED (SELECT doc_id, source,
                 CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
                      AS BIGINT) AS ntok,
@@ -1312,11 +1330,13 @@ def _release_chain(spark: SparkSession, sf_dir: str,
     blk = docs.filter(blocked).select("doc_id")
     s1b = s1.join(blk, "doc_id", "left_anti").persist()
     # learned-quality rung: score every doc with the REGISTERED distilled
-    # classifier's weights. Integer-exact gate: the published weights are
-    # 6-decimal-rounded, so wi = round(w * 1e6) is an exact int64 and
-    # z = Σ c·wi is an order-free integer sum — keep iff z >= 0
-    # (sigmoid(z/1e6) >= 0.5), bit-identical cross-engine with no float
-    # summation-order hazard. Docs with no features score z = 0 -> kept.
+    # classifier's weights, then keep the top {_QC_KEEP_NUM}/{_QC_KEEP_DEN}
+    # of blocklist survivors by score (bottom-percentile pruning — see
+    # the _QC_KEEP constant note). Integer-exact scoring: the published
+    # weights are 6-decimal-rounded, so wi = round(w * 1e6) is an exact
+    # int64 and z = Σ c·wi is an order-free integer sum; the rank cut is
+    # a (z DESC, doc_id) total order, bit-identical cross-engine. Docs
+    # with no features score z = 0.
     from ..ml.queries import ml_quality_classifier_distill
 
     qwi = (ml_quality_classifier_distill(spark, sf_dir)
@@ -1333,8 +1353,17 @@ def _release_chain(spark: SparkSession, sf_dir: str,
     qz = (qf.join(F.broadcast(qwi), "i")
           .groupBy("doc_id")
           .agg(F.sum(F.col("c") * F.col("wi")).alias("z")))
-    s1q = (s1b.join(qz, "doc_id", "left")
-           .filter(F.coalesce(F.col("z"), F.lit(0)) >= 0)
+    zc = F.coalesce(F.col("z"), F.lit(0))
+    qrank = (s1b.join(qz, "doc_id", "left")
+             .select("doc_id",
+                     F.row_number().over(
+                         W.orderBy(zc.desc(), "doc_id")).alias("qrn"),
+                     F.count(F.lit(1)).over(
+                         W.partitionBy()).alias("qn")))
+    s1q = (qrank.filter(
+               F.col("qrn") <= F.expr(
+                   f"(qn * {_QC_KEEP_NUM} + {_QC_KEEP_DEN} - 1) "
+                   f"DIV {_QC_KEEP_DEN}"))
            .select("doc_id").persist())
     s2 = (tokr.join(s1q, "doc_id")
           .groupBy("ekey").agg(F.min("doc_id").alias("doc_id"))

@@ -1157,3 +1157,203 @@ def dq_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("verdict")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.min("doc_id").cast("bigint").alias("sample_doc")))
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis k-group rank test.
+
+_KW_CRIT_05_DF4 = 9.488  # chi-square 0.95 quantile, df = 5 groups - 1
+
+
+@query("dq_kruskal_wallis", oracle=f"""
+WITH r AS (
+  SELECT o_orderpriority AS grp,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rk
+  FROM orders),
+g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(rk) AS BIGINT) AS rank_sum
+      FROM r GROUP BY grp),
+t AS (SELECT grp, n_g, rank_sum,
+             CAST(floor(CAST(rank_sum AS DOUBLE) * CAST(rank_sum AS DOUBLE)
+                        / n_g) AS BIGINT) AS term
+      FROM g),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(term) AS BIGINT) AS s
+        FROM t)
+SELECT t.grp, t.n_g, t.rank_sum, t.term,
+       round(12.0 * tot.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+             - 3.0 * (tot.n + 1), 6) AS h_stat,
+       (12.0 * tot.s / (CAST(tot.n AS DOUBLE) * (tot.n + 1))
+        - 3.0 * (tot.n + 1)) > {_KW_CRIT_05_DF4} AS reject_05
+FROM t, tot
+""")
+def dq_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS one-way rank test (Kruskal & Wallis 1952) — the
+    k-group nonparametric ANOVA, completing the engine's hypothesis-test
+    shelf (Welch t: 2 groups parametric; Mann-Kendall: trend; KS: 2
+    distributions; chi-square: 2 categoricals): do the five order
+    priorities draw total price from the same distribution? H =
+    12/(n(n+1)) * sum_g R_g^2/n_g - 3(n+1), compared to the chi-square
+    0.95 critical value at df = k-1 = 4.
+
+    Determinism: a single global rank with (price, orderkey) tiebreak
+    (the ml_auc_rank_sum variant — no tie correction, documented);
+    per-group rank sums are exact int64; each R_g^2/n_g term is ONE
+    identical double expression floored to an integer before the
+    cross-group sum, so engine summation order never touches a float
+    (the LOF micro-grid discipline). Bound: R_g^2/n_g fits int64 up to
+    n ~ 3e7 rows (multi-sf1 class); beyond that, rank a stratified
+    sample — the statistic is already asymptotic.
+
+    Scale shape: one global sort-rank (range-partitioned sort + offsets
+    at 100 TB, the corpus_shard_assign prefix-sum plan), one 5-row
+    grouped sum, scalar algebra. Output keeps the per-group evidence
+    table a data-quality report ships with the verdict."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.row_number().over(
+            W.orderBy("o_totalprice", "o_orderkey")).alias("rk"))
+    g = (r.groupBy("grp")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"),
+              F.sum("rk").cast("bigint").alias("rank_sum")))
+    t = g.withColumn(
+        "term",
+        F.floor(F.col("rank_sum").cast("double")
+                * F.col("rank_sum").cast("double") / F.col("n_g"))
+        .cast("bigint"))
+    tot = t.agg(F.sum("n_g").cast("bigint").alias("n"),
+                F.sum("term").cast("bigint").alias("s"))
+    h = (F.lit(12.0) * F.col("s")
+         / (F.col("n").cast("double") * (F.col("n") + 1))
+         - F.lit(3.0) * (F.col("n") + 1))
+    return (t.crossJoin(F.broadcast(tot))
+            .select("grp", "n_g", "rank_sum", "term",
+                    F.round(h, 6).alias("h_stat"),
+                    (h > _KW_CRIT_05_DF4).alias("reject_05")))
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa inter-annotator agreement.
+
+_FK_ANNOTATORS = 5     # simulated annotators per item
+_FK_NOISE_MOD = 5      # 1-in-5 annotations flip to a hash-drawn category
+
+
+@query("dq_fleiss_kappa", oracle=f"""
+WITH cats AS (
+  SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+  FROM (SELECT DISTINCT lang FROM documents)),
+k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
+ann AS (
+  SELECT d.doc_id, d.lang, r.a,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|fk|'
+                             || CAST(r.a AS VARCHAR)), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|fkc|'
+                             || CAST(r.a AS VARCHAR)), 1, 8))::BIGINT AS h2
+  FROM documents d CROSS JOIN (SELECT unnest(range({_FK_ANNOTATORS})) AS a) r),
+lab AS (
+  SELECT ann.doc_id,
+         CASE WHEN ann.h1 % {_FK_NOISE_MOD} = 0
+              THEN (SELECT c.lang FROM cats c, k
+                    WHERE c.idx = ann.h2 % k.k)
+              ELSE ann.lang END AS cat
+  FROM ann),
+nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS n
+        FROM lab GROUP BY doc_id, cat),
+tt AS (SELECT CAST(sum(n * n) AS BIGINT) AS t,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items
+        FROM nij),
+cj AS (SELECT CAST(sum(n * n) AS BIGINT) AS c2 FROM (
+        SELECT cat, CAST(sum(n) AS BIGINT) AS n FROM nij GROUP BY cat)),
+s AS (
+  SELECT tt.n_items, tt.t, cj.c2,
+         (CAST(tt.t AS DOUBLE) - tt.n_items * {_FK_ANNOTATORS})
+           / (CAST(tt.n_items AS DOUBLE) * {_FK_ANNOTATORS}
+              * ({_FK_ANNOTATORS} - 1)) AS p_bar,
+         CAST(cj.c2 AS DOUBLE)
+           / (CAST(tt.n_items AS DOUBLE) * {_FK_ANNOTATORS}
+              * tt.n_items * {_FK_ANNOTATORS}) AS p_e
+  FROM tt, cj)
+SELECT n_items, CAST({_FK_ANNOTATORS} AS BIGINT) AS n_annotators,
+       t AS t_sum, c2 AS c2_sum,
+       round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+       CASE WHEN c2 = n_items * n_items
+                 * {_FK_ANNOTATORS} * {_FK_ANNOTATORS} THEN NULL
+            ELSE round((p_bar - p_e) / (1 - p_e), 6) END AS kappa
+FROM s
+""")
+def dq_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA inter-annotator agreement (Fleiss 1971) — the
+    labeling-quality gate every supervised training-data pipeline runs
+    before trusting its annotations (chance-corrected agreement across
+    >2 raters; Krippendorff/Landis-Koch read their verdicts off this
+    number). Items are documents, categories the corpus languages;
+    {_FK_ANNOTATORS} simulated annotators each emit the true lang
+    except a deterministic 1-in-{_FK_NOISE_MOD} hash-flip to a
+    hash-drawn category (the corpus ships no real multi-rater labels;
+    swapping in an annotations table changes one CTE).
+
+    kappa = (P_bar - P_e) / (1 - P_e) with P_bar the mean per-item
+    agreement and P_e the chance agreement from category marginals —
+    and EVERY moment here (T = sum n_ij^2, category marginals, item
+    count) is an exact int64 sum of small integers (n_ij <=
+    {_FK_ANNOTATORS}), so both engines derive kappa from identical
+    integer scalars through one identical double expression: no float
+    ever crosses a shuffle.
+
+    Scale shape: one corpus-sized explode (x{_FK_ANNOTATORS}) into a
+    combiner'd (doc, cat) count, one (cat) rollup, scalar algebra —
+    the same two-keyed-pass budget as the DQ profile family. At 100 TB
+    annotations arrive as a table and the explode disappears."""
+    from ..functions.vector import det_hash64
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    cats = (docs.select("lang").distinct()
+            .select("lang",
+                    (F.row_number().over(W.orderBy("lang")) - 1)
+                    .alias("idx")))
+    kcnt = cats.count()
+    ann = (docs.select("doc_id", "lang")
+           .withColumn("a", F.explode(F.sequence(
+               F.lit(0), F.lit(_FK_ANNOTATORS - 1)))))
+    h1 = det_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("|fk|"),
+                             F.col("a").cast("string")))
+    h2 = det_hash64(F.concat(F.col("doc_id").cast("string"), F.lit("|fkc|"),
+                             F.col("a").cast("string")))
+    lab = (ann.withColumn("noisy", h1 % _FK_NOISE_MOD == 0)
+           .withColumn("alt_idx", h2 % kcnt)
+           .join(F.broadcast(cats.withColumnRenamed("lang", "alt_lang")
+                             .withColumnRenamed("idx", "alt_idx")),
+                 "alt_idx")
+           .select("doc_id",
+                   F.when(F.col("noisy"), F.col("alt_lang"))
+                   .otherwise(F.col("lang")).alias("cat")))
+    nij = (lab.groupBy("doc_id", "cat")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    tt = nij.agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("t"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_items"))
+    cj = (nij.groupBy("cat").agg(F.sum("n").cast("bigint").alias("n"))
+          .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("c2")))
+    s = tt.crossJoin(F.broadcast(cj))
+    A = _FK_ANNOTATORS
+    p_bar = ((F.col("t").cast("double") - F.col("n_items") * A)
+             / (F.col("n_items").cast("double") * A * (A - 1)))
+    p_e = (F.col("c2").cast("double")
+           / (F.col("n_items").cast("double") * A * F.col("n_items") * A))
+    # a single-category corpus (every annotation agrees by construction)
+    # has chance agreement exactly 1 — kappa undefined; the guard is an
+    # exact INTEGER test (c2 == (N*A)^2), NULL on both engines, so the
+    # ANSI divide never sees the zero (degenerate single-lang sweep)
+    chance_one = (F.col("c2")
+                  == F.col("n_items") * F.col("n_items") * A * A)
+    return s.select(
+        "n_items", F.lit(A).cast("bigint").alias("n_annotators"),
+        F.col("t").alias("t_sum"), F.col("c2").alias("c2_sum"),
+        F.round(p_bar, 6).alias("p_bar"), F.round(p_e, 6).alias("p_e"),
+        F.when(chance_one, F.lit(None).cast("double"))
+        .otherwise(F.round((p_bar - p_e) / (1 - p_e), 6)).alias("kappa"))

@@ -2929,3 +2929,241 @@ def corpus_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("d")))
     return spark.createDataFrame(
         sel, "sel_round bigint, vec_id bigint, radius_e6 bigint")
+
+
+# ---------------------------------------------------------------------------
+# k-truss decomposition of the near-dup pair graph.
+
+_KTRUSS_K = 3          # every kept edge must sit in >= k-2 = 1 triangle
+_KTRUSS_ROUNDS = 3     # unrolled peel rounds; fixpoint pinned by test
+
+
+def _ktruss_round_sql(prev: str, cur: str) -> str:
+    """One support-peel round as oracle CTE text: per-edge triangle
+    support via the symmetric-adjacency wedge join, then keep edges
+    with support >= k-2. Edges in zero triangles get no support row
+    and drop via the inner join."""
+    return f"""
+und_{cur} AS MATERIALIZED (
+  SELECT doc_a AS node, doc_b AS nbr FROM {prev}
+  UNION ALL SELECT doc_b, doc_a FROM {prev}),
+sup_{cur} AS MATERIALIZED (
+  SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS support
+  FROM {prev} e
+  JOIN und_{cur} a ON a.node = e.doc_a
+  JOIN und_{cur} b ON b.node = e.doc_b AND b.nbr = a.nbr
+  GROUP BY e.doc_a, e.doc_b),
+{cur} AS MATERIALIZED (
+  SELECT doc_a, doc_b, support FROM sup_{cur}
+  WHERE support >= {_KTRUSS_K - 2})"""
+
+
+def _ktruss_oracle() -> str:
+    rounds = "".join(
+        "," + _ktruss_round_sql(f"ktr{r - 1}", f"ktr{r}")
+        for r in range(1, _KTRUSS_ROUNDS + 1))
+    return f"""
+WITH {_LSH_PAIRS_SQL.lstrip()},
+ktr0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs)
+{rounds}
+SELECT doc_a, doc_b, support FROM ktr{_KTRUSS_ROUNDS}
+"""
+
+
+@query("graph_ktruss", eager=True, oracle=_ktruss_oracle())
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KTRUSS_K}-TRUSS decomposition of the near-dup pair graph
+    (Cohen 2008, "Trusses: cohesive subgraphs for social network
+    analysis"): the maximal subgraph in which EVERY EDGE sits in at
+    least k-2 = {_KTRUSS_K - 2} triangle(s) of the subgraph itself —
+    strictly stronger cohesion than k-core (which bounds degrees, not
+    embeddedness; graph_kcore_dup_clusters is the sibling). In a dedup
+    pipeline the truss isolates the boilerplate CLIQUES a release drops
+    wholesale, while cutting the single-edge bridges that chain
+    unrelated clusters together — the structural complement to
+    dedup_cluster_chaining_audit's similarity-based chain flag.
+
+    Peeling is {_KTRUSS_ROUNDS} unrolled support-recompute rounds
+    (support is INTEGER triangle counting via the ordered-wedge join of
+    graph_triangle_count, so rounds are hash-exact); dropping an edge
+    can only lower other edges' supports, so supports decrease
+    monotonically and the fixture reaches its fixpoint inside the
+    unroll — certified by tests/test_llm_ops_oracle.py recomputing
+    support over the OUTPUT edge set and asserting every kept edge
+    still clears k-2 (the truss invariant, not just a truncated loop).
+
+    Scale shape: each round is one symmetric-adjacency expansion + one
+    wedge equi-join + one edge-keyed count — the Σ deg² triangle bound
+    on a graph that only SHRINKS per round; at web scale the same loop
+    runs with the min_label_cc checkpoint discipline and O(log)
+    peel rounds suffice for the truss numbers releases actually gate
+    on (k <= 5)."""
+    # each round references the shrinking edge list ~5x (adjacency
+    # expansion twice, both wedge sides, the keep filter) on top of the
+    # full LSH plan — localCheckpoint between rounds keeps the lineage
+    # flat (the min_label_cc discipline; without it round 3's plan
+    # string OOMs the driver)
+    from ..session import pinned_shuffle
+
+    edges = (dedup_minhash_lsh(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    out = None
+    with pinned_shuffle(spark):
+        # edge volumes are dup-pair-sized KBs: pin the loop's shuffle
+        # width (200 default tasks/round on an untuned session)
+        for _ in range(_KTRUSS_ROUNDS):
+            und = (edges.select(F.col("doc_a").alias("node"),
+                                F.col("doc_b").alias("nbr"))
+                   .unionAll(edges.select(F.col("doc_b").alias("node"),
+                                          F.col("doc_a").alias("nbr"))))
+            sup = (edges
+                   .join(und.select(F.col("node").alias("doc_a"),
+                                    F.col("nbr").alias("wa")), "doc_a")
+                   .join(und.select(F.col("node").alias("doc_b"),
+                                    F.col("nbr").alias("wb")), "doc_b")
+                   .filter(F.col("wa") == F.col("wb"))
+                   .groupBy("doc_a", "doc_b")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("support")))
+            out = (sup.filter(F.col("support") >= _KTRUSS_K - 2)
+                   .localCheckpoint())
+            edges = out.select("doc_a", "doc_b")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Facility-location greedy selection (submodular corpus subset).
+
+_FL_POOL = 40     # declared candidate pool: vec_id < _FL_POOL
+_FL_K = 3         # greedy selections
+
+
+def _fl_round_sql(k: int) -> str:
+    """One unrolled greedy round: marginal facility-location gain per
+    remaining candidate against the running coverage, argmax with
+    (gain DESC, vec_id) tiebreak, then coverage update."""
+    excl = " AND ".join(
+        f"s.cid NOT IN (SELECT vec_id FROM fsel{j})" for j in range(1, k))
+    excl = ("WHERE " + excl) if excl else ""
+    return f"""
+fg{k} AS MATERIALIZED (
+  SELECT s.cid, CAST(sum(greatest(s.sim - p.cov, 0)) AS BIGINT) AS gain
+  FROM fsims s JOIN fcov{k - 1} p ON p.did = s.did
+  {excl}
+  GROUP BY s.cid),
+fsel{k} AS MATERIALIZED (
+  SELECT cid AS vec_id, gain FROM (
+    SELECT cid, gain, row_number() OVER (ORDER BY gain DESC, cid) AS rn
+    FROM fg{k}) WHERE rn = 1),
+fcov{k} AS MATERIALIZED (
+  SELECT p.did, greatest(p.cov, coalesce(u.sim, 0)) AS cov
+  FROM fcov{k - 1} p
+  LEFT JOIN (SELECT s.did, s.sim FROM fsims s
+             JOIN fsel{k} ON s.cid = fsel{k}.vec_id) u ON u.did = p.did),
+ftot{k} AS MATERIALIZED (
+  SELECT CAST(sum(cov) AS BIGINT) AS tot FROM fcov{k})"""
+
+
+def _fl_oracle() -> str:
+    rounds = "".join("," + _fl_round_sql(k) for k in range(1, _FL_K + 1))
+    sel_union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS sel_round, fsel{k}.vec_id, "
+        f"fsel{k}.gain AS gain_e6, ftot{k}.tot AS total_cov_e6 "
+        f"FROM fsel{k}, ftot{k}"
+        for k in range(1, _FL_K + 1))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+nz AS MATERIALIZED (SELECT vec_id, emb FROM e
+       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+fcand AS MATERIALIZED (SELECT vec_id, emb FROM nz
+                       WHERE vec_id < {_FL_POOL}),
+fsims AS MATERIALIZED (
+  SELECT c.vec_id AS cid, n.vec_id AS did,
+         CAST(round(round(list_cosine_similarity(c.emb, n.emb), 6)
+                    * 1000000) AS BIGINT) AS sim
+  FROM fcand c CROSS JOIN nz n),
+fcov0 AS MATERIALIZED (
+  SELECT vec_id AS did, CAST(0 AS BIGINT) AS cov FROM nz)
+{rounds}
+{sel_union}
+"""
+
+
+@query("corpus_facility_location", eager=True, oracle=_fl_oracle())
+def corpus_facility_location(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """FACILITY-LOCATION greedy subset selection (Lin & Bilmes ACL 2011
+    submodular summarization; Wei, Iyer & Bilmes ICML 2015 data-subset
+    selection — the standard submodular objective for picking a
+    REPRESENTATIVE training subset): maximize F(S) = sum_d max_{s in S}
+    sim(d, s), greedily — each round adds the candidate with the
+    largest MARGINAL coverage gain, the classic (1 - 1/e)-approximation.
+    Fourth verdict in the embedding-curation family: SemDeDup drops
+    near-duplicates, k-center keeps the COVER (minimax), prototypicality
+    drops the redundant core — facility location keeps the
+    REPRESENTATIVES (maximean).
+
+    Candidates come from the declared vec_id < {_FL_POOL} pool (the
+    N_QUERIES convention — production runs stochastic-greedy over a
+    sampled pool, Mirzasoleiman et al. 2015, which this IS); gains and
+    coverage live on the e6 integer micro-grid (cosine rounded to 6
+    then scaled), so every marginal gain, argmax, and objective value
+    is exact int64 on both engines — the k-center numerics carried to
+    the submodular objective. Ties break (gain DESC, vec_id).
+
+    Scale shape: ONE pool x corpus scored pass (broadcast the
+    {_FL_POOL}-row pool), then per round one coverage join + one
+    {_FL_POOL}-row argmax + one narrow coverage fold — each round is
+    corpus-linear with model-sized state, checkpointed like the other
+    greedy loops. Output: (sel_round, vec_id, gain_e6, total_cov_e6) —
+    the selection log with the monotone objective curve
+    (pinned non-decreasing with diminishing returns in tests)."""
+    from ..functions.vector import l2norm_col
+    from ..tables import load_parallel
+
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", F.col("embedding").cast("array<double>")
+                   .alias("emb"),
+                   l2norm_col(F.col("embedding")).alias("nrm"))
+           .filter(F.col("nrm") > 0))
+    cand = emb.filter(F.col("vec_id") < _FL_POOL)
+    from ..functions.vector import dot_col
+
+    sims = (F.broadcast(cand.select(F.col("vec_id").alias("cid"),
+                                    F.col("emb").alias("ce"),
+                                    F.col("nrm").alias("cn")))
+            .crossJoin(emb.select(F.col("vec_id").alias("did"),
+                                  F.col("emb").alias("de"),
+                                  F.col("nrm").alias("dn")))
+            .select("cid", "did",
+                    F.round(F.round(dot_col(F.col("ce"), F.col("de"))
+                                    / (F.col("cn") * F.col("dn")), 6)
+                            * 1000000).cast("bigint").alias("sim"))
+            .persist())
+    cov = emb.select(F.col("vec_id").alias("did"),
+                     F.lit(0).cast("bigint").alias("cov"))
+    selected: list[int] = []
+    rows = []
+    for k in range(1, _FL_K + 1):
+        g = (sims.filter(~F.col("cid").isin(selected)) if selected
+             else sims)
+        best = (g.join(cov, "did")
+                .groupBy("cid")
+                .agg(F.sum(F.greatest(F.col("sim") - F.col("cov"),
+                                      F.lit(0))).cast("bigint")
+                     .alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("cid"))
+                .first())
+        sel, gain = int(best["cid"]), int(best["gain"])
+        selected.append(sel)
+        upd = sims.filter(F.col("cid") == sel).select("did", "sim")
+        cov = (cov.join(upd, "did", "left")
+               .select("did", F.greatest(F.col("cov"),
+                                         F.coalesce(F.col("sim"),
+                                                    F.lit(0)))
+                       .alias("cov")).localCheckpoint())
+        tot = int(cov.agg(F.sum("cov")).first()[0])
+        rows.append((k, sel, gain, tot))
+    sims.unpersist()
+    return spark.createDataFrame(
+        rows, "sel_round bigint, vec_id bigint, gain_e6 bigint, "
+              "total_cov_e6 bigint")

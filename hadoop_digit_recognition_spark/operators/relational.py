@@ -1564,3 +1564,106 @@ def ab_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.round(1 - F.var_samp("yc")
                                     / F.var_samp("y"), 6))
                  .alias("var_reduction")))
+
+
+# ---------------------------------------------------------------------------
+# Propensity subclassification (stratified treatment-effect table).
+
+_PS_STRATA = 5
+
+
+@query("ab_propensity_strata", oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
+           ::BIGINT % 2 AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN 1 ELSE 0 END) AS pre_n,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+s AS (SELECT user_id, arm, y,
+             ntile({_PS_STRATA}) OVER (ORDER BY pre_n, user_id)
+               AS stratum
+      FROM u),
+g AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctrl,
+         sum(CASE WHEN arm = 1 THEN y END) AS sy1,
+         sum(CASE WHEN arm = 0 THEN y END) AS sy0
+  FROM s GROUP BY stratum),
+n AS (SELECT CAST(sum(n_treat + n_ctrl) AS BIGINT) AS nn FROM g)
+SELECT CAST(stratum AS BIGINT) AS stratum, n_treat, n_ctrl,
+       round(sy1 / n_treat, 6) AS mean_y_treat,
+       round(sy0 / n_ctrl, 6) AS mean_y_ctrl,
+       CASE WHEN n_treat = 0 OR n_ctrl = 0 THEN NULL
+            ELSE round(sy1 / n_treat - sy0 / n_ctrl, 6) END AS ate,
+       CAST((1000000 * (n_treat + n_ctrl)) // n.nn AS BIGINT) AS w_e6
+FROM g, n
+""")
+def ab_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROPENSITY SUBCLASSIFICATION (Rosenbaum & Rubin 1983; the 1984
+    five-subclass result showing quintile stratification removes ~90%
+    of covariate bias) — the observational-causal companion to the
+    randomized A/B shelf (welch, CUPED, SPRT, diff-in-diff): users are
+    stratified into {_PS_STRATA} quintiles of their PRE-period activity
+    (the propensity proxy — pre-treatment behavior is the confounder
+    that both selects into exposure and predicts outcome), and the
+    treatment-control outcome gap is reported WITHIN each stratum,
+    where the covariate is approximately balanced. The stratified
+    table (per-stratum ATE + population weight w_e6) is the estimator's
+    evidence; the scalar weighted ATE is one dot product the reader
+    folds — deliberately NOT emitted as a cross-strata float sum.
+
+    Determinism: arm is the standard det_hash64 user split; strata cut
+    by ntile over (pre_count, user_id) — an integer sort key with a
+    total order, so quintile boundaries are identical cross-engine;
+    weights are exact integer micro-units; means round(6) at the
+    surface only (the ab_test_welch float discipline). A stratum
+    missing an arm reports NULL ate on both engines.
+
+    Scale shape: one combiner'd groupBy(user) pass, one global ntile
+    (range-partitioned sort at 100 TB — the prefix-sum plan), one
+    {_PS_STRATA}-row grouped fold. The events-table nightly-metrics
+    budget, same as CUPED."""
+    ev = load(spark, sf_dir, "events")
+    from ..functions.vector import det_hash64
+    from pyspark.sql import Window as W
+
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+              .alias("pre_n"),
+              F.sum(F.when(F.col("ts") >= split, F.col("value"))
+                    .otherwise(0.0)).alias("y"))
+         .withColumn("arm", det_hash64(
+             F.concat(F.col("user_id").cast("string"),
+                      F.lit("|arm"))) % 2))
+    s = u.withColumn("stratum", F.ntile(_PS_STRATA).over(
+        W.orderBy("pre_n", "user_id")))
+    g = (s.groupBy("stratum")
+         .agg(F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+              .cast("bigint").alias("n_treat"),
+              F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+              .cast("bigint").alias("n_ctrl"),
+              F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("sy1"),
+              F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("sy0")))
+    n = g.agg(F.sum(F.col("n_treat") + F.col("n_ctrl"))
+              .cast("bigint").alias("nn"))
+    return (g.crossJoin(F.broadcast(n))
+            .select(F.col("stratum").cast("bigint").alias("stratum"),
+                    "n_treat", "n_ctrl",
+                    F.round(F.col("sy1") / F.col("n_treat"), 6)
+                    .alias("mean_y_treat"),
+                    F.round(F.col("sy0") / F.col("n_ctrl"), 6)
+                    .alias("mean_y_ctrl"),
+                    F.when((F.col("n_treat") == 0)
+                           | (F.col("n_ctrl") == 0), F.lit(None))
+                    .otherwise(F.round(F.col("sy1") / F.col("n_treat")
+                                       - F.col("sy0") / F.col("n_ctrl"),
+                                       6)).alias("ate"),
+                    F.expr("CAST((1000000 * (n_treat + n_ctrl)) DIV nn "
+                           "AS BIGINT)").alias("w_e6")))

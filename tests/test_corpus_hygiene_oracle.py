@@ -68,6 +68,10 @@ def test_release_pipeline_accounting_invariants(spark):
     assert stages[2] == "blocklist" and stages[3] == "quality"
     assert rows[2].n_removed > 0, "blocklist gate never fired"
     assert rows[3].n_out > 0, "quality gate annihilated the corpus"
+    # the rank cut must BITE (bottom decile pruned) without being able
+    # to annihilate: ceil(9/10 * n_in) kept by construction
+    assert rows[3].n_removed > 0, "quality gate never fired"
+    assert rows[3].n_out >= (rows[3].n_in * 9) // 10
 
 
 def test_release_manifest_consistent_with_accounting(spark):

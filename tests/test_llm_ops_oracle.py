@@ -2469,3 +2469,55 @@ def test_burstiness_metronome_and_poisson_poles(spark, tmp_path):
     got = {r["user_id"]: r for r in df.collect()}
     assert got[1]["burstiness"] == -1.0 and not got[1]["bursty"]
     assert -1.0 < got[2]["burstiness"] < 1.0
+
+
+def test_ktruss_fixpoint_certificate(spark):
+    """The k-truss output must be a TRUSS, not a truncated loop: every
+    kept edge's support RECOMPUTED over the output edge set alone must
+    still clear k-2, and the output must be a subset of the input pair
+    graph. Certifies the unrolled peel actually reached its fixpoint
+    on the fixture."""
+    from hadoop_digit_recognition_spark.operators.dedup import (
+        _KTRUSS_K, graph_ktruss, dedup_minhash_lsh)
+
+    out = graph_ktruss(spark, SF_ORACLE).collect()
+    edges = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert edges, "fixture produced an empty truss — weak driver row"
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             dedup_minhash_lsh(spark, SF_ORACLE)
+             .select("doc_a", "doc_b").collect()}
+    assert edges <= pairs
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in out:
+        a, b = r["doc_a"], r["doc_b"]
+        support = len(adj[a] & adj[b])
+        assert support >= _KTRUSS_K - 2, (a, b, support)
+        assert r["support"] == support, (
+            "reported support is not the within-truss support "
+            f"({a},{b}): {r['support']} vs {support}")
+
+
+def test_facility_location_submodular_curve(spark):
+    """Greedy facility location's two textbook invariants: the
+    objective (total coverage) is monotone non-decreasing in rounds,
+    and marginal gains are non-increasing (diminishing returns — the
+    submodularity certificate). Gains must also equal the objective
+    deltas exactly (everything lives on the integer micro-grid)."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    rows = sorted(SPARK_QUERIES["corpus_facility_location"](
+        spark, SF_ORACLE).collect(), key=lambda r: r["sel_round"])
+    assert [r["sel_round"] for r in rows] == [1, 2, 3]
+    assert len({r["vec_id"] for r in rows}) == 3, "re-selected a facility"
+    gains = [r["gain_e6"] for r in rows]
+    assert all(g2 <= g1 for g1, g2 in zip(gains, gains[1:])), gains
+    assert gains[0] > 0
+    tots = [r["total_cov_e6"] for r in rows]
+    assert all(t2 >= t1 for t1, t2 in zip(tots, tots[1:])), tots
+    prev = 0
+    for r in rows:
+        assert r["total_cov_e6"] - prev == r["gain_e6"], r
+        prev = r["total_cov_e6"]

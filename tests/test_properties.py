@@ -600,7 +600,11 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # round 9 continuation: 40 same-instant events give
                  # all-zero gaps (mu = sigma = 0 -> burstiness pinned
                  # 0.0); 1-gap and 0-gap users drop identically
-                 "events_interarrival_burstiness"):
+                 "events_interarrival_burstiness",
+                 # round 10: 3 users cut by ntile(5) leave strata with
+                 # a single arm (NULL ate on both engines); every event
+                 # pre-split gives all-zero post outcomes
+                 "ab_propensity_strata"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -717,7 +721,15 @@ def test_degenerate_documents_engine_parity(spark, tmp_path):
                  # round 9 continuation: the empty doc must route to
                  # fail_empty_text (rule 1 outranks the length rules)
                  # and the short docs to fail_len_range, identically
-                 "dq_quarantine_routing"):
+                 "dq_quarantine_routing",
+                 # round 10: the identical block is a 5-clique — every
+                 # clique edge sits in 3 triangles and must survive all
+                 # peel rounds with identical support
+                 "graph_ktruss",
+                 # round 10: a single-language corpus pins chance
+                 # agreement high (every non-flip annotation agrees);
+                 # tiny N exercises the exact-integer moment path
+                 "dq_fleiss_kappa"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-doc:{name}")
 
@@ -802,7 +814,14 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  "corpus_kcenter_coreset",
                  # round 9 continuation: 40 rows cut into 4-row deciles
                  # with score ties broken by vec_id identically
-                 "ml_lift_gains_deciles"):
+                 "ml_lift_gains_deciles",
+                 # round 10: AP over the 40-row sample (the zero vector
+                 # participates — PR-AUC ranks scores, not norms)
+                 "ml_pr_auc",
+                 # round 10: the zero vector must drop from pool AND
+                 # corpus before any gain is scored; the duplicate pair
+                 # ties a marginal gain (vec_id tiebreak decides)
+                 "corpus_facility_location"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

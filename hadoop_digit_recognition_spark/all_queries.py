@@ -141,7 +141,8 @@ def _rotate_for_driver_coverage() -> None:
     _ADDED_LATE_R10: set[str] = {
         "sim_nndescent_recall_curve", "ml_pr_auc", "dq_kruskal_wallis",
         "dq_fleiss_kappa", "graph_ktruss", "corpus_facility_location",
-        "ab_propensity_strata",
+        "ab_propensity_strata", "ml_uplift_qini",
+        "ml_brier_decomposition", "ab_simpsons_paradox_check",
     }
 
     def _family(n: str) -> int:

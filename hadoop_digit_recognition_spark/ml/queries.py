@@ -2104,3 +2104,188 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("n_pos") == 0, F.lit(0.0)).otherwise(
             F.expr("CAST(ap_sum_e6 DIV n_pos AS DOUBLE)") / 1000000.0), 6)
         .alias("avg_precision"))
+
+
+# ---------------------------------------------------------------------------
+# Qini / uplift deciles (incremental-response targeting eval).
+
+
+@query("ml_uplift_qini", oracle="""
+WITH u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
+           ::BIGINT % 2 AS arm,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+           AS score,
+         max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+d AS (SELECT arm, y, ntile(10) OVER (ORDER BY score DESC, user_id)
+               AS decile
+      FROM u),
+g AS (SELECT decile,
+             CAST(sum(arm) AS BIGINT) AS n_t,
+             CAST(count(*) - sum(arm) AS BIGINT) AS n_c,
+             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS y_t,
+             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS y_c
+      FROM d GROUP BY decile),
+c AS (SELECT decile, n_t, n_c, y_t, y_c,
+             sum(n_t) OVER w AS cn_t, sum(n_c) OVER w AS cn_c,
+             sum(y_t) OVER w AS cy_t, sum(y_c) OVER w AS cy_c
+      FROM g WINDOW w AS (ORDER BY decile
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, y_t, y_c,
+       CAST(CASE WHEN cn_c = 0 THEN NULL
+            ELSE (1000000 * (cy_t * cn_c - cy_c * cn_t)) // cn_c END
+            AS BIGINT) AS qini_e6
+FROM c
+""")
+def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI CURVE / uplift deciles (Radcliffe 2007, "Using control
+    groups to target on predicted lift") — the INCREMENTAL-response
+    readout that separates uplift modeling from plain response modeling
+    (ml_lift_gains_deciles ranks responders; this ranks users the
+    TREATMENT actually moves, netting out the control baseline): users
+    deciled by targeting score (pre-period activity, ties by user_id),
+    and per cumulative depth k the Qini value
+    Q(k) = Y_t(k) - Y_c(k) * N_t(k)/N_c(k) — incremental conversions
+    vs the control scaled to the treated volume.
+
+    Determinism: arm is the standard det_hash64 split; outcome is the
+    exact binary post-period purchase indicator; the Qini value is
+    cross-multiplied into ONE integer floor-division
+    ((1e6*(cy_t*cn_c - cy_c*cn_t)) // cn_c), so the whole curve is
+    int64-exact — no float enters. An empty-control depth reports NULL
+    on both engines.
+
+    Scale shape: one combiner'd groupBy(user), one global ntile
+    (range-partitioned sort at 100 TB), a 10-row cumulative window —
+    the lift-table budget with a control-arm column."""
+    from ..functions.vector import det_hash64
+    from ..operators.relational import _CUPED_SPLIT
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+              .alias("score"),
+              F.max(F.when((F.col("ts") >= split)
+                           & (F.col("event_type") == "purchase"), 1)
+                    .otherwise(0)).alias("y"))
+         .withColumn("arm", det_hash64(
+             F.concat(F.col("user_id").cast("string"),
+                      F.lit("|arm"))) % 2))
+    d = u.withColumn("decile", F.ntile(10).over(
+        W.orderBy(F.desc("score"), "user_id")))
+    g = (d.groupBy("decile")
+         .agg(F.sum("arm").cast("bigint").alias("n_t"),
+              (F.count(F.lit(1)) - F.sum("arm")).cast("bigint")
+              .alias("n_c"),
+              F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+              .cast("bigint").alias("y_t"),
+              F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+              .cast("bigint").alias("y_c")))
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    c = (g.withColumn("cn_t", F.sum("n_t").over(wc))
+         .withColumn("cn_c", F.sum("n_c").over(wc))
+         .withColumn("cy_t", F.sum("y_t").over(wc))
+         .withColumn("cy_c", F.sum("y_c").over(wc)))
+    return c.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_t", "n_c", "y_t", "y_c",
+        F.when(F.col("cn_c") == 0, F.lit(None)).otherwise(
+            F.expr("(1000000 * (cy_t * cn_c - cy_c * cn_t)) DIV cn_c"))
+        .cast("bigint").alias("qini_e6"))
+
+
+# ---------------------------------------------------------------------------
+# Murphy decomposition of the (binned) Brier score.
+
+
+def _brier_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH bins AS MATERIALIZED ({ORACLE_SQL["ml_calibration_bins"]}),
+b AS (SELECT n,
+             CAST(round(pos_frac * n) AS BIGINT) AS yk,
+             (mean_score + 1.0) / 2.0 AS pbar,
+             pos_frac AS ybar_k
+      FROM bins),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(yk) AS BIGINT) AS yy FROM b),
+yb AS (SELECT nn, yy,
+              CAST(yy AS DOUBLE) / nn AS ybar FROM tot),
+terms AS (
+  SELECT CAST(sum(CAST(floor(1000000000.0 * b.n
+                 * (b.pbar - b.ybar_k) * (b.pbar - b.ybar_k) / yb.nn)
+                 AS BIGINT)) AS BIGINT) AS rel_e9,
+         CAST(sum(CAST(floor(1000000000.0 * b.n
+                 * (b.ybar_k - yb.ybar) * (b.ybar_k - yb.ybar) / yb.nn)
+                 AS BIGINT)) AS BIGINT) AS res_e9
+  FROM b, yb)
+SELECT yb.nn AS n, yb.yy AS y_sum, round(yb.ybar, 6) AS y_bar,
+       CAST(floor(1000000000.0 * yb.ybar * (1 - yb.ybar)) AS BIGINT)
+         AS unc_e9,
+       terms.rel_e9, terms.res_e9,
+       CAST(floor(1000000000.0 * yb.ybar * (1 - yb.ybar)) AS BIGINT)
+         - terms.res_e9 + terms.rel_e9 AS brier_e9
+FROM yb, terms
+"""
+
+
+@query("ml_brier_decomposition", oracle=_brier_oracle())
+def ml_brier_decomposition(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the binned Brier score (Murphy 1973):
+    BS = UNCERTAINTY - RESOLUTION + RELIABILITY — the canonical
+    split of a probabilistic scorer's quality into what the base rate
+    costs (unc), what the forecaster's sharpness buys back (res), and
+    what its miscalibration adds (rel). Composes on the REGISTERED
+    ml_calibration_bins builder/oracle (the ml_calibration_ece
+    convention), so bin semantics cannot drift: per-bin forecast =
+    the bin's mean implied probability, per-bin outcome = its exact
+    positive rate.
+
+    Numerics: per-bin counts and positive counts are exact int64
+    (yk recovered from the exact integer-ratio pos_frac times n — a
+    within-ulp product rounded back to the integer); each bin's
+    reliability/resolution term is one identical double expression
+    floored to e9 micro-units BEFORE the cross-bin sum (the micro-grid
+    discipline), so the decomposition is int64-exact; brier_e9 is the
+    Murphy identity assembled from the integer components.
+
+    Scale shape: everything after the bins' single corpus scan is
+    10-row arithmetic."""
+    bins = ml_calibration_bins(spark, sf_dir)
+    b = bins.select(
+        "n",
+        F.round(F.col("pos_frac") * F.col("n")).cast("bigint").alias("yk"),
+        ((F.col("mean_score") + 1.0) / 2.0).alias("pbar"),
+        F.col("pos_frac").alias("ybar_k"))
+    tot = b.agg(F.sum("n").cast("bigint").alias("nn"),
+                F.sum("yk").cast("bigint").alias("yy"))
+    yb = tot.select("nn", "yy",
+                    (F.col("yy").cast("double") / F.col("nn"))
+                    .alias("ybar"))
+    bj = b.crossJoin(F.broadcast(yb))
+    rel_t = F.floor(F.lit(1000000000.0) * F.col("n")
+                    * (F.col("pbar") - F.col("ybar_k"))
+                    * (F.col("pbar") - F.col("ybar_k"))
+                    / F.col("nn")).cast("bigint")
+    res_t = F.floor(F.lit(1000000000.0) * F.col("n")
+                    * (F.col("ybar_k") - F.col("ybar"))
+                    * (F.col("ybar_k") - F.col("ybar"))
+                    / F.col("nn")).cast("bigint")
+    terms = bj.agg(F.sum(rel_t).cast("bigint").alias("rel_e9"),
+                   F.sum(res_t).cast("bigint").alias("res_e9"))
+    unc = F.floor(F.lit(1000000000.0) * F.col("ybar")
+                  * (1 - F.col("ybar"))).cast("bigint")
+    return (yb.crossJoin(F.broadcast(terms))
+            .select(F.col("nn").alias("n"), F.col("yy").alias("y_sum"),
+                    F.round(F.col("ybar"), 6).alias("y_bar"),
+                    unc.alias("unc_e9"), "rel_e9", "res_e9",
+                    (unc - F.col("res_e9") + F.col("rel_e9"))
+                    .alias("brier_e9")))

@@ -1667,3 +1667,115 @@ def ab_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        6)).alias("ate"),
                     F.expr("CAST((1000000 * (n_treat + n_ctrl)) DIV nn "
                            "AS BIGINT)").alias("w_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox check: crude vs stratum-adjusted effect direction.
+
+
+def _simpsons_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH strata AS MATERIALIZED ({ORACLE_SQL["ab_propensity_strata"]}),
+u AS (
+  SELECT user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
+           ::BIGINT % 2 AS arm,
+         sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                  THEN value ELSE 0 END) AS y
+  FROM events GROUP BY user_id),
+crude AS (
+  SELECT CAST(floor(1000000.0 *
+           (sum(CASE WHEN arm = 1 THEN y END)
+              / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+            - sum(CASE WHEN arm = 0 THEN y END)
+              / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)))
+         AS BIGINT) AS crude_ate_e6
+  FROM u),
+s AS (
+  SELECT CAST(count(CASE WHEN ate IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_strata_both,
+         CAST(sum(CASE WHEN ate > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_pos,
+         CAST(sum(CASE WHEN ate < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_neg,
+         CAST(sum(CASE WHEN ate IS NOT NULL THEN
+               CAST(floor(1000000.0 * ate * (n_treat + n_ctrl)) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS ate_w_sum,
+         CAST(sum(CASE WHEN ate IS NOT NULL
+                       THEN n_treat + n_ctrl ELSE 0 END) AS BIGINT)
+           AS n_both
+  FROM strata)
+SELECT crude.crude_ate_e6, s.n_strata_both, s.n_pos, s.n_neg,
+       CAST(CASE WHEN s.n_both = 0 THEN NULL
+            ELSE s.ate_w_sum // s.n_both END AS BIGINT) AS adj_ate_e6,
+       (crude.crude_ate_e6 > 0 AND s.n_pos = 0 AND s.n_neg > 0)
+       OR (crude.crude_ate_e6 < 0 AND s.n_neg = 0 AND s.n_pos > 0)
+         AS simpson_flag
+FROM crude, s
+"""
+
+
+@query("ab_simpsons_paradox_check", oracle=_simpsons_oracle())
+def ab_simpsons_paradox_check(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SIMPSON'S-PARADOX check (Simpson 1951; the Bickel et al. 1975
+    Berkeley admissions case is the canonical instance): compare the
+    CRUDE treatment-control gap against the STRATUM-ADJUSTED picture —
+    if every within-stratum effect points one way while the pooled
+    effect points the other, the pooled number is confounded and a
+    report that ships it unstratified is wrong. The detector every
+    experimentation platform runs before trusting a topline metric.
+
+    Composition: strata come from the REGISTERED ab_propensity_strata
+    builder/oracle (per-stratum ate already rounded, weights integer),
+    so stratification semantics cannot drift; the crude estimate uses
+    the same hash arm and outcome definition. Numerics: the crude gap
+    and each stratum's weighted term are floored to e6 micro-units
+    (identical doubles -> identical ints), the adjusted estimate is an
+    integer floor-division — the verdict columns (sign counts, flag)
+    are pure integer logic on both engines.
+
+    Scale shape: one events-sized grouped pass (shared shape with the
+    strata builder) + 5-row arithmetic."""
+    from ..functions.vector import det_hash64
+
+    strata = ab_propensity_strata(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") >= split, F.col("value"))
+                    .otherwise(0.0)).alias("y"))
+         .withColumn("arm", det_hash64(
+             F.concat(F.col("user_id").cast("string"),
+                      F.lit("|arm"))) % 2))
+    crude = u.agg(
+        F.floor(F.lit(1000000.0) *
+                (F.sum(F.when(F.col("arm") == 1, F.col("y")))
+                 / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+                 - F.sum(F.when(F.col("arm") == 0, F.col("y")))
+                 / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))))
+        .cast("bigint").alias("crude_ate_e6"))
+    both = F.col("ate").isNotNull()
+    s = strata.agg(
+        F.count(F.when(both, 1)).cast("bigint").alias("n_strata_both"),
+        F.sum(F.when(F.col("ate") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("ate") < 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_neg"),
+        F.sum(F.when(both, F.floor(
+            F.lit(1000000.0) * F.col("ate")
+            * (F.col("n_treat") + F.col("n_ctrl"))).cast("bigint"))
+              .otherwise(0)).cast("bigint").alias("ate_w_sum"),
+        F.sum(F.when(both, F.col("n_treat") + F.col("n_ctrl"))
+              .otherwise(0)).cast("bigint").alias("n_both"))
+    flag = (((F.col("crude_ate_e6") > 0) & (F.col("n_pos") == 0)
+             & (F.col("n_neg") > 0))
+            | ((F.col("crude_ate_e6") < 0) & (F.col("n_neg") == 0)
+               & (F.col("n_pos") > 0)))
+    return (crude.crossJoin(F.broadcast(s))
+            .select("crude_ate_e6", "n_strata_both", "n_pos", "n_neg",
+                    F.when(F.col("n_both") == 0, F.lit(None)).otherwise(
+                        F.expr("ate_w_sum DIV n_both")).cast("bigint")
+                    .alias("adj_ate_e6"),
+                    flag.alias("simpson_flag")))

@@ -604,7 +604,14 @@ def test_degenerate_events_engine_parity(spark, tmp_path):
                  # round 10: 3 users cut by ntile(5) leave strata with
                  # a single arm (NULL ate on both engines); every event
                  # pre-split gives all-zero post outcomes
-                 "ab_propensity_strata"):
+                 "ab_propensity_strata",
+                 # round 10: no purchases at all -> every decile's
+                 # cumulative outcome is 0 and qini pins to 0; tiny-arm
+                 # deciles exercise the empty-control NULL guard class
+                 "ml_uplift_qini",
+                 # round 10: all strata single-arm -> adjusted estimate
+                 # NULL, crude from the same degenerate arms, flag false
+                 "ab_simpsons_paradox_check"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate:{name}")
 
@@ -818,6 +825,9 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 10: AP over the 40-row sample (the zero vector
                  # participates — PR-AUC ranks scores, not norms)
                  "ml_pr_auc",
+                 # round 10: 40 rows concentrate in few calibration
+                 # bins; yk recovery and the e9 term floors must agree
+                 "ml_brier_decomposition",
                  # round 10: the zero vector must drop from pool AND
                  # corpus before any gain is scored; the duplicate pair
                  # ties a marginal gain (vec_id tiebreak decides)

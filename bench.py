@@ -268,16 +268,21 @@ def main() -> None:
     # differently-provisioned VM (r04: 2x-slower box; r09: +35% calib_py)
     # can't print as an engine regression. Definitions in BASELINE.md.
     best = round(sum(execs.values()), 3)
+    # stdout line budget: the driver keeps only the final 2000 chars of
+    # stdout; the r10 fields (+~90 chars) would push the 3-decimal form
+    # past the 1900 assert, so the LINE carries 2-decimal per-query
+    # values — the 3-decimal detail lives on stderr and in the
+    # $SPARK_GRAFT_BENCH_DETAIL sidecar unchanged.
     summary = {
         "metric": "headline_exec_total_sec",
         "value": best,
         "unit": "sec",
-        "queries": execs,
+        "queries": {k: round(v, 2) for k, v in execs.items()},
         "headline_best_sec": best,
         "headline_per_calib": round(best / calib_jvm, 3) if calib_jvm else None,
         "build_total_sec": round(sum(build.values()), 3),
         "total_sec": round(sum(timings.values()), 3),
-        "tail_cold_sec": tail,
+        "tail_cold_sec": {k: round(v, 2) for k, v in tail.items()},
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
         "repeat": repeat,

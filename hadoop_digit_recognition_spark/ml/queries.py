@@ -2109,15 +2109,19 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Qini / uplift deciles (incremental-response targeting eval).
 
+# single-sourced from the CUPED pre/post boundary so the two
+# experiment-analysis families can never disagree on the split
+from ..operators.relational import _CUPED_SPLIT as _QINI_SPLIT  # noqa: E402
 
-@query("ml_uplift_qini", oracle="""
+
+@query("ml_uplift_qini", oracle=f"""
 WITH u AS (
   SELECT user_id,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|arm'), 1, 8))
            ::BIGINT % 2 AS arm,
-         sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
-           AS score,
-         max(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+         sum(CASE WHEN ts < TIMESTAMP '{_QINI_SPLIT}'
+             THEN 1 ELSE 0 END) AS score,
+         max(CASE WHEN ts >= TIMESTAMP '{_QINI_SPLIT}'
                   AND event_type = 'purchase' THEN 1 ELSE 0 END) AS y
   FROM events GROUP BY user_id),
 d AS (SELECT arm, y, ntile(10) OVER (ORDER BY score DESC, user_id)
@@ -2164,11 +2168,10 @@ def ml_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partitioned sort at 100 TB), a 10-row cumulative window —
     the lift-table budget with a control-arm column."""
     from ..functions.vector import det_hash64
-    from ..operators.relational import _CUPED_SPLIT
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
-    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    split = F.lit(_QINI_SPLIT).cast("timestamp")
     u = (ev.groupBy("user_id")
          .agg(F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
               .alias("score"),

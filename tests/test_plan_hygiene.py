@@ -157,7 +157,20 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # into the ~100-row contingency-cell table at each of
                 # the four raking steps — model state x model state
                 # (dq_ks_two_sample scalar-epilogue class)
-                "corpus_sinkhorn_rebalance"}
+                "corpus_sinkhorn_rebalance",
+                # round 10, all the same 1-row-scalar class:
+                # 1-row population-total scalar crossed into the 5-row
+                # strata table (weight denominators)
+                "ab_propensity_strata",
+                # 1-row crude-estimate scalar x 1-row strata verdict
+                # (dq_ks_two_sample verdict-epilogue class)
+                "ab_simpsons_paradox_check",
+                # 1-row (n, s) totals scalar crossed into the 5-row
+                # per-group evidence table (H statistic epilogue)
+                "dq_kruskal_wallis",
+                # 1-row category-marginal scalar crossed into the 1-row
+                # item-moment scalar (kappa epilogue)
+                "dq_fleiss_kappa"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -3167,3 +3167,95 @@ def corpus_facility_location(spark: SparkSession,
     return spark.createDataFrame(
         rows, "sel_round bigint, vec_id bigint, gain_e6 bigint, "
               "total_cov_e6 bigint")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup precision/recall vs the exact all-pairs ground truth.
+
+
+def _semdedup_eval_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH truth AS MATERIALIZED ({ORACLE_SQL["dedup_embedding_cosine"]}),
+sdv AS MATERIALIZED ({ORACLE_SQL["dedup_semantic_semdedup"]}),
+drops AS (SELECT vec_id FROM sdv WHERE dropped),
+pb AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN da.vec_id IS NOT NULL
+                         OR db.vec_id IS NOT NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_broken
+  FROM truth t
+  LEFT JOIN drops da ON da.vec_id = t.vec_a
+  LEFT JOIN drops db ON db.vec_id = t.vec_b),
+dj AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_drops,
+         CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_justified
+  FROM drops d
+  LEFT JOIN (SELECT DISTINCT vec_a AS vec_id FROM truth
+             UNION SELECT DISTINCT vec_b FROM truth) p
+    ON p.vec_id = d.vec_id)
+SELECT pb.n_pairs, pb.n_broken,
+       CAST(CASE WHEN pb.n_pairs = 0 THEN NULL
+            ELSE (1000000 * pb.n_broken) // pb.n_pairs END AS BIGINT)
+         AS pair_recall_e6,
+       dj.n_drops, dj.n_justified,
+       CAST(CASE WHEN dj.n_drops = 0 THEN NULL
+            ELSE (1000000 * dj.n_justified) // dj.n_drops END AS BIGINT)
+         AS drop_precision_e6
+FROM pb, dj
+"""
+
+
+@query("dedup_semdedup_eval_pr", oracle=_semdedup_eval_oracle())
+def dedup_semdedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED precision/recall of SemDeDup against the exact
+    all-pairs cosine ground truth — the embedding-curation analog of
+    dedup_lsh_eval_pr (which grades the lexical LSH the same way), and
+    the eval Abbas et al. 2023 run before trusting the cell
+    approximation: cell-restricted comparison can only MISS cross-cell
+    duplicate pairs, so the two numbers a release logs are
+    PAIR RECALL (fraction of true pairs with >= 1 endpoint dropped —
+    a surviving intact pair is dedup leakage) and DROP PRECISION
+    (fraction of dropped vectors that really have a duplicate partner;
+    within-cell drops are threshold-verified so this pins 1e6 — the
+    invariant, while recall measures the quantizer's miss rate).
+
+    Composition: truth is the REGISTERED dedup_embedding_cosine
+    builder/oracle (same tau as SemDeDup's within-cell threshold, so
+    the comparison is apples-to-apples); the drop set is the
+    registered dedup_semantic_semdedup verdict. All counting is
+    int64; ratios are e6 floor-divisions; empty denominators NULL.
+
+    Scale shape: the truth side is the declared all-pairs baseline
+    (test-SF only — at 100 TB the eval runs on a sampled query set,
+    exactly like sim_graph_recall_eval); the grading itself is two
+    id-keyed left joins + scalar folds."""
+    truth = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    drops = (dedup_semantic_semdedup(spark, sf_dir)
+             .filter(F.col("dropped")).select("vec_id").persist())
+    pb = (truth
+          .join(drops.withColumnRenamed("vec_id", "vec_a")
+                .withColumn("da", F.lit(1)), "vec_a", "left")
+          .join(drops.withColumnRenamed("vec_id", "vec_b")
+                .withColumn("db", F.lit(1)), "vec_b", "left")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+               F.sum(F.when(F.col("da").isNotNull()
+                            | F.col("db").isNotNull(), 1).otherwise(0))
+               .cast("bigint").alias("n_broken")))
+    partners = (truth.select(F.col("vec_a").alias("vec_id"))
+                .unionByName(truth.select(F.col("vec_b").alias("vec_id")))
+                .distinct().withColumn("p", F.lit(1)))
+    dj = (drops.join(partners, "vec_id", "left")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_drops"),
+               F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
+               .cast("bigint").alias("n_justified")))
+    return (pb.crossJoin(F.broadcast(dj))
+            .select("n_pairs", "n_broken",
+                    F.when(F.col("n_pairs") == 0, F.lit(None)).otherwise(
+                        F.expr("(1000000 * n_broken) DIV n_pairs"))
+                    .cast("bigint").alias("pair_recall_e6"),
+                    "n_drops", "n_justified",
+                    F.when(F.col("n_drops") == 0, F.lit(None)).otherwise(
+                        F.expr("(1000000 * n_justified) DIV n_drops"))
+                    .cast("bigint").alias("drop_precision_e6")))

@@ -2521,3 +2521,15 @@ def test_facility_location_submodular_curve(spark):
     for r in rows:
         assert r["total_cov_e6"] - prev == r["gain_e6"], r
         prev = r["total_cov_e6"]
+
+
+def test_semdedup_eval_precision_invariant(spark):
+    """SemDeDup's within-cell drops are threshold-VERIFIED, so drop
+    precision against the same-tau exact truth must pin exactly 1e6;
+    pair recall is the quantizer's measured cross-cell miss rate —
+    positive, and below 1e6 exactly when some true pair crosses cells."""
+    r = SPARK_QUERIES["dedup_semdedup_eval_pr"](
+        spark, SF_ORACLE).collect()[0]
+    assert r["n_drops"] > 0 and r["drop_precision_e6"] == 1000000, r
+    assert r["n_pairs"] > 0 and 0 < r["pair_recall_e6"] <= 1000000, r
+    assert r["n_broken"] <= r["n_pairs"]

@@ -831,7 +831,12 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 10: the zero vector must drop from pool AND
                  # corpus before any gain is scored; the duplicate pair
                  # ties a marginal gain (vec_id tiebreak decides)
-                 "corpus_facility_location"):
+                 "corpus_facility_location",
+                 # round 10: the exact-duplicate pair is same-cell (it
+                 # quantizes identically) so recall counts it broken and
+                 # precision stays pinned; the zero vector is in neither
+                 # truth nor drops
+                 "dedup_semdedup_eval_pr"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

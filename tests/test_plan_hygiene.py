@@ -170,7 +170,11 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 "dq_kruskal_wallis",
                 # 1-row category-marginal scalar crossed into the 1-row
                 # item-moment scalar (kappa epilogue)
-                "dq_fleiss_kappa"}
+                "dq_fleiss_kappa",
+                # grades SemDeDup against the DECLARED all-pairs truth
+                # (dedup_embedding_cosine, already allowlisted) + a
+                # 1-row verdict epilogue — sampled-query eval at scale
+                "dedup_semdedup_eval_pr"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -143,7 +143,7 @@ def _rotate_for_driver_coverage() -> None:
         "dq_fleiss_kappa", "graph_ktruss", "corpus_facility_location",
         "ab_propensity_strata", "ml_uplift_qini",
         "ml_brier_decomposition", "ab_simpsons_paradox_check",
-        "dedup_semdedup_eval_pr",
+        "dedup_semdedup_eval_pr", "ml_learning_curve",
     }
 
     def _family(n: str) -> int:

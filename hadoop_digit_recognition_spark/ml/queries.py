@@ -2292,3 +2292,124 @@ def ml_brier_decomposition(spark: SparkSession,
                     unc.alias("unc_e9"), "rel_e9", "res_e9",
                     (unc - F.col("res_e9") + F.col("rel_e9"))
                     .alias("brier_e9")))
+
+
+# ---------------------------------------------------------------------------
+# Learning curve: held-out accuracy vs nested training-data fractions.
+
+_LC_FRACS = (1, 2, 4)   # det-hash % 4 < k  ->  25% / 50% / 100% of train
+
+
+def _lc_block_sql(k: int) -> str:
+    return f"""
+tr{k} AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                 unnest(embedding)::DOUBLE AS x
+          FROM train
+          WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|lc'),
+                                1, 8))::BIGINT % 4 < {k}),
+n{k} AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_train
+         FROM train
+         WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|lc'),
+                               1, 8))::BIGINT % 4 < {k}),
+cent{k} AS (SELECT label AS clabel, i, avg(x) AS c
+            FROM tr{k} GROUP BY label, i),
+d{k} AS (SELECT te.vec_id, te.label, cent{k}.clabel,
+                round(sum((te.x - cent{k}.c) * (te.x - cent{k}.c)), 9)
+                  AS d2
+         FROM te JOIN cent{k} ON te.i = cent{k}.i
+         GROUP BY te.vec_id, te.label, cent{k}.clabel),
+p{k} AS (SELECT vec_id, label, clabel AS pred,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, clabel) AS rn
+         FROM d{k}),
+a{k} AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_correct
+         FROM p{k} WHERE rn = 1)"""
+
+
+def _lc_oracle() -> str:
+    blocks = ",".join(_lc_block_sql(k) for k in _LC_FRACS)
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k * 25} AS BIGINT) AS train_pct, n{k}.n_train, "
+        f"a{k}.n_eval, a{k}.n_correct, "
+        f"CAST((1000000 * a{k}.n_correct) // a{k}.n_eval AS BIGINT) "
+        f"AS acc_e6 FROM n{k}, a{k}"
+        for k in _LC_FRACS)
+    return f"""
+WITH train AS (SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+test AS (SELECT * FROM embeddings WHERE vec_id % 5 = 0),
+te AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+              unnest(embedding)::DOUBLE AS x FROM test),
+{blocks}
+{rows}
+"""
+
+
+@query("ml_learning_curve", eager=True, oracle=_lc_oracle())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNING CURVE — held-out accuracy at NESTED training-data
+    fractions (Hestness et al. 2017 "Deep learning scaling is
+    predictable"; the data-scaling axis of Kaplan et al. 2020): the
+    question a training-data pipeline exists to answer is "does more
+    data still help?", and the measurement is this table — the same
+    model fit on 25% / 50% / 100% of the training pool, all graded on
+    the SAME held-out set. Subsets are NESTED by construction
+    (det-hash % 4 < k), so each bigger fraction strictly contains the
+    smaller — the curve isolates data volume, not resampling noise.
+
+    Model and conventions are ml_centroid_classifier's verbatim
+    (per-label mean centroids; 9-digit-rounded squared distance with
+    smallest-label ties; vec_id %% 5 == 0 held out), so the 100%% row
+    reconciles with that query's aggregate accuracy. The accuracy is
+    an exact integer floor-division.
+
+    Scale shape: per fraction one posexplode + (label, dim)-keyed mean
+    (shuffle = labels x dims rows regardless of input), centroids fold
+    back as literals, scoring is one narrow codegen pass over the
+    fixed eval set — the curve costs fractions x one-classifier, all
+    combiner-friendly."""
+    from ..functions.vector import det_hash64
+
+    emb = load(spark, sf_dir, "embeddings")
+    train, test = deterministic_split(emb)
+    numdims = len(emb.select("embedding").first()["embedding"])
+    h = det_hash64(F.concat(F.col("vec_id").cast("string"),
+                            F.lit("|lc"))) % 4
+    test = test.persist()
+    rows = []
+    for k in _LC_FRACS:
+        sub = train.filter(h < k)
+        n_train = sub.count()
+        cent_rows = (sub.select(
+                         "label",
+                         F.posexplode(F.col("embedding")
+                                      .cast("array<double>"))
+                         .alias("i", "x"))
+                     .groupBy("label", "i").agg(F.avg("x").alias("c"))
+                     .collect())
+        centroids: dict[int, list[float]] = {}
+        for r in cent_rows:
+            centroids.setdefault(
+                r["label"], [0.0] * numdims)[r["i"]] = r["c"]
+        v = F.col("embedding").cast("array<double>")
+        cands = F.array(*[
+            F.struct(
+                F.round(F.aggregate(
+                    F.zip_with(v, F.lit(cvec),
+                               lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0), lambda acc, y: acc + y), 9).alias("d"),
+                F.lit(lbl).alias("l"))
+            for lbl, cvec in sorted(centroids.items())])
+        agg = (test.withColumn("pred", F.array_min(cands)["l"])
+               .agg(F.count(F.lit(1)).alias("n_eval"),
+                    F.sum(F.when(F.col("pred") == F.col("label"), 1)
+                          .otherwise(0)).alias("n_correct"))
+               .collect()[0])
+        n_eval, n_correct = int(agg["n_eval"]), int(agg["n_correct"])
+        rows.append((k * 25, n_train, n_eval, n_correct,
+                     (1000000 * n_correct) // n_eval if n_eval else 0))
+    test.unpersist()
+    return spark.createDataFrame(
+        rows, "train_pct bigint, n_train bigint, n_eval bigint, "
+              "n_correct bigint, acc_e6 bigint")

@@ -262,3 +262,30 @@ def test_quality_distill_separates_classes(spark):
              (score.join(labels, "doc_id").groupBy("keep")
               .agg(F.avg("z").alias("mz")).collect())}
     assert means[1] > means[0], means
+
+
+def test_learning_curve_nesting_invariants(spark):
+    """Structural contract of the learning curve: training subsets are
+    NESTED (n_train strictly increasing with the fraction), every row
+    grades the SAME held-out set, the 100% row reconciles with
+    ml_centroid_classifier's aggregate accuracy, and accuracies live on
+    the exact integer grid. (The fixture's embeddings carry no label
+    signal, so the VALUES sit at chance — like ml_auc_rank_sum's ~0.5;
+    the operator is the measurement, not the signal.)"""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = sorted(SPARK_QUERIES["ml_learning_curve"](
+        spark, SF_ORACLE).collect(), key=lambda r: r["train_pct"])
+    assert [r["train_pct"] for r in rows] == [25, 50, 100]
+    ns = [r["n_train"] for r in rows]
+    assert ns[0] < ns[1] < ns[2], ns
+    assert len({r["n_eval"] for r in rows}) == 1
+    for r in rows:
+        assert 0 <= r["acc_e6"] <= 1000000
+        assert r["acc_e6"] == (1000000 * r["n_correct"]) // r["n_eval"]
+    cc = SPARK_QUERIES["ml_centroid_classifier"](
+        spark, SF_ORACLE).collect()
+    assert sum(r["n_correct"] for r in cc) == rows[-1]["n_correct"]
+    assert sum(r["n_test"] for r in cc) == rows[-1]["n_eval"]

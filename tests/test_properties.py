@@ -828,6 +828,10 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 10: 40 rows concentrate in few calibration
                  # bins; yk recovery and the e9 term floors must agree
                  "ml_brier_decomposition",
+                 # round 10: tiny nested subsets can lose a label's
+                 # centroid entirely — the missing candidate must drop
+                 # identically from both engines' argmin
+                 "ml_learning_curve",
                  # round 10: the zero vector must drop from pool AND
                  # corpus before any gain is scored; the duplicate pair
                  # ties a marginal gain (vec_id tiebreak decides)

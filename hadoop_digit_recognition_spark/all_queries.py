@@ -146,7 +146,18 @@ def _rotate_for_driver_coverage() -> None:
         "dedup_semdedup_eval_pr", "ml_learning_curve",
     }
 
+    # Queries added during ROUND 11: behind the round-10 late queue, so
+    # the FINAL 6 never-sampled names (the round-10 eval shelf) front the
+    # r11 window first and the registry's official-row ledger closes
+    # (VERDICT r10 ask #4); these enter in r12+.
+    _ADDED_LATE_R11: set[str] = {
+        "dedup_semdedup_multiprobe", "dedup_semdedup_multiprobe_capped",
+        "dedup_semdedup_mp_eval_pr",
+    }
+
     def _family(n: str) -> int:
+        if n in _ADDED_LATE_R11:
+            return 13
         if n in _ADDED_LATE_R10:
             return 12
         if n in _ADDED_LATE_R9:

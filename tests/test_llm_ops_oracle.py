@@ -1949,25 +1949,35 @@ def test_nndescent_round_never_worsens_graph(spark):
 
 
 def test_nndescent_recall_curve_monotone_and_converging(spark):
-    """The iterated refinement's contract (VERDICT r09 ask #5): recall
-    is NON-DECREASING per round (a truth edge can only be displaced by
-    a strictly-better edge, which is itself in the truth top-k), the
-    curve must actually RISE from the 0.178 base (one round provably
-    under-converges), and accepted-edge counts must show convergence
-    (final round accepts fewer than round 1)."""
+    """The iterated FULL refinement's contract (VERDICT r09 ask #5,
+    r10 ask #2): recall is NON-DECREASING per round (the measured
+    top-k is ranked over a pool containing the previous working graph,
+    and a truth edge can only be displaced by a strictly-better edge —
+    at most k-1 exist), the curve must actually RISE from the 0.178
+    base, and — the round-11 ceiling fix — the converged plateau must
+    clear 0.5 (reverse-neighbor proposals + working width k'=16;
+    measured 0.989 at sf0.01 where the forward-only form saturated at
+    0.233). Acceptance never needs to decay monotonically (working
+    width lets mid-curve rounds accept MORE as exploration opens up),
+    but the curve must converge: the final round accepts fewer edges
+    than the peak round."""
     from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+    from hadoop_digit_recognition_spark.operators.similarity import (
+        _NND_ROUNDS)
 
     rows = sorted(
         (r["round"], r["n_new_edges"], r["n_hit"], r["recall_e6"])
         for r in SPARK_QUERIES["sim_nndescent_recall_curve"](
             spark, SF_ORACLE).collect())
-    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    assert [r[0] for r in rows] == list(range(_NND_ROUNDS + 1))
     recalls = [r[3] for r in rows]
     assert all(b >= a for a, b in zip(recalls, recalls[1:])), recalls
     assert recalls[-1] > recalls[0], recalls   # refinement must help
+    assert recalls[-1] >= 500000, recalls      # the r10 ceiling, fixed
     assert rows[0][1] == 0                      # base round adds nothing
     assert rows[1][1] > 0                       # round 1 accepts edges
-    assert rows[-1][1] < rows[1][1], rows       # acceptance decays
+    peak = max(r[1] for r in rows)
+    assert rows[-1][1] < peak, rows             # acceptance converges
 
 
 def test_changepoint_binseg_finds_known_step(spark, tmp_path):
@@ -2527,9 +2537,50 @@ def test_semdedup_eval_precision_invariant(spark):
     """SemDeDup's within-cell drops are threshold-VERIFIED, so drop
     precision against the same-tau exact truth must pin exactly 1e6;
     pair recall is the quantizer's measured cross-cell miss rate —
-    positive, and below 1e6 exactly when some true pair crosses cells."""
+    positive, and below 1e6 exactly when some true pair crosses cells.
+    Both invariants must hold for the single-probe AND multi-probe
+    evals (multi-probe only ADDS comparisons, never skips the
+    threshold verification), and the multi-probe quantizer's measured
+    recall must materially beat the single-probe number — the round-11
+    fix certified by measurement, not assertion."""
     r = SPARK_QUERIES["dedup_semdedup_eval_pr"](
         spark, SF_ORACLE).collect()[0]
     assert r["n_drops"] > 0 and r["drop_precision_e6"] == 1000000, r
     assert r["n_pairs"] > 0 and 0 < r["pair_recall_e6"] <= 1000000, r
     assert r["n_broken"] <= r["n_pairs"]
+    m = SPARK_QUERIES["dedup_semdedup_mp_eval_pr"](
+        spark, SF_ORACLE).collect()[0]
+    assert m["n_drops"] > r["n_drops"], (r, m)
+    assert m["drop_precision_e6"] == 1000000, m
+    # same panel truth on both evals; multi-probe must break strictly
+    # more of it, clearing the VERDICT r10 >= 0.6 recall bar
+    assert m["n_pairs"] == r["n_pairs"], (r, m)
+    assert m["pair_recall_e6"] > r["pair_recall_e6"], (r, m)
+    assert m["pair_recall_e6"] >= 600000, m
+
+
+def test_semdedup_multiprobe_extends_single_probe(spark):
+    """Structural guarantees of the multi-probe quantizer: probe 1 is a
+    rank PREFIX of the probe list, so (a) primary cells equal the
+    single-probe assignment everywhere, and (b) the multi-probe drop
+    set is a SUPERSET of the single-probe drops (every within-primary-
+    cell pair is also a shared-probe-cell pair; extra probes only add
+    comparisons). The capped variant's drops must stay inside the
+    uncapped multi-probe drops (a prune can only skip comparisons)."""
+    single = {r["vec_id"]: (r["cell"], r["dropped"]) for r in
+              SPARK_QUERIES["dedup_semantic_semdedup"](
+                  spark, SF_ORACLE).collect()}
+    multi = {r["vec_id"]: (r["cell"], r["dropped"]) for r in
+             SPARK_QUERIES["dedup_semdedup_multiprobe"](
+                 spark, SF_ORACLE).collect()}
+    assert set(single) == set(multi)
+    for vid, (cell, dropped) in single.items():
+        assert multi[vid][0] == cell, f"primary cell drift at {vid}"
+        if dropped:
+            assert multi[vid][1], f"multi-probe lost drop {vid}"
+    capped = {r["vec_id"] for r in
+              SPARK_QUERIES["dedup_semdedup_multiprobe_capped"](
+                  spark, SF_ORACLE).collect() if r["dropped"]}
+    mdrops = {v for v, (_, d) in multi.items() if d}
+    assert capped <= mdrops, capped - mdrops
+    assert len(mdrops) > sum(1 for _, d in single.values() if d)

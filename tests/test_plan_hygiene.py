@@ -171,10 +171,14 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # 1-row category-marginal scalar crossed into the 1-row
                 # item-moment scalar (kappa epilogue)
                 "dq_fleiss_kappa",
-                # grades SemDeDup against the DECLARED all-pairs truth
-                # (dedup_embedding_cosine, already allowlisted) + a
-                # 1-row verdict epilogue — sampled-query eval at scale
-                "dedup_semdedup_eval_pr"}
+                # grades SemDeDup against the SAMPLED-PANEL truth: a
+                # broadcast 200-vector panel swept against the corpus
+                # (sim_graph_recall_eval convention — linear in the
+                # corpus, round 11 replaced the all-pairs truth side)
+                # + a 1-row verdict epilogue
+                "dedup_semdedup_eval_pr",
+                # same panel sweep grading the multi-probe quantizer
+                "dedup_semdedup_mp_eval_pr"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -839,8 +839,17 @@ def test_degenerate_embeddings_engine_parity(spark, tmp_path):
                  # round 10: the exact-duplicate pair is same-cell (it
                  # quantizes identically) so recall counts it broken and
                  # precision stays pinned; the zero vector is in neither
-                 # truth nor drops
-                 "dedup_semdedup_eval_pr"):
+                 # truth nor drops (round 11: truth side is the sampled
+                 # panel, which covers this whole tiny fixture)
+                 "dedup_semdedup_eval_pr",
+                 # round 11: multi-probe on a tiny corpus — every vector
+                 # probes 3 of the (mostly zero-seeded) cells; the zero
+                 # vector keeps its primary assignment row but exits the
+                 # pairwise compare on both engines; probe d2 ties rank
+                 # by cid identically
+                 "dedup_semdedup_multiprobe",
+                 "dedup_semdedup_multiprobe_capped",
+                 "dedup_semdedup_mp_eval_pr"):
         df = SPARK_QUERIES[name](spark, d)
         compare(df, con, ORACLE_SQL[name], f"degenerate-emb:{name}")
     # the zero vector must still get its SemDeDup verdict row

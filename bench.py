@@ -110,9 +110,30 @@ TAIL = [
     "sim_nndescent_round",
     "corpus_kcenter_coreset",
     # round-10 addition: the iterated NN-Descent refinement with its
-    # per-round recall measurement (3 checkpointed rounds + truth
+    # per-round recall measurement (checkpointed rounds + truth
     # sweep — eager by construction, cold-billed like the other loops).
     "sim_nndescent_recall_curve",
+]
+
+# VERSIONED second headline (VERDICT r10 ask #7): the 38-query HEADLINE
+# above is frozen at its round-6 vintage for cross-round comparability,
+# so operators landed in rounds 7-11 only ever appeared in the
+# single-run cold tail — a structural regression there would not move
+# the headline metric. HEADLINE_V2 is a small, FIXED representative set
+# of the round-7..11 families, run with the tail's cold-cache
+# build+exec protocol and the same repeat/min + per-calib reporting
+# (fields headline_v2_sec / headline_v2_per_calib in the JSON line;
+# per-query values in queries_v2 / the stderr detail). Do not mutate
+# this list either — version again (V3) when future rounds need it.
+HEADLINE_V2 = [
+    "graph_ktruss",                    # r10 edge-cohesion peel loop
+    "sim_nndescent_recall_curve",      # r11 full NN-Descent + recall
+    "pipeline_corpus_release",         # r9/r10 composed release chain
+    "text_wordpiece_train",            # r9 tokenizer-trainer family
+    "dedup_semdedup_mp_eval_pr",       # r11 panel eval, multi-probe
+    "dedup_semdedup_multiprobe_capped",  # r11 production dedup rung
+    "ml_pr_auc",                       # r10 eval shelf
+    "corpus_facility_location",        # r10 submodular selection
 ]
 
 
@@ -233,6 +254,23 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         tail[name] = round(min(ts), 3)
 
+    # Versioned second headline: tail protocol (cold memo cache,
+    # build+exec, min-of-repeat), summed + calib-normalized like the
+    # primary headline so rounds 7-11 operators get a comparable,
+    # regression-sensitive metric of their own.
+    v2_names = [] if ("--only" in sys.argv or "--tail-only" in sys.argv) \
+        else HEADLINE_V2
+    v2: dict[str, float] = {}
+    for name in v2_names:
+        ts = []
+        for _ in range(repeat):
+            clear_signature_cache(spark)
+            t0 = time.perf_counter()
+            _force(SPARK_QUERIES[name](spark, sf_dir))
+            ts.append(time.perf_counter() - t0)
+        v2[name] = round(min(ts), 3)
+    v2_total = round(sum(v2.values()), 3)
+
     # Full build/exec/total detail goes to stderr (and a sidecar file when
     # $SPARK_GRAFT_BENCH_DETAIL is set); stdout carries EXACTLY ONE compact
     # JSON line, printed last. The grading driver keeps only the final
@@ -250,6 +288,10 @@ def main() -> None:
         "build_total_sec": round(sum(build.values()), 3),
         "exec_total_sec": round(sum(execs.values()), 3),
         "tail_cold_sec": tail,
+        "queries_v2": v2,
+        "headline_v2_sec": v2_total,
+        "headline_v2_per_calib": (round(v2_total / calib_jvm, 3)
+                                  if calib_jvm else None),
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
         "repeat": repeat,
@@ -283,12 +325,30 @@ def main() -> None:
         "build_total_sec": round(sum(build.values()), 3),
         "total_sec": round(sum(timings.values()), 3),
         "tail_cold_sec": {k: round(v, 2) for k, v in tail.items()},
+        "queries_v2": {k: round(v, 2) for k, v in v2.items()},
+        "headline_v2_sec": v2_total,
+        "headline_v2_per_calib": (round(v2_total / calib_jvm, 3)
+                                  if calib_jvm else None),
         "calib_py_sec": calib_py,
         "calib_jvm_sec": calib_jvm,
         "repeat": repeat,
         "sf": sf,
     }
+    # stdout line budget (driver keeps the final 2000 chars): shed
+    # detail in tiers until the line fits — every shed field remains in
+    # the stderr/sidecar detail. Tier order: v2 per-query dict first
+    # (scalars carry the comparable metric), then tail precision, then
+    # the tail dict itself (single-run cold numbers, least comparable).
     line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 1900:
+        summary.pop("queries_v2")
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 1900:
+        summary["tail_cold_sec"] = {k: round(v, 1) for k, v in tail.items()}
+        line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= 1900:
+        summary.pop("tail_cold_sec")
+        line = json.dumps(summary, separators=(",", ":"))
     assert len(line) < 1900, f"bench JSON line {len(line)} chars — would overflow the driver's 2000-char stdout tail"
     sys.stdout.flush()
     print(line, flush=True)

@@ -2323,7 +2323,8 @@ p{k} AS (SELECT vec_id, label, clabel AS pred,
                                    ORDER BY d2, clabel) AS rn
          FROM d{k}),
 a{k} AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
-                CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                CAST(coalesce(sum(CASE WHEN pred = label
+                                  THEN 1 ELSE 0 END), 0)
                      AS BIGINT) AS n_correct
          FROM p{k} WHERE rn = 1)"""
 
@@ -2333,7 +2334,8 @@ def _lc_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT CAST({k * 25} AS BIGINT) AS train_pct, n{k}.n_train, "
         f"a{k}.n_eval, a{k}.n_correct, "
-        f"CAST((1000000 * a{k}.n_correct) // a{k}.n_eval AS BIGINT) "
+        f"CAST(CASE WHEN a{k}.n_eval = 0 THEN 0 "
+        f"ELSE (1000000 * a{k}.n_correct) // a{k}.n_eval END AS BIGINT) "
         f"AS acc_e6 FROM n{k}, a{k}"
         for k in _LC_FRACS)
     return f"""
@@ -2381,6 +2383,14 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in _LC_FRACS:
         sub = train.filter(h < k)
         n_train = sub.count()
+        if n_train == 0:
+            # degenerate-subset guard (ADVICE r10): with no centroids
+            # the oracle's d/p CTEs are empty, so its a-row counts
+            # n_eval = 0 and n_correct = 0 (coalesced) with acc 0 —
+            # emit the identical row instead of scoring against
+            # F.array() (whose array_min is NULL, not "no eval rows")
+            rows.append((k * 25, 0, 0, 0, 0))
+            continue
         cent_rows = (sub.select(
                          "label",
                          F.posexplode(F.col("embedding")
@@ -2406,7 +2416,10 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(F.when(F.col("pred") == F.col("label"), 1)
                           .otherwise(0)).alias("n_correct"))
                .collect()[0])
-        n_eval, n_correct = int(agg["n_eval"]), int(agg["n_correct"])
+        # empty held-out set: count() is 0 and the conditional sum is
+        # NULL — coalesce like the oracle's a-row does
+        n_eval = int(agg["n_eval"])
+        n_correct = int(agg["n_correct"] or 0)
         rows.append((k * 25, n_train, n_eval, n_correct,
                      (1000000 * n_correct) // n_eval if n_eval else 0))
     test.unpersist()

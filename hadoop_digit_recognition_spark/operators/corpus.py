@@ -232,10 +232,13 @@ def graph_quality_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     also source lists, license bits, crawl dates). One join from labels
     to per-doc scores, one per-cluster aggregate — cluster-count-sized
     output. Composes three verified subsystems (MinHash LSH pairs,
-    connected components, quality scoring) under one oracle."""
-    from .dedup import dedup_connected_components
+    connected components, quality scoring) under one oracle; cluster
+    keys ride the O(log n) dedup_cc_two_phase_star builder (round 11,
+    VERDICT r10 ask #8 — the star family is the default wherever a
+    consumer only needs cluster keys)."""
+    from .dedup import dedup_cc_two_phase_star
 
-    labels = dedup_connected_components(spark, sf_dir)
+    labels = dedup_cc_two_phase_star(spark, sf_dir)
     docs = load_parallel(spark, sf_dir, "documents")
     w = F.split("text", " ")
     q = (docs.select("doc_id", w.alias("w"))

@@ -1484,10 +1484,14 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules as a per-document gate (C4's cleaning order, Raffel et al.
     2020); the quality rung scores every document with the REGISTERED
     distilled classifier (ml_quality_classifier_distill) — weights
-    snapped to exact integer micro-units so the keep gate
-    (z = Σ c·w_micro >= 0, i.e. p >= 0.5) is an order-free int64 sum
-    on both engines — the DCLM/CCNet model-filter stage (r09 verdict
-    ask #6). The pack row changes the n_out UNIT to
+    snapped to exact integer micro-units so each score z = Σ c·w_micro
+    is an order-free int64 sum on both engines — and keeps the TOP
+    {_QC_KEEP_NUM}/{_QC_KEEP_DEN} of survivors by (z DESC, doc_id)
+    rank (qrn <= ceil({_QC_KEEP_NUM}/{_QC_KEEP_DEN}·n), the
+    corpus-adaptive bottom-decile prune; a fixed z >= 0 gate was
+    rejected on arrival after it annihilated the sf0.1 corpus — see
+    the _QC_KEEP constant note) — the DCLM/CCNet model-filter stage
+    (r09 verdict ask #6). The pack row changes the n_out UNIT to
     full {_SEQ_LEN}-token sequences (tokens_out = nseq * {_SEQ_LEN};
     the straddle remainder is the trainer's partial final window,
     excluded from the release count).

@@ -1686,9 +1686,9 @@ u AS (
   FROM events GROUP BY user_id),
 crude AS (
   SELECT CAST(floor(1000000.0 *
-           (sum(CASE WHEN arm = 1 THEN y END)
+           (round(sum(CASE WHEN arm = 1 THEN y END), 6)
               / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
-            - sum(CASE WHEN arm = 0 THEN y END)
+            - round(sum(CASE WHEN arm = 0 THEN y END), 6)
               / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)))
          AS BIGINT) AS crude_ate_e6
   FROM u),
@@ -1730,11 +1730,16 @@ def ab_simpsons_paradox_check(spark: SparkSession,
     Composition: strata come from the REGISTERED ab_propensity_strata
     builder/oracle (per-stratum ate already rounded, weights integer),
     so stratification semantics cannot drift; the crude estimate uses
-    the same hash arm and outcome definition. Numerics: the crude gap
-    and each stratum's weighted term are floored to e6 micro-units
-    (identical doubles -> identical ints), the adjusted estimate is an
-    integer floor-division — the verdict columns (sign counts, flag)
-    are pure integer logic on both engines.
+    the same hash arm and outcome definition. Numerics: the per-arm
+    outcome sums are ROUND-6 SNAPPED before the crude difference is
+    floored to e6 micro-units (ADVICE r10 — raw cross-row float sums
+    are summation-order dependent, so both engines snap to the
+    ab_test_welch round-6 surface first; residual risk is the accepted
+    round-6 float-aggregate class, a sum within an ulp of the .5e-6
+    grid midpoint), each stratum's weighted term floors the ALREADY
+    round-6 ate, and the adjusted estimate is an integer
+    floor-division — the verdict columns (sign counts, flag) are pure
+    integer logic on both engines.
 
     Scale shape: one events-sized grouped pass (shared shape with the
     strata builder) + 5-row arithmetic."""
@@ -1749,11 +1754,18 @@ def ab_simpsons_paradox_check(spark: SparkSession,
          .withColumn("arm", det_hash64(
              F.concat(F.col("user_id").cast("string"),
                       F.lit("|arm"))) % 2))
+    # the per-arm float sums are snapped to 6 decimals BEFORE the
+    # difference/floor (ADVICE r10: cross-row float sums are partial-
+    # aggregation-order dependent, so flooring the raw difference can
+    # flip the e6 integer — and potentially simpson_flag — when a sum
+    # lands within an ulp of a grid boundary; the snap puts both
+    # engines on the ab_test_welch round-6 surface before any integer
+    # is cut, leaving only the accepted round-6 float-aggregate class)
     crude = u.agg(
         F.floor(F.lit(1000000.0) *
-                (F.sum(F.when(F.col("arm") == 1, F.col("y")))
+                (F.round(F.sum(F.when(F.col("arm") == 1, F.col("y"))), 6)
                  / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
-                 - F.sum(F.when(F.col("arm") == 0, F.col("y")))
+                 - F.round(F.sum(F.when(F.col("arm") == 0, F.col("y"))), 6)
                  / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))))
         .cast("bigint").alias("crude_ate_e6"))
     both = F.col("ate").isNotNull()

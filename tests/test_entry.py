@@ -172,12 +172,12 @@ def test_plans_audit_fresh():
     changing the bench lists or any audited plan)."""
     import re
 
-    from bench import HEADLINE, TAIL
+    from bench import HEADLINE, HEADLINE_V2, TAIL
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     text = open(os.path.join(root, "PLANS_AUDIT.md")).read()
     listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
-    expected = set(HEADLINE) | set(TAIL)
+    expected = set(HEADLINE) | set(TAIL) | set(HEADLINE_V2)
     missing = expected - listed
     extra = listed - expected
     assert not missing, (

@@ -221,3 +221,73 @@ def test_no_bankers_round_in_engine_code():
         f"banker's rounding diverges from DuckDB round() at half "
         f"boundaries; use functions.math.round_half_away(_arr) or "
         f"review as single-source and extend the allowlist")
+
+
+def test_kruskal_wallis_wide_integer_exactness(spark, tmp_path):
+    """The round-11 overflow fixture (VERDICT r10 ask #5): 4M orders
+    with 95% of rows in one priority group. The dominant group's
+    rank_sum is ~7.6e12, so rank_sum^2 ~ 5.8e25 and its R^2/n_g term is
+    ~1.5e19 — past int64 (9.2e18) — while the double-quotient rounding
+    error is rank_sum^2 * 2^-53 / n_g ~ 1.7e3 term units, so the
+    retired floor(double*double/n) form drifts by hundreds of units
+    from exact integer math. The wide-integer path must (a) hold
+    Spark == DuckDB on the whole evidence table, (b) reproduce
+    pure-Python exact integer arithmetic term-for-term, and (c) ship
+    term as a lossless decimal string (int64 output would overflow
+    right here)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    n = 4_000_000
+    keys = np.arange(n, dtype=np.int64)
+    # deterministic priorities: 38/40 of rows in the dominant group,
+    # the 40k+38 (even) and 40k+39 (odd) residues in two minority groups
+    pri = np.where(keys % 40 < 38, "1-DOMINANT",
+                   np.where(keys % 2 == 0, "2-EVEN", "3-ODD"))
+    tbl = pa.table({
+        "o_orderkey": pa.array(keys),
+        "o_orderpriority": pa.array(pri.tolist()),
+        # price == key -> the global (price, orderkey) rank is key + 1
+        "o_totalprice": pa.array(keys.astype(np.float64)),
+    })
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/orders.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+
+    df = SPARK_QUERIES["dq_kruskal_wallis"](spark, d)
+    compare(df, con, ORACLE_SQL["dq_kruskal_wallis"], "kw-overflow")
+
+    # pure-Python exact ground truth (ranks are keys + 1 by construction)
+    exact: dict[str, tuple[int, int]] = {}
+    for g in ("1-DOMINANT", "2-EVEN", "3-ODD"):
+        mask = pri == g
+        rs = int((keys[mask] + 1).sum())
+        exact[g] = (int(mask.sum()), rs)
+    rows = {r["grp"]: r for r in df.collect()}
+    assert set(rows) == set(exact)
+    int64_max = (1 << 63) - 1
+    overflowed = 0
+    for g, (n_g, rs) in exact.items():
+        r = rows[g]
+        assert r["n_g"] == n_g and r["rank_sum"] == rs, (g, r)
+        term = (rs * rs) // n_g
+        assert isinstance(r["term"], str), type(r["term"])
+        assert int(r["term"]) == term, (g, r["term"], term)
+        if term > int64_max:
+            overflowed += 1
+        # the retired double path must actually be wrong here for the
+        # dominant group, or this fixture isn't testing anything
+        if g == "1-DOMINANT":
+            import math
+            assert rs * rs > 2 ** 53
+            drifted = math.floor(float(rs) * float(rs) / n_g)
+            assert drifted != term, "fixture no longer exercises drift"
+    assert overflowed >= 1, "no term exceeded int64 — grow the fixture"

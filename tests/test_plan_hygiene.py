@@ -196,3 +196,42 @@ def test_plan_hygiene(spark, name):
     if name not in _ALLPAIRS_OK:
         assert "CartesianProduct" not in txt, f"{name}: cartesian product"
         assert "BroadcastNestedLoopJoin" not in txt, f"{name}: BNLJ"
+
+
+def test_cc_consumers_default_to_star_family():
+    """Structural ratchet (VERDICT r10 ask #8): every engine-side
+    composition that only needs duplicate-cluster keys must ride the
+    O(log n) large-star/small-star builder (dedup_cc_two_phase_star),
+    never the O(diameter) min-label twin — the round-9/10 lesson,
+    measured at sf10: license propagation 116s -> 43-64s, chaining
+    audit 216.6s -> 32-43s after the swap. The min-label operator
+    stays REGISTERED (it is the agreement-tested reference and its own
+    driver row), but no other engine module may CALL it as a
+    composition input. Oracle SQL may keep referencing its recursive
+    CTE text — the oracles are label-identical by the agreement test."""
+    import ast
+    import os
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "hadoop_digit_recognition_spark")
+    offenders = []
+    for dirpath, _, filenames in os.walk(pkg):
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            rel = os.path.relpath(path, pkg)
+            for node in ast.walk(tree):
+                if not isinstance(node, ast.Call):
+                    continue
+                fname = (node.func.id if isinstance(node.func, ast.Name)
+                         else node.func.attr
+                         if isinstance(node.func, ast.Attribute) else None)
+                if fname == "dedup_connected_components":
+                    offenders.append(f"{rel}:{node.lineno}")
+    assert offenders == [], (
+        f"engine code composes on the O(diameter) min-label CC at "
+        f"{offenders} — compose on dedup_cc_two_phase_star (drop-in "
+        f"(doc_id, canonical_id)) instead")

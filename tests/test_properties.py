@@ -923,3 +923,44 @@ def test_degenerate_release_pipeline_engine_parity(spark, tmp_path):
     assert acc["gopher"].n_out == 8          # the 8 long docs survive
     assert acc["exact"].n_removed == 1       # the byte-identical twin
     assert acc["pack"].n_out == 0            # < 512 tokens: no full seq
+
+
+def test_learning_curve_empty_subset_guard(spark, tmp_path):
+    """ADVICE r10: the smallest nested fraction can be EMPTY (every
+    training vec_id det-hashes outside %4 < 1). Both engines must emit
+    the identical degenerate row (n_train = 0, n_eval = 0,
+    n_correct = 0, acc_e6 = 0) instead of Spark scoring against an
+    empty centroid array (NULL preds) while the oracle divides by
+    zero / emits NULL counts. vec_ids are handpicked so the 25% subset
+    is empty while 50%/100% are not."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoop_digit_recognition_spark.all_queries import (
+        ORACLE_SQL, SPARK_QUERIES)
+    from .oracle_harness import compare
+
+    # train ids (% 5 != 0) all hash to %4 >= 1 for the '|lc' salt;
+    # test ids are the % 5 == 0 rows
+    ids = [1, 2, 3, 4, 7, 9, 11, 14, 16, 21, 22, 24, 0, 5, 10, 15]
+    rng = np.random.default_rng(7)
+    emb = rng.normal(size=(len(ids), 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in emb],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 2 for i in ids], pa.int32())})
+    d = str(tmp_path)
+    pq.write_table(tbl, f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+
+    df = SPARK_QUERIES["ml_learning_curve"](spark, d)
+    compare(df, con, ORACLE_SQL["ml_learning_curve"], "lc-empty-subset")
+    rows = {r["train_pct"]: r for r in df.collect()}
+    assert rows[25]["n_train"] == 0 and rows[25]["n_eval"] == 0
+    assert rows[25]["n_correct"] == 0 and rows[25]["acc_e6"] == 0
+    assert rows[100]["n_train"] > 0 and rows[100]["n_eval"] > 0

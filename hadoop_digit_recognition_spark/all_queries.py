@@ -152,7 +152,7 @@ def _rotate_for_driver_coverage() -> None:
     # (VERDICT r10 ask #4); these enter in r12+.
     _ADDED_LATE_R11: set[str] = {
         "dedup_semdedup_multiprobe", "dedup_semdedup_multiprobe_capped",
-        "dedup_semdedup_mp_eval_pr",
+        "dedup_semdedup_mp_eval_pr", "dedup_semdedup_mp_capped_eval_pr",
     }
 
     def _family(n: str) -> int:

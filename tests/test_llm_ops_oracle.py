@@ -2557,6 +2557,16 @@ def test_semdedup_eval_precision_invariant(spark):
     assert m["n_pairs"] == r["n_pairs"], (r, m)
     assert m["pair_recall_e6"] > r["pair_recall_e6"], (r, m)
     assert m["pair_recall_e6"] >= 600000, m
+    # the capped production rung: precision invariant still exact (a
+    # prune only SKIPS comparisons, never un-verifies one), drop set a
+    # subset of the uncapped multi-probe drops, recall strictly below —
+    # the third point of the recall/cost curve that tunes M
+    c = SPARK_QUERIES["dedup_semdedup_mp_capped_eval_pr"](
+        spark, SF_ORACLE).collect()[0]
+    assert c["drop_precision_e6"] == 1000000, c
+    assert c["n_pairs"] == r["n_pairs"], (r, c)
+    assert 0 < c["n_drops"] < m["n_drops"], (c, m)
+    assert c["pair_recall_e6"] < m["pair_recall_e6"], (c, m)
 
 
 def test_semdedup_multiprobe_extends_single_probe(spark):

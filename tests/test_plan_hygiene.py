@@ -178,7 +178,9 @@ _ALLPAIRS_OK = {"dedup_ngram_jaccard", "simhash_dup_pairs",
                 # + a 1-row verdict epilogue
                 "dedup_semdedup_eval_pr",
                 # same panel sweep grading the multi-probe quantizer
-                "dedup_semdedup_mp_eval_pr"}
+                "dedup_semdedup_mp_eval_pr",
+                # same panel sweep grading the capped production rung
+                "dedup_semdedup_mp_capped_eval_pr"}
 
 # the Python UDTF demo is, by definition, Python in the plan
 _PYTHON_OK = {"udtf_tokenize"}

@@ -153,6 +153,7 @@ def _rotate_for_driver_coverage() -> None:
     _ADDED_LATE_R11: set[str] = {
         "dedup_semdedup_multiprobe", "dedup_semdedup_multiprobe_capped",
         "dedup_semdedup_mp_eval_pr", "dedup_semdedup_mp_capped_eval_pr",
+        "sim_nndescent_sampled_round",
     }
 
     def _family(n: str) -> int:

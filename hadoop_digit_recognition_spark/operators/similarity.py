@@ -2656,3 +2656,120 @@ def sim_nndescent_recall_curve(spark: SparkSession,
     return spark.createDataFrame(
         out, "round bigint, n_new_edges bigint, n_hit bigint, "
              "recall_e6 bigint")
+
+
+# ---------------------------------------------------------------------------
+# rho-sampled NN-Descent round: the Dong §4.2 cost knob made real.
+
+_NND_SAMPLE = 8   # sampled undirected neighbors per pivot node
+
+
+def _nnd_sampled_oracle() -> str:
+    from ..registry import ORACLE_SQL
+    return f"""
+WITH g AS MATERIALIZED (
+  SELECT qid, cid, cos FROM ({ORACLE_SQL["sim_knn_graph"]})),
+e AS ({_E}),
+nz AS (SELECT vec_id, emb FROM e
+       WHERE list_aggregate(list_transform(emb, x -> x * x), 'sum') > 0),
+u AS (SELECT qid AS m, cid AS x FROM g
+      UNION SELECT cid AS m, qid AS x FROM g),
+us AS (
+  SELECT m, x FROM (
+    SELECT m, x,
+           row_number() OVER (PARTITION BY m ORDER BY
+             ('0x' || substr(md5(CAST(m AS VARCHAR) || '|nns|'
+                             || CAST(x AS VARCHAR)), 1, 8))::BIGINT,
+             x) AS sr
+    FROM u) WHERE sr <= {_NND_SAMPLE}),
+cand AS (
+  SELECT DISTINCT a.x AS qid, b.x AS cid
+  FROM us a JOIN us b ON a.m = b.m
+  WHERE a.x != b.x),
+fresh AS (
+  SELECT c.qid, c.cid FROM cand c
+  LEFT JOIN g ON g.qid = c.qid AND g.cid = c.cid
+  WHERE g.cid IS NULL),
+scored AS (
+  SELECT f.qid, f.cid,
+         round(list_cosine_similarity(eq.emb, ec.emb), 6) AS cos,
+         TRUE AS is_new
+  FROM fresh f
+  JOIN nz eq ON eq.vec_id = f.qid
+  JOIN nz ec ON ec.vec_id = f.cid
+  UNION ALL
+  SELECT qid, cid, cos, FALSE AS is_new FROM g),
+ranked AS (
+  SELECT qid, cid, cos, is_new,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored)
+SELECT qid, cid, cos, rnk, is_new FROM ranked WHERE rnk <= {KNN_K}
+"""
+
+
+@query("sim_nndescent_sampled_round", eager=True,
+       oracle=_nnd_sampled_oracle())
+def sim_nndescent_sampled_round(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """rho-SAMPLED NN-Descent round (Dong, Moses & Li WWW 2011 §4.2 —
+    the sampling that makes the local join affordable at scale): the
+    full algorithm's per-round budget is n·(2k')² proposals, and the
+    round-11 rehearsal MEASURED that budget dominating the wall at
+    200k vectors (599 s for the 6-round curve, ~200M scored proposals
+    per round spilling through every shuffle; SCALE.md round 11). The
+    production knob is to SAMPLE each pivot's undirected neighborhood
+    down to a fixed S before proposing pairs — cost drops to n·S²
+    REGARDLESS of k' or reverse in-degree (sampling subsumes the
+    reverse cap), at the price of fewer proposals per round (more
+    rounds to converge, same total work, bounded memory).
+
+    Determinism (the part the paper leaves to an RNG): the sample
+    keeps the S neighbors with the smallest det_hash64(m|nns|x) —
+    content-addressed, partition-invariant, replayed bit-for-bit by
+    the DuckDB oracle — so the sampled candidate set is identical on
+    both engines and across cluster layouts. Output is
+    sim_nndescent_round's exact schema (per-node top-{KNN_K} of
+    old-union-proposals with is_new provenance), so the two rounds are
+    directly comparable: same seed graph, same keep rule, only the
+    proposal budget differs.
+
+    Scale shape: one hash-ranked window over the 2nk-row undirected
+    edge list (keyed by pivot), one self-equi-join bounded by n·S²,
+    one anti-join, two vec_id equi-joins, one per-node top-k window —
+    every shuffle keyed, nothing global, budget independent of hub
+    degree."""
+    g = sim_knn_graph(spark, sf_dir).persist()
+    from ..functions.vector import det_hash64
+    emb = (load_parallel(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   l2norm_col(F.col("embedding")).alias("nrm")))
+    u = (g.select(F.col("qid").alias("m"), F.col("cid").alias("x"))
+         .unionByName(g.select(F.col("cid").alias("m"),
+                               F.col("qid").alias("x")))
+         .distinct())
+    sr = F.row_number().over(
+        W.partitionBy("m").orderBy(
+            det_hash64(F.concat(F.col("m").cast("string"), F.lit("|nns|"),
+                                F.col("x").cast("string"))), "x"))
+    us = u.withColumn("sr", sr).filter(F.col("sr") <= _NND_SAMPLE)
+    cand = (us.select("m", F.col("x").alias("qid"))
+            .join(us.select("m", F.col("x").alias("cid")), "m")
+            .filter(F.col("qid") != F.col("cid"))
+            .select("qid", "cid").distinct())
+    fresh = cand.join(g.select("qid", "cid"), ["qid", "cid"], "left_anti")
+    eq = emb.select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    ec = emb.select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("ce"), F.col("nrm").alias("cn"))
+    scored_new = (fresh.join(eq, "qid").join(ec, "cid")
+                  .select("qid", "cid",
+                          F.round(dot_col(F.col("qe"), F.col("ce"))
+                                  / (F.col("qn") * F.col("cn")), 6)
+                          .alias("cos"),
+                          F.lit(True).alias("is_new")))
+    unioned = scored_new.unionByName(
+        g.select("qid", "cid", "cos", F.lit(False).alias("is_new")))
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (unioned.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= KNN_K)
+            .select("qid", "cid", "cos", "rnk", "is_new"))

@@ -2594,3 +2594,34 @@ def test_semdedup_multiprobe_extends_single_probe(spark):
     mdrops = {v for v, (_, d) in multi.items() if d}
     assert capped <= mdrops, capped - mdrops
     assert len(mdrops) > sum(1 for _, d in single.values() if d)
+
+
+def test_nndescent_sampled_round_never_worsens(spark):
+    """The rho-sampled round keeps the same top-k-of-union rule as the
+    full round, so the never-worsens invariant holds identically: every
+    node's k-th best cosine is >= the seed graph's, and any improvement
+    carries an is_new edge. Sampling only shrinks the PROPOSAL set —
+    with S=8 over a 3-wide seed graph it must still find something at
+    sf0.01 (the seed is imperfect), or the knob is mis-sized."""
+    from hadoop_digit_recognition_spark.all_queries import SPARK_QUERIES
+
+    old = SPARK_QUERIES["sim_knn_graph"](spark, SF_ORACLE).collect()
+    new = SPARK_QUERIES["sim_nndescent_sampled_round"](
+        spark, SF_ORACLE).collect()
+    import collections
+    omin = collections.defaultdict(lambda: 2.0)
+    for r in old:
+        omin[r["qid"]] = min(omin[r["qid"]], r["cos"])
+    nmin = collections.defaultdict(lambda: 2.0)
+    has_new = collections.defaultdict(bool)
+    for r in new:
+        nmin[r["qid"]] = min(nmin[r["qid"]], r["cos"])
+        has_new[r["qid"]] |= r["is_new"]
+    assert set(nmin) == set(omin)
+    improved = 0
+    for q in omin:
+        assert nmin[q] >= omin[q] - 1e-12, f"node {q} worsened"
+        if nmin[q] > omin[q]:
+            improved += 1
+            assert has_new[q], f"node {q} improved without a new edge"
+    assert improved > 0

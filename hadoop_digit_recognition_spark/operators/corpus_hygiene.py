@@ -1505,7 +1505,13 @@ def pipeline_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the rungs are priced individually in SCALE.md (capped
     LSH and capped SemDeDup are the measured production paths; the
-    quality gate and decontamination are one corpus pass each); the
+    quality gate and decontamination are one corpus pass each). The
+    semantic rung's MULTI-PROBE upgrade
+    (dedup_semdedup_multiprobe_capped, round 11 — measured pair recall
+    0.417 -> 0.926 uncapped at sf0.1, eval-graded at every cap level)
+    is verdict-schema drop-in compatible; this pipeline keeps the
+    single-probe rung for cross-round accounting comparability and a
+    release revision swaps the rung in one line. The
     composition itself adds only doc_id-keyed anti-joins between rungs
     and window math over sources-sized / release-sized summaries. The
     accounting output is 8 driver-side rows of already-aggregated

@@ -120,6 +120,24 @@ def clear_signature_cache(spark: SparkSession) -> int:
     return len(per)
 
 
+def memo_persist(spark: SparkSession, key: str, build) -> DataFrame:
+    """Register a persisted frame in the session memo cache (the
+    minhash_sig_arrays convention, round-11 generalization): `build` is
+    a zero-arg callable returning the DataFrame, evaluated only on
+    miss. Used at COMPOSITION BOUNDARIES where a model-sized frame
+    (kNN edge list, quantizer probe table, qualifying-pair set, LOF
+    closure levels) is referenced several times inside one plan —
+    composed lazily, Spark re-plans and re-executes the whole upstream
+    subtree per reference (sim_lof_outliers carried 160 parquet scans
+    before round 11's sweep). Registered entries are evicted by
+    clear_signature_cache, which the bench calls before every cold
+    tail/v2 repetition — so reps stay honestly cold."""
+    per = _SIG_CACHE.setdefault(spark, {})
+    if key not in per:
+        per[key] = build().persist()
+    return per[key]
+
+
 def minhash_sig_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig: array<bigint>[NUM_HASHES], sh, n): full minhash
     signature computed in ONE narrow pass — md5 each shingle once, then
@@ -3009,8 +3027,12 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string OOMs the driver)
     from ..session import pinned_shuffle
 
+    # eager=False checkpoints: lineage still truncates per round, but
+    # the rounds' result stages materialize inside downstream actions
+    # instead of one driver-blocking job each (the unroll is FIXED, so
+    # no round needs its own count — unlike the data-dependent CC loop)
     edges = (dedup_minhash_lsh(spark, sf_dir)
-             .select("doc_a", "doc_b").localCheckpoint())
+             .select("doc_a", "doc_b").localCheckpoint(eager=False))
     out = None
     with pinned_shuffle(spark):
         # edge volumes are dup-pair-sized KBs: pin the loop's shuffle
@@ -3029,7 +3051,7 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .groupBy("doc_a", "doc_b")
                    .agg(F.count(F.lit(1)).cast("bigint").alias("support")))
             out = (sup.filter(F.col("support") >= _KTRUSS_K - 2)
-                   .localCheckpoint())
+                   .localCheckpoint(eager=False))
             edges = out.select("doc_a", "doc_b")
     return out
 
@@ -3146,7 +3168,15 @@ def corpus_facility_location(spark: SparkSession,
     cov = emb.select(F.col("vec_id").alias("did"),
                      F.lit(0).cast("bigint").alias("cov"))
     selected: list[int] = []
-    rows = []
+    gains: list[int] = []
+    # ONE action per greedy round (the argmax) instead of three: cov is
+    # kept as a LAZY 3-deep join chain over the persisted sims table
+    # (model-sized, re-derived inside each argmax job for pennies), and
+    # the per-round objective totals are folded into a single
+    # conditional-aggregation job AFTER the loop — round k's coverage is
+    # max(0, max_{j<=k} sim_j(did)), so all K totals come from one
+    # groupBy(did) pass. Was: argmax + localCheckpoint + total = 3 jobs
+    # x K rounds (guide §1.2: remove driver-loop passes first).
     for k in range(1, _FL_K + 1):
         g = (sims.filter(~F.col("cid").isin(selected)) if selected
              else sims)
@@ -3159,14 +3189,27 @@ def corpus_facility_location(spark: SparkSession,
                 .first())
         sel, gain = int(best["cid"]), int(best["gain"])
         selected.append(sel)
+        gains.append(gain)
         upd = sims.filter(F.col("cid") == sel).select("did", "sim")
         cov = (cov.join(upd, "did", "left")
                .select("did", F.greatest(F.col("cov"),
                                          F.coalesce(F.col("sim"),
                                                     F.lit(0)))
-                       .alias("cov")).localCheckpoint())
-        tot = int(cov.agg(F.sum("cov")).first()[0])
-        rows.append((k, sel, gain, tot))
+                       .alias("cov")))
+    per_doc = (emb.select(F.col("vec_id").alias("did"))
+               .join(sims.filter(F.col("cid").isin(selected)), "did", "left")
+               .groupBy("did")
+               .agg(*[F.greatest(
+                          F.coalesce(
+                              F.max(F.when(
+                                  F.col("cid").isin(selected[:k]),
+                                  F.col("sim"))), F.lit(0)),
+                          F.lit(0)).cast("bigint").alias(f"c{k}")
+                      for k in range(1, _FL_K + 1)]))
+    tot_row = per_doc.agg(*[F.sum(f"c{k}").cast("bigint").alias(f"t{k}")
+                            for k in range(1, _FL_K + 1)]).first()
+    rows = [(k, selected[k - 1], gains[k - 1], int(tot_row[f"t{k}"]))
+            for k in range(1, _FL_K + 1)]
     sims.unpersist()
     return spark.createDataFrame(
         rows, "sel_round bigint, vec_id bigint, gain_e6 bigint, "
@@ -3250,10 +3293,26 @@ def _sem_probe_frames(spark: SparkSession, sf_dir: str, probes: int,
     sharded rank, the dedup_semdedup_capped mega-cell discipline);
     qpairs(va, vb) are the distinct threshold-qualifying pairs sharing
     >= 1 probe cell. Candidate pairs are DISTINCT'd before the cosine
-    join so a pair sharing several probe cells is scored once."""
+    join so a pair sharing several probe cells is scored once.
+
+    probe and qpairs are memoized + persisted per (session, sf_dir,
+    probes, cap) — the semdedup_capped kept-set precedent (evicted by
+    clear_signature_cache): five registered queries (both multiprobe
+    verdicts + three panel evals) derive from these frames, and within
+    one query the drop/partner/in_cap consumers reference them several
+    times — left lazy, the quantize->explode->rank->pair->cosine
+    subtree re-executed per reference (dedup_semdedup_mp_eval_pr's
+    physical plan carried 36 parquet scans / 94 exchanges,
+    plans/r11/dedup_semdedup_mp_eval_pr_before.txt)."""
     from pyspark.sql import Window as W
 
     from ..functions.vector import dot_col, l2norm_col
+
+    memo_key = f"semprobe::{probes}::{cap}::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and memo_key + "::qpairs" in per:
+        return (per[memo_key + "::primary"], per[memo_key + "::probe"],
+                per[memo_key + "::qpairs"])
 
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
@@ -3305,6 +3364,12 @@ def _sem_probe_frames(spark: SparkSession, sf_dir: str, probes: int,
                   / (F.col("na") * F.col("nb")), 6)
     qpairs = (cand.join(ea, "va").join(eb, "vb")
               .filter(cos >= SEM_TAU).select("va", "vb"))
+    probe = probe.persist()
+    qpairs = qpairs.persist()
+    reg = _SIG_CACHE.setdefault(spark, {})
+    reg[memo_key + "::primary"] = primary
+    reg[memo_key + "::probe"] = probe
+    reg[memo_key + "::qpairs"] = qpairs
     return primary, probe, qpairs
 
 
@@ -3447,6 +3512,8 @@ def _sem_eval_core(spark: SparkSession, sf_dir: str,
     _, _, qpairs = _sem_probe_frames(spark, sf_dir, probes, cap=cap)
     drops = (qpairs.select(F.col("vb").alias("vec_id")).distinct()
              .persist())
+    _SIG_CACHE.setdefault(spark, {})[
+        f"semdrops::{probes}::{cap}::{sf_dir}"] = drops
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm"))

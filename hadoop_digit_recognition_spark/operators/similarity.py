@@ -487,6 +487,31 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") <= KNN_K))
 
 
+def knn_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_graph's result memoized + persisted per (session, sf_dir)
+    — the similarity family's signature store (the minhash_sig_arrays
+    precedent, registered in dedup's _SIG_CACHE so clear_signature_cache
+    evicts it between cold bench reps). Eight registered consumers (LOF,
+    both NN-Descent rounds, the recall curve, mutual-kNN, greedy search,
+    graph recall eval, the kNN label evals) each reference the graph
+    SEVERALLY inside one plan; composed lazily, the bucketed build
+    subtree was duplicated per reference — sim_lof_outliers' physical
+    plan carried 160 parquet scans / 352 exchanges (plans/r11/
+    sim_lof_outliers_before.txt) for a 32k-row edge table. One
+    InMemoryRelation boundary collapses that to a single build per
+    query (guide §5: cache exactly the reused, expensive-to-recompute
+    frame)."""
+    from .dedup import _SIG_CACHE
+
+    cache_key = f"knn_graph::{sf_dir}"
+    per = _SIG_CACHE.get(spark)
+    if per is not None and cache_key in per:
+        return per[cache_key]
+    g = sim_knn_graph(spark, sf_dir).persist()
+    _SIG_CACHE.setdefault(spark, {})[cache_key] = g
+    return g
+
+
 @query("sim_knn_graph_adaptive", eager=True, oracle=f"""
 WITH nz AS (SELECT vec_id, embedding FROM embeddings
             WHERE list_aggregate(list_transform(embedding::DOUBLE[],
@@ -1126,7 +1151,7 @@ def ml_knn_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     no same-bucket neighbor are absent from the graph and thus from
     the eval on both engines identically. At 100 TB the added cost
     over building the graph is one |graph|-sized keyed count."""
-    knn = sim_knn_graph(spark, sf_dir)
+    knn = knn_graph_cached(spark, sf_dir)
     lab = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label")
     v = knn.join(lab.select(F.col("vec_id").alias("cid"),
                             F.col("label").alias("nl")), "cid")
@@ -1197,7 +1222,7 @@ def ml_label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner'd on vec_id. At 100 TB this is the same plan as the kNN
     confusion matrix with a per-vector instead of per-class rollup —
     the graph build dominates, shared across the whole eval family."""
-    knn = sim_knn_graph(spark, sf_dir)
+    knn = knn_graph_cached(spark, sf_dir)
     lab = load_parallel(spark, sf_dir, "embeddings").select("vec_id", "label")
     v = (knn
          .join(lab.select(F.col("vec_id").alias("cid"),
@@ -1733,7 +1758,7 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if per is not None and cache_key in per:
         edges = per[cache_key]
     else:
-        knn = sim_knn_graph(spark, sf_dir).select("qid", "cid")
+        knn = knn_graph_cached(spark, sf_dir).select("qid", "cid")
         edges = (knn.select(F.col("qid").alias("src"),
                             F.col("cid").alias("dst"))
                  .unionByName(knn.select(F.col("cid").alias("src"),
@@ -1767,10 +1792,14 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cuts the growing union lineage: without it hop H re-evaluates
         # every earlier hop's join tree (O(H^2) recomputation; measured
         # 10.8s -> 5.9s cold at sf0.1).
+        # eager=False: the checkpoint still truncates the growing union
+        # lineage (the O(H^2) recompute guard), but materialization is
+        # deferred into the next downstream action instead of paying one
+        # driver-blocking job per hop — NSW_HOPS fewer jobs per query.
         scored = (expanded.join(cand, "node")
                   .join(F.broadcast(qv), "qid")
                   .select("qid", "node", cos.alias("cos"))
-                  .coalesce(8).localCheckpoint())
+                  .coalesce(8).localCheckpoint(eager=False))
         visited = scored if visited is None else (
             visited.unionByName(scored).distinct())
         frontier = (scored.withColumn("rn", F.row_number().over(wbeam))
@@ -2101,7 +2130,7 @@ def sim_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n x k)-row edge table on the reversed key — edge-list-sized, not
     data-sized; everything heavy already happened inside the bucketed
     graph build."""
-    g = sim_knn_graph(spark, sf_dir)
+    g = knn_graph_cached(spark, sf_dir)
     b = g.select(F.col("qid").alias("bq"), F.col("cid").alias("bc"),
                  F.col("rnk").alias("rnk_ba"))
     return (g.join(b, (F.col("bq") == F.col("cid"))
@@ -2198,7 +2227,13 @@ def sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2.5); declared extension."""
     from pyspark.sql import Window as W2
 
-    g0 = sim_knn_graph(spark, sf_dir)
+    # One InMemoryRelation boundary at the GRAPH only: the closure
+    # levels s1 ⊇ s2 ⊇ s3 derive lazily from the cached edge table —
+    # Spark's runtime exchange reuse already dedups their repeated
+    # subtrees inside the single plan (measured 19 jobs / 175 tasks
+    # lazy vs 33 jobs when each level was persisted: every extra cache
+    # boundary costs an AQE materialization job and blocks reuse).
+    g0 = knn_graph_cached(spark, sf_dir)
     g = g0.select(
         "qid", "cid", "rnk",
         F.greatest(F.lit(1), F.round((1 - F.col("cos")) * 1000000))
@@ -2308,7 +2343,7 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the bucketed build from running once per reference (the
     # k-core edge precedent at similarity.py:1053) — model-sized,
     # released by the session's clearCache
-    g = sim_knn_graph(spark, sf_dir).persist()
+    g = knn_graph_cached(spark, sf_dir)
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm")))
@@ -2368,7 +2403,7 @@ def sim_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: sample x corpus scored pairs (a bounded broadcast
     sweep), one window top-k, one edge-table LEFT equi-join, one
     grouped count — nothing beyond the declared sample budget."""
-    g = sim_knn_graph(spark, sf_dir)
+    g = knn_graph_cached(spark, sf_dir)
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm"))
@@ -2613,8 +2648,8 @@ def sim_nndescent_recall_curve(spark: SparkSession,
     iterations (the min_label_cc lineage discipline: the round body
     references the previous graph several times, so un-truncated plans
     would grow exponentially in rounds)."""
-    g = (sim_knn_graph(spark, sf_dir)
-         .select("qid", "cid", "cos").localCheckpoint())
+    g = (knn_graph_cached(spark, sf_dir)
+         .select("qid", "cid", "cos"))
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm"))
@@ -2636,19 +2671,29 @@ def sim_nndescent_recall_curve(spark: SparkSession,
              .persist())
     n_truth = truth.count()
 
-    def n_hits(graph: DataFrame) -> int:
-        # measure on the top-KNN_K truncation of the working graph
+    def hit_frame(graph: DataFrame) -> DataFrame:
+        # top-KNN_K truncation of the working graph, semi-joined to truth
         wk = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
         top = (graph.withColumn("rn", F.row_number().over(wk))
                .filter(F.col("rn") <= KNN_K).select("qid", "cid"))
-        return truth.join(top, ["qid", "cid"], "left_semi").count()
+        return (truth.join(top, ["qid", "cid"], "left_semi")
+                .agg(F.count(F.lit(1)).alias("n_hit")))
 
-    rows = [(0, 0, n_hits(g))]
+    rows = [(0, 0, int(hit_frame(g).first()["n_hit"]))]
     for r in range(1, _NND_ROUNDS + 1):
-        refined = _nnd_refine_full(g, emb).localCheckpoint()
-        n_new = refined.filter("is_new").count()
+        # ONE action per round (was three: eager localCheckpoint +
+        # n_new count + n_hit count): the round body checkpoints
+        # NON-eagerly — the fused (n_new x n_hit) scalar join below
+        # materializes it and reads both counts off the checkpointed
+        # RDD in the same job (guide §1.2/§2.6: driver-loop actions
+        # are pure per-round overhead at every scale).
+        refined = _nnd_refine_full(g, emb).localCheckpoint(eager=False)
         g = refined.select("qid", "cid", "cos")
-        rows.append((r, n_new, n_hits(g)))
+        stats = (refined.agg(
+                     F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+                     .cast("bigint").alias("n_new"))
+                 .crossJoin(hit_frame(g)).first())
+        rows.append((r, int(stats["n_new"]), int(stats["n_hit"])))
     truth.unpersist()
     out = [(r, nn, nh,
             (1000000 * nh) // n_truth if n_truth else 0)
@@ -2738,7 +2783,7 @@ def sim_nndescent_sampled_round(spark: SparkSession,
     one anti-join, two vec_id equi-joins, one per-node top-k window —
     every shuffle keyed, nothing global, budget independent of hub
     degree."""
-    g = sim_knn_graph(spark, sf_dir).persist()
+    g = knn_graph_cached(spark, sf_dir)
     from ..functions.vector import det_hash64
     emb = (load_parallel(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",

@@ -32,6 +32,13 @@ def get_spark(app_name: str = "hdr-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans (the memoized signature/edge/probe stores) execute
+        # with AQE partition coalescing too — default false pins every
+        # InMemoryRelation materialization and scan at the static shuffle
+        # width (measured: sim_lof_outliers 175 -> 934 tasks when its
+        # composed frames were persisted without this; SPARK-37442).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

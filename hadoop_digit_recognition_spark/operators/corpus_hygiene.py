@@ -1314,7 +1314,33 @@ def _release_chain(spark: SparkSession, sf_dir: str,
                        ntok.cast("bigint").alias("ntok"),
                        F.md5("text").alias("ekey"))
 
-    s1 = (corpus_gopher_quality_rules(spark, sf_dir)
+    # The rung INGREDIENTS are independent of the survivor chain (the
+    # chain only anti-joins their id-sized outputs): build the eager
+    # ones — the distilled-classifier trainer, the capped MinHash and
+    # SemDeDup stores, the semantic-decontam index, the difficulty
+    # frame — in overlapped driver threads so their internal
+    # argmax/count jobs back-fill each other's stragglers (guide §2.6).
+    # Each builder is deterministic and owns disjoint memo keys;
+    # pinned_shuffle sections serialize on the session pin lock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..ml.queries import ml_quality_classifier_distill
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_gopher = pool.submit(corpus_gopher_quality_rules, spark, sf_dir)
+        f_qw = pool.submit(ml_quality_classifier_distill, spark, sf_dir)
+        f_mh = pool.submit(dedup_minhash_lsh_capped, spark, sf_dir)
+        f_sd = pool.submit(dedup_semdedup_capped, spark, sf_dir)
+        f_sm = pool.submit(corpus_decontamination_semantic, spark, sf_dir)
+        f_df = pool.submit(_difficulty_frame, spark, sf_dir)
+        gopher_f = f_gopher.result()
+        qw_f = f_qw.result()
+        mh_f = f_mh.result()
+        sd_f = f_sd.result()
+        sm_f = f_sm.result()
+        diff = f_df.result()
+
+    s1 = (gopher_f
           .filter(F.col("keep") == 1).select("doc_id").persist())
     # blocklist rung: the corpus_blocklist_filter term/phrase rules as a
     # per-document verdict (that operator reports per-(source, lang)
@@ -1337,9 +1363,7 @@ def _release_chain(spark: SparkSession, sf_dir: str,
     # int64 and z = Σ c·wi is an order-free integer sum; the rank cut is
     # a (z DESC, doc_id) total order, bit-identical cross-engine. Docs
     # with no features score z = 0.
-    from ..ml.queries import ml_quality_classifier_distill
-
-    qwi = (ml_quality_classifier_distill(spark, sf_dir)
+    qwi = (qw_f
            .select("i", F.round(F.col("w") * 1000000)
                    .cast("bigint").alias("wi")))
     qf = (docs.select(
@@ -1368,12 +1392,12 @@ def _release_chain(spark: SparkSession, sf_dir: str,
     s2 = (tokr.join(s1q, "doc_id")
           .groupBy("ekey").agg(F.min("doc_id").alias("doc_id"))
           .select("doc_id").persist())
-    pairs = dedup_minhash_lsh_capped(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = mh_f.select("doc_a", "doc_b")
     d3 = (pairs.join(s2.withColumnRenamed("doc_id", "doc_a"), "doc_a")
           .join(s2.withColumnRenamed("doc_id", "doc_b"), "doc_b")
           .select(F.col("doc_b").alias("doc_id")).distinct())
     s3 = s2.join(d3, "doc_id", "left_anti").persist()
-    semdrop = (dedup_semdedup_capped(spark, sf_dir)
+    semdrop = (sd_f
                .filter(F.col("dropped"))
                .select(F.col("vec_id").alias("doc_id")))
     s4 = s3.join(semdrop, "doc_id", "left_anti").persist()
@@ -1388,7 +1412,7 @@ def _release_chain(spark: SparkSession, sf_dir: str,
           .select("doc_id",
                   F.explode(F.expr(_grams_expr(_DECON_N))).alias("gram")))
     ngc = _decon_hits(g4).filter(F.col("nh") > 0).select("doc_id")
-    smc = (corpus_decontamination_semantic(spark, sf_dir)
+    smc = (sm_f
            .filter(F.col("contaminated"))
            .select(F.col("vec_id").alias("doc_id")))
     s5 = (s4.filter(F.col("doc_id") % _BENCH_MOD != 0)
@@ -1414,7 +1438,6 @@ def _release_chain(spark: SparkSession, sf_dir: str,
           .join(F.broadcast(quota), "source")
           .filter(F.col("rn") <= F.col("q"))
           .select("doc_id", "source", "ntok").persist())
-    diff = _difficulty_frame(spark, sf_dir)
     crank = F.row_number().over(
         W.orderBy("difficulty_micro", "doc_id"))
     s7 = (s6.join(diff, "doc_id")

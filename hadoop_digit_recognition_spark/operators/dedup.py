@@ -601,9 +601,12 @@ def min_label_cc(spark: SparkSession, edges: DataFrame,
         # tree; the 512-node path test OOM'd generating the plan string).
         # Checkpointing pins each round to a flat LogicalRDD; dropped
         # references are unpersisted by Spark's ContextCleaner.
+        # eager=False: the convergence agg right below materializes the
+        # checkpoint inside its own job — one driver action per round
+        # instead of two (checkpoint job + sum job)
         labels = (edges.groupBy("u").agg(F.min("v").alias("mv"))
                   .select("u", F.least("u", "mv").alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         prev_sum = labels.agg(F.sum("lbl")).first()[0]
         rounds = 0
         for _ in range(max_rounds):  # doubling covers diameter ~2^max
@@ -631,11 +634,15 @@ def min_label_cc(spark: SparkSession, edges: DataFrame,
                               "lbl", "left")
                           .select("u",
                                   F.least("lbl", F.coalesce("lbl2", "lbl"))
-                                  .alias("lbl")).localCheckpoint())
-            prop.unpersist()
+                                  .alias("lbl"))
+                          .localCheckpoint(eager=False))
             # labels only decrease, so fixpoint <=> sum unchanged: one
-            # narrow agg per round instead of a labels join + count
+            # narrow agg per round instead of a labels join + count —
+            # and with the non-eager checkpoint it is the round's ONLY
+            # action (it materializes the checkpoint as it runs). prop
+            # must stay persisted until this job has run.
             cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+            prop.unpersist()
             labels = new_labels
             if cur_sum == prev_sum:
                 break
@@ -1412,7 +1419,9 @@ def dedup_cc_two_phase_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             # list and truncates the plan (without it, round ~8's plan
             # tree OOMs the driver during explain, long before any
             # executor works hard)
-            small = small.localCheckpoint()
+            # eager=False: the signature agg materializes the checkpoint
+            # in the same job — one action per star round instead of two
+            small = small.localCheckpoint(eager=False)
             sig = small.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.col("u") * 1_000_003 + F.col("v")).alias("s")).first()

@@ -482,22 +482,24 @@ def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = per[cache_key]
     else:
         pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-        e = (pairs.select(F.col("doc_a").alias("u"),
-                          F.col("doc_b").alias("v"))
-             .unionByName(pairs.select(F.col("doc_b").alias("u"),
-                                       F.col("doc_a").alias("v")))
-             .distinct().persist())
         with pinned_shuffle(spark):
-            e.count()  # materialize base edges under the pinned width
+            # non-eager checkpoints: the unroll is FIXED (no per-round
+            # decision), so no round needs its own driver-blocking
+            # count — planning (and thus the pinned width) happens at
+            # the localCheckpoint call, execution folds into the first
+            # downstream action; each round's RDD is cached, so the
+            # degree + two semi-join references share one execution.
+            e = (pairs.select(F.col("doc_a").alias("u"),
+                              F.col("doc_b").alias("v"))
+                 .unionByName(pairs.select(F.col("doc_b").alias("u"),
+                                           F.col("doc_a").alias("v")))
+                 .distinct().localCheckpoint(eager=False))
             for _ in range(2):
                 deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
                        .filter(F.col("d") >= KCORE_K).select("u"))
-                new_e = (e.join(deg, "u", "semi")
-                         .join(deg.withColumnRenamed("u", "v"), "v", "semi")
-                         .persist())
-                new_e.count()  # eager: peel under the pinned width
-                e.unpersist()
-                e = new_e
+                e = (e.join(deg, "u", "semi")
+                     .join(deg.withColumnRenamed("u", "v"), "v", "semi")
+                     .localCheckpoint(eager=False))
         _SIG_CACHE.setdefault(spark, {})[cache_key] = e
     out = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
            .filter(F.col("d") >= KCORE_K))

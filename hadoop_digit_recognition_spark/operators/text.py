@@ -1404,7 +1404,7 @@ def _bpe_apply_merges(state: DataFrame,
                       F.lit(f" {lhs}, {rhs},"),
                       F.lit(f" {lhs}{rhs},")).alias("repr"))
         if i % _BPE_CKPT_EVERY == 0:
-            state = state.localCheckpoint()
+            state = state.localCheckpoint(eager=False)
     return state
 
 
@@ -1422,7 +1422,7 @@ def _bpe_train_scaled(docs: DataFrame, rounds: int,
     `on_round(rnd)`, when given, is called after each completed round —
     a measurement hook (scripts/measure_bpe_scaled.py); it never alters
     the training path."""
-    state = _bpe_word_state(docs).localCheckpoint()
+    state = _bpe_word_state(docs).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rnd in range(1, rounds + 1):
         rows = (_bpe_pair_counts(state)
@@ -1438,7 +1438,7 @@ def _bpe_train_scaled(docs: DataFrame, rounds: int,
                       F.lit(f" {lhs}, {rhs},"),
                       F.lit(f" {lhs}{rhs},")).alias("repr"))
         if rnd % _BPE_CKPT_EVERY == 0:
-            state = state.localCheckpoint()
+            state = state.localCheckpoint(eager=False)
         if on_round is not None:
             on_round(rnd)
     return merges, state
@@ -2270,7 +2270,7 @@ def _wp_train(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
     """The WordPiece driver loop, factored (the _bpe_train_scaled
     convention) so the bake-off can reuse the IDENTICAL trainer and
     read the final word state: returns (merge list, final state)."""
-    state = _bpe_word_state(docs).localCheckpoint()
+    state = _bpe_word_state(docs).localCheckpoint(eager=False)
     merges: list[tuple] = []
     for rnd in range(1, _WP_ROUNDS + 1):
         ug = _wp_sym_counts(state)
@@ -2295,7 +2295,8 @@ def _wp_train(docs: DataFrame) -> tuple[list[tuple], DataFrame]:
             "word", "freq",
             F.replace(F.col("repr"),
                       F.lit(f" {lhs}, {rhs},"),
-                      F.lit(f" {lhs}{rhs},")).alias("repr")).localCheckpoint()
+                      F.lit(f" {lhs}{rhs},")).alias("repr")
+        ).localCheckpoint(eager=False)
     return merges, state
 
 
@@ -2521,9 +2522,20 @@ def corpus_tokenizer_bakeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_toks = F.size(F.filter(F.split("repr", " "),
                              lambda x: x != "")).cast("bigint")
 
-    bpe_final, _ = _bpe_train_states(docs)
-    _, wp_final = _wp_train(docs)
-    uni = text_unigram_viterbi_segment(spark, sf_dir)
+    # The three trainers are INDEPENDENT driver loops (each a sequence
+    # of argmax collects over its own word-type state): overlap them in
+    # driver threads so one trainer's straggler rounds back-fill cores
+    # the others leave idle (guide §2.6) — results are unchanged, each
+    # loop is deterministic and touches only its own state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bpe = pool.submit(_bpe_train_states, docs)
+        f_wp = pool.submit(_wp_train, docs)
+        f_uni = pool.submit(text_unigram_viterbi_segment, spark, sf_dir)
+        bpe_final, _ = f_bpe.result()
+        _, wp_final = f_wp.result()
+        uni = f_uni.result()
 
     def measure(state: DataFrame, name: str) -> DataFrame:
         m = (state.filter(F.length("word") <= _UNI_MAXLEN)

@@ -48,6 +48,14 @@ def get_spark(app_name: str = "hdr-spark", cpus: int | None = None,
 
 
 from contextlib import contextmanager  # noqa: E402
+import threading  # noqa: E402
+
+# spark.sql.shuffle.partitions is SESSION-global: two driver threads
+# nesting pinned_shuffle concurrently (the §2.6 overlapped-builders
+# pattern) could each read the other's pin as "prev" and restore the
+# session to the pinned width permanently. One lock serializes the
+# pinned sections; the overlapped builders that don't pin are untouched.
+_PIN_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -60,9 +68,10 @@ def pinned_shuffle(spark, n: int = 8):
     affected (the returned lazy DataFrame executes under the caller's
     conf, which is the caller's business). Same sizing reasoning as the
     streaming state stores (streaming/pipeline.py::run_to_memory)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _PIN_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

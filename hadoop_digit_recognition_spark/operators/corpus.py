@@ -859,24 +859,21 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist it ONCE per (session, sf) in the shared weak-keyed cache
     # (clear_signature_cache evicts it) instead of leaking a fresh cache
     # entry per invocation — the ml_naive_bayes_langid pattern.
-    from .dedup import _SIG_CACHE
+    from .dedup import memo_persist
 
-    cache_key = f"dataset_card_m::{sf_dir}"
-    per = _SIG_CACHE.get(spark)
-    if per is not None and cache_key in per:
-        m = per[cache_key]
-    else:
+    def _build_m() -> DataFrame:
         docs = load_parallel(spark, sf_dir, "documents")
         w = F.split("text", " ")
-        m = docs.select(
+        return docs.select(
             "lang",
             F.size(w).alias("n"),
             F.round(0.4 * F.least(F.size(w) / 100.0, F.lit(1.0))
                     + 0.6 * (F.size(F.array_distinct(w)) * 1.0
                              / F.size(w)), 6)
             .alias("quality"),
-            F.md5("text").alias("h")).persist()
-        _SIG_CACHE.setdefault(spark, {})[cache_key] = m
+            F.md5("text").alias("h"))
+
+    m = memo_persist(spark, f"dataset_card_m::{sf_dir}", _build_m)
     sec = lambda s, met, val: (  # noqa: E731
         m.agg(val.alias("value"))
         .select(F.lit(s).alias("section"), F.lit(met).alias("metric"),

@@ -466,7 +466,7 @@ def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     hygiene pipelines cap at k<=3 — the 2-round form IS the production
     query."""
     from ..session import pinned_shuffle
-    from .dedup import _SIG_CACHE, dedup_minhash_lsh
+    from .dedup import dedup_minhash_lsh, memo_register
 
     # The unrolled peel references each round's edge list twice (degree
     # + semi-join), so left lazy the LSH band join re-executes
@@ -476,11 +476,7 @@ def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisting each round; the peeled core edge list is memoized in
     # the signatures' weak-keyed session cache (clear_signature_cache
     # evicts it), since the peel is deterministic per (session, sf).
-    cache_key = f"kcore_core_edges::{sf_dir}"
-    per = _SIG_CACHE.get(spark)
-    if per is not None and cache_key in per:
-        e = per[cache_key]
-    else:
+    def _build_core_edges():
         pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
         with pinned_shuffle(spark):
             # non-eager checkpoints: the unroll is FIXED (no per-round
@@ -500,7 +496,13 @@ def _kcore_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e = (e.join(deg, "u", "semi")
                      .join(deg.withColumnRenamed("u", "v"), "v", "semi")
                      .localCheckpoint(eager=False))
-        _SIG_CACHE.setdefault(spark, {})[cache_key] = e
+        return e
+
+    # memo_register (not memo_persist): the entry is checkpoint-backed —
+    # its blocks already live in the block manager; an extra persist
+    # would stack an InMemoryRelation layer on top of them.
+    e = memo_register(spark, f"kcore_core_edges::{sf_dir}",
+                      _build_core_edges)
     out = (e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
            .filter(F.col("d") >= KCORE_K))
     return out.select(F.col("u").alias("doc_id"),

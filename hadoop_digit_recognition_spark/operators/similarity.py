@@ -501,15 +501,10 @@ def knn_graph_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     InMemoryRelation boundary collapses that to a single build per
     query (guide §5: cache exactly the reused, expensive-to-recompute
     frame)."""
-    from .dedup import _SIG_CACHE
+    from .dedup import memo_persist
 
-    cache_key = f"knn_graph::{sf_dir}"
-    per = _SIG_CACHE.get(spark)
-    if per is not None and cache_key in per:
-        return per[cache_key]
-    g = sim_knn_graph(spark, sf_dir).persist()
-    _SIG_CACHE.setdefault(spark, {})[cache_key] = g
-    return g
+    return memo_persist(spark, f"knn_graph::{sf_dir}",
+                        lambda: sim_knn_graph(spark, sf_dir))
 
 
 @query("sim_knn_graph_adaptive", eager=True, oracle=f"""
@@ -1744,7 +1739,7 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob (HNSW's ef parameter); unrolled here for an oracle-exact
     fixed plan, driver-looped in production exactly like the
     connected-components fixpoint."""
-    from .dedup import _SIG_CACHE
+    from .dedup import memo_persist
 
     # zero-norm vectors are out of the walk everywhere: queries, entry
     # point, and scoring candidates (the edges come from the already-
@@ -1753,19 +1748,17 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "embedding",
                    l2norm_col(F.col("embedding")).alias("nrm"))
            .filter(F.col("nrm") > 0))
-    cache_key = f"nsw_edges::{sf_dir}"
-    per = _SIG_CACHE.get(spark)
-    if per is not None and cache_key in per:
-        edges = per[cache_key]
-    else:
+
+    def _build_edges() -> DataFrame:
         knn = knn_graph_cached(spark, sf_dir).select("qid", "cid")
-        edges = (knn.select(F.col("qid").alias("src"),
-                            F.col("cid").alias("dst"))
-                 .unionByName(knn.select(F.col("cid").alias("src"),
-                                         F.col("qid").alias("dst")))
-                 .distinct().persist())
-        edges.count()
-        _SIG_CACHE.setdefault(spark, {})[cache_key] = edges
+        return (knn.select(F.col("qid").alias("src"),
+                           F.col("cid").alias("dst"))
+                .unionByName(knn.select(F.col("cid").alias("src"),
+                                        F.col("qid").alias("dst")))
+                .distinct())
+
+    edges = memo_persist(spark, f"nsw_edges::{sf_dir}", _build_edges,
+                         eager=True)
 
     qv = (emb.filter(F.col("vec_id") < N_QUERIES)
           .select(F.col("vec_id").alias("qid"),

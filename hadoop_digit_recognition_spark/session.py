@@ -54,7 +54,13 @@ import threading  # noqa: E402
 # nesting pinned_shuffle concurrently (the §2.6 overlapped-builders
 # pattern) could each read the other's pin as "prev" and restore the
 # session to the pinned width permanently. One lock serializes the
-# pinned sections; the overlapped builders that don't pin are untouched.
+# pinned sections. NOTE the conf is still session-global while pinned:
+# a concurrent thread that plans/executes WITHOUT pinning observes the
+# pinned width (harmless for results, only a width hint); and a pinned
+# section must never block on worker threads that themselves pin — the
+# RLock is per-thread, so that nesting deadlocks. Current overlapped
+# builders (tokenizer bake-off, release-chain rungs) call pinned
+# helpers directly from pool threads and never wait on a nested pin.
 _PIN_LOCK = threading.RLock()
 
 
